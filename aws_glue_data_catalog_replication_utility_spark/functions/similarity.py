@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; at 100 TB the scale path
+is bucketed LSH (random-hyperplane signs) so candidate generation is an
+equi-join, with exact re-ranking inside buckets.
+
+Numeric determinism: dot products are LEFT-TO-RIGHT double folds
+(zip_with + aggregate), which the DuckDB oracle reproduces bit-exactly
+with list_inner_product over DOUBLE[] — verified, no rounding slop
+needed. This is why we do NOT use a Pandas UDF here by default: numpy's
+pairwise summation changes the fold order. (A vectorized Pandas-UDF
+variant is the right call when throughput matters more than oracle
+bit-equality; see `cosine_topk_pandas`.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _fold_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _fold_norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    queries: (query_id, embedding). Broadcast the (small) query set, so
+    the big embeddings table streams once with NO shuffle until the
+    per-query top-k aggregation — which is a windowed rank over
+    (query_id) keys, k rows out per query.
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__e")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__q")
+    )
+    scored = (
+        e.join(F.broadcast(q), on=F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                _fold_dot(F.col("__e"), F.col("__q"))
+                / (F.sqrt(_fold_norm2(F.col("__e"))) * F.sqrt(_fold_norm2(F.col("__q"))))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.col("cosine"), F.col("__rn").alias("rank"))
+    )
+
+
+def dot_udf_available() -> bool:
+    """True when pandas+pyarrow are importable (the fast-lane UDF path)."""
+    try:
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def cosine_topk_pandas(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Throughput variant: numpy matmul per Arrow batch via mapInPandas.
+
+    Each batch computes a (batch x num_queries) similarity matrix in one
+    BLAS call — the 100 TB lane (10-100x the fold path). Not bit-stable
+    vs the oracle (pairwise summation), so benched, not hash-checked.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()  # small, driver-ok
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_norm.T  # (batch, nq)
+            nq = len(q_ids)
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(q_ids, len(ids)),
+                    id_col: np.tile(ids, nq),
+                    "cosine": sims.T.reshape(-1),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    scored = (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(score, schema=out_schema)
+        .where(F.col(id_col) != F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
+    )

@@ -1,0 +1,95 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure column expressions (no UDFs — everything stays in whole-stage
+codegen and is portable to the DuckDB oracle). The reference's string
+surface is only lower/startsWith/concat (SURVEY.md §2A #16-19); these
+generalize it to the document plane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# deterministic per-language stopword lists for the n-gram/stopword
+# language heuristic; fixed priority order breaks ties
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "es": ("el", "la", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "et", "un", "est", "que", "les", "des", "du"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr")
+
+
+def _tokens(text: str | Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(text))
+
+
+def regex_token_count(text: str | Column, pattern: str = r"[A-Za-z]+|[0-9]+") -> Column:
+    """BPE-ish token count: number of matches of a word/number pattern.
+
+    Kept to a regex subset with identical semantics in Java regex (Spark)
+    and RE2 (DuckDB oracle).
+    """
+    return F.regexp_count(F.col(text) if isinstance(text, str) else text, F.lit(pattern))
+
+
+def punct_ratio(text: str | Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    t = F.col(text) if isinstance(text, str) else text
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    return F.when(F.length(t) > 0, punct / F.length(t)).otherwise(F.lit(0.0))
+
+
+def _stopword_hits(text: str | Column, words: tuple[str, ...]) -> Column:
+    toks = _tokens(text)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def stopword_ratio(text: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = _tokens(text)
+    return _stopword_hits(text, STOPWORDS[lang]) / F.size(toks)
+
+
+def quality_score(text: str | Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs with
+    some stopword mass and low punctuation density. Deterministic double
+    arithmetic (same result in the oracle)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(t).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(t, "en")
+    sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.least(punct_ratio(t) * F.lit(10.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_score + F.lit(0.5) * sw_score - F.lit(0.25) * punct_pen, 6
+    )
+
+
+def lang_guess(text: str | Column) -> Column:
+    """Stopword-vote language ID: argmax of per-language stopword hits
+    with fixed priority tie-break; 'und' (undetermined) when no list
+    scores > 0."""
+    scores = {lg: _stopword_hits(text, STOPWORDS[lg]) for lg in LANG_PRIORITY}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build when-chain in reverse priority so earlier langs win ties
+    for lg in reversed(LANG_PRIORITY):
+        expr = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the casefolded,
+    whitespace-collapsed text. Identical duplicates collide; both Spark
+    and DuckDB compute the same hex digest."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "))

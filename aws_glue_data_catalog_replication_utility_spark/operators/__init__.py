@@ -1,0 +1,23 @@
+"""Relational operator library (SURVEY.md §2B).
+
+Each operator is DataFrame-in / DataFrame-out, declarative (Catalyst
+optimizes the plan), and deterministic. Nothing here collects to the
+driver or loops per-row.
+"""
+
+from .joins import exists_semi, missing_anti, prefix_semi_join
+from .merge import merge_outcomes, apply_merge
+from .routing import threshold_route
+from .windows import latest_by
+from .sync import full_refresh_sync
+
+__all__ = [
+    "exists_semi",
+    "missing_anti",
+    "prefix_semi_join",
+    "merge_outcomes",
+    "apply_merge",
+    "threshold_route",
+    "latest_by",
+    "full_refresh_sync",
+]

@@ -1,0 +1,106 @@
+"""Generalized MERGE with outcome flags — the heart of the import side.
+
+The reference decides create-vs-update per entity with a GetTable probe
+followed by CreateTable/UpdateTable (GlueUtil.java:264-350), recording
+TableReplicationStatus flags (created/updated/replicated/error). Here the
+whole batch is ONE full-outer join:
+
+    source ⟗ target ON key
+      match + changed   -> 'update'
+      match + unchanged -> 'skip'      (exists-skip, GDCUtil.java:149-162)
+      source only       -> 'create'
+      target only       -> 'keep'      (not touched by replication)
+
+`apply_merge` materializes the new target state from those outcomes —
+an idempotent join+overwrite MERGE (no Delta dependency). Running it
+twice is a no-op, which is what makes the at-least-once event plane
+effectively-once (SURVEY.md §3.4).
+
+Scale: one shuffle on the merge key for each side; AQE handles skew
+(one huge database's tables landing in one partition). Equality of
+'changed' is computed column-wise on the compared fields only, so column
+pruning keeps the scan narrow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+ACTION_COL = "merge_action"
+
+
+def _tagged(df: DataFrame, tag: str) -> DataFrame:
+    return df.select(F.lit(True).alias(tag), "*")
+
+
+def merge_outcomes(
+    source: DataFrame,
+    target: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Full-outer join source/target; returns one row per key with
+    `merge_action` ∈ {create, update, skip, keep} plus the source columns
+    (for create/update/skip) or target columns (for keep).
+
+    compare_cols: columns whose inequality means 'update'; defaults to all
+    non-key source columns present on both sides.
+    """
+    keys = list(keys)
+    src_cols = [c for c in source.columns if c not in keys]
+    tgt_cols = [c for c in target.columns if c not in keys]
+    if compare_cols is None:
+        compare_cols = [c for c in src_cols if c in set(tgt_cols)]
+
+    # presence flags must not depend on nullable payload columns: use a
+    # sentinel column per side
+    s = source.withColumn("__src", F.lit(True)).alias("s")
+    t = target.withColumn("__tgt", F.lit(True)).alias("t")
+    joined = s.join(t, on=keys, how="full_outer")
+    in_src = F.col("s.__src").isNotNull()
+    in_tgt = F.col("t.__tgt").isNotNull()
+
+    changed = F.lit(False)
+    for c in compare_cols:
+        # null-safe inequality
+        changed = changed | ~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))
+
+    action = (
+        F.when(in_src & ~in_tgt, F.lit("create"))
+        .when(in_src & in_tgt & changed, F.lit("update"))
+        .when(in_src & in_tgt, F.lit("skip"))
+        .otherwise(F.lit("keep"))
+    )
+
+    # output the surviving row: source wins for create/update/skip,
+    # target for keep
+    out_cols = [F.col(k).alias(k) for k in keys]
+    payload_cols = []
+    for c in src_cols:
+        if c == "__src":
+            continue
+        if c in set(tgt_cols):
+            payload_cols.append(
+                F.when(in_src, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        else:
+            payload_cols.append(F.col(f"s.{c}").alias(c))
+    for c in tgt_cols:
+        if c != "__tgt" and c not in set(src_cols):
+            payload_cols.append(F.col(f"t.{c}").alias(c))
+
+    return joined.select(*out_cols, *payload_cols, action.alias(ACTION_COL))
+
+
+def apply_merge(
+    source: DataFrame,
+    target: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """New target state after upserting `source`: every source row
+    (created or updated) plus untouched target rows. Idempotent."""
+    out = merge_outcomes(source, target, keys, compare_cols)
+    return out.drop(ACTION_COL)

@@ -1,0 +1,811 @@
+"""Declared query registry: the correctness + bench surface.
+
+Every SURVEY.md §2B operator appears here as a (spark_fn, oracle_sql)
+pair. The spark_fn takes (spark, sf_dir) and returns a DataFrame; the
+oracle is ANSI SQL DuckDB runs over the same parquet views. The driver
+hash-compares values column-name-sorted and order-insensitively, so:
+
+- every computed column is aliased IDENTICALLY on both sides;
+- numeric rules for bit-exact cross-engine equality (verified empirically):
+  * sums of doubles go through DECIMAL (order-independent exact adds),
+    final CAST AS DOUBLE;
+  * per-row double arithmetic (x*y, a/b) is IEEE-identical — used raw;
+  * array dot products are left-to-right double folds on both sides;
+  * NO round() on hash-checked doubles (round impls could differ);
+- counts are bigint on both sides (DuckDB SUM(int)->HUGEINT is cast);
+- top-k queries carry a total tie-break ordering so the selected SET is
+  deterministic even though row order doesn't matter for the hash.
+
+Reference-parity queries cite the reference behavior they generalize
+(file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .session import load_tables
+from .operators import (
+    exists_semi,
+    full_refresh_sync,
+    latest_by,
+    merge_outcomes,
+    missing_anti,
+    prefix_semi_join,
+    threshold_route,
+)
+from .functions.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_signature,
+    word_shingles,
+)
+from .functions.similarity import cosine_topk
+from .functions import text as TX
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracles() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_tables(spark, sf_dir, list(names))
+    return [tabs[n] for n in names]
+
+
+def _dec(col, scale: int = 2):
+    """Order-independent exact double sum: cast to decimal pre-sum."""
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(
+        f"decimal(18,{scale})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. aggregation core (hash agg, SURVEY §2A #22-23)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: the hash-aggregation workhorse.
+    Map-side partial aggregation; one shuffle on a 6-value group key."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                _dec(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax")),
+                    6,
+                )
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. scan / filter / projection (SURVEY §2A #1-3, #13-14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice*(1-l_discount) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '2000-01-01'
+    """,
+)
+def q02_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed-down filter + pruned projection — the snapshot scan
+    (GlueUtil.java:84-105 pagination becomes a partitioned scan;
+    predicate + column pruning reach the parquet reader)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. prefix theta-semi-join (planner filter, GDCReplicationPlanner.java:124-137)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_prefix_filter",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE lower(n_name) LIKE 'nation_1%' OR lower(n_name) LIKE 'nation_2%'
+    """,
+)
+def q03_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-planner prefix filter: keep entities whose lowercased
+    name starts with any configured prefix
+    (GDCReplicationPlanner.java:109-137, empty-config bypass :70-81)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    return prefix_semi_join(
+        nation.select("n_nationkey", "n_name"), ["NATION_1", "NATION_2"], col="n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4-5. existence semi/anti joins (GlueUtil.java:63-75, create-if-absent)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q04_exists_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+)
+def q04_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-form existence probe (replaces per-entity GetTable lookups,
+    GlueUtil.java:240-253): orders having a qualifying lineitem."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    big = li.where(F.col("l_quantity") >= 49).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return exists_semi(
+        orders.select("o_orderkey", "o_totalprice"), big, ["o_orderkey"]
+    )
+
+
+@register(
+    "q05_anti_join_missing",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q05_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The to-create diff (create-if-EntityNotFound, GlueUtil.java:142-167):
+    customers with no urgent orders."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return missing_anti(
+        cust.select("c_custkey", "c_name"),
+        orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        ["c_custkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. threshold routing (ExportDatabaseWithTables.java:73,172-216)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q06_threshold_route",
+    oracle="""
+    SELECT c.c_custkey, COALESCE(n.n, 0) AS n_children,
+           CASE WHEN COALESCE(n.n, 0) <= 10 THEN 'inline' ELSE 'large' END AS route
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) n
+      ON n.o_custkey = c.c_custkey
+    """,
+)
+def q06_threshold_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small/large routing at the reference's threshold 10
+    (ExportDatabaseWithTables.java:73): inline payload vs side-channel.
+    Zero children routes inline (empty partitionList is published)."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    routed = threshold_route(
+        cust.select("c_custkey"),
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on=["c_custkey"],
+        threshold=10,
+    )
+    return routed.select("c_custkey", "n_children", "route")
+
+
+# ---------------------------------------------------------------------------
+# 7. window latest-run dedup (audit tables keyed (id, run_id))
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q07_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q07_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Current status' per entity over an append-only audit stream —
+    the (id, run_id) key design of the DDB audit tables
+    (template.yaml:39-45) as a window rank."""
+    (events,) = _t(spark, sf_dir, "events")
+    return latest_by(
+        events.select("user_id", "event_id", "ts", "event_type"),
+        keys=["user_id"],
+        order_col="ts",
+        tiebreak=["event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. MERGE outcome flags (GlueUtil.java:264-350 createOrUpdateTable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q08_merge_outcomes",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_totalprice AS value, o_orderstatus AS status
+               FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+         s AS (SELECT o_orderkey,
+                      CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN o_totalprice + 10 ELSE o_totalprice END AS value,
+                      o_orderstatus AS status
+               FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.value ELSE t.value END AS value,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.status ELSE t.status END AS status,
+           CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NULL THEN 'create'
+                WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                     AND (s.value IS DISTINCT FROM t.value
+                          OR s.status IS DISTINCT FROM t.status) THEN 'update'
+                WHEN s.o_orderkey IS NOT NULL THEN 'skip'
+                ELSE 'keep' END AS merge_action
+    FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+    """,
+)
+def q08_merge_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE with created/updated/skipped flags — the set form of
+    TableReplicationStatus (GlueUtil.java:264-350): target snapshot =
+    pre-1998 orders, source snapshot = post-1996 orders with urgent
+    orders 'modified'; one full-outer join decides every outcome."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    target = orders.where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("value"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    source = orders.where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") + 10
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("value"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return merge_outcomes(source, target, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# 9. partition full-refresh sync (GDCUtil.java:61-111, README.md:266-273)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_partition_full_refresh",
+    oracle="""
+    WITH exp_t AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         exp_p AS (SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+                   FROM lineitem l JOIN exp_t ON l.l_orderkey = exp_t.o_orderkey
+                   WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'),
+         kept AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+                  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM exp_t))
+    SELECT * FROM kept UNION ALL SELECT * FROM exp_p
+    """,
+)
+def q09_partition_full_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-case partition sync (export-set becomes the whole truth for
+    exported tables; delete-all-then-add-all, NOT a minimal diff —
+    GDCUtil.java:61-111): orders≙tables, lineitems≙partitions. Urgent
+    orders are 'in the export'; only their post-1997 lineitems survive,
+    including urgent orders whose exported set is empty (wipe case)."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    exported_tables = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    parts = li.select("l_orderkey", "l_linenumber", "l_quantity")
+    exported_parts = exists_semi(
+        li.where(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz")),
+        exported_tables,
+        ["l_orderkey"],
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+    return full_refresh_sync(
+        exported_parts, exported_tables, parts, keys=["l_orderkey"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. union + audit counters (#23, #26)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_audit_counts",
+    oracle="""
+    SELECT status, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT 'exported' AS status, event_type, value FROM events WHERE value > 900
+      UNION ALL
+      SELECT 'skipped' AS status, event_type, value FROM events WHERE value <= 900
+    ) GROUP BY status, event_type
+    """,
+)
+def q10_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of per-run outcomes + counters — the exported/skipped
+    statistics the reference tracks with AtomicIntegers and DDB audit
+    rows (ExportDatabaseWithTables.java:137,196-222)."""
+    (events,) = _t(spark, sf_dir, "events")
+    exported = events.where(F.col("value") > 900).select(
+        F.lit("exported").alias("status"), "event_type", "value"
+    )
+    skipped = events.where(F.col("value") <= 900).select(
+        F.lit("skipped").alias("status"), "event_type", "value"
+    )
+    return (
+        exported.unionByName(skipped)
+        .groupBy("status", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", 6)).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. JSON codec (#15: Gson toJson/fromJson -> get_json_object)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decode (message bodies are JSON documents,
+    SNSUtil.java:101-102): extract a field, bucket, aggregate."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k_bucket",
+            (F.get_json_object("props", "$.k").cast("int") % 10),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. scalar string/date functions (#16 object-key generation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_object_keys",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') || '_' || CAST(o_orderkey AS VARCHAR)
+             || '_' || lower(o_orderpriority) || '.txt' AS object_key
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q12_object_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-channel object-key generation
+    (yyyy-MM-dd_<id>_<...>.txt, ExportLargeTable.java:97-101)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.concat(
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lit("_"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("_"),
+            F.lower("o_orderpriority"),
+            F.lit(".txt"),
+        ).alias("object_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13-15. sort/limit + multi-way joins (deterministic top-k; bench heads)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q13_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with total ordering (TakeOrderedAndProject — no full sort)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q14_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+    """,
+)
+def q14_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style 3-way join + agg + top-k. customer is the small
+    side (broadcast); lineitem⋈orders shuffles on the order key."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
+        .join(
+            li.where(
+                F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q15_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q15_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 6-way join: dims (region/nation/supplier/customer)
+    broadcast; facts shuffle once on the order key."""
+    cust, orders, li, sup, nat, reg = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 16-19. dedup extensions (north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: one hash aggregation, keeps
+    the min doc_id deterministically (vs dropDuplicates' arbitrary row)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    with_fp = docs.select(TX.fingerprint("text").alias("fp"), "doc_id")
+    return exact_dedup(with_fp, ["fp"], "doc_id")
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(list_slice(toks, i, i+4), ' ')
+                                   for i in range(1, greatest(len(toks)-3, 1))])) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+"""
+
+
+@register(
+    "q17_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter / (x.sz + y.sz - inter) AS jaccard
+    FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+    WHERE inter / (x.sz + y.sz - inter) >= 0.6
+    """,
+)
+def q17_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by word-5-gram Jaccard >= 0.6: shingle
+    inverted-index self-join (the exactness baseline the MinHash/LSH
+    scale path is verified against)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=5)
+    return jaccard_pairs(sh, "doc_id", threshold=0.6)
+
+
+@register(
+    "q18_minhash_signatures",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT doc_id,
+           MIN(md5('0:' || shingle)) AS mh_0,  MIN(md5('1:' || shingle)) AS mh_1,
+           MIN(md5('2:' || shingle)) AS mh_2,  MIN(md5('3:' || shingle)) AS mh_3,
+           MIN(md5('4:' || shingle)) AS mh_4,  MIN(md5('5:' || shingle)) AS mh_5,
+           MIN(md5('6:' || shingle)) AS mh_6,  MIN(md5('7:' || shingle)) AS mh_7,
+           MIN(md5('8:' || shingle)) AS mh_8,  MIN(md5('9:' || shingle)) AS mh_9,
+           MIN(md5('10:' || shingle)) AS mh_10, MIN(md5('11:' || shingle)) AS mh_11
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q18_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash signatures (md5-keyed min per seed): the
+    sketch behind LSH banding. One aggregation, map-side partial mins."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=5)
+    return minhash_signature(sh, "doc_id", num_hashes=12)
+
+
+# ---------------------------------------------------------------------------
+# 20. text analysis (north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_text_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS INTEGER) AS n_words,
+           CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on')))
+             / len(toks) AS stopword_ratio,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM base
+    """,
+)
+def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-quality profile: token counts, punctuation
+    density, stopword mass, content fingerprint — all JVM-side column
+    expressions (no UDF)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.regex_token_count("text").alias("n_words"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text", "en").alias("stopword_ratio"),
+        TX.fingerprint("text").alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21. similarity search (north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_inner_product(e.e, q.qe)
+               / (sqrt(list_inner_product(e.e, e.e)) * sqrt(list_inner_product(q.qe, q.qe))) AS cosine
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 5 query vectors: broadcast the
+    query set, stream the embeddings once, windowed per-query top-k.
+    Dot products are left-to-right double folds — bit-identical to the
+    DuckDB oracle's list_inner_product over DOUBLE[]."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# 22. distinct-stats (catalog stats at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_catalog_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q22_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-cardinality stats per entity type (the counters the
+    reference prints at ExportDatabaseWithTables.java:220-222, as real
+    aggregates)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value", 6)).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 23. event-time windowed aggregation (streaming-shaped, batch-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q23_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q23_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over event time — the batch shape of the
+    Structured Streaming leg (same plan runs under readStream with a
+    watermark; see streaming/)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+FLAGSHIP = "q15_local_supplier_volume"
