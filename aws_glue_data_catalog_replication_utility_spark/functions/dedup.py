@@ -38,9 +38,13 @@ def word_shingles(
     Returns (id_col, shingle). JVM-side: split + transform + explode
     (no Python)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # positions 0 .. size-n; empty array when doc shorter than n tokens
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # positions 0 .. size-n; explicitly empty when doc is shorter than n
+    # tokens (sequence(0, negative) would count DOWN, not produce empty)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
     )

@@ -1,0 +1,196 @@
+"""Export job — entry point 2 (SURVEY.md §3.2).
+
+Reference: ExportDatabaseWithTables.java + ExportLargeTable.java —
+per database: scan tables, per table: scan partitions, then route:
+<= threshold partitions -> inline TableWithPartitions SNS payload;
+> threshold -> LargeTable envelope + ndjson partitions to S3.
+
+Spark plan (whole catalog in ONE job, no per-entity loop):
+  tables ⋉ requested_dbs               (broadcast semi join)
+  parts groupBy(table) count            (one shuffle, partial agg)
+  route small/large (when/otherwise)
+  small: parts collect_list per table   (same shuffle key, sorted arrays
+         for determinism) -> inline JSON payload
+  large: envelope + side-channel ndjson write partitioned by table
+The reference's per-message Lambda fan-out becomes partition-parallel
+execution of one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.routing import DEFAULT_PARTITION_THRESHOLD, threshold_route
+from ..sources.ndjson import write_partitions_ndjson
+
+_TBL_KEY = ["database_name", "name"]
+
+
+def _table_struct() -> F.Column:
+    """The replicated table projection: TableInput fields
+    (GlueUtil.java:175-192 — createdBy / createTime / updateTime are
+    NOT replicated; table-level parameters win, :183-190)."""
+    return F.struct(
+        "database_name",  # needed for addressing on the import side
+        "name",
+        "owner",
+        "description",
+        "last_access_time",
+        "retention",
+        "table_type",
+        "view_original_text",
+        "view_expanded_text",
+        "parameters",
+        "partition_keys",
+        "storage_descriptor",
+    )
+
+
+def _partition_struct() -> F.Column:
+    """PartitionInput projection + addressing (GlueUtil.java:407-413)."""
+    return F.struct("database_name", "table_name", "values", "storage_descriptor")
+
+
+def export_catalog(
+    spark: SparkSession,
+    db_messages: DataFrame,
+    tables: DataFrame,
+    partitions: DataFrame,
+    threshold: int = DEFAULT_PARTITION_THRESHOLD,
+    batch_id: str = "0",
+    run_id: int = 0,
+    side_channel_path: str | None = None,
+    bucket_name: str = "side-channel",
+    region_name: str = "local",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (table_messages, table_export_audit). Side-channel ndjson
+    is written when any table routes large and a path is given.
+
+    db_messages: planner output — scopes which databases export
+    (join on the db name inside event_id's payload is avoided; we use
+    the audit-friendly source_catalog_id + name columns carried along).
+    """
+    requested = db_messages.select(
+        F.get_json_object("payload", "$.name").alias("database_name"),
+        F.col("source_catalog_id").alias("catalog_id"),
+    ).dropDuplicates(["database_name", "catalog_id"])
+
+    scoped_tables = tables.join(
+        F.broadcast(requested), on=["database_name", "catalog_id"], how="left_semi"
+    )
+
+    parts_keyed = partitions.withColumnRenamed("table_name", "name")
+    routed = threshold_route(
+        scoped_tables,
+        parts_keyed,
+        on=_TBL_KEY,
+        threshold=threshold,
+        count_col="n_partitions",
+    )
+
+    # ---- small path: inline partition arrays, deterministic order ------
+    small_tables = routed.where(F.col("route") == "inline")
+    inline_parts = (
+        partitions.join(
+            small_tables.select(
+                F.col("database_name"), F.col("name").alias("table_name")
+            ),
+            on=["database_name", "table_name"],
+            how="left_semi",
+        )
+        .groupBy("database_name", "table_name")
+        .agg(
+            # deterministic inline order: sort by the partition values
+            # only (the full struct isn't orderable — SDs contain maps)
+            F.array_sort(
+                F.collect_list(F.struct("values", "storage_descriptor")),
+                lambda l, r: F.when(l["values"] < r["values"], F.lit(-1))
+                .when(l["values"] > r["values"], F.lit(1))
+                .otherwise(F.lit(0)),
+            ).alias("partition_list")
+        )
+        .withColumnRenamed("table_name", "name")
+    )
+    small = small_tables.join(inline_parts, on=_TBL_KEY, how="left").withColumn(
+        "partition_list",
+        F.coalesce(
+            "partition_list",
+            F.array().cast("array<struct<values:array<string>,storage_descriptor:struct<columns:array<struct<name:string,type:string>>,location:string,input_format:string,output_format:string,compressed:boolean,number_of_buckets:int,serde_info:struct<serialization_library:string,parameters:map<string,string>>,bucket_columns:array<string>,sort_columns:array<struct<column:string,sort_order:int>>,parameters:map<string,string>,stored_as_sub_directories:boolean>>>"),
+        ),
+    )
+    small_msgs = small.select(
+        F.concat_ws("|", "catalog_id", "database_name", "name").alias("event_id"),
+        F.lit("table").alias("message_type"),
+        F.col("catalog_id").alias("source_catalog_id"),
+        F.lit(batch_id).alias("export_batch_id"),
+        F.to_json(
+            F.struct(
+                _table_struct().alias("table"),
+                F.col("partition_list").alias("partition_list"),
+            )
+        ).alias("payload"),
+        F.lit(None).cast("string").alias("bucket_name"),
+        F.lit(None).cast("string").alias("region_name"),
+    )
+
+    # ---- large path: envelope + ndjson side-channel --------------------
+    large_tables = routed.where(F.col("route") == "large")
+    object_key = F.concat_ws(
+        "_",
+        F.date_format(F.lit("2024-01-01"), "yyyy-MM-dd"),
+        F.lit(str(run_id)),
+        "catalog_id",
+        "database_name",
+        "name",
+    )  # dated key shape, ExportLargeTable.java:97-101 (run_id injected,
+    # never wall-clock, for reproducibility)
+    large_msgs = large_tables.select(
+        F.concat_ws("|", "catalog_id", "database_name", "name").alias("event_id"),
+        F.lit("largeTable").alias("message_type"),
+        F.col("catalog_id").alias("source_catalog_id"),
+        F.lit(batch_id).alias("export_batch_id"),
+        F.to_json(
+            F.struct(
+                F.col("catalog_id"),
+                F.lit(True).alias("large_table"),
+                F.col("n_partitions").alias("number_of_partitions"),
+                _table_struct().alias("table"),
+                object_key.alias("s3_object_key"),
+                F.lit(bucket_name).alias("s3_bucket_name"),
+            )
+        ).alias("payload"),
+        F.lit(bucket_name).alias("bucket_name"),
+        F.lit(region_name).alias("region_name"),
+    )
+
+    if side_channel_path is not None:
+        large_parts = partitions.join(
+            large_tables.select(
+                "database_name", F.col("name").alias("table_name")
+            ),
+            on=["database_name", "table_name"],
+            how="left_semi",
+        )
+        write_partitions_ndjson(large_parts, side_channel_path)
+
+    messages = small_msgs.unionByName(large_msgs)
+
+    audit = routed.select(
+        F.concat_ws("|", "name", "database_name").alias("table_id"),
+        F.lit(run_id).cast("long").alias("export_run_id"),
+        F.lit(batch_id).alias("export_batch_id"),
+        F.col("catalog_id").alias("source_glue_catalog_id"),
+        F.to_json(_table_struct()).alias("table_schema"),
+        F.concat_ws("-", F.lit("msg"), "catalog_id", "database_name", "name").alias(
+            "sns_msg_id"
+        ),
+        F.lit(True).alias("is_exported"),
+        (F.col("route") == "large").alias("is_large_table"),
+        F.when(F.col("route") == "large", F.lit(bucket_name))
+        .otherwise(F.lit(None))
+        .alias("s3_bucket_name"),
+        F.when(F.col("route") == "large", object_key)
+        .otherwise(F.lit(None))
+        .alias("object_key"),
+    )
+    return messages, audit

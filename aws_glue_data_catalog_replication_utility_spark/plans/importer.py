@@ -1,0 +1,330 @@
+"""Import job — entry point 3 (SURVEY.md §3.3).
+
+Reference: ImportDatabaseOrTable.java + ImportLargeTable.java +
+GDCUtil.java — per message: dispatch on type; databases create-if-absent;
+tables create-or-update (with auto-create of a missing parent db and a
+retry); partitions full-refresh; failures to DLQ; audit everything.
+
+Spark plan: ONE batch over the whole event set, dispatch = filters,
+applied in topological order db -> table -> partition, which replaces
+the reference's dbNotFound-retry loop (GDCUtil.java:47-57) with a
+deterministic ordering. All merges are idempotent joins — re-running
+the same events is a no-op (the effectively-once guarantee over the
+at-least-once event plane).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..model import PARTITION, STORAGE_DESCRIPTOR, COLUMN
+from ..operators.joins import missing_anti
+from ..operators.merge import ACTION_COL, merge_outcomes
+from ..operators.sync import full_refresh_sync
+from ..sources.ndjson import read_partitions_ndjson, split_corrupt
+
+# message payload schemas (our wire format — snake_case mirror of the
+# reference's Gson envelopes, TableWithPartitions.java:10-26 /
+# LargeTable.java:14-21)
+DB_MSG = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("location_uri", T.StringType()),
+        T.StructField("parameters", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("create_time", T.TimestampNTZType()),
+    ]
+)
+
+TABLE_IN_MSG = T.StructType(
+    [
+        T.StructField("database_name", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("owner", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("last_access_time", T.TimestampNTZType()),
+        T.StructField("retention", T.IntegerType()),
+        T.StructField("table_type", T.StringType()),
+        T.StructField("view_original_text", T.StringType()),
+        T.StructField("view_expanded_text", T.StringType()),
+        T.StructField("parameters", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("partition_keys", T.ArrayType(COLUMN)),
+        T.StructField("storage_descriptor", STORAGE_DESCRIPTOR),
+    ]
+)
+
+PART_IN_MSG = T.StructType(
+    [
+        T.StructField("values", T.ArrayType(T.StringType())),
+        T.StructField("storage_descriptor", STORAGE_DESCRIPTOR),
+    ]
+)
+
+TABLE_MSG = T.StructType(
+    [
+        T.StructField("table", TABLE_IN_MSG),
+        T.StructField("partition_list", T.ArrayType(PART_IN_MSG)),
+    ]
+)
+
+LARGE_MSG = T.StructType(
+    [
+        T.StructField("catalog_id", T.StringType()),
+        T.StructField("large_table", T.BooleanType()),
+        T.StructField("number_of_partitions", T.LongType()),
+        T.StructField("table", TABLE_IN_MSG),
+        T.StructField("s3_object_key", T.StringType()),
+        T.StructField("s3_bucket_name", T.StringType()),
+    ]
+)
+
+VALID_TYPES = ("database", "table", "largeTable")
+
+# GDCUtil.java:50-52 — description used when auto-creating a missing
+# parent database on the import side
+AUTOCREATE_DESC = "Database Imported from Glue Data Catalog of AWS Account Id: {src}"
+
+
+@dataclass
+class ImportResult:
+    databases: DataFrame
+    tables: DataFrame
+    partitions: DataFrame
+    db_import_audit: DataFrame
+    table_import_audit: DataFrame
+    dlq: DataFrame
+
+
+def import_events(
+    spark: SparkSession,
+    events: DataFrame,
+    target_databases: DataFrame,
+    target_tables: DataFrame,
+    target_partitions: DataFrame,
+    target_catalog_id: str = "999999999999",
+    side_channel_path: str | None = None,
+    run_id: int = 0,
+) -> ImportResult:
+    """Apply an event batch to the target catalog snapshots."""
+
+    # ---- 0. dispatch + malformed-to-DLQ --------------------------------
+    dlq_bad_type = events.where(~F.col("message_type").isin(*VALID_TYPES)).select(
+        "event_id",
+        F.col("message_type").alias("schema_type"),
+        "payload",
+        "export_batch_id",
+        F.col("source_catalog_id"),
+    )
+
+    db_msgs = events.where(F.col("message_type") == "database").withColumn(
+        "db", F.from_json("payload", DB_MSG)
+    )
+    tbl_msgs = events.where(F.col("message_type") == "table").withColumn(
+        "msg", F.from_json("payload", TABLE_MSG)
+    )
+    large_msgs = events.where(F.col("message_type") == "largeTable").withColumn(
+        "msg", F.from_json("payload", LARGE_MSG)
+    )
+
+    # unparseable payloads (from_json -> null struct / null required name)
+    dlq_bad_db = db_msgs.where(F.col("db.name").isNull()).select(
+        "event_id",
+        F.lit("Database").alias("schema_type"),
+        "payload",
+        "export_batch_id",
+        "source_catalog_id",
+    )
+    dlq_bad_tbl = (
+        tbl_msgs.where(F.col("msg.table.name").isNull())
+        .select(
+            "event_id",
+            F.lit("Table").alias("schema_type"),
+            "payload",
+            "export_batch_id",
+            "source_catalog_id",
+        )
+        .unionByName(
+            large_msgs.where(F.col("msg.table.name").isNull()).select(
+                "event_id",
+                F.lit("Table").alias("schema_type"),
+                "payload",
+                "export_batch_id",
+                "source_catalog_id",
+            )
+        )
+    )
+    dlq = dlq_bad_type.unionByName(dlq_bad_db).unionByName(dlq_bad_tbl)
+
+    db_msgs = db_msgs.where(F.col("db.name").isNotNull())
+    tbl_msgs = tbl_msgs.where(F.col("msg.table.name").isNotNull())
+    large_msgs = large_msgs.where(F.col("msg.table.name").isNotNull())
+
+    # ---- 1. databases: create-if-absent (GDCUtil.java:139-168) ---------
+    incoming_dbs = db_msgs.select(
+        F.lit(target_catalog_id).alias("catalog_id"),
+        F.col("db.name").alias("name"),
+        F.col("db.description").alias("description"),
+        F.col("db.location_uri").alias("location_uri"),
+        F.col("db.parameters").alias("parameters"),
+        F.col("db.create_time").alias("create_time"),
+        F.col("source_catalog_id").alias("__src"),
+        F.col("export_batch_id").alias("__batch"),
+    ).dropDuplicates(["name"])
+
+    created_dbs = missing_anti(incoming_dbs, target_databases, ["name"])
+    db_audit = incoming_dbs.join(
+        target_databases.select("name").withColumn("__exists", F.lit(True)),
+        on="name",
+        how="left",
+    ).select(
+        F.col("name").alias("db_id"),
+        F.lit(run_id).cast("long").alias("import_run_id"),
+        F.col("__batch").alias("export_batch_id"),
+        F.lit(target_catalog_id).alias("target_glue_catalog_id"),
+        F.col("__src").alias("source_glue_catalog_id"),
+        F.col("__exists").isNull().alias("is_created"),
+    )
+
+    # ---- 2. tables: union small + large, auto-create parent dbs --------
+    all_tbl = tbl_msgs.select(
+        "event_id", "export_batch_id", "source_catalog_id", F.col("msg.table").alias("t")
+    ).unionByName(
+        large_msgs.select(
+            "event_id",
+            "export_batch_id",
+            "source_catalog_id",
+            F.col("msg.table").alias("t"),
+        )
+    )
+
+    dbs_after_create = target_databases.unionByName(
+        created_dbs.drop("__src", "__batch"), allowMissingColumns=True
+    )
+
+    # topological db->table ordering replaces the dbNotFound retry
+    # (GDCUtil.java:47-57): auto-create any parent db the target lacks
+    parent_dbs = all_tbl.select(
+        F.col("t.database_name").alias("name"), F.col("source_catalog_id")
+    ).dropDuplicates(["name"])
+    autocreated = missing_anti(parent_dbs, dbs_after_create, ["name"]).select(
+        F.lit(target_catalog_id).alias("catalog_id"),
+        "name",
+        F.concat(
+            F.lit("Database Imported from Glue Data Catalog of AWS Account Id: "),
+            F.col("source_catalog_id"),
+        ).alias("description"),
+        F.lit(None).cast("string").alias("location_uri"),
+        F.lit(None).cast("map<string,string>").alias("parameters"),
+        F.lit(None).cast("timestamp_ntz").alias("create_time"),
+    )
+    new_databases = dbs_after_create.unionByName(autocreated)
+
+    # ---- 3. table MERGE with outcome flags (GlueUtil.java:264-350) -----
+    incoming_tables = all_tbl.select(
+        F.col("t.database_name").alias("database_name"),
+        F.col("t.name").alias("name"),
+        F.col("t.owner").alias("owner"),
+        F.col("t.description").alias("description"),
+        F.col("t.last_access_time").alias("last_access_time"),
+        F.col("t.retention").alias("retention"),
+        F.col("t.table_type").alias("table_type"),
+        F.col("t.view_original_text").alias("view_original_text"),
+        F.col("t.view_expanded_text").alias("view_expanded_text"),
+        F.col("t.parameters").alias("parameters"),
+        F.col("t.partition_keys").alias("partition_keys"),
+        F.col("t.storage_descriptor").alias("storage_descriptor"),
+    ).dropDuplicates(["database_name", "name"])
+
+    outcomes = merge_outcomes(
+        incoming_tables,
+        target_tables,
+        keys=["database_name", "name"],
+    )
+    new_tables = outcomes.drop(ACTION_COL).withColumn(
+        "catalog_id", F.coalesce("catalog_id", F.lit(target_catalog_id))
+    )
+
+    tbl_meta = all_tbl.select(
+        F.col("t.database_name").alias("database_name"),
+        F.col("t.name").alias("name"),
+        "export_batch_id",
+        "source_catalog_id",
+    ).dropDuplicates(["database_name", "name"])
+    table_audit = (
+        outcomes.where(F.col(ACTION_COL) != "keep")
+        .join(tbl_meta, on=["database_name", "name"], how="left")
+        .select(
+            F.concat_ws("|", "name", "database_name").alias("table_id"),
+            F.lit(run_id).cast("long").alias("import_run_id"),
+            F.col("export_batch_id"),
+            F.col("name").alias("table_name"),
+            F.col("database_name"),
+            F.lit(None).cast("string").alias("table_schema"),
+            F.lit(target_catalog_id).alias("target_glue_catalog_id"),
+            F.col("source_catalog_id").alias("source_glue_catalog_id"),
+            (F.col(ACTION_COL) == "create").alias("table_created"),
+            (F.col(ACTION_COL) == "update").alias("table_updated"),
+            F.lit(None).cast("boolean").alias("export_has_partitions"),
+            F.lit(None).cast("boolean").alias("partitions_updated"),
+        )
+    )
+
+    # ---- 4. partitions: inline + side-channel, full refresh ------------
+    inline_parts = tbl_msgs.select(
+        F.col("msg.table.database_name").alias("database_name"),
+        F.col("msg.table.name").alias("table_name"),
+        F.explode_outer("msg.partition_list").alias("p"),
+    ).where(F.col("p").isNotNull()).select(
+        "database_name",
+        "table_name",
+        F.col("p.values").alias("values"),
+        F.col("p.storage_descriptor").alias("storage_descriptor"),
+    )
+
+    if side_channel_path is not None:
+        side_raw = read_partitions_ndjson(spark, side_channel_path)
+        side_good, _side_bad = split_corrupt(side_raw)
+        large_scope = large_msgs.select(
+            F.col("msg.table.database_name").alias("database_name"),
+            F.col("msg.table.name").alias("table_name"),
+        ).dropDuplicates()
+        side_parts = side_good.join(
+            F.broadcast(large_scope), on=["database_name", "table_name"], how="left_semi"
+        ).select("database_name", "table_name", "values", "storage_descriptor")
+        exported_parts = inline_parts.unionByName(side_parts)
+    else:
+        exported_parts = inline_parts
+
+    exported_parts = exported_parts.select(
+        F.lit(target_catalog_id).alias("catalog_id"),
+        "database_name",
+        "table_name",
+        "values",
+        F.lit(None).cast("timestamp_ntz").alias("creation_time"),
+        F.lit(None).cast("timestamp_ntz").alias("last_access_time"),
+        "storage_descriptor",
+        F.lit(None).cast("map<string,string>").alias("parameters"),
+    )
+
+    exported_tables_scope = all_tbl.select(
+        F.col("t.database_name").alias("database_name"),
+        F.col("t.name").alias("table_name"),
+    ).dropDuplicates()
+
+    new_partitions = full_refresh_sync(
+        exported_parts,
+        exported_tables_scope,
+        target_partitions,
+        keys=["database_name", "table_name"],
+    )
+
+    return ImportResult(
+        databases=new_databases,
+        tables=new_tables,
+        partitions=new_partitions,
+        db_import_audit=db_audit,
+        table_import_audit=table_audit,
+        dlq=dlq,
+    )

@@ -1,0 +1,52 @@
+"""ndjson side-channel for large partition sets.
+
+Reference: tables above the partition threshold ship their partition
+list as newline-delimited JSON in S3, one Partition per line
+(ExportLargeTable.java:171-176), read back line-by-line with Gson
+(S3Util.java:201-236). Spark-native: `df.write.json` / schema'd
+`spark.read.json` with PERMISSIVE corrupt-record capture replacing the
+reference's JsonSyntaxException catch (ImportDatabaseOrTable.java:129-132).
+
+The write is partitioned by (database_name, table_name), so each large
+table gets its own directory — the side-channel 'object' — and a
+1000-executor import prunes straight to the tables it's applying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..model import PARTITION
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def write_partitions_ndjson(parts: DataFrame, path: str) -> None:
+    """One ndjson directory per (database_name, table_name)."""
+    (
+        parts.write.mode("overwrite")
+        .partitionBy("database_name", "table_name")
+        .json(path)
+    )
+
+
+def read_partitions_ndjson(spark: SparkSession, path: str) -> DataFrame:
+    """Schema'd read; malformed lines land in _corrupt_record instead of
+    failing the job (the DLQ feed)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(PARTITION.fields + [T.StructField(CORRUPT_COL, T.StringType())])
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    return df
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows_without_corrupt_col, corrupt_rows)."""
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad

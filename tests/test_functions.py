@@ -1,0 +1,117 @@
+"""Unit tests for the text / dedup / similarity function library."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark.functions import (
+    exact_dedup,
+    fingerprint,
+    jaccard_pairs,
+    lang_guess,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+    minhash_band_pairs,
+    minhash_signature,
+)
+from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+    cosine_topk,
+    cosine_topk_pandas,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = _docs(spark, ["Hello  World", "hello world ", "different"])
+    fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark, ["a", "b", "a", "a"])
+    with_fp = df.select(fingerprint("text").alias("fp"), "doc_id")
+    got = {r.keep_id: r.dup_count for r in exact_dedup(with_fp, ["fp"], "doc_id").collect()}
+    assert got == {0: 3, 1: 1}
+
+
+def test_token_count_and_lang(spark):
+    df = _docs(spark, ["the cat is on the mat", "der hund ist ein tier", "xyzzy plugh"])
+    rows = df.select(
+        token_count("text").alias("n"), lang_guess("text").alias("lg")
+    ).collect()
+    assert [r.n for r in rows] == [6, 5, 2]
+    assert [r.lg for r in rows] == ["en", "de", "und"]
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = _docs(spark, ["one two three"])  # shorter than n=5 -> no shingles
+    assert word_shingles(df, "doc_id", "text", n=5).count() == 0
+
+
+def test_jaccard_identical_docs(spark):
+    text = "a b c d e f g h i j"
+    df = _docs(spark, [text, text, "totally different words here now ok yes no"])
+    sh = word_shingles(df, "doc_id", "text", n=5)
+    pairs = jaccard_pairs(sh, "doc_id", threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b, pairs[0].jaccard) == (0, 1, 1.0)
+
+
+def test_minhash_banding_finds_identical_docs(spark):
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = _docs(spark, [text, text, "q r s t u v w x y z zz"])
+    sh = word_shingles(df, "doc_id", "text", n=5)
+    sig = minhash_signature(sh, "doc_id", num_hashes=12)
+    cand = {(r.id_a, r.id_b) for r in minhash_band_pairs(sig, "doc_id", 12, 4).collect()}
+    assert (0, 1) in cand
+    assert (0, 2) not in cand  # disjoint shingle sets shouldn't collide
+
+
+def test_cosine_topk_ranks_aligned_vector_first(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),  # nearly aligned with 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in got] == [1, 2, 3]
+    assert got[0].cosine > 0.99
+
+
+def test_cosine_pandas_matches_fold_ranking(spark):
+    import math
+
+    emb = spark.createDataFrame(
+        [(i, [math.sin(i * 7 + j) for j in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {(r.query_id, r.rank): r.vec_id for r in cosine_topk(emb, q, k=5).collect()}
+    b = {
+        (r.query_id, r.rank): r.vec_id
+        for r in cosine_topk_pandas(emb, q, k=5).collect()
+    }
+    assert a == b
+
+
+def test_quality_score_bounded(spark):
+    df = _docs(spark, ["the cat sat on the mat and it is fine", "x", "!!!!!!"])
+    for r in df.select(quality_score("text").alias("q")).collect():
+        assert -0.25 <= r.q <= 1.0

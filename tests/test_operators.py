@@ -1,0 +1,147 @@
+"""Unit tests for the relational operator library (SURVEY.md §5.1):
+reference edge cases — empty prefix bypass, 10/11 threshold boundary,
+the 4 partition-sync cases, merge outcome flags."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark.operators import (
+    apply_merge,
+    exists_semi,
+    full_refresh_sync,
+    latest_by,
+    merge_outcomes,
+    missing_anti,
+    prefix_semi_join,
+    threshold_route,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------- joins
+
+
+def test_exists_and_anti(spark):
+    left = _df(spark, [(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    right = _df(spark, [(2,), (3,), (3,)], "id int")
+    assert {r.id for r in exists_semi(left, right, ["id"]).collect()} == {2, 3}
+    assert {r.id for r in missing_anti(left, right, ["id"]).collect()} == {1}
+
+
+def test_prefix_semi_join_matches_case_insensitively(spark):
+    dbs = _df(
+        spark,
+        [("raw_data_x",), ("RAW_DATA_Y",), ("processed_z",), ("tmp_1",)],
+        "name string",
+    )
+    got = {r.name for r in prefix_semi_join(dbs, ["raw_data_", "TMP_"]).collect()}
+    assert got == {"raw_data_x", "RAW_DATA_Y", "tmp_1"}
+
+
+def test_prefix_empty_bypass_returns_everything(spark):
+    # GDCReplicationPlanner.java:70-81 — empty config means export all
+    dbs = _df(spark, [("a",), ("b",)], "name string")
+    assert prefix_semi_join(dbs, []).count() == 2
+    assert prefix_semi_join(dbs, [""]).count() == 2
+
+
+def test_prefix_dataframe_variant(spark):
+    dbs = _df(spark, [("raw_1",), ("cooked_2",)], "name string")
+    prefixes = _df(spark, [("raw_",)], "prefix string")
+    got = prefix_semi_join(dbs, prefixes).collect()
+    assert [r.name for r in got] == ["raw_1"]
+
+
+# -------------------------------------------------------------- routing
+
+
+def test_threshold_boundary_10_vs_11(spark):
+    # ExportDatabaseWithTables.java:73,174 — <=10 inline, >10 large
+    items = _df(spark, [("t10",), ("t11",), ("t0",)], "name string")
+    children = _df(
+        spark,
+        [("t10", i) for i in range(10)] + [("t11", i) for i in range(11)],
+        "name string, p int",
+    )
+    routed = {
+        r.name: (r.n_children, r.route)
+        for r in threshold_route(items, children, ["name"], threshold=10).collect()
+    }
+    assert routed["t10"] == (10, "inline")
+    assert routed["t11"] == (11, "large")
+    assert routed["t0"] == (0, "inline")  # empty partition list publishes inline
+
+
+# ---------------------------------------------------------------- merge
+
+
+def test_merge_outcomes_all_four_actions(spark):
+    target = _df(spark, [(1, "same"), (2, "old"), (4, "keepme")], "id int, v string")
+    source = _df(spark, [(1, "same"), (2, "new"), (3, "created")], "id int, v string")
+    out = {r.id: (r.merge_action, r.v) for r in merge_outcomes(source, target, ["id"]).collect()}
+    assert out[1] == ("skip", "same")
+    assert out[2] == ("update", "new")
+    assert out[3] == ("create", "created")
+    assert out[4] == ("keep", "keepme")
+
+
+def test_merge_null_safe_comparison(spark):
+    target = _df(spark, [(1, None), (2, "x")], "id int, v string")
+    source = _df(spark, [(1, None), (2, None)], "id int, v string")
+    out = {r.id: r.merge_action for r in merge_outcomes(source, target, ["id"]).collect()}
+    assert out[1] == "skip"  # null == null must not read as change
+    assert out[2] == "update"
+
+
+def test_apply_merge_idempotent(spark):
+    target = _df(spark, [(1, "a"), (2, "b")], "id int, v string")
+    source = _df(spark, [(2, "B"), (3, "c")], "id int, v string")
+    once = apply_merge(source, target, ["id"])
+    twice = apply_merge(source, once, ["id"])
+    assert sorted((r.id, r.v) for r in once.collect()) == sorted(
+        (r.id, r.v) for r in twice.collect()
+    ) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+# ----------------------------------------------------------------- sync
+
+
+def test_full_refresh_four_cases(spark):
+    # README.md:266-273 semantics, orders≙tables / parts≙partitions
+    # t1: in export, export has parts  -> replaced wholesale
+    # t2: in export, export has none   -> wiped
+    # t3: not in export, target has    -> untouched
+    # t4: in export, target empty      -> added
+    exported_tables = _df(spark, [("t1",), ("t2",), ("t4",)], "tbl string")
+    exported_parts = _df(
+        spark, [("t1", "p-new"), ("t4", "p-added")], "tbl string, p string"
+    )
+    target_parts = _df(
+        spark,
+        [("t1", "p-old1"), ("t1", "p-old2"), ("t2", "p-gone"), ("t3", "p-stays")],
+        "tbl string, p string",
+    )
+    got = sorted(
+        (r.tbl, r.p)
+        for r in full_refresh_sync(
+            exported_parts, exported_tables, target_parts, keys=["tbl"]
+        ).collect()
+    )
+    assert got == [("t1", "p-new"), ("t3", "p-stays"), ("t4", "p-added")]
+
+
+# --------------------------------------------------------------- window
+
+
+def test_latest_by_with_tiebreak(spark):
+    df = _df(
+        spark,
+        [(1, 10, "a"), (1, 10, "b"), (1, 9, "c"), (2, 5, "d")],
+        "k int, run int, v string",
+    )
+    got = {r.k: r.v for r in latest_by(df, ["k"], "run", tiebreak=["v"]).collect()}
+    assert got == {1: "b", 2: "d"}

@@ -1,0 +1,230 @@
+"""Golden end-to-end: plan -> export -> import round-trip on a
+fixture-shaped two-catalog setup (SURVEY.md §5.2), asserting the target
+snapshot equals the source modulo the fields createTableInput drops
+(GlueUtil.java:175-192), plus idempotence (apply ∘ apply = apply)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark.model import (
+    empty_catalog,
+    sample_catalog,
+)
+from aws_glue_data_catalog_replication_utility_spark.plans.export import export_catalog
+from aws_glue_data_catalog_replication_utility_spark.plans.importer import import_events
+from aws_glue_data_catalog_replication_utility_spark.plans.planner import (
+    plan_replication,
+    tokenize_prefixes,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    side = str(tmp_path_factory.mktemp("side_channel"))
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    msgs, plan_audit = plan_replication(
+        src_dbs, prefix_string="raw_data_,processed_data_", run_id=7, batch_id="b1"
+    )
+    tbl_msgs, export_audit = export_catalog(
+        spark,
+        msgs,
+        src_tables,
+        src_parts,
+        threshold=10,
+        batch_id="b1",
+        run_id=7,
+        side_channel_path=side,
+    )
+    events = msgs.unionByName(tbl_msgs)
+    tgt_dbs, tgt_tables, tgt_parts = empty_catalog(spark)
+    result = import_events(
+        spark,
+        events,
+        tgt_dbs,
+        tgt_tables,
+        tgt_parts,
+        target_catalog_id="999999999999",
+        side_channel_path=side,
+        run_id=8,
+    )
+    return {
+        "src": (src_dbs, src_tables, src_parts),
+        "events": events,
+        "side": side,
+        "result": result,
+        "plan_audit": plan_audit,
+        "export_audit": export_audit,
+    }
+
+
+def test_tokenizer():
+    assert tokenize_prefixes("a, b,,c", ",") == ["a", "b", "c"]
+    assert tokenize_prefixes("") == []
+
+
+def test_planner_prefix_scoping(pipeline):
+    # 4 dbs with prefixes raw_data_/processed_data_/tmp_/other_ -> 2 pass
+    events = pipeline["events"]
+    db_events = events.where(F.col("message_type") == "database")
+    names = {
+        r[0]
+        for r in db_events.select(
+            F.get_json_object("payload", "$.name")
+        ).collect()
+    }
+    assert names == {"raw_data_db0", "processed_data_db1"}
+
+
+def test_threshold_routing_split(pipeline):
+    events = pipeline["events"]
+    by_type = {
+        r.message_type: r.n
+        for r in events.groupBy("message_type").agg(F.count("*").alias("n")).collect()
+    }
+    # per db: parts_per_table=(0,3,10,11,31) -> 3 inline + 2 large
+    assert by_type["table"] == 2 * 3
+    assert by_type["largeTable"] == 2 * 2
+
+
+def test_databases_replicated(pipeline):
+    res = pipeline["result"]
+    names = {r.name for r in res.databases.collect()}
+    assert names == {"raw_data_db0", "processed_data_db1"}
+
+
+def test_tables_replicated_minus_dropped_fields(pipeline):
+    src_dbs, src_tables, src_parts = pipeline["src"]
+    res = pipeline["result"]
+    replicated_fields = [
+        "database_name",
+        "name",
+        "owner",
+        "description",
+        "retention",
+        "table_type",
+        "parameters",
+        "partition_keys",
+        "storage_descriptor",
+    ]
+    src = (
+        src_tables.where(
+            F.col("database_name").isin("raw_data_db0", "processed_data_db1")
+        )
+        .select(*replicated_fields)
+        .collect()
+    )
+    tgt = res.tables.select(*replicated_fields).collect()
+    assert sorted(map(str, src)) == sorted(map(str, tgt))
+    # created_by is NOT replicated (GlueUtil.java:175-192 projection)
+    assert "created_by" not in res.tables.columns
+
+
+def test_partitions_full_set(pipeline):
+    src_dbs, src_tables, src_parts = pipeline["src"]
+    res = pipeline["result"]
+    src_n = src_parts.where(
+        F.col("database_name").isin("raw_data_db0", "processed_data_db1")
+    ).count()
+    assert res.partitions.count() == src_n == 2 * (0 + 3 + 10 + 11 + 31)
+    # values survive positionally
+    src_keys = {
+        (r.database_name, r.table_name, tuple(r["values"]))
+        for r in src_parts.where(F.col("database_name") == "raw_data_db0").collect()
+    }
+    tgt_keys = {
+        (r.database_name, r.table_name, tuple(r["values"]))
+        for r in res.partitions.where(
+            F.col("database_name") == "raw_data_db0"
+        ).collect()
+    }
+    assert src_keys == tgt_keys
+
+
+def test_import_idempotent(pipeline, spark):
+    res = pipeline["result"]
+    again = import_events(
+        spark,
+        pipeline["events"],
+        res.databases,
+        res.tables,
+        res.partitions,
+        target_catalog_id="999999999999",
+        side_channel_path=pipeline["side"],
+        run_id=9,
+    )
+    assert again.databases.count() == res.databases.count()
+    assert again.tables.count() == res.tables.count()
+    assert again.partitions.count() == res.partitions.count()
+    # second run is all skips: nothing created/updated
+    assert again.table_import_audit.where(
+        F.col("table_created") | F.col("table_updated")
+    ).count() == 0
+    assert again.db_import_audit.where(F.col("is_created")).count() == 0
+
+
+def test_audit_flags_first_run(pipeline):
+    res = pipeline["result"]
+    ta = res.table_import_audit
+    assert ta.where(F.col("table_created")).count() == 10  # 2 dbs x 5 tables
+    assert ta.where(F.col("table_updated")).count() == 0
+    da = res.db_import_audit
+    assert da.where(F.col("is_created")).count() == 2
+
+
+def test_export_audit_marks_large_tables(pipeline):
+    ea = pipeline["export_audit"]
+    large = {r.table_id for r in ea.where(F.col("is_large_table")).collect()}
+    # parts_per_table=(0,3,10,11,31): table_3 (11) and table_4 (31) route large
+    assert large == {
+        "table_3|raw_data_db0",
+        "table_4|raw_data_db0",
+        "table_3|processed_data_db1",
+        "table_4|processed_data_db1",
+    }
+    assert ea.where(F.col("is_large_table")).where(
+        F.col("object_key").isNull()
+    ).count() == 0
+
+
+def test_malformed_messages_route_to_dlq(pipeline, spark):
+    from aws_glue_data_catalog_replication_utility_spark.model import empty_catalog
+
+    bad = spark.createDataFrame(
+        [
+            ("e1", "database", "111", "b1", "{not json", None, None),
+            ("e2", "garbageType", "111", "b1", "{}", None, None),
+            ("e3", "table", "111", "b1", '{"table": {"noname": 1}}', None, None),
+        ],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, region_name string",
+    )
+    d, t, p = empty_catalog(spark)
+    res = import_events(spark, bad, d, t, p)
+    got = {(r.event_id, r.schema_type) for r in res.dlq.collect()}
+    assert got == {("e1", "Database"), ("e2", "garbageType"), ("e3", "Table")}
+    assert res.tables.count() == 0 and res.databases.count() == 0
+
+
+def test_auto_create_missing_parent_db(spark):
+    # GDCUtil.java:47-57: table arrives whose db is absent on target
+    from aws_glue_data_catalog_replication_utility_spark.model import empty_catalog
+
+    table_payload = (
+        '{"table": {"database_name": "orphan_db", "name": "t1", '
+        '"owner": "o", "retention": 0, "table_type": "EXTERNAL_TABLE", '
+        '"parameters": {}, "partition_keys": [], '
+        '"storage_descriptor": {"location": "s3://x"}}, "partition_list": []}'
+    )
+    events = spark.createDataFrame(
+        [("e1", "table", "111122223333", "b1", table_payload, None, None)],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, region_name string",
+    )
+    d, t, p = empty_catalog(spark)
+    res = import_events(spark, events, d, t, p)
+    dbs = res.databases.collect()
+    assert len(dbs) == 1 and dbs[0].name == "orphan_db"
+    assert "111122223333" in dbs[0].description  # imported-from marker
+    assert res.tables.count() == 1
