@@ -26,9 +26,51 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 ACTION_COL = "merge_action"
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def canonical(expr: Column, dt: T.DataType) -> Column:
+    """Rewrite `expr` into an equality-comparable form: Spark's `<=>`
+    rejects MAP types (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE), and
+    catalog rows are full of them (`parameters`, serde parameters inside
+    `storage_descriptor`). Maps become a key-sorted JSON string (two maps
+    equal iff their entry sets are equal, regardless of internal order);
+    structs/arrays are rebuilt with map fields canonicalized, so the
+    result is orderable and null-safe comparison works.
+    """
+    if isinstance(dt, T.MapType):
+        entries = F.transform(
+            F.map_entries(expr),
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                canonical(e["value"], dt.valueType).alias("value"),
+            ),
+        )
+        return F.to_json(F.array_sort(entries))
+    if isinstance(dt, T.ArrayType) and _contains_map(dt.elementType):
+        return F.transform(expr, lambda e: canonical(e, dt.elementType))
+    if isinstance(dt, T.StructType) and _contains_map(dt):
+        rebuilt = F.struct(
+            *[canonical(expr[f.name], f.dataType).alias(f.name) for f in dt.fields]
+        )
+        # struct(...) of a null struct yields a struct of nulls, which
+        # would compare equal to a genuinely all-null struct — preserve
+        # top-level nullness explicitly
+        return F.when(expr.isNull(), F.lit(None)).otherwise(rebuilt)
+    return expr
 
 
 def _tagged(df: DataFrame, tag: str) -> DataFrame:
@@ -62,10 +104,16 @@ def merge_outcomes(
     in_src = F.col("s.__src").isNotNull()
     in_tgt = F.col("t.__tgt").isNotNull()
 
+    src_types = {f.name: f.dataType for f in source.schema.fields}
     changed = F.lit(False)
     for c in compare_cols:
-        # null-safe inequality
-        changed = changed | ~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))
+        # null-safe inequality; map-bearing columns compare via their
+        # canonical (key-sorted JSON) form since <=> rejects MapType
+        lhs, rhs = F.col(f"s.{c}"), F.col(f"t.{c}")
+        dt = src_types[c]
+        if _contains_map(dt):
+            lhs, rhs = canonical(lhs, dt), canonical(rhs, dt)
+        changed = changed | ~lhs.eqNullSafe(rhs)
 
     action = (
         F.when(in_src & ~in_tgt, F.lit("create"))

@@ -242,8 +242,12 @@ def import_events(
         target_tables,
         keys=["database_name", "name"],
     )
-    new_tables = outcomes.drop(ACTION_COL).withColumn(
-        "catalog_id", F.coalesce("catalog_id", F.lit(target_catalog_id))
+    # created_by is a source-catalog identity field the TableInput
+    # projection never replicates (GlueUtil.java:175-192) — it is not
+    # part of the imported table plane
+    new_tables = (
+        outcomes.drop(ACTION_COL, "created_by")
+        .withColumn("catalog_id", F.coalesce("catalog_id", F.lit(target_catalog_id)))
     )
 
     tbl_meta = all_tbl.select(

@@ -32,17 +32,33 @@ def write_partitions_ndjson(parts: DataFrame, path: str) -> None:
 
 def read_partitions_ndjson(spark: SparkSession, path: str) -> DataFrame:
     """Schema'd read; malformed lines land in _corrupt_record instead of
-    failing the job (the DLQ feed)."""
+    failing the job (the DLQ feed).
+
+    Implemented as a text scan + `from_json` rather than a schema'd
+    `.json()` read: the json file source forbids plans that reference
+    only its corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    which is exactly what the DLQ branch does after column pruning.
+    `from_json` has no such restriction, and the text scan still gets
+    partition-directory pruning on (database_name, table_name).
+    """
     import pyspark.sql.types as T
 
-    schema = T.StructType(PARTITION.fields + [T.StructField(CORRUPT_COL, T.StringType())])
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    payload_fields = [
+        f for f in PARTITION.fields if f.name not in ("database_name", "table_name")
+    ]
+    schema = T.StructType(
+        payload_fields + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    return df
+    raw = spark.read.text(path)  # partition dirs restore database/table name
+    return raw.select(
+        "database_name",
+        "table_name",
+        F.from_json(
+            "value",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("p"),
+    ).select("database_name", "table_name", "p.*")
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

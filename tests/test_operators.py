@@ -97,6 +97,40 @@ def test_merge_null_safe_comparison(spark):
     assert out[2] == "update"
 
 
+def test_merge_compares_map_and_nested_struct_columns(spark):
+    # the real catalog schemas compare `parameters` (map<string,string>)
+    # and `storage_descriptor` (struct nesting maps) — <=> rejects maps,
+    # so these must go through the canonicalizer (VERDICT r01 #1)
+    schema = (
+        "id int, parameters map<string,string>, "
+        "sd struct<location:string,serde:struct<lib:string,parameters:map<string,string>>>"
+    )
+    target = _df(
+        spark,
+        [
+            (1, {"a": "1", "b": "2"}, ("s3://x", ("lib1", {"k": "v"}))),
+            (2, {"a": "1"}, ("s3://y", ("lib1", {}))),
+            (3, None, (None, None)),
+        ],
+        schema,
+    )
+    source = _df(
+        spark,
+        [
+            # same map content (entry order is irrelevant for maps) -> skip
+            (1, {"b": "2", "a": "1"}, ("s3://x", ("lib1", {"k": "v"}))),
+            # nested serde parameter changed -> update
+            (2, {"a": "1"}, ("s3://y", ("lib1", {"new": "param"}))),
+            # null map/struct on both sides -> skip
+            (3, None, (None, None)),
+            (4, {"fresh": "row"}, ("s3://z", ("lib2", {}))),
+        ],
+        schema,
+    )
+    out = {r.id: r.merge_action for r in merge_outcomes(source, target, ["id"]).collect()}
+    assert out == {1: "skip", 2: "update", 3: "skip", 4: "create"}
+
+
 def test_apply_merge_idempotent(spark):
     target = _df(spark, [(1, "a"), (2, "b")], "id int, v string")
     source = _df(spark, [(2, "B"), (3, "c")], "id int, v string")
