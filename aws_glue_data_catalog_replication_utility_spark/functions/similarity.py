@@ -74,6 +74,80 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine-similar pairs (id_a < id_b, cosine >= threshold).
+
+    All-pairs self-join — the EXACTNESS BASELINE, quadratic by design
+    (the oracle anchor for the LSH path below), same role q17 plays for
+    MinHash. Never the 100 TB path: use `sign_lsh_candidates` + exact
+    re-rank inside buckets there."""
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                _fold_dot(F.col("a.__v"), F.col("b.__v"))
+                / (
+                    F.sqrt(_fold_norm2(F.col("a.__v")))
+                    * F.sqrt(_fold_norm2(F.col("b.__v")))
+                )
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def sign_lsh_candidates(
+    embeddings: DataFrame,
+    bands: int = 8,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH candidate pairs via coordinate-sign buckets: band b
+    keys on the signs of dims [b*bits, (b+1)*bits); vectors sharing any
+    band key become a candidate pair (id_a < id_b).
+
+    The 100 TB ANN path: an equi-join on (band, key) — shuffle bounded
+    by bucket sizes — instead of the all-pairs cross join. Axis-aligned
+    hyperplanes keep it deterministic and oracle-reproducible; swap in
+    seeded random projections for production recall tuning (more bits
+    per band -> fewer candidates, lower recall; q29 pins the trade
+    exactly against the `cosine_pairs` baseline)."""
+    sign = lambda i: F.when(F.col(vec_col)[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+    per_band = [
+        embeddings.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat(*[sign(b * bits + i) for i in range(bits)]).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = per_band[0]
+    for f in per_band[1:]:
+        banded = banded.unionByName(f)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b_, on=["band", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def dot_udf_available() -> bool:
     """True when pandas+pyarrow are importable (the fast-lane UDF path)."""
     try:

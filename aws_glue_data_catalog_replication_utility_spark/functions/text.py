@@ -59,19 +59,20 @@ def stopword_ratio(text: str | Column, lang: str = "en") -> Column:
     return _stopword_hits(text, STOPWORDS[lang]) / F.size(toks)
 
 
-def quality_score(text: str | Column) -> Column:
+def quality_score(text: str | Column, rounded: bool = True) -> Column:
     """Heuristic document quality in [0,1]: rewards mid-length docs with
     some stopword mass and low punctuation density. Deterministic double
-    arithmetic (same result in the oracle)."""
+    arithmetic. Pass rounded=False for hash-checked outputs (round()
+    implementations can differ across engines; the raw double fold is
+    bit-exact)."""
     t = F.col(text) if isinstance(text, str) else text
     n_tok = token_count(t).cast("double")
     len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     sw = stopword_ratio(t, "en")
     sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
     punct_pen = F.least(punct_ratio(t) * F.lit(10.0), F.lit(1.0))
-    return F.round(
-        F.lit(0.5) * len_score + F.lit(0.5) * sw_score - F.lit(0.25) * punct_pen, 6
-    )
+    raw = F.lit(0.5) * len_score + F.lit(0.5) * sw_score - F.lit(0.25) * punct_pen
+    return F.round(raw, 6) if rounded else raw
 
 
 def lang_guess(text: str | Column) -> Column:

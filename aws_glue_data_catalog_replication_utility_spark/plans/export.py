@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.routing import DEFAULT_PARTITION_THRESHOLD, threshold_route
 from ..sources.ndjson import write_partitions_ndjson
 
-_TBL_KEY = ["database_name", "name"]
+# catalog_id is part of every join key: two catalogs exported in one
+# batch may contain same-named db/table pairs and must not merge
+_TBL_KEY = ["catalog_id", "database_name", "name"]
 
 
 def _table_struct() -> F.Column:
@@ -62,6 +64,7 @@ def export_catalog(
     side_channel_path: str | None = None,
     bucket_name: str = "side-channel",
     region_name: str = "local",
+    run_date: str = "2024-01-01",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (table_messages, table_export_audit). Side-channel ndjson
     is written when any table routes large and a path is given.
@@ -93,12 +96,14 @@ def export_catalog(
     inline_parts = (
         partitions.join(
             small_tables.select(
-                F.col("database_name"), F.col("name").alias("table_name")
+                F.col("catalog_id"),
+                F.col("database_name"),
+                F.col("name").alias("table_name"),
             ),
-            on=["database_name", "table_name"],
+            on=["catalog_id", "database_name", "table_name"],
             how="left_semi",
         )
-        .groupBy("database_name", "table_name")
+        .groupBy("catalog_id", "database_name", "table_name")
         .agg(
             # deterministic inline order: sort by the partition values
             # only (the full struct isn't orderable — SDs contain maps)
@@ -137,13 +142,13 @@ def export_catalog(
     large_tables = routed.where(F.col("route") == "large")
     object_key = F.concat_ws(
         "_",
-        F.date_format(F.lit("2024-01-01"), "yyyy-MM-dd"),
+        F.date_format(F.lit(run_date), "yyyy-MM-dd"),
         F.lit(str(run_id)),
         "catalog_id",
         "database_name",
         "name",
-    )  # dated key shape, ExportLargeTable.java:97-101 (run_id injected,
-    # never wall-clock, for reproducibility)
+    )  # dated key shape, ExportLargeTable.java:97-101 — run_date/run_id
+    # are injected job parameters, never wall-clock, for reproducibility
     large_msgs = large_tables.select(
         F.concat_ws("|", "catalog_id", "database_name", "name").alias("event_id"),
         F.lit("largeTable").alias("message_type"),
@@ -166,9 +171,9 @@ def export_catalog(
     if side_channel_path is not None:
         large_parts = partitions.join(
             large_tables.select(
-                "database_name", F.col("name").alias("table_name")
+                "catalog_id", "database_name", F.col("name").alias("table_name")
             ),
-            on=["database_name", "table_name"],
+            on=["catalog_id", "database_name", "table_name"],
             how="left_semi",
         )
         write_partitions_ndjson(large_parts, side_channel_path)

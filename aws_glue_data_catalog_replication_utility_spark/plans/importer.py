@@ -23,6 +23,7 @@ from ..model import PARTITION, STORAGE_DESCRIPTOR, COLUMN
 from ..operators.joins import missing_anti
 from ..operators.merge import ACTION_COL, merge_outcomes
 from ..operators.sync import full_refresh_sync
+from ..operators.windows import latest_by
 from ..sources.ndjson import read_partitions_ndjson, split_corrupt
 
 # message payload schemas (our wire format — snake_case mirror of the
@@ -115,7 +116,7 @@ def import_events(
         F.col("message_type").alias("schema_type"),
         "payload",
         "export_batch_id",
-        F.col("source_catalog_id"),
+        F.col("source_catalog_id").alias("source_glue_catalog_id"),
     )
 
     db_msgs = events.where(F.col("message_type") == "database").withColumn(
@@ -134,7 +135,7 @@ def import_events(
         F.lit("Database").alias("schema_type"),
         "payload",
         "export_batch_id",
-        "source_catalog_id",
+        F.col("source_catalog_id").alias("source_glue_catalog_id"),
     )
     dlq_bad_tbl = (
         tbl_msgs.where(F.col("msg.table.name").isNull())
@@ -143,15 +144,15 @@ def import_events(
             F.lit("Table").alias("schema_type"),
             "payload",
             "export_batch_id",
-            "source_catalog_id",
+            F.col("source_catalog_id").alias("source_glue_catalog_id"),
         )
         .unionByName(
             large_msgs.where(F.col("msg.table.name").isNull()).select(
                 "event_id",
-                F.lit("Table").alias("schema_type"),
+                F.lit("largeTable").alias("schema_type"),
                 "payload",
                 "export_batch_id",
-                "source_catalog_id",
+                F.col("source_catalog_id").alias("source_glue_catalog_id"),
             )
         )
     )
@@ -161,17 +162,43 @@ def import_events(
     tbl_msgs = tbl_msgs.where(F.col("msg.table.name").isNotNull())
     large_msgs = large_msgs.where(F.col("msg.table.name").isNotNull())
 
+    # largeTable events can only be applied when their side channel is
+    # readable — the reference always reads the S3 object named in the
+    # message (ImportLargeTable.java:150-151); if it can't, the message
+    # fails and redelivers. Without a side channel we must NOT let these
+    # tables into the sync scope (that would silently wipe their target
+    # partitions): park them in the DLQ for re-drive instead.
+    if side_channel_path is None:
+        dlq = dlq.unionByName(
+            large_msgs.select(
+                "event_id",
+                F.lit("largeTable").alias("schema_type"),
+                "payload",
+                "export_batch_id",
+                F.col("source_catalog_id").alias("source_glue_catalog_id"),
+            )
+        )
+        large_msgs = large_msgs.limit(0)
+
     # ---- 1. databases: create-if-absent (GDCUtil.java:139-168) ---------
-    incoming_dbs = db_msgs.select(
-        F.lit(target_catalog_id).alias("catalog_id"),
-        F.col("db.name").alias("name"),
-        F.col("db.description").alias("description"),
-        F.col("db.location_uri").alias("location_uri"),
-        F.col("db.parameters").alias("parameters"),
-        F.col("db.create_time").alias("create_time"),
-        F.col("source_catalog_id").alias("__src"),
-        F.col("export_batch_id").alias("__batch"),
-    ).dropDuplicates(["name"])
+    # deterministic winner when the same db arrives from multiple source
+    # catalogs/batches in one event set (ADVICE r01): latest event_id
+    # wins — a total order, unlike dropDuplicates' arbitrary row
+    incoming_dbs = latest_by(
+        db_msgs.select(
+            F.lit(target_catalog_id).alias("catalog_id"),
+            F.col("db.name").alias("name"),
+            F.col("db.description").alias("description"),
+            F.col("db.location_uri").alias("location_uri"),
+            F.col("db.parameters").alias("parameters"),
+            F.col("db.create_time").alias("create_time"),
+            F.col("source_catalog_id").alias("__src"),
+            F.col("export_batch_id").alias("__batch"),
+            "event_id",
+        ),
+        keys=["name"],
+        order_col="event_id",
+    ).drop("event_id")
 
     created_dbs = missing_anti(incoming_dbs, target_databases, ["name"])
     db_audit = incoming_dbs.join(
@@ -205,9 +232,11 @@ def import_events(
 
     # topological db->table ordering replaces the dbNotFound retry
     # (GDCUtil.java:47-57): auto-create any parent db the target lacks
-    parent_dbs = all_tbl.select(
-        F.col("t.database_name").alias("name"), F.col("source_catalog_id")
-    ).dropDuplicates(["name"])
+    parent_dbs = (
+        all_tbl.select(F.col("t.database_name").alias("name"), "source_catalog_id")
+        .groupBy("name")
+        .agg(F.min("source_catalog_id").alias("source_catalog_id"))
+    )
     autocreated = missing_anti(parent_dbs, dbs_after_create, ["name"]).select(
         F.lit(target_catalog_id).alias("catalog_id"),
         "name",
@@ -222,20 +251,25 @@ def import_events(
     new_databases = dbs_after_create.unionByName(autocreated)
 
     # ---- 3. table MERGE with outcome flags (GlueUtil.java:264-350) -----
-    incoming_tables = all_tbl.select(
-        F.col("t.database_name").alias("database_name"),
-        F.col("t.name").alias("name"),
-        F.col("t.owner").alias("owner"),
-        F.col("t.description").alias("description"),
-        F.col("t.last_access_time").alias("last_access_time"),
-        F.col("t.retention").alias("retention"),
-        F.col("t.table_type").alias("table_type"),
-        F.col("t.view_original_text").alias("view_original_text"),
-        F.col("t.view_expanded_text").alias("view_expanded_text"),
-        F.col("t.parameters").alias("parameters"),
-        F.col("t.partition_keys").alias("partition_keys"),
-        F.col("t.storage_descriptor").alias("storage_descriptor"),
-    ).dropDuplicates(["database_name", "name"])
+    incoming_tables = latest_by(
+        all_tbl.select(
+            F.col("t.database_name").alias("database_name"),
+            F.col("t.name").alias("name"),
+            F.col("t.owner").alias("owner"),
+            F.col("t.description").alias("description"),
+            F.col("t.last_access_time").alias("last_access_time"),
+            F.col("t.retention").alias("retention"),
+            F.col("t.table_type").alias("table_type"),
+            F.col("t.view_original_text").alias("view_original_text"),
+            F.col("t.view_expanded_text").alias("view_expanded_text"),
+            F.col("t.parameters").alias("parameters"),
+            F.col("t.partition_keys").alias("partition_keys"),
+            F.col("t.storage_descriptor").alias("storage_descriptor"),
+            "event_id",
+        ),
+        keys=["database_name", "name"],
+        order_col="event_id",
+    ).drop("event_id")
 
     outcomes = merge_outcomes(
         incoming_tables,
@@ -290,12 +324,17 @@ def import_events(
     if side_channel_path is not None:
         side_raw = read_partitions_ndjson(spark, side_channel_path)
         side_good, _side_bad = split_corrupt(side_raw)
+        # scope by the SOURCE catalog named in the message so two source
+        # catalogs with same-named db/table don't merge partition lists
         large_scope = large_msgs.select(
+            F.col("msg.catalog_id").alias("catalog_id"),
             F.col("msg.table.database_name").alias("database_name"),
             F.col("msg.table.name").alias("table_name"),
         ).dropDuplicates()
         side_parts = side_good.join(
-            F.broadcast(large_scope), on=["database_name", "table_name"], how="left_semi"
+            F.broadcast(large_scope),
+            on=["catalog_id", "database_name", "table_name"],
+            how="left_semi",
         ).select("database_name", "table_name", "values", "storage_descriptor")
         exported_parts = inline_parts.unionByName(side_parts)
     else:

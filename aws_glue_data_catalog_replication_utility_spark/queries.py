@@ -39,11 +39,14 @@ from .operators import (
 from .functions.dedup import (
     exact_dedup,
     jaccard_pairs,
+    minhash_band_pairs,
     minhash_signature,
     word_shingles,
 )
+from .functions.multimodal import attach_blob, blob_features
 from .functions.similarity import cosine_topk
 from .functions import text as TX
+from .streaming.rollup import windowed_rollup
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -676,6 +679,67 @@ def q18_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(sh, "doc_id", num_hashes=12)
 
 
+@register(
+    "q19_lsh_candidate_recall",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b, inter / (x.sz + y.sz - inter) AS jaccard
+      FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+      WHERE inter / (x.sz + y.sz - inter) >= 0.6
+    ),
+    sig AS (
+      SELECT doc_id,
+             [MIN(md5('0:' || shingle)),  MIN(md5('1:' || shingle)),
+              MIN(md5('2:' || shingle)),  MIN(md5('3:' || shingle)),
+              MIN(md5('4:' || shingle)),  MIN(md5('5:' || shingle)),
+              MIN(md5('6:' || shingle)),  MIN(md5('7:' || shingle)),
+              MIN(md5('8:' || shingle)),  MIN(md5('9:' || shingle)),
+              MIN(md5('10:' || shingle)), MIN(md5('11:' || shingle))] AS mh
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b, array_to_string(mh[b*3+1 : b*3+3], '|') AS band_key
+      FROM sig CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT e.id_a, e.id_b, e.jaccard,
+           (c.id_a IS NOT NULL) AS captured
+    FROM exact e LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
+    """,
+)
+def q19_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup path, recall-verified: MinHash-LSH banding
+    (4 bands x 3 rows) generates candidate pairs via a band-key
+    equi-join — never the quadratic all-pairs — and every exact Jaccard
+    >= 0.6 pair (the q17 baseline) is annotated with whether the banding
+    captured it. The hash check pins recall exactly: both engines
+    recompute the same deterministic md5 banding."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=5)
+    exact = jaccard_pairs(sh, "doc_id", threshold=0.6)
+    sigs = minhash_signature(sh, "doc_id", num_hashes=12)
+    cands = minhash_band_pairs(sigs, "doc_id", num_hashes=12, bands=4).withColumn(
+        "captured", F.lit(True)
+    )
+    return exact.join(cands, on=["id_a", "id_b"], how="left").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.coalesce("captured", F.lit(False)).alias("captured"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 20. text analysis (north star)
 # ---------------------------------------------------------------------------
@@ -801,6 +865,303 @@ def q23_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 24. streaming-native windowed rollup (batch shape of streaming/rollup.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_windowed_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q24_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-native tumbling-window operator (F.window), batch
+    mode — the IDENTICAL plan runs under readStream with a watermark
+    (streaming/rollup.py; proven by tests/test_streaming.py). 1-hour
+    tumbling windows make window.start == date_trunc('hour')."""
+    (events,) = _t(spark, sf_dir, "events")
+    return windowed_rollup(events)
+
+
+# ---------------------------------------------------------------------------
+# 25. audit latest-status rollup (the (id, run_id) audit key design)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q25_audit_latest_status",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_entities FROM (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def q25_audit_latest_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'How many entities are currently in status X' — the question the
+    reference's DDB audit tables answer via their (id, run_id) key
+    (template.yaml:39-45, README.md:259-264 status table): latest row
+    per entity, then count per status."""
+    (events,) = _t(spark, sf_dir, "events")
+    latest = latest_by(
+        events.select("user_id", "ts", "event_type", "event_id"),
+        keys=["user_id"],
+        order_col="ts",
+        tiebreak=["event_id"],
+    )
+    return latest.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_entities"))
+
+
+# ---------------------------------------------------------------------------
+# 26. approx distinct (catalog stats at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q26_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS approx_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) beside the exact count. The oracle
+    can't reproduce Spark's sketch, so the DETERMINISTIC contract checked
+    is the error bound: the hash match fails unless the approximation is
+    within 10% of exact (rsd=0.05 keeps HLL well inside that). At scale
+    the approx variant replaces the exact count's full shuffle of
+    distinct keys with fixed-size mergeable sketches."""
+    (events,) = _t(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("n_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= 0.1
+        ).alias("approx_within_10pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 27. multimodal blob features (north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q27_blob_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
+           md5(text) AS content_md5,
+           substring(hex(encode(text)), 1, 8) AS magic_hex
+    FROM documents
+    """,
+)
+def q27_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing, verified end-to-end: documents gain a
+    binary `blob` column (+ typed metadata), then an Arrow-batched
+    mapInPandas featurizer extracts byte length, md5, and the 4-byte
+    magic prefix — the exact harness an image/audio decoder plugs into
+    (functions/multimodal.py; decode itself is stubbed, no codecs here)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    with_blob = attach_blob(docs.select("doc_id", "text"))
+    return blob_features(with_blob)
+
+
+# ---------------------------------------------------------------------------
+# 28. MERGE on catalog-shaped rows (map/struct compare via canonicalizer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q28_merge_catalog_shapes",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_orderpriority AS pri, o_orderstatus AS clerk
+               FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+         s AS (SELECT o_orderkey,
+                      CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN '1-URGENT*' ELSE o_orderpriority END AS pri,
+                      o_orderstatus AS clerk
+               FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+    SELECT CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NULL THEN 'create'
+                WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                     AND (s.pri IS DISTINCT FROM t.pri
+                          OR s.clerk IS DISTINCT FROM t.clerk) THEN 'update'
+                WHEN s.o_orderkey IS NOT NULL THEN 'skip'
+                ELSE 'keep' END AS merge_action,
+           COUNT(*) AS n
+    FROM s FULL OUTER JOIN t ON s.o_orderkey = t.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q28_merge_catalog_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE over rows shaped like real catalog entities — a
+    map<string,string> `parameters` column and a struct nesting another
+    map (the storage_descriptor shape) — exercising the canonical
+    (key-sorted JSON) comparison `<=>` can't do on maps
+    (operators/merge.py). The oracle compares the underlying scalars,
+    which is equivalent because the maps are built from them; outcome
+    counts must agree exactly."""
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def shaped(df, bump_urgent: bool):
+        pri = (
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("1-URGENT*"))
+            .otherwise(F.col("o_orderpriority"))
+            if bump_urgent
+            else F.col("o_orderpriority")
+        )
+        params = F.map_from_arrays(
+            F.array(F.lit("priority"), F.lit("clerk")),
+            F.array(pri, F.col("o_orderstatus")),
+        )
+        sd = F.struct(
+            F.lit("s3://bucket/orders/").alias("location"),
+            F.struct(
+                F.lit("json-serde").alias("lib"), params.alias("parameters")
+            ).alias("serde"),
+        )
+        return df.select(
+            "o_orderkey", params.alias("parameters"), sd.alias("storage_descriptor")
+        )
+
+    target = shaped(
+        orders.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")),
+        bump_urgent=False,
+    )
+    source = shaped(
+        orders.where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")),
+        bump_urgent=True,
+    )
+    out = merge_outcomes(source, target, keys=["o_orderkey"])
+    return out.groupBy("merge_action").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# 29. embedding near-dup with sign-LSH recall (north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q29_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    t AS (SELECT * FROM p WHERE cosine >= 0.4),
+    bands AS (
+      SELECT vec_id, b,
+        (CASE WHEN v[b*4+1] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN v[b*4+2] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN v[b*4+3] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN v[b*4+4] >= 0 THEN '1' ELSE '0' END) AS band_key
+      FROM e CROSS JOIN UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS tt(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+    )
+    SELECT t.id_a, t.id_b, t.cosine, (c.id_a IS NOT NULL) AS captured
+    FROM t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    """,
+)
+def q29_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, scale path pinned:
+    exact all-pairs cosine >= 0.4 (the quadratic oracle baseline)
+    annotated with whether hyperplane sign-LSH banding (8 bands x 4
+    coordinate-sign bits) would have generated the pair as a candidate.
+    The banded equi-join is the 100 TB lane; the hash check pins its
+    recall exactly (48/59 pairs at sf0.01)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    from .functions.similarity import cosine_pairs, sign_lsh_candidates
+
+    exact = cosine_pairs(emb, threshold=0.4)
+    cands = sign_lsh_candidates(emb, bands=8, bits=4).withColumn(
+        "captured", F.lit(True)
+    )
+    return exact.join(cands, on=["id_a", "id_b"], how="left").select(
+        "id_a",
+        "id_b",
+        "cosine",
+        F.coalesce("captured", F.lit(False)).alias("captured"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 30. language-ID + quality scoring (north star)
+# ---------------------------------------------------------------------------
+
+
+def _sw_sql(lang_words) -> str:
+    return "len(list_filter(toks, t -> t IN ({})))".format(
+        ", ".join(f"'{w}'" for w in lang_words)
+    )
+
+
+@register(
+    "q30_language_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, toks,
+             {_sw_sql(TX.STOPWORDS["en"])} AS s_en,
+             {_sw_sql(TX.STOPWORDS["de"])} AS s_de,
+             {_sw_sql(TX.STOPWORDS["es"])} AS s_es,
+             {_sw_sql(TX.STOPWORDS["fr"])} AS s_fr
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang,
+           0.5 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+             + 0.5 * least((s_en / len(toks)) * 5.0, 1.0)
+             - 0.25 * least(
+                 (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                            / length(text)
+                       ELSE 0.0 END) * 10.0, 1.0) AS quality
+    FROM scored
+    """,
+)
+def q30_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-ID (stopword-vote heuristic with fixed
+    priority tie-break, functions/text.py) and quality score (length /
+    stopword-mass / punctuation-density fold) — pure column expressions,
+    zero UDFs; the quality double fold is bit-exact vs the oracle."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.lang_guess("text").alias("lang"),
+        TX.quality_score("text", rounded=False).alias("quality"),
     )
 
 

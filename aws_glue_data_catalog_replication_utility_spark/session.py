@@ -35,8 +35,11 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or max(2 * cpus, 8)
+    # cluster deploys point SPARK_GRAFT_MASTER at the real master (yarn,
+    # k8s://..., spark://...); the local default is for the sandbox only
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         # --- adaptive execution: the scale story -------------------------
         .config("spark.sql.adaptive.enabled", "true")

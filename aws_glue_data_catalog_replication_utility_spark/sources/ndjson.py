@@ -21,11 +21,16 @@ from ..model import PARTITION
 CORRUPT_COL = "_corrupt_record"
 
 
+PARTITION_DIR_COLS = ("catalog_id", "database_name", "table_name")
+
+
 def write_partitions_ndjson(parts: DataFrame, path: str) -> None:
-    """One ndjson directory per (database_name, table_name)."""
+    """One ndjson directory per (catalog_id, database_name, table_name) —
+    catalog_id in the key so two catalogs exported in one batch cannot
+    merge their partition lists."""
     (
         parts.write.mode("overwrite")
-        .partitionBy("database_name", "table_name")
+        .partitionBy(*PARTITION_DIR_COLS)
         .json(path)
     )
 
@@ -44,13 +49,16 @@ def read_partitions_ndjson(spark: SparkSession, path: str) -> DataFrame:
     import pyspark.sql.types as T
 
     payload_fields = [
-        f for f in PARTITION.fields if f.name not in ("database_name", "table_name")
+        f for f in PARTITION.fields if f.name not in PARTITION_DIR_COLS
     ]
     schema = T.StructType(
         payload_fields + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    raw = spark.read.text(path)  # partition dirs restore database/table name
+    raw = spark.read.text(path)  # partition dirs restore catalog/db/table
     return raw.select(
+        # partition-type inference would read numeric catalog ids as
+        # longs — pin the declared string type
+        F.col("catalog_id").cast("string").alias("catalog_id"),
         "database_name",
         "table_name",
         F.from_json(
@@ -58,7 +66,7 @@ def read_partitions_ndjson(spark: SparkSession, path: str) -> DataFrame:
             schema,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
         ).alias("p"),
-    ).select("database_name", "table_name", "p.*")
+    ).select("catalog_id", "database_name", "table_name", "p.*")
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

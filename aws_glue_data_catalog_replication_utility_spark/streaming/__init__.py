@@ -1,0 +1,11 @@
+"""Streaming leg: event-plane ingest (readStream + foreachBatch MERGE)
+and event-time windowed rollups. See ingest.py / rollup.py."""
+
+from .ingest import (  # noqa: F401
+    latest_version,
+    read_audit,
+    read_state,
+    start_event_stream,
+    write_state,
+)
+from .rollup import windowed_rollup  # noqa: F401

@@ -28,8 +28,11 @@ HEADLINE = [
     "q16_dedup_exact",
     "q17_ngram_jaccard_pairs",
     "q18_minhash_signatures",
+    "q19_lsh_candidate_recall",
     "q21_cosine_topk",
     "q23_hourly_rollup",
+    "q27_blob_features",
+    "q28_merge_catalog_shapes",
 ]
 
 

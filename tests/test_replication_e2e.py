@@ -207,6 +207,78 @@ def test_malformed_messages_route_to_dlq(pipeline, spark):
     assert res.tables.count() == 0 and res.databases.count() == 0
 
 
+def test_large_table_without_side_channel_parks_in_dlq(spark):
+    # ADVICE r01: a largeTable event with no readable side channel must
+    # NOT enter the sync scope (that would wipe the target's partitions
+    # for that table) — it parks in the DLQ for re-drive, matching the
+    # reference's fail-and-redeliver (ImportLargeTable.java:78-81)
+    tgt_dbs, tgt_tables, tgt_parts = sample_catalog(spark, catalog_id="999999999999")
+    payload = (
+        '{"catalog_id": "123412341234", "large_table": true, '
+        '"number_of_partitions": 31, '
+        '"table": {"database_name": "raw_data_db0", "name": "table_4", '
+        '"owner": "o", "retention": 0, "table_type": "EXTERNAL_TABLE", '
+        '"parameters": {}, "partition_keys": [], '
+        '"storage_descriptor": {"location": "s3://x"}}, '
+        '"s3_object_key": "k", "s3_bucket_name": "b"}'
+    )
+    events = spark.createDataFrame(
+        [("e1", "largeTable", "123412341234", "b1", payload, "b", "local")],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, region_name string",
+    )
+    before = tgt_parts.count()
+    res = import_events(
+        spark, events, tgt_dbs, tgt_tables, tgt_parts, side_channel_path=None
+    )
+    assert res.partitions.count() == before  # nothing wiped
+    dlq = res.dlq.collect()
+    assert len(dlq) == 1 and dlq[0].schema_type == "largeTable"
+    assert dlq[0].source_glue_catalog_id == "123412341234"
+
+
+def test_dlq_redrive_converges(spark, tmp_path):
+    """Failed-then-fixed flow (DLQImportDatabaseOrTable.java:78-165):
+    largeTable events dead-letter while the side channel is unreadable;
+    once it exists, re-driving the DLQ through the same import logic
+    converges the target to the full catalog and empties the DLQ."""
+    from aws_glue_data_catalog_replication_utility_spark.plans.redrive import redrive_dlq
+
+    side = str(tmp_path / "side")
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    msgs, _ = plan_replication(
+        src_dbs, prefix_string="raw_data_,processed_data_", run_id=7, batch_id="b1"
+    )
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="b1",
+        run_id=7, side_channel_path=side,
+    )
+    events = msgs.unionByName(tbl_msgs)
+    d, t, p = empty_catalog(spark)
+
+    # side channel "not yet readable": large tables park in the DLQ
+    first = import_events(spark, events, d, t, p, side_channel_path=None)
+    assert first.dlq.count() == 4  # 2 dbs x 2 large tables
+    assert first.tables.count() == 6  # only the small tables applied
+    assert first.partitions.count() == 2 * (0 + 3 + 10)
+
+    # blocker fixed: re-drive the DLQ through the same import
+    second = redrive_dlq(
+        spark,
+        first.dlq,
+        first.databases,
+        first.tables,
+        first.partitions,
+        side_channel_path=side,
+    )
+    assert second.dlq.count() == 0
+    assert second.tables.count() == 10
+    assert second.partitions.count() == 2 * (0 + 3 + 10 + 11 + 31)
+    # the re-driven tables were created (not updated) on the target
+    created = second.table_import_audit.where(F.col("table_created"))
+    assert created.count() == 4
+
+
 def test_auto_create_missing_parent_db(spark):
     # GDCUtil.java:47-57: table arrives whose db is absent on target
     from aws_glue_data_catalog_replication_utility_spark.model import empty_catalog

@@ -1,0 +1,146 @@
+"""Streaming leg tests (SURVEY.md §2B #17): the event plane consumed via
+readStream + foreachBatch running the same idempotent import plan, with
+checkpointed micro-batches; plus the event-time windowed rollup matching
+its batch shape. Proves the effectively-once property the reference gets
+from at-least-once redelivery + idempotent apply
+(ExportLargeTable.java:136-141, ImportLambda redelivery)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark.model import sample_catalog
+from aws_glue_data_catalog_replication_utility_spark.plans.export import export_catalog
+from aws_glue_data_catalog_replication_utility_spark.plans.importer import import_events
+from aws_glue_data_catalog_replication_utility_spark.plans.planner import plan_replication
+from aws_glue_data_catalog_replication_utility_spark.streaming import (
+    latest_version,
+    read_audit,
+    read_state,
+    start_event_stream,
+    windowed_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    side = str(root / "side_channel")
+    events_dir = str(root / "events")
+    state_root = str(root / "state")
+
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    msgs, _ = plan_replication(
+        src_dbs, prefix_string="raw_data_,processed_data_", run_id=7, batch_id="b1"
+    )
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="b1",
+        run_id=7, side_channel_path=side,
+    )
+    events = msgs.unionByName(tbl_msgs)
+    # multiple files -> multiple micro-batches under maxFilesPerTrigger=1
+    events.repartition(3).write.mode("overwrite").json(events_dir)
+
+    q = start_event_stream(
+        spark,
+        events_dir,
+        state_root,
+        checkpoint_path=str(root / "ckpt1"),
+        side_channel_path=side,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    return {
+        "events": events,
+        "events_dir": events_dir,
+        "state_root": state_root,
+        "side": side,
+        "root": root,
+        "src": (src_dbs, src_tables, src_parts),
+    }
+
+
+def test_stream_state_matches_batch_import(spark, stream_env):
+    sdbs, stables, sparts = read_state(spark, stream_env["state_root"])
+    # the batch job over the same full event set is the oracle
+    from aws_glue_data_catalog_replication_utility_spark.model import empty_catalog
+
+    d, t, p = empty_catalog(spark)
+    batch = import_events(
+        spark, stream_env["events"], d, t, p, side_channel_path=stream_env["side"]
+    )
+    assert {r.name for r in sdbs.collect()} == {r.name for r in batch.databases.collect()}
+    assert sorted(
+        (r.database_name, r.name) for r in stables.collect()
+    ) == sorted((r.database_name, r.name) for r in batch.tables.collect())
+    assert sparts.count() == batch.partitions.count() == 2 * (0 + 3 + 10 + 11 + 31)
+    # more than one micro-batch actually ran
+    assert latest_version(stream_env["state_root"]) >= 2
+
+
+def test_stream_replay_is_effectively_once(spark, stream_env):
+    """Re-deliver EVERY event (fresh checkpoint = full replay) against the
+    already-applied state: state content must not change and the replay's
+    audit must be all-skip — at-least-once redelivery + idempotent MERGE
+    == effectively-once."""
+    state_root = stream_env["state_root"]
+    before_dbs, before_tables, before_parts = read_state(spark, state_root)
+    n_dbs, n_tables, n_parts = (
+        before_dbs.count(), before_tables.count(), before_parts.count(),
+    )
+    q = start_event_stream(
+        spark,
+        stream_env["events_dir"],
+        state_root,
+        checkpoint_path=str(stream_env["root"] / "ckpt2"),  # fresh -> replay all
+        side_channel_path=stream_env["side"],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    after_dbs, after_tables, after_parts = read_state(spark, state_root)
+    assert after_dbs.count() == n_dbs
+    assert after_tables.count() == n_tables
+    assert after_parts.count() == n_parts
+    # replayed batches overwrote their audit partitions with all-skip rows
+    ta = read_audit(spark, state_root, "table_import")
+    assert ta.where(F.col("table_created") | F.col("table_updated")).count() == 0
+    da = read_audit(spark, state_root, "db_import")
+    assert da.where(F.col("is_created")).count() == 0
+
+
+def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 5), "click", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 55), "click", 2.0),
+        (dt.datetime(2024, 1, 1, 1, 5), "view", 3.0),
+        (dt.datetime(2024, 1, 1, 0, 20), "view", 4.0),  # late, same hour 0
+        (dt.datetime(2024, 1, 1, 2, 10), "click", 5.0),
+    ]
+    schema = "ts timestamp, event_type string, value double"  # watermark needs TIMESTAMP (session TZ=UTC)
+    batch_df = spark.createDataFrame(rows, schema)
+    events_dir = str(tmp_path / "ev")
+    batch_df.write.mode("overwrite").json(events_dir)
+
+    expected = sorted(
+        (str(r.window_start), r.event_type, r.n, r.sum_value)
+        for r in windowed_rollup(batch_df).collect()
+    )
+
+    stream = spark.readStream.schema(schema).json(events_dir)
+    q = (
+        windowed_rollup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (str(r.window_start), r.event_type, r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    )
+    assert got == expected
