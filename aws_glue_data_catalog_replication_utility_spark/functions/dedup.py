@@ -97,6 +97,87 @@ def minhash_signature(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Token-level SimHash as a BIGINT: every token votes +1/-1 on each
+    of `bits` bit positions according to the first `bits` bits of
+    md5(token); output bit i is 1 iff the vote sum is positive.
+
+    One explode + one aggregation (map-side partial sums) — same shuffle
+    profile as minhash_signature. Token multiplicity = tf weighting.
+    Returns (id, simhash)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    # first 4 hex chars of md5 = 16 deterministic bits, same in DuckDB
+    val = F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10).cast("long")
+    votes = toks.select(F.col(id_col), val.alias("v")).groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("v"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming between
+    SimHash signatures — via the pigeonhole banding trick: split the
+    `bits` into `bands` chunks; any pair within distance bands-1 agrees
+    exactly on at least one chunk, so candidates come from `bands`
+    equi-joins on the chunk value (the 100 TB path — never all-pairs),
+    then the exact bit_count(xor) filter. With bands > max_hamming the
+    banding is LOSSLESS (recall 1.0 by pigeonhole), unlike MinHash LSH.
+    Returns (id_a, id_b, hamming)."""
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    banded = None
+    for j in range(bands):
+        part = signatures.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), j * chunk)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "band_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def minhash_band_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -22,12 +22,20 @@ def latest_by(
     order_col: str,
     tiebreak: Sequence[str] = (),
     desc: bool = True,
+    tiebreak_desc: bool | None = None,
 ) -> DataFrame:
     """One row per key: the latest by order_col (ties broken by tiebreak
     columns, then arbitrarily-but-deterministically by all remaining
-    columns is NOT attempted — callers must pass a unique tiebreak)."""
+    columns is NOT attempted — callers must pass a unique tiebreak).
+
+    tiebreak_desc controls the tiebreak direction independently of the
+    order column; None (default) follows `desc`."""
+    if tiebreak_desc is None:
+        tiebreak_desc = desc
     ordering = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
-    ordering += [F.col(c).desc() if desc else F.col(c).asc() for c in tiebreak]
+    ordering += [
+        F.col(c).desc() if tiebreak_desc else F.col(c).asc() for c in tiebreak
+    ]
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ordering)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -41,6 +41,8 @@ from .functions.dedup import (
     jaccard_pairs,
     minhash_band_pairs,
     minhash_signature,
+    simhash,
+    simhash_pairs,
     word_shingles,
 )
 from .functions.multimodal import attach_blob, blob_features
@@ -1162,6 +1164,70 @@ def q30_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.lang_guess("text").alias("lang"),
         TX.quality_score("text", rounded=False).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 31-32. SimHash dedup (north star)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SQL = """
+      SELECT doc_id,
+             {bits_sum} AS simhash
+      FROM (
+        SELECT doc_id,
+               {votes}
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substring(md5(tok), 1, 4))::BIGINT AS v
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents)
+        ) GROUP BY doc_id
+      )
+""".format(
+    votes=", ".join(
+        f"SUM(CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(16)
+    ),
+    bits_sum=" + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16)
+    ),
+)
+
+
+@register(
+    "q31_simhash",
+    oracle=f"SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM ({_SIMHASH_SQL})",
+)
+def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit token SimHash signatures (md5-vote per bit): the
+    Hamming-space dedup sketch. One explode + one aggregation with
+    map-side partial sums — same shuffle profile as MinHash (q18)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+@register(
+    "q32_simhash_pairs",
+    oracle=f"""
+    WITH sig AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding:
+    4-bit chunks equi-join for candidates (LOSSLESS for distance <= 3 —
+    recall 1.0 by pigeonhole, unlike probabilistic MinHash banding),
+    exact bit_count(xor) re-filter. The oracle brute-forces all pairs;
+    identical output proves the banded path exact."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sigs = simhash(docs, "doc_id", "text", bits=16)
+    return simhash_pairs(sigs, "doc_id", max_hamming=3, bits=16, bands=4).withColumn(
+        "hamming", F.col("hamming").cast("int")
     )
 
 

@@ -1,0 +1,224 @@
+"""Property-based round-trip invariants (SURVEY.md §5.4): seeded random
+catalog mutations -> plan/export/import -> the replication CONVERGES
+(target == source on the replicated projection, for every exported db)
+and is IDEMPOTENT (second apply changes nothing). These are the two
+guarantees the reference gets operationally from create-or-update +
+full-refresh sync (GlueUtil.java:264-350, GDCUtil.java:61-111)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark.model import (
+    DATABASE,
+    PARTITION,
+    TABLE,
+    _sd,
+    _ts,
+)
+from aws_glue_data_catalog_replication_utility_spark.plans.export import export_catalog
+from aws_glue_data_catalog_replication_utility_spark.plans.importer import import_events
+from aws_glue_data_catalog_replication_utility_spark.plans.planner import plan_replication
+
+REPLICATED_TABLE_FIELDS = [
+    "database_name",
+    "name",
+    "owner",
+    "description",
+    "retention",
+    "table_type",
+    "parameters",
+    "partition_keys",
+    "storage_descriptor",
+]
+
+
+def _random_catalog(rng: random.Random, catalog_id: str):
+    """Random catalog: 2-5 dbs (some outside the export prefix), 1-6
+    tables each, 0-15 partitions per table (straddling the threshold)."""
+    dbs, tables, parts = [], [], []
+    for i in range(rng.randint(2, 5)):
+        prefix = rng.choice(["raw_data_", "tmp_", "raw_data_", "other_"])
+        db = f"{prefix}db{i}"
+        dbs.append(
+            {
+                "catalog_id": catalog_id,
+                "name": db,
+                "description": f"d{rng.randint(0, 9)}",
+                "location_uri": f"s3://b/{db}/",
+                "parameters": {"k": str(rng.randint(0, 3))},
+                "create_time": _ts(1 + i),
+            }
+        )
+        for j in range(rng.randint(1, 6)):
+            tbl = f"t{j}"
+            n_parts = rng.randint(0, 15)
+            tables.append(
+                {
+                    "catalog_id": catalog_id,
+                    "database_name": db,
+                    "name": tbl,
+                    "owner": "o",
+                    "description": f"t{rng.randint(0, 9)}",
+                    "create_time": _ts(1, 1),
+                    "update_time": _ts(1, 2),
+                    "last_access_time": _ts(1, 3),
+                    "retention": rng.randint(0, 2),
+                    "table_type": "EXTERNAL_TABLE",
+                    "view_original_text": None,
+                    "view_expanded_text": None,
+                    "parameters": {"classification": rng.choice(["json", "csv"])},
+                    "created_by": "arn:src",
+                    "partition_keys": [{"name": "dt", "type": "string"}]
+                    if n_parts
+                    else [],
+                    "storage_descriptor": _sd(f"s3://b/{db}/{tbl}/"),
+                }
+            )
+            for p in range(n_parts):
+                parts.append(
+                    {
+                        "catalog_id": catalog_id,
+                        "database_name": db,
+                        "table_name": tbl,
+                        "values": [f"2024-01-{p + 1:02d}"],
+                        "creation_time": _ts(2),
+                        "last_access_time": _ts(2),
+                        "storage_descriptor": _sd(f"s3://b/{db}/{tbl}/{p}/"),
+                        "parameters": {},
+                    }
+                )
+    return dbs, tables, parts
+
+
+def _mutate_into_target(rng: random.Random, dbs, tables, parts, catalog_id: str):
+    """A drifted target: some tables dropped (-> create), some descriptions
+    changed (-> update), some untouched (-> skip), one foreign table
+    (-> keep), stale extra partitions (-> wiped by full refresh)."""
+    tgt_dbs = [dict(d, catalog_id=catalog_id) for d in dbs if rng.random() > 0.3]
+    tgt_tables = []
+    for t in tables:
+        r = rng.random()
+        if r < 0.3:
+            continue  # dropped on target -> must be re-created
+        t2 = dict(t, catalog_id=catalog_id)
+        if r < 0.6:
+            t2["description"] = "DRIFTED"  # -> must be updated
+        tgt_tables.append(t2)
+    tgt_parts = [dict(p, catalog_id=catalog_id) for p in parts if rng.random() > 0.5]
+    # stale partition rows the export no longer carries
+    for t in tables[:2]:
+        tgt_parts.append(
+            {
+                "catalog_id": catalog_id,
+                "database_name": t["database_name"],
+                "table_name": t["name"],
+                "values": ["1999-12-31"],
+                "creation_time": _ts(3),
+                "last_access_time": _ts(3),
+                "storage_descriptor": _sd("s3://stale/"),
+                "parameters": {},
+            }
+        )
+    # a target-local table replication must not touch
+    tgt_tables.append(
+        dict(
+            tables[0],
+            catalog_id=catalog_id,
+            database_name="local_only_db",
+            name="local_table",
+        )
+    )
+    tgt_dbs.append(
+        {
+            "catalog_id": catalog_id,
+            "name": "local_only_db",
+            "description": "target-local",
+            "location_uri": None,
+            "parameters": {},
+            "create_time": _ts(9),
+        }
+    )
+    return tgt_dbs, tgt_tables, tgt_parts
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_replication_converges_and_is_idempotent(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    src_rows = _random_catalog(rng, "111111111111")
+    tgt_rows = _mutate_into_target(rng, *src_rows, catalog_id="999999999999")
+
+    src_dbs = spark.createDataFrame(src_rows[0], DATABASE)
+    src_tables = spark.createDataFrame(src_rows[1], TABLE)
+    src_parts = spark.createDataFrame(src_rows[2], PARTITION)
+    tgt_dbs = spark.createDataFrame(tgt_rows[0], DATABASE)
+    tgt_tables = spark.createDataFrame(tgt_rows[1], TABLE)
+    tgt_parts = spark.createDataFrame(tgt_rows[2], PARTITION)
+
+    side = str(tmp_path / f"side{seed}")
+    msgs, _ = plan_replication(src_dbs, prefix_string="raw_data_", batch_id="p1")
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="p1",
+        side_channel_path=side,
+    )
+    events = msgs.unionByName(tbl_msgs)
+
+    res = import_events(
+        spark, events, tgt_dbs, tgt_tables, tgt_parts, side_channel_path=side
+    )
+
+    exported_dbs = {
+        r[0]
+        for r in msgs.select(F.get_json_object("payload", "$.name")).collect()
+    }
+
+    # --- convergence: replicated projection equal for exported dbs -----
+    src_proj = sorted(
+        map(
+            str,
+            src_tables.where(F.col("database_name").isin(exported_dbs))
+            .select(*REPLICATED_TABLE_FIELDS)
+            .collect(),
+        )
+    )
+    tgt_proj = sorted(
+        map(
+            str,
+            res.tables.where(F.col("database_name").isin(exported_dbs))
+            .select(*REPLICATED_TABLE_FIELDS)
+            .collect(),
+        )
+    )
+    assert src_proj == tgt_proj
+
+    src_keys = {
+        (r.database_name, r.table_name, tuple(r["values"]))
+        for r in src_parts.where(F.col("database_name").isin(exported_dbs)).collect()
+    }
+    tgt_keys = {
+        (r.database_name, r.table_name, tuple(r["values"]))
+        for r in res.partitions.where(
+            F.col("database_name").isin(exported_dbs)
+        ).collect()
+    }
+    assert src_keys == tgt_keys  # stale rows wiped, exported set is truth
+
+    # --- non-exported target state untouched ---------------------------
+    assert (
+        res.tables.where(F.col("database_name") == "local_only_db").count() == 1
+    )
+    assert res.databases.where(F.col("name") == "local_only_db").count() == 1
+
+    # --- idempotence: second apply is all-skip -------------------------
+    again = import_events(
+        spark, events, res.databases, res.tables, res.partitions,
+        side_channel_path=side,
+    )
+    assert again.table_import_audit.where(
+        F.col("table_created") | F.col("table_updated")
+    ).count() == 0
+    assert again.db_import_audit.where(F.col("is_created")).count() == 0
+    assert again.partitions.count() == res.partitions.count()
