@@ -8,6 +8,7 @@ driver or loops per-row.
 from .joins import exists_semi, missing_anti, prefix_semi_join
 from .merge import merge_outcomes, apply_merge
 from .routing import threshold_route
+from .skew import salted_join
 from .windows import latest_by
 from .sync import full_refresh_sync
 
@@ -18,6 +19,7 @@ __all__ = [
     "merge_outcomes",
     "apply_merge",
     "threshold_route",
+    "salted_join",
     "latest_by",
     "full_refresh_sync",
 ]

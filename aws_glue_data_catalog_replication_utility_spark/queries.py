@@ -728,7 +728,13 @@ def q19_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     captured it. The hash check pins recall exactly: both engines
     recompute the same deterministic md5 banding."""
     (docs,) = _t(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=5)
+    # three consumers (pair join x2 sides, size agg, signature agg) read
+    # the shingle relation: materialize it ONCE instead of re-exploding
+    # per branch — measured 3-4x on this query at sf0.1. At cluster
+    # scale this is the classic "reuse a partitioning across stages"
+    # point; storage level spills to disk if executors are tight.
+    sh = word_shingles(docs, "doc_id", "text", n=5).persist()
+    sh.count()  # materialize before branches race the cache
     exact = jaccard_pairs(sh, "doc_id", threshold=0.6)
     sigs = minhash_signature(sh, "doc_id", num_hashes=12)
     cands = minhash_band_pairs(sigs, "doc_id", num_hashes=12, bands=4).withColumn(
@@ -1225,7 +1231,10 @@ def q32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact bit_count(xor) re-filter. The oracle brute-forces all pairs;
     identical output proves the banded path exact."""
     (docs,) = _t(spark, sf_dir, "documents")
-    sigs = simhash(docs, "doc_id", "text", bits=16)
+    # 8 consumers (4 bands x 2 join sides) read the signatures:
+    # materialize once rather than re-aggregating per branch
+    sigs = simhash(docs, "doc_id", "text", bits=16).persist()
+    sigs.count()
     return simhash_pairs(sigs, "doc_id", max_hamming=3, bits=16, bands=4).withColumn(
         "hamming", F.col("hamming").cast("int")
     )

@@ -168,6 +168,32 @@ def test_full_refresh_four_cases(spark):
     assert got == [("t1", "p-new"), ("t3", "p-stays"), ("t4", "p-added")]
 
 
+# ----------------------------------------------------------------- skew
+
+
+def test_salted_join_equals_plain_join(spark):
+    from aws_glue_data_catalog_replication_utility_spark.operators.skew import (
+        salted_join,
+    )
+
+    # one hot key (k=1 carries 200 rows) + normal keys
+    big = _df(
+        spark,
+        [(1, i) for i in range(200)] + [(2, 900), (3, 901)],
+        "k int, payload int",
+    )
+    small = _df(spark, [(1, "hot"), (2, "warm"), (4, "unmatched")], "k int, tag string")
+    expected = sorted(
+        (r.k, r.payload, r.tag) for r in big.join(small, "k").collect()
+    )
+    for buckets in (1, 4, 16):
+        got = sorted(
+            (r.k, r.payload, r.tag)
+            for r in salted_join(big, small, ["k"], buckets=buckets).collect()
+        )
+        assert got == expected
+
+
 # --------------------------------------------------------------- window
 
 

@@ -188,6 +188,20 @@ def test_export_audit_marks_large_tables(pipeline):
     ).count() == 0
 
 
+def test_export_object_key_shape(pipeline):
+    # <run_date>_<run_id>_<catalog>_<db>_<table> — ExportLargeTable.java:97-101,
+    # with run_date/run_id as injected job parameters (never wall-clock)
+    import re
+
+    keys = [
+        r.object_key
+        for r in pipeline["export_audit"].where(F.col("is_large_table")).collect()
+    ]
+    assert len(keys) == 4
+    pat = re.compile(r"^2024-01-01_7_123412341234_(raw_data_db0|processed_data_db1)_table_[34]$")
+    assert all(pat.match(k) for k in keys), keys
+
+
 def test_malformed_messages_route_to_dlq(pipeline, spark):
     from aws_glue_data_catalog_replication_utility_spark.model import empty_catalog
 
