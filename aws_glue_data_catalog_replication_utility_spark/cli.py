@@ -1,0 +1,178 @@
+"""Job entry points — the reference's Lambda handlers as Spark jobs.
+
+    python -m aws_glue_data_catalog_replication_utility_spark.cli <job> ...
+
+Jobs (mirroring SURVEY.md §3):
+  plan     databases snapshot -> prefix-scoped db messages + export audit
+  export   db messages + tables + partitions -> table/largeTable messages,
+           ndjson side-channel, export audit
+  import   events + target snapshots -> new target snapshots + audit + dlq
+  redrive  dlq + target snapshots -> re-applied import (fixpoint retry)
+  stream   continuous import: readStream events dir -> versioned state
+
+All inputs/outputs are parquet directories (the engine's catalog-snapshot
+interchange), except the events dir for `stream` (ndjson message files,
+one file per micro-batch). Run ids / batch ids / run dates are explicit
+arguments, never wall-clock (SNSUtil.java:91-92 used currentTimeMillis;
+we keep runs reproducible).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(args) -> SparkSession:
+    from .session import get_spark
+
+    return get_spark(app_name=f"gdc-replication-{args.job}")
+
+
+def _read(spark, path, schema=None):
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def _write(df, path):
+    df.write.mode("overwrite").parquet(path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="gdc-replication")
+    sub = ap.add_subparsers(dest="job", required=True)
+
+    p = sub.add_parser("plan")
+    p.add_argument("--databases", required=True)
+    p.add_argument("--prefixes", default="")
+    p.add_argument("--separator", default=",")
+    p.add_argument("--run-id", type=int, default=0)
+    p.add_argument("--batch-id", default="0")
+    p.add_argument("--messages-out", required=True)
+    p.add_argument("--audit-out", required=True)
+
+    e = sub.add_parser("export")
+    e.add_argument("--db-messages", required=True)
+    e.add_argument("--tables", required=True)
+    e.add_argument("--partitions", required=True)
+    e.add_argument("--threshold", type=int, default=10)
+    e.add_argument("--run-id", type=int, default=0)
+    e.add_argument("--batch-id", default="0")
+    e.add_argument("--run-date", default="2024-01-01")
+    e.add_argument("--side-channel", default=None)
+    e.add_argument("--messages-out", required=True)
+    e.add_argument("--audit-out", required=True)
+
+    i = sub.add_parser("import")
+    i.add_argument("--events", required=True)
+    i.add_argument("--target-databases", required=True)
+    i.add_argument("--target-tables", required=True)
+    i.add_argument("--target-partitions", required=True)
+    i.add_argument("--target-catalog-id", default="999999999999")
+    i.add_argument("--side-channel", default=None)
+    i.add_argument("--run-id", type=int, default=0)
+    i.add_argument("--out-root", required=True)
+
+    r = sub.add_parser("redrive")
+    r.add_argument("--dlq", required=True)
+    r.add_argument("--target-databases", required=True)
+    r.add_argument("--target-tables", required=True)
+    r.add_argument("--target-partitions", required=True)
+    r.add_argument("--target-catalog-id", default="999999999999")
+    r.add_argument("--side-channel", default=None)
+    r.add_argument("--run-id", type=int, default=0)
+    r.add_argument("--out-root", required=True)
+
+    s = sub.add_parser("stream")
+    s.add_argument("--events-dir", required=True)
+    s.add_argument("--state-root", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--target-catalog-id", default="999999999999")
+    s.add_argument("--side-channel", default=None)
+    s.add_argument("--available-now", action="store_true",
+                   help="drain what's present then stop (default: run forever)")
+
+    args = ap.parse_args(argv)
+    spark = _spark(args)
+
+    if args.job == "plan":
+        from .plans.planner import plan_replication
+
+        msgs, audit = plan_replication(
+            _read(spark, args.databases),
+            prefix_string=args.prefixes,
+            separator=args.separator,
+            run_id=args.run_id,
+            batch_id=args.batch_id,
+        )
+        _write(msgs, args.messages_out)
+        _write(audit, args.audit_out)
+
+    elif args.job == "export":
+        from .plans.export import export_catalog
+
+        msgs, audit = export_catalog(
+            spark,
+            _read(spark, args.db_messages),
+            _read(spark, args.tables),
+            _read(spark, args.partitions),
+            threshold=args.threshold,
+            batch_id=args.batch_id,
+            run_id=args.run_id,
+            run_date=args.run_date,
+            side_channel_path=args.side_channel,
+        )
+        _write(msgs, args.messages_out)
+        _write(audit, args.audit_out)
+
+    elif args.job in ("import", "redrive"):
+        from .plans.importer import import_events
+        from .plans.redrive import redrive_dlq
+
+        fn = import_events if args.job == "import" else redrive_dlq
+        src = _read(spark, args.events if args.job == "import" else args.dlq)
+        res = fn(
+            spark,
+            src,
+            _read(spark, args.target_databases),
+            _read(spark, args.target_tables),
+            _read(spark, args.target_partitions),
+            target_catalog_id=args.target_catalog_id,
+            side_channel_path=args.side_channel,
+            run_id=args.run_id,
+        )
+        root = args.out_root
+        # materialize BEFORE overwriting inputs the plan may still read
+        for name, df in [
+            ("databases", res.databases),
+            ("tables", res.tables),
+            ("partitions", res.partitions),
+            ("db_import_audit", res.db_import_audit),
+            ("table_import_audit", res.table_import_audit),
+            ("dlq", res.dlq),
+        ]:
+            _write(df, f"{root}/{name}")
+
+    elif args.job == "stream":
+        from .streaming.ingest import start_event_stream
+
+        q = start_event_stream(
+            spark,
+            args.events_dir,
+            args.state_root,
+            checkpoint_path=args.checkpoint,
+            target_catalog_id=args.target_catalog_id,
+            side_channel_path=args.side_channel,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

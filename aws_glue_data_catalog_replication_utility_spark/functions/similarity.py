@@ -148,6 +148,48 @@ def sign_lsh_candidates(
     )
 
 
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_seeds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest-by-cosine
+    centroid. Centroids here are the first `n_seeds` vectors by id —
+    deterministic and oracle-reproducible; production would k-means them
+    (same assignment plan, different seed source). Returns (id, cluster).
+
+    Plan shape: broadcast the tiny centroid set, stream the embeddings
+    once, per-vector argmax via a window — no shuffle until the rank.
+    At search time, nprobe=1 reads ONE cluster's bucket instead of the
+    full table: the inverted-file layout is a `partitionBy(cluster)`
+    write, so cluster pruning is directory pruning."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    seeds = e.where(F.col(id_col) < n_seeds).select(
+        F.col(id_col).alias("__seed_id"), F.col("__v").alias("__sv")
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        id_col,
+        "__seed_id",
+        (
+            _fold_dot(F.col("__v"), F.col("__sv"))
+            / (F.sqrt(_fold_norm2(F.col("__v"))) * F.sqrt(_fold_norm2(F.col("__sv"))))
+        ).alias("__cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col("__seed_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__seed_id").alias("cluster"))
+    )
+
+
 def dot_udf_available() -> bool:
     """True when pandas+pyarrow are importable (the fast-lane UDF path)."""
     try:

@@ -1241,6 +1241,123 @@ def q32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 33. IVF-bucketed ANN (north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q33_ivf_topk_recall",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, seed_id AS cluster FROM (
+        SELECT e.vec_id, s.seed_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, s.sv)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(s.sv, s.sv))) DESC,
+                 s.seed_id ASC) AS rn
+        FROM e CROSS JOIN seeds s) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_inner_product(e.v, q.qv)
+               / (sqrt(list_inner_product(e.v, e.v))
+                  * sqrt(list_inner_product(q.qv, q.qv))) AS cosine
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored) WHERE rank <= 5
+    )
+    SELECT t.query_id, t.vec_id, t.cosine, t.rank,
+           (qa.cluster = na.cluster) AS found_by_ivf
+    FROM topk t
+    JOIN assign qa ON qa.vec_id = t.query_id
+    JOIN assign na ON na.vec_id = t.vec_id
+    """,
+)
+def q33_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN, recall pinned: every vector is coarse-quantized
+    to its nearest of 8 deterministic centroids (functions/similarity.py
+    ivf_assignments); the exact top-5 (q21 baseline) is annotated with
+    whether an nprobe=1 IVF search — which scans only the query's
+    cluster bucket, i.e. partition-pruned at 100 TB — would have found
+    it. The hash check pins the recall trade exactly."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    from .functions.similarity import ivf_assignments
+
+    assign = ivf_assignments(emb, n_seeds=8).persist()
+    assign.count()  # two consumers below
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = cosine_topk(emb, queries, k=5)
+    qa = assign.select(
+        F.col("vec_id").alias("query_id"), F.col("cluster").alias("__qc")
+    )
+    na = assign.select("vec_id", F.col("cluster").alias("__nc"))
+    return (
+        topk.join(qa, on="query_id")
+        .join(na, on="vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine",
+            "rank",
+            (F.col("__qc") == F.col("__nc")).alias("found_by_ivf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 34. full replication round-trip (pipeline e2e; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@register("q34_replication_roundtrip")  # deliberately NO oracle: the whole
+# plan->export->import pipeline over catalog-shaped fixtures is not
+# SQL-expressible; the driver records the weaker rows-only check, and the
+# pipeline's value-level correctness is pinned by tests/test_replication_e2e.py
+# + the property suite instead.
+def q34_replication_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's actual product, timed as one unit: plan (prefix
+    scoping) -> export (threshold routing + ndjson side-channel) ->
+    import (dispatch, db create, table MERGE with map-canonical compare,
+    partition full-refresh, audit) over a deterministic 24-db catalog.
+    Returns the import-audit outcome histogram (deterministic)."""
+    import tempfile
+
+    from .model import empty_catalog, sample_catalog
+    from .plans.export import export_catalog
+    from .plans.importer import import_events
+    from .plans.planner import plan_replication
+
+    side = tempfile.mkdtemp(prefix="q34_side_")
+    src_dbs, src_tables, src_parts = sample_catalog(spark, n_dbs=24)
+    msgs, _ = plan_replication(
+        src_dbs, prefix_string="raw_data_,processed_data_", batch_id="bench"
+    )
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="bench",
+        side_channel_path=side,
+    )
+    events = msgs.unionByName(tbl_msgs)
+    d, t, p = empty_catalog(spark)
+    res = import_events(spark, events, d, t, p, side_channel_path=side)
+    return (
+        res.table_import_audit.groupBy("table_created", "table_updated")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("table_created", "table_updated")
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 

@@ -33,6 +33,7 @@ HEADLINE = [
     "q23_hourly_rollup",
     "q27_blob_features",
     "q28_merge_catalog_shapes",
+    "q34_replication_roundtrip",
 ]
 
 

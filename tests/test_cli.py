@@ -1,0 +1,68 @@
+"""CLI job chain test: plan -> export -> import via the argparse entry
+points (cli.py), with parquet-directory interchange — the deploy shape
+of the three reference Lambda handlers (SURVEY.md §3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark.cli import main
+from aws_glue_data_catalog_replication_utility_spark.model import (
+    empty_catalog,
+    sample_catalog,
+)
+
+
+def test_cli_plan_export_import_chain(spark, tmp_path):
+    root = tmp_path
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    src_dbs.write.parquet(str(root / "databases"))
+    src_tables.write.parquet(str(root / "tables"))
+    src_parts.write.parquet(str(root / "partitions"))
+    for name, df in zip(
+        ("tgt_databases", "tgt_tables", "tgt_partitions"), empty_catalog(spark)
+    ):
+        df.write.parquet(str(root / name))
+
+    assert main([
+        "plan",
+        "--databases", str(root / "databases"),
+        "--prefixes", "raw_data_,processed_data_",
+        "--batch-id", "b1",
+        "--messages-out", str(root / "db_msgs"),
+        "--audit-out", str(root / "plan_audit"),
+    ]) == 0
+
+    assert main([
+        "export",
+        "--db-messages", str(root / "db_msgs"),
+        "--tables", str(root / "tables"),
+        "--partitions", str(root / "partitions"),
+        "--batch-id", "b1",
+        "--side-channel", str(root / "side"),
+        "--messages-out", str(root / "tbl_msgs"),
+        "--audit-out", str(root / "export_audit"),
+    ]) == 0
+
+    # events = db messages + table messages, as the import job input
+    ev = spark.read.parquet(str(root / "db_msgs")).unionByName(
+        spark.read.parquet(str(root / "tbl_msgs"))
+    )
+    ev.write.parquet(str(root / "events"))
+
+    assert main([
+        "import",
+        "--events", str(root / "events"),
+        "--target-databases", str(root / "tgt_databases"),
+        "--target-tables", str(root / "tgt_tables"),
+        "--target-partitions", str(root / "tgt_partitions"),
+        "--side-channel", str(root / "side"),
+        "--out-root", str(root / "imported"),
+    ]) == 0
+
+    tables = spark.read.parquet(str(root / "imported/tables"))
+    parts = spark.read.parquet(str(root / "imported/partitions"))
+    audit = spark.read.parquet(str(root / "imported/table_import_audit"))
+    assert tables.count() == 10
+    assert parts.count() == 2 * (0 + 3 + 10 + 11 + 31)
+    assert audit.where(F.col("table_created")).count() == 10
