@@ -1358,6 +1358,111 @@ def q34_replication_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 35. gap-based sessionization (stateful windows, batch shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q35_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def q35_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag + conditional running sum assigns session numbers, then one
+    aggregation per (user, session). This is the BATCH shape of the
+    custom stateful streaming operator (applyInPandasWithState /
+    session_window); per-user windows shuffle once on user_id and AQE
+    splits a hot user. Ties on ts break by event_id for determinism."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessions = marked.withColumn("session_no", F.sum("is_start").over(run))
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 36. rolling-hash document fingerprint (bottom-k sketch, north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q36_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_slice(
+             list_sort(list_distinct(
+               [md5(substring(s, i, 8))
+                for i in range(1, greatest(length(s) - 7 + 1, 2))])),
+             1, 4) AS fp
+    FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+    """,
+)
+def q36_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style content fingerprint: hash every char-8-gram
+    (the rolling-hash window), keep the 4 smallest distinct hashes as a
+    sorted bottom-k sketch. Two docs sharing any sketch element share an
+    8-char run — the copy-detection primitive. Entirely array
+    expressions inside one projection: NO explode, NO shuffle, NO UDF —
+    a pure map over the scan, embarrassingly parallel at any scale."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(__s) - 7, 1)),"
+        " i -> md5(substring(__s, i, 8)))"
+    )
+    return docs.select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("__s")
+    ).select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(grams)), 1, 4).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 

@@ -9,3 +9,4 @@ from .ingest import (  # noqa: F401
     write_state,
 )
 from .rollup import windowed_rollup  # noqa: F401
+from .sessions import session_rollup  # noqa: F401

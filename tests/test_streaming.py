@@ -18,6 +18,7 @@ from aws_glue_data_catalog_replication_utility_spark.streaming import (
     latest_version,
     read_audit,
     read_state,
+    session_rollup,
     start_event_stream,
     windowed_rollup,
 )
@@ -142,5 +143,46 @@ def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
     got = sorted(
         (str(r.window_start), r.event_type, r.n, r.sum_value)
         for r in spark.sql("SELECT * FROM rollup_test").collect()
+    )
+    assert got == expected
+
+
+def test_session_rollup_stream_matches_batch(spark, tmp_path):
+    """The stateful session-window operator: same plan, batch vs stream.
+    Sessions: user 1 has two (45-min gap), user 2 one (gaps < 30 min)."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0), 1, 1.0),
+        (dt.datetime(2024, 1, 1, 0, 10), 1, 2.0),
+        (dt.datetime(2024, 1, 1, 0, 55), 1, 3.0),  # 45-min gap -> new session
+        (dt.datetime(2024, 1, 1, 0, 0), 2, 4.0),
+        (dt.datetime(2024, 1, 1, 0, 25), 2, 5.0),
+        (dt.datetime(2024, 1, 1, 0, 45), 2, 6.0),  # chained: still session 1
+    ]
+    schema = "ts timestamp, user_id long, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    events_dir = str(tmp_path / "sess_ev")
+    batch_df.write.mode("overwrite").json(events_dir)
+
+    expected = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in session_rollup(batch_df).collect()
+    )
+    assert len(expected) == 3  # sanity: 2 sessions for user 1, 1 for user 2
+
+    stream = spark.readStream.schema(schema).json(events_dir)
+    q = (
+        session_rollup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM session_test").collect()
     )
     assert got == expected
