@@ -2,8 +2,8 @@
 
 JVM-side column expressions wherever possible (whole-stage codegen);
 Pandas UDFs only where arrays of bytes must cross into Python
-(multimodal decode). Every function here is deterministic so the
-DuckDB oracle can replicate it.
+(multimodal decode, BLAS cosine lane). Every hash-checked function here
+is deterministic so the DuckDB oracle can replicate it.
 """
 
 from .text import (
@@ -21,8 +21,19 @@ from .dedup import (
     word_shingles,
     jaccard_pairs,
     minhash_signature,
+    minhash_band_pairs,
+    simhash,
+    simhash_pairs,
 )
-from .similarity import cosine_topk, dot_udf_available
+from .similarity import (
+    cosine_topk,
+    cosine_topk_pandas,
+    cosine_pairs,
+    sign_lsh_candidates,
+    ivf_assignments,
+    dot_udf_available,
+)
+from .multimodal import attach_blob, blob_features, decode_image
 
 __all__ = [
     "token_count",
@@ -37,6 +48,16 @@ __all__ = [
     "word_shingles",
     "jaccard_pairs",
     "minhash_signature",
+    "minhash_band_pairs",
+    "simhash",
+    "simhash_pairs",
     "cosine_topk",
+    "cosine_topk_pandas",
+    "cosine_pairs",
+    "sign_lsh_candidates",
+    "ivf_assignments",
     "dot_udf_available",
+    "attach_blob",
+    "blob_features",
+    "decode_image",
 ]

@@ -333,3 +333,141 @@ def empty_catalog(spark):
         spark.createDataFrame([], TABLE),
         spark.createDataFrame([], PARTITION),
     )
+
+
+def synthetic_catalog(spark, catalog_id: str = "123412341234", n_dbs: int = 24):
+    """Spark-native catalog generator: same shape as `sample_catalog`
+    (prefix cycle, per-table partition counts (0,3,10,11,31) straddling
+    the routing threshold) but built from `spark.range` + expressions —
+    no driver-side row lists, so generating a million-table catalog is
+    as distributed as processing one. Used by the pipeline benchmark
+    (q34) so the measurement is engine time, not driver materialization.
+    """
+    from pyspark.sql import functions as F
+
+    prefixes = F.array(
+        F.lit("raw_data_"), F.lit("processed_data_"), F.lit("tmp_"), F.lit("other_")
+    )
+    parts_per_table = F.array(*[F.lit(n) for n in (0, 3, 10, 11, 31)])
+    ts0 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+
+    def sd(location):
+        return F.struct(
+            F.array(
+                F.struct(F.lit("id").alias("name"), F.lit("string").alias("type")),
+                F.struct(F.lit("payload").alias("name"), F.lit("string").alias("type")),
+            ).alias("columns"),
+            location.alias("location"),
+            F.lit("org.apache.hadoop.mapred.TextInputFormat").alias("input_format"),
+            F.lit(
+                "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat"
+            ).alias("output_format"),
+            F.lit(True).alias("compressed"),
+            F.lit(-1).alias("number_of_buckets"),
+            F.struct(
+                F.lit("org.openx.data.jsonserde.JsonSerDe").alias(
+                    "serialization_library"
+                ),
+                F.create_map(F.lit("paths"), F.lit("id,payload")).alias("parameters"),
+            ).alias("serde_info"),
+            F.array().cast("array<string>").alias("bucket_columns"),
+            F.array().cast("array<struct<column:string,sort_order:int>>").alias(
+                "sort_columns"
+            ),
+            F.create_map().cast("map<string,string>").alias("parameters"),
+            F.lit(False).alias("stored_as_sub_directories"),
+        )
+
+    # partition counts sized to the data, not the cluster default — a
+    # 24-row relation on 32 tasks is pure scheduling overhead; scales up
+    # with n_dbs for genuinely large generated catalogs
+    par = max(1, n_dbs // 12)
+    dbs = spark.range(0, n_dbs, 1, par).select(
+        F.lit(catalog_id).alias("catalog_id"),
+        F.concat(
+            F.element_at(prefixes, (F.col("id") % 4 + 1).cast("int")),
+            F.lit("db"),
+            F.col("id"),
+        ).alias("name"),
+        F.concat(F.lit("database "), F.col("id")).alias("description"),
+        F.concat(F.lit("s3://bucket/db"), F.col("id"), F.lit("/")).alias(
+            "location_uri"
+        ),
+        F.create_map(
+            F.lit("owner_team"), F.concat(F.lit("team"), F.col("id"))
+        ).alias("parameters"),
+        ts0.alias("create_time"),
+    )
+
+    tables = spark.range(0, n_dbs * 5, 1, par).select(
+        (F.col("id") / 5).cast("long").alias("__db"),
+        (F.col("id") % 5).cast("int").alias("__j"),
+    ).select(
+        F.lit(catalog_id).alias("catalog_id"),
+        F.concat(
+            F.element_at(prefixes, (F.col("__db") % 4 + 1).cast("int")),
+            F.lit("db"),
+            F.col("__db"),
+        ).alias("database_name"),
+        F.concat(F.lit("table_"), F.col("__j")).alias("name"),
+        F.lit("owner").alias("owner"),
+        F.concat(F.lit("table "), F.col("__j")).alias("description"),
+        ts0.alias("create_time"),
+        ts0.alias("update_time"),
+        ts0.alias("last_access_time"),
+        F.lit(0).alias("retention"),
+        F.lit("EXTERNAL_TABLE").alias("table_type"),
+        F.lit(None).cast("string").alias("view_original_text"),
+        F.lit(None).cast("string").alias("view_expanded_text"),
+        F.create_map(F.lit("classification"), F.lit("json")).alias("parameters"),
+        F.lit("arn:aws:iam::123412341234:user/someone").alias("created_by"),
+        F.when(
+            F.element_at(parts_per_table, F.col("__j") + 1) > 0,
+            F.array(
+                F.struct(F.lit("year").alias("name"), F.lit("string").alias("type")),
+                F.struct(F.lit("month").alias("name"), F.lit("string").alias("type")),
+                F.struct(F.lit("day").alias("name"), F.lit("string").alias("type")),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<name:string,type:string>>"))
+        .alias("partition_keys"),
+        sd(
+            F.concat(
+                F.lit("s3://bucket/db"), F.col("__db"), F.lit("/table_"), F.col("__j"), F.lit("/")
+            )
+        ).alias("storage_descriptor"),
+        F.element_at(parts_per_table, F.col("__j") + 1).alias("__n_parts"),
+    )
+
+    partitions = (
+        tables.where(F.col("__n_parts") > 0)
+        .select(
+            "catalog_id",
+            "database_name",
+            F.col("name").alias("table_name"),
+            F.explode(F.sequence(F.lit(1), F.col("__n_parts"))).alias("__p"),
+        )
+        .select(
+            "catalog_id",
+            "database_name",
+            "table_name",
+            F.array(
+                F.lit("2024"), F.lit("01"), F.lpad(F.col("__p").cast("string"), 2, "0")
+            ).alias("values"),
+            ts0.alias("creation_time"),
+            ts0.alias("last_access_time"),
+            sd(
+                F.concat(
+                    F.lit("s3://bucket/"),
+                    F.col("database_name"),
+                    F.lit("/"),
+                    F.col("table_name"),
+                    F.lit("/2024/01/"),
+                    F.lpad(F.col("__p").cast("string"), 2, "0"),
+                    F.lit("/"),
+                )
+            ).alias("storage_descriptor"),
+            F.create_map().cast("map<string,string>").alias("parameters"),
+        )
+    )
+    return dbs, tables.drop("__n_parts"), partitions

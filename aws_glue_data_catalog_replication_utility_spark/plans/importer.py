@@ -284,12 +284,20 @@ def import_events(
         .withColumn("catalog_id", F.coalesce("catalog_id", F.lit(target_catalog_id)))
     )
 
-    tbl_meta = all_tbl.select(
-        F.col("t.database_name").alias("database_name"),
-        F.col("t.name").alias("name"),
-        "export_batch_id",
-        "source_catalog_id",
-    ).dropDuplicates(["database_name", "name"])
+    tbl_meta = latest_by(
+        all_tbl.select(
+            F.col("t.database_name").alias("database_name"),
+            F.col("t.name").alias("name"),
+            "export_batch_id",
+            "source_catalog_id",
+            # the reference persists the full schema JSON on every audit
+            # row (DDBUtil.java:54-65)
+            F.to_json("t").alias("table_schema"),
+            "event_id",
+        ),
+        keys=["database_name", "name"],
+        order_col="event_id",
+    ).drop("event_id")
     table_audit = (
         outcomes.where(F.col(ACTION_COL) != "keep")
         .join(tbl_meta, on=["database_name", "name"], how="left")
@@ -299,7 +307,7 @@ def import_events(
             F.col("export_batch_id"),
             F.col("name").alias("table_name"),
             F.col("database_name"),
-            F.lit(None).cast("string").alias("table_schema"),
+            F.col("table_schema"),
             F.lit(target_catalog_id).alias("target_glue_catalog_id"),
             F.col("source_catalog_id").alias("source_glue_catalog_id"),
             (F.col(ACTION_COL) == "create").alias("table_created"),

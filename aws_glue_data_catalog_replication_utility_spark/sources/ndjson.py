@@ -27,9 +27,13 @@ PARTITION_DIR_COLS = ("catalog_id", "database_name", "table_name")
 def write_partitions_ndjson(parts: DataFrame, path: str) -> None:
     """One ndjson directory per (catalog_id, database_name, table_name) —
     catalog_id in the key so two catalogs exported in one batch cannot
-    merge their partition lists."""
+    merge their partition lists. Repartitioned on the dir key first so
+    each table writes ONE object — the reference's one-S3-object-per-
+    table layout (ExportLargeTable.java:97-104) — instead of one shard
+    per upstream task per table."""
     (
-        parts.write.mode("overwrite")
+        parts.repartition(*[F.col(c) for c in PARTITION_DIR_COLS])
+        .write.mode("overwrite")
         .partitionBy(*PARTITION_DIR_COLS)
         .json(path)
     )

@@ -188,6 +188,28 @@ def test_export_audit_marks_large_tables(pipeline):
     ).count() == 0
 
 
+def test_synthetic_catalog_matches_sample_shape(spark):
+    # the Spark-native generator (used by the q34 benchmark) must keep
+    # the fixture shape: prefix cycle, 5 tables/db, (0,3,10,11,31) parts
+    from aws_glue_data_catalog_replication_utility_spark.model import (
+        synthetic_catalog,
+    )
+
+    sd, st, sp = sample_catalog(spark, n_dbs=4)
+    gd, gt, gp = synthetic_catalog(spark, n_dbs=4)
+    assert gd.count() == sd.count() == 4
+    assert gt.count() == st.count() == 20
+    assert gp.count() == sp.count() == 4 * (0 + 3 + 10 + 11 + 31)
+    assert {r.name for r in gd.collect()} == {r.name for r in sd.collect()}
+    # same partition addressing (db, table, values)
+    key = lambda df: {
+        (r.database_name, r.table_name, tuple(r["values"])) for r in df.collect()
+    }
+    assert key(gp) == key(sp)
+    # schemas align with the declared catalog model (importable as-is)
+    assert gt.schema.fieldNames() == st.schema.fieldNames()
+
+
 def test_export_object_key_shape(pipeline):
     # <run_date>_<run_id>_<catalog>_<db>_<table> — ExportLargeTable.java:97-101,
     # with run_date/run_id as injected job parameters (never wall-clock)
