@@ -22,6 +22,7 @@ from .dedup import (
     jaccard_pairs,
     minhash_signature,
     minhash_band_pairs,
+    prune_hot_shingles,
     simhash,
     simhash_pairs,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signature",
     "minhash_band_pairs",
+    "prune_hot_shingles",
     "simhash",
     "simhash_pairs",
     "cosine_topk",

@@ -97,6 +97,25 @@ def minhash_signature(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def prune_hot_shingles(
+    shingles: DataFrame, max_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds `max_df` before the
+    inverted-index self-join. THE scale guard for exact Jaccard: the
+    join's cost is Σ(docs-per-shingle)², so one stopword-like shingle in
+    10^6 docs is 10^12 candidate rows — capping df bounds every bucket.
+    Standard near-dup practice (hot shingles carry no discriminative
+    signal); the resulting Jaccard is computed over the pruned sets."""
+    df_counts = shingles.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")  # shingles are distinct per doc
+    )
+    return shingles.join(
+        df_counts.where(F.col("__df") <= max_df).select("shingle"),
+        on="shingle",
+        how="left_semi",
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

@@ -1473,6 +1473,183 @@ def q36_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 37. df-pruned Jaccard (the hot-shingle scale guard, verified)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q37_jaccard_df_pruned",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    pruned AS (SELECT sh.doc_id, sh.shingle FROM sh
+               JOIN dfreq USING (shingle) WHERE dfreq.df <= 20),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM pruned GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter / (x.sz + y.sz - inter) AS jaccard
+    FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+    WHERE inter / (x.sz + y.sz - inter) >= 0.6
+    """,
+)
+def q37_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard with document-frequency pruning (df <= 20): drops
+    stopword-like hot shingles BEFORE the inverted-index self-join,
+    bounding every join bucket — the guard that keeps q17's
+    Σ(docs-per-shingle)² from exploding at 100 TB. Jaccard is over the
+    pruned sets (standard practice; hot shingles carry no signal), and
+    the oracle applies the identical pruning."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from .functions.dedup import prune_hot_shingles
+
+    sh = word_shingles(docs, "doc_id", "text", n=5)
+    pruned = prune_hot_shingles(sh, max_df=20)
+    return jaccard_pairs(pruned, "doc_id", threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# 38. corpus vocabulary top-k (token counting at corpus level)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q38_vocab_topk",
+    oracle="""
+    SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS docf
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY tf DESC, tok ASC LIMIT 50
+    """,
+)
+def q38_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term + document frequency, top-50 by tf with a
+    total tie order — the vocab-building pass of a tokenizer pipeline.
+    explode -> one hash agg (map-side partial) -> TakeOrdered, no full
+    sort."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("docf"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 39. exact quantiles (sort-based aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q39_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def q39_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles per group (verified bit-exact
+    vs DuckDB's quantile_cont). At 100 TB the drop-in scale variant is
+    approx_percentile (t-digest sketch, mergeable map-side) — same plan
+    shape, bounded memory — under a tolerance contract like q26."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 40. ROLLUP grouping sets (OLAP subtotals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q40_rollup_totals",
+    oracle="""
+    SELECT event_type, CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, day)
+    """,
+)
+def q40_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per (event_type, day), per event_type, and
+    grand total in ONE aggregation pass (Expand + single shuffle) — the
+    OLAP subtotal operator; NULL marks the rolled-up level identically
+    in both engines."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "value",
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 41. pivot (wide-format conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q41_pivot_daily_events",
+    oracle="""
+    SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+           {cols}
+    FROM events GROUP BY day
+    """.format(
+        cols=", ".join(
+            f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+        )
+    ),
+)
+def q41_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: day x event_type counts in wide format. Explicit pivot
+    values keep it a single-pass conditional aggregation (no extra
+    distinct-values job, which at 100 TB would be a full scan before
+    the real one)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 

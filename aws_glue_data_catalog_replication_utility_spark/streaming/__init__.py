@@ -8,5 +8,6 @@ from .ingest import (  # noqa: F401
     start_event_stream,
     write_state,
 )
+from .dedupe import dedupe_events  # noqa: F401
 from .rollup import windowed_rollup  # noqa: F401
 from .sessions import session_rollup  # noqa: F401

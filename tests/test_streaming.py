@@ -15,6 +15,7 @@ from aws_glue_data_catalog_replication_utility_spark.plans.export import export_
 from aws_glue_data_catalog_replication_utility_spark.plans.importer import import_events
 from aws_glue_data_catalog_replication_utility_spark.plans.planner import plan_replication
 from aws_glue_data_catalog_replication_utility_spark.streaming import (
+    dedupe_events,
     latest_version,
     read_audit,
     read_state,
@@ -186,3 +187,37 @@ def test_session_rollup_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM session_test").collect()
     )
     assert got == expected
+
+
+def test_dedupe_events_drops_redeliveries_across_batches(spark, tmp_path):
+    """At-least-once redelivery simulated as the SAME event ids landing
+    in different micro-batches: dedupe_events must emit each id once
+    (watermark-bounded state), matching the batch dropDuplicates."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    batch1 = [(101, t0, 1.0), (102, t0, 2.0), (103, t0, 3.0)]
+    batch2 = [(102, t0, 2.0), (103, t0, 3.0), (104, t0, 4.0)]  # redeliveries
+    schema = "event_id long, ts timestamp, value double"
+    events_dir = str(tmp_path / "dedupe_ev")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").json(
+        events_dir
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").json(
+        events_dir
+    )
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(
+        events_dir
+    )
+    q = (
+        dedupe_events(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedupe_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedupe_test").collect())
+    assert got == [101, 102, 103, 104]  # each id exactly once
