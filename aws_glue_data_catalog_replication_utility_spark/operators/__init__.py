@@ -5,14 +5,18 @@ optimizes the plan), and deterministic. Nothing here collects to the
 driver or loops per-row.
 """
 
+from .asof import asof_join
 from .joins import exists_semi, missing_anti, prefix_semi_join
 from .merge import merge_outcomes, apply_merge
+from .range_join import bucketed_range_join
 from .routing import threshold_route
 from .skew import salted_join
 from .windows import latest_by
 from .sync import full_refresh_sync
 
 __all__ = [
+    "asof_join",
+    "bucketed_range_join",
     "exists_semi",
     "missing_anti",
     "prefix_semi_join",

@@ -1650,6 +1650,115 @@ def q41_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 42. as-of join (time-series state-at-event-time)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q42_asof_last_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    )
+    SELECT l.user_id, l.ts, l.event_id,
+           r.value AS last_purchase_value
+    FROM events l
+    ASOF LEFT JOIN purchases r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q42_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — 'state at event time': every event gains the value
+    of that user's most recent purchase at-or-before it. Implemented as
+    the union-sort-carry plan (operators/asof.py): ONE shuffle + one
+    window scan instead of a range join's nested loop; DuckDB's native
+    ASOF JOIN is the oracle. Right side deduped per (user, ts) so the
+    as-of row is unique."""
+    from .operators.asof import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = latest_by(
+        events.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        keys=["user_id", "ts"],
+        order_col="event_id",
+    ).select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+    return asof_join(
+        events.select("user_id", "ts", "event_id"),
+        purchases,
+        by=["user_id"],
+        ts_col="ts",
+        value_cols=["last_purchase_value"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# 43. range join (interval containment, bucketed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q43_range_join_windows",
+    oracle="""
+    WITH intervals AS (
+      SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts, event_id AS interval_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    )
+    SELECT i.user_id, i.interval_id,
+           COUNT(l.event_id) AS n_events,
+           CAST(SUM(CAST(l.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM intervals i
+    JOIN events l
+      ON l.user_id = i.user_id
+     AND l.ts >= i.start_ts AND l.ts <= i.end_ts
+    GROUP BY i.user_id, i.interval_id
+    """,
+)
+def q43_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: activity inside each user's 2-hour post-purchase
+    window. The naive `BETWEEN` theta join is a nested loop; the engine
+    buckets both sides to 2-hour grains and equi-joins on (user, bucket)
+    with the exact filter after (operators/range_join.py) — candidates-
+    then-filter, the time-axis analogue of LSH banding. The oracle runs
+    the plain inequality join; identical output proves the bucketing
+    lossless."""
+    from .operators.range_join import bucketed_range_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    intervals = latest_by(
+        events.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        ),
+        keys=["user_id", "ts"],
+        order_col="event_id",
+    ).select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("interval_id"),
+    )
+    joined = bucketed_range_join(
+        events.select("user_id", "ts", "event_id", "value"),
+        intervals,
+        by=["user_id"],
+        width_seconds=7200,
+    )
+    return joined.groupBy("user_id", "interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 

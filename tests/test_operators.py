@@ -194,6 +194,68 @@ def test_salted_join_equals_plain_join(spark):
         assert got == expected
 
 
+# ------------------------------------------------------- asof/range join
+
+
+def test_asof_join_inclusive_and_null_before_first(spark):
+    import datetime as dt
+
+    from aws_glue_data_catalog_replication_utility_spark.operators import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(0), "e0"), (1, t(10), "e1"), (1, t(20), "e2"), (2, t(5), "e3")],
+        "k int, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(15), 200.0)],
+        "k int, ts timestamp_ntz, v double",
+    )
+    got = {r.tag: r.v for r in asof_join(left, right, by=["k"]).collect()}
+    assert got["e0"] is None  # before any right row
+    assert got["e1"] == 100.0  # equal ts is INCLUSIVE
+    assert got["e2"] == 200.0  # latest at-or-before
+    assert got["e3"] is None  # key with no right rows at all
+
+
+def test_bucketed_range_join_boundaries_match_naive(spark):
+    import datetime as dt
+
+    from aws_glue_data_catalog_replication_utility_spark.operators import (
+        bucketed_range_join,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    points = spark.createDataFrame(
+        [(1, t(0), "p0"), (1, t(30), "p1"), (1, t(60), "p2"), (1, t(61), "p3")],
+        "k int, ts timestamp_ntz, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, t(0), t(60), "i1"), (1, t(45), t(61), "i2"), (2, t(0), t(60), "i3")],
+        "k int, start_ts timestamp_ntz, end_ts timestamp_ntz, iid string",
+    )
+    # tiny bucket width (60s) forces multi-bucket interval expansion
+    got = sorted(
+        (r.tag, r.iid)
+        for r in bucketed_range_join(
+            points, intervals, by=["k"], width_seconds=60
+        ).collect()
+    )
+    naive = sorted(
+        (r.tag, r.iid)
+        for r in points.join(
+            intervals,
+            on=[
+                points.k == intervals.k,
+                points.ts >= intervals.start_ts,
+                points.ts <= intervals.end_ts,
+            ],
+        ).collect()
+    )
+    assert got == naive
+    assert ("p2", "i1") in got and ("p3", "i1") not in got  # ends inclusive
+
+
 # --------------------------------------------------------------- window
 
 
