@@ -1759,6 +1759,84 @@ def q43_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 44. promo revenue (broadcast dim join + conditional aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q44_promo_revenue",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q44_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promo revenue share: the month's lineitems join
+    the part dim (broadcast — the filter-pushed fact side streams once)
+    with a conditional decimal-exact aggregation."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 45. approx quantiles under a tolerance contract (scale path of q39)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q45_approx_quantiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.50) AS p50_exact,
+           TRUE AS approx_within_2pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q45_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q39 scale path made verifiable: approx_percentile (mergeable
+    sketch, bounded memory map-side — survives cardinalities where the
+    exact sort-based percentile would spill) beside the exact value,
+    under the same bounded-error contract as q26: the hash match fails
+    unless the sketch lands within 2% of exact."""
+    (events,) = _t(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.percentile("value", 0.50).alias("p50_exact"),
+        F.approx_percentile("value", 0.50, 10000).alias("p50_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            <= F.abs(F.col("p50_exact")) * 0.02
+        ).alias("approx_within_2pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 
