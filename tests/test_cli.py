@@ -66,3 +66,37 @@ def test_cli_plan_export_import_chain(spark, tmp_path):
     assert tables.count() == 10
     assert parts.count() == 2 * (0 + 3 + 10 + 11 + 31)
     assert audit.where(F.col("table_created")).count() == 10
+
+
+def test_cli_stream_drains_events_dir(spark, tmp_path):
+    from aws_glue_data_catalog_replication_utility_spark.plans.export import (
+        export_catalog,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.plans.planner import (
+        plan_replication,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.streaming import read_state
+
+    side = str(tmp_path / "side")
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    msgs, _ = plan_replication(src_dbs, prefix_string="raw_data_", batch_id="s1")
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="s1",
+        side_channel_path=side,
+    )
+    events_dir = str(tmp_path / "events")
+    msgs.unionByName(tbl_msgs).write.mode("overwrite").json(events_dir)
+
+    assert main([
+        "stream",
+        "--events-dir", events_dir,
+        "--state-root", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--side-channel", side,
+        "--available-now",
+    ]) == 0
+
+    dbs, tables, parts = read_state(spark, str(tmp_path / "state"))
+    assert {r.name for r in dbs.collect()} == {"raw_data_db0"}
+    assert tables.count() == 5
+    assert parts.count() == 0 + 3 + 10 + 11 + 31
