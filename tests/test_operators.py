@@ -131,6 +131,28 @@ def test_merge_compares_map_and_nested_struct_columns(spark):
     assert out == {1: "skip", 2: "update", 3: "skip", 4: "create"}
 
 
+def test_merge_compares_arrays_of_maps(spark):
+    # the recursive canonicalizer path for ArrayType(MapType): element
+    # maps compare by entry SET (order-free), array order still matters
+    schema = "id int, arr array<map<string,string>>"
+    target = _df(
+        spark,
+        [(1, [{"a": "1", "b": "2"}]), (2, [{"x": "1"}, {"y": "2"}]), (3, None)],
+        schema,
+    )
+    source = _df(
+        spark,
+        [
+            (1, [{"b": "2", "a": "1"}]),  # same entries, reordered -> skip
+            (2, [{"y": "2"}, {"x": "1"}]),  # array ORDER differs -> update
+            (3, None),  # null == null -> skip
+        ],
+        schema,
+    )
+    out = {r.id: r.merge_action for r in merge_outcomes(source, target, ["id"]).collect()}
+    assert out == {1: "skip", 2: "update", 3: "skip"}
+
+
 def test_apply_merge_idempotent(spark):
     target = _df(spark, [(1, "a"), (2, "b")], "id int, v string")
     source = _df(spark, [(2, "B"), (3, "c")], "id int, v string")
