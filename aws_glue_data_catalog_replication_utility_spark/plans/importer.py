@@ -331,7 +331,22 @@ def import_events(
 
     if side_channel_path is not None:
         side_raw = read_partitions_ndjson(spark, side_channel_path)
-        side_good, _side_bad = split_corrupt(side_raw)
+        side_good, side_bad = split_corrupt(side_raw)
+        # malformed side-channel lines dead-letter instead of vanishing
+        # (the reference catches JsonSyntaxException per line,
+        # S3Util.java:223-233 + ImportDatabaseOrTable.java:129-132); a
+        # re-drive keeps them parked (unknown schema_type -> DLQ again)
+        dlq = dlq.unionByName(
+            side_bad.select(
+                F.concat_ws(
+                    "|", "catalog_id", "database_name", "table_name"
+                ).alias("event_id"),
+                F.lit("corruptPartitionLine").alias("schema_type"),
+                F.col("_corrupt_record").alias("payload"),
+                F.lit(None).cast("string").alias("export_batch_id"),
+                F.col("catalog_id").alias("source_glue_catalog_id"),
+            )
+        )
         # scope by the SOURCE catalog named in the message so two source
         # catalogs with same-named db/table don't merge partition lists
         large_scope = large_msgs.select(

@@ -74,7 +74,11 @@ def read_partitions_ndjson(spark: SparkSession, path: str) -> DataFrame:
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(good_rows_without_corrupt_col, corrupt_rows)."""
+    """(good_rows_without_corrupt_col, corrupt_rows). Corrupt rows keep
+    the partition-dir addressing columns so the DLQ can say WHICH
+    table's side channel carried the bad line."""
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        *PARTITION_DIR_COLS, CORRUPT_COL
+    )
     return good, bad

@@ -273,6 +273,41 @@ def test_large_table_without_side_channel_parks_in_dlq(spark):
     assert dlq[0].source_glue_catalog_id == "123412341234"
 
 
+def test_corrupt_side_channel_line_dead_letters(spark, tmp_path):
+    """A malformed ndjson line in a large table's side channel must NOT
+    fail the import or vanish: good lines of that table still apply,
+    the bad line lands in the DLQ addressed to its table
+    (S3Util.java:223-233 line-by-line parse semantics)."""
+    import os
+
+    side = str(tmp_path / "side")
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    msgs, _ = plan_replication(src_dbs, prefix_string="raw_data_", batch_id="b1")
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="b1",
+        side_channel_path=side,
+    )
+    events = msgs.unionByName(tbl_msgs)
+    # inject garbage into table_4's side-channel directory
+    bad_dir = (
+        f"{side}/catalog_id=123412341234/database_name=raw_data_db0/"
+        "table_name=table_4"
+    )
+    assert os.path.isdir(bad_dir)
+    with open(f"{bad_dir}/zz-corrupt.json", "w") as fh:
+        fh.write("this is {not valid json\n")
+
+    d, t, p = empty_catalog(spark)
+    res = import_events(spark, events, d, t, p, side_channel_path=side)
+    # all real partitions applied despite the bad line
+    assert res.partitions.count() == 0 + 3 + 10 + 11 + 31
+    dlq = res.dlq.collect()
+    assert len(dlq) == 1
+    assert dlq[0].schema_type == "corruptPartitionLine"
+    assert dlq[0].event_id == "123412341234|raw_data_db0|table_4"
+    assert "not valid json" in dlq[0].payload
+
+
 def test_dlq_redrive_converges(spark, tmp_path):
     """Failed-then-fixed flow (DLQImportDatabaseOrTable.java:78-165):
     largeTable events dead-letter while the side channel is unreadable;
