@@ -1448,11 +1448,13 @@ def q35_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q36_rolling_fingerprint",
     oracle="""
     SELECT doc_id,
-           list_slice(
-             list_sort(list_distinct(
-               [md5(substring(s, i, 8))
-                for i in range(1, greatest(length(s) - 7 + 1, 2))])),
-             1, 4) AS fp
+           array_to_string(
+             list_slice(
+               list_sort(list_distinct(
+                 [md5(substring(s, i, 8))
+                  for i in range(1, greatest(length(s) - 7 + 1, 2))])),
+               1, 4),
+             '|') AS fp
     FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
     """,
 )
@@ -1462,7 +1464,11 @@ def q36_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted bottom-k sketch. Two docs sharing any sketch element share an
     8-char run — the copy-detection primitive. Entirely array
     expressions inside one projection: NO explode, NO shuffle, NO UDF —
-    a pure map over the scan, embarrassingly parallel at any scale."""
+    a pure map over the scan, embarrassingly parallel at any scale.
+
+    The sketch is emitted as a '|'-delimited string (not array<string>)
+    so downstream comparators — and the driver's canonicalizer — treat
+    it as one hashable scalar cell."""
     (docs,) = _t(spark, sf_dir, "documents")
     grams = F.expr(
         "transform(sequence(1, greatest(length(__s) - 7, 1)),"
@@ -1472,7 +1478,9 @@ def q36_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lower(F.trim(F.col("text"))).alias("__s")
     ).select(
         "doc_id",
-        F.slice(F.array_sort(F.array_distinct(grams)), 1, 4).alias("fp"),
+        F.concat_ws(
+            "|", F.slice(F.array_sort(F.array_distinct(grams)), 1, 4)
+        ).alias("fp"),
     )
 
 

@@ -109,6 +109,21 @@ def main() -> int:
             failures.append(name)
             continue
         probs = []
+        # The driver's canonicalizer cannot hash container cells (pandas
+        # sort_values raises on list values) — fail loudly here so an
+        # array-typed output column never looks green locally.
+        bad = [
+            c
+            for i, c in enumerate(s_cols)
+            if any(
+                isinstance(r[i], (list, tuple, dict, set))
+                for r in s_rows[:200]
+            )
+        ]
+        if bad:
+            probs.append(
+                f"container-typed cells (driver canonicalizer rejects): {bad}"
+            )
         if sorted(s_cols) != sorted(d_cols):
             probs.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
