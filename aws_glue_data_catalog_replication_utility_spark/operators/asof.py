@@ -44,19 +44,29 @@ def asof_join(
     value_cols = list(value_cols)
     left_payload = [c for c in left.columns if c not in by and c != ts_col]
 
+    # All right value columns travel as ONE struct: the struct itself is
+    # non-null for every right row (even when every field inside is NULL),
+    # so last(..., ignorenulls) skips only the left-row placeholders —
+    # a genuine NULL in a right value column propagates instead of being
+    # papered over by an older row, and with several value_cols every
+    # output field comes from the SAME (latest) right row rather than a
+    # per-column mix. This is the DuckDB/standard ASOF contract.
+    payload_t = "struct<" + ",".join(
+        f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in value_cols
+    ) + ">"
     l_tag = left.select(
         *by,
         ts_col,
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(payload_t).alias("__r_payload"),
     )
     r_tag = right.select(
         *by,
         ts_col,
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r_payload"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -68,14 +78,11 @@ def asof_join(
     )
     carried = unioned.select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+        F.last("__r_payload", ignorenulls=True).over(w).alias("__asof"),
     )
     return carried.where(F.col("__is_left") == 1).select(
         *by,
         ts_col,
         *left_payload,
-        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+        *[F.col("__asof").getField(c).alias(c) for c in value_cols],
     )

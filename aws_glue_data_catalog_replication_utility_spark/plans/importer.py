@@ -96,6 +96,13 @@ class ImportResult:
     db_import_audit: DataFrame
     table_import_audit: DataFrame
     dlq: DataFrame
+    # storage-level commit inputs: the incoming partition rows (in-scope
+    # tables only) and the sync scope that drives the delete-all case —
+    # a partition-scoped writer (INSERT OVERWRITE / dynamic partition
+    # overwrite) needs exactly these two, NOT the full `partitions`
+    # plane, to commit a batch without rewriting untouched tables
+    partitions_delta: DataFrame | None = None
+    sync_scope: DataFrame | None = None
 
 
 def import_events(
@@ -164,21 +171,71 @@ def import_events(
 
     # largeTable events can only be applied when their side channel is
     # readable — the reference always reads the S3 object named in the
-    # message (ImportLargeTable.java:150-151); if it can't, the message
-    # fails and redelivers. Without a side channel we must NOT let these
-    # tables into the sync scope (that would silently wipe their target
-    # partitions): park them in the DLQ for re-drive instead.
+    # message (ImportLargeTable.java:150-151); if it can't, the WHOLE
+    # message fails (NPE in S3Util.getPartitionsFromS3) and redelivers:
+    # neither the table merge nor the partition sync happens. We must
+    # NOT let a data-less largeTable into the sync scope (that would
+    # silently wipe its target partitions with zero replacements): park
+    # it in the DLQ for re-drive and drop it from this batch. This
+    # applies both when no side channel is configured at all and, per
+    # table, when the configured side channel has no readable rows for
+    # that (catalog_id, database_name, table_name).
+    def _park_large(msgs: DataFrame) -> DataFrame:
+        return msgs.select(
+            "event_id",
+            F.lit("largeTable").alias("schema_type"),
+            "payload",
+            "export_batch_id",
+            F.col("source_catalog_id").alias("source_glue_catalog_id"),
+        )
+
+    side_good = None
     if side_channel_path is None:
+        dlq = dlq.unionByName(_park_large(large_msgs))
+        large_msgs = large_msgs.limit(0)
+    else:
+        side_raw = read_partitions_ndjson(spark, side_channel_path)
+        side_good, side_bad = split_corrupt(side_raw)
+        # malformed side-channel lines dead-letter instead of vanishing
+        # (the reference catches JsonSyntaxException per line,
+        # S3Util.java:223-233 + ImportDatabaseOrTable.java:129-132); a
+        # re-drive keeps them parked (unknown schema_type -> DLQ again)
         dlq = dlq.unionByName(
-            large_msgs.select(
-                "event_id",
-                F.lit("largeTable").alias("schema_type"),
-                "payload",
-                "export_batch_id",
-                F.col("source_catalog_id").alias("source_glue_catalog_id"),
+            side_bad.select(
+                F.concat_ws(
+                    "|", "catalog_id", "database_name", "table_name"
+                ).alias("event_id"),
+                F.lit("corruptPartitionLine").alias("schema_type"),
+                F.col("_corrupt_record").alias("payload"),
+                F.lit(None).cast("string").alias("export_batch_id"),
+                F.col("catalog_id").alias("source_glue_catalog_id"),
             )
         )
-        large_msgs = large_msgs.limit(0)
+        # per-table guard: a largeTable whose side channel is missing or
+        # entirely corrupt has NO readable rows — park it, don't wipe it
+        fed = (
+            side_good.select("catalog_id", "database_name", "table_name")
+            .dropDuplicates()
+            .select(
+                F.col("catalog_id").alias("__ck"),
+                F.col("database_name").alias("__dk"),
+                F.col("table_name").alias("__tk"),
+            )
+        )
+        keyed = large_msgs.withColumns(
+            {
+                "__ck": F.col("msg.catalog_id"),
+                "__dk": F.col("msg.table.database_name"),
+                "__tk": F.col("msg.table.name"),
+            }
+        )
+        starved = keyed.join(
+            F.broadcast(fed), on=["__ck", "__dk", "__tk"], how="left_anti"
+        )
+        dlq = dlq.unionByName(_park_large(starved))
+        large_msgs = keyed.join(
+            F.broadcast(fed), on=["__ck", "__dk", "__tk"], how="left_semi"
+        ).drop("__ck", "__dk", "__tk")
 
     # ---- 1. databases: create-if-absent (GDCUtil.java:139-168) ---------
     # deterministic winner when the same db arrives from multiple source
@@ -329,24 +386,7 @@ def import_events(
         F.col("p.storage_descriptor").alias("storage_descriptor"),
     )
 
-    if side_channel_path is not None:
-        side_raw = read_partitions_ndjson(spark, side_channel_path)
-        side_good, side_bad = split_corrupt(side_raw)
-        # malformed side-channel lines dead-letter instead of vanishing
-        # (the reference catches JsonSyntaxException per line,
-        # S3Util.java:223-233 + ImportDatabaseOrTable.java:129-132); a
-        # re-drive keeps them parked (unknown schema_type -> DLQ again)
-        dlq = dlq.unionByName(
-            side_bad.select(
-                F.concat_ws(
-                    "|", "catalog_id", "database_name", "table_name"
-                ).alias("event_id"),
-                F.lit("corruptPartitionLine").alias("schema_type"),
-                F.col("_corrupt_record").alias("payload"),
-                F.lit(None).cast("string").alias("export_batch_id"),
-                F.col("catalog_id").alias("source_glue_catalog_id"),
-            )
-        )
+    if side_good is not None:
         # scope by the SOURCE catalog named in the message so two source
         # catalogs with same-named db/table don't merge partition lists
         large_scope = large_msgs.select(

@@ -240,6 +240,28 @@ def test_asof_join_inclusive_and_null_before_first(spark):
     assert got["e3"] is None  # key with no right rows at all
 
 
+def test_asof_join_null_values_propagate_from_latest_row(spark):
+    """A genuine NULL in the latest right row must NOT be papered over by
+    an older non-null value, and with several value_cols every output
+    field must come from the SAME right row (standard ASOF semantics)."""
+    import datetime as dt
+
+    from aws_glue_data_catalog_replication_utility_spark.operators import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(20), "e")], "k int, ts timestamp_ntz, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 100.0, "old"), (1, t(10), None, None)],
+        "k int, ts timestamp_ntz, v double, label string",
+    )
+    (row,) = asof_join(left, right, by=["k"]).collect()
+    # latest right row (t=10) has NULLs in both value columns: they win
+    assert row.v is None
+    assert row.label is None
+
+
 def test_bucketed_range_join_boundaries_match_naive(spark):
     import datetime as dt
 

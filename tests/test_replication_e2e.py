@@ -273,6 +273,49 @@ def test_large_table_without_side_channel_parks_in_dlq(spark):
     assert dlq[0].source_glue_catalog_id == "123412341234"
 
 
+def test_large_table_missing_side_channel_dir_parks_not_wipes(spark, tmp_path):
+    """ADVICE r02: side channel IS configured, but one largeTable's
+    side-channel directory is missing (failed export, deleted object).
+    The reference fails that message (NPE in S3Util.getPartitionsFromS3)
+    and redelivers — so we park it in the DLQ and keep it OUT of the
+    sync scope rather than wiping the target's partitions with zero
+    replacements. Every other table, including the other large one,
+    still applies."""
+    import shutil
+
+    side = str(tmp_path / "side")
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    msgs, _ = plan_replication(src_dbs, prefix_string="raw_data_", batch_id="b1")
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="b1",
+        side_channel_path=side,
+    )
+    events = msgs.unionByName(tbl_msgs)
+    shutil.rmtree(
+        f"{side}/catalog_id=123412341234/database_name=raw_data_db0/"
+        "table_name=table_4"
+    )
+
+    # the target already holds table_4's partitions from a prior sync
+    tgt_dbs, tgt_tables, tgt_parts = sample_catalog(spark, catalog_id="999999999999")
+    t4 = (F.col("database_name") == "raw_data_db0") & (
+        F.col("table_name") == "table_4"
+    )
+    assert tgt_parts.where(t4).count() == 31
+    res = import_events(
+        spark, events, tgt_dbs, tgt_tables, tgt_parts,
+        target_catalog_id="999999999999", side_channel_path=side,
+    )
+    assert res.partitions.where(t4).count() == 31  # untouched, NOT wiped
+    dlq = res.dlq.collect()
+    assert len(dlq) == 1 and dlq[0].schema_type == "largeTable"
+    # the other large table (table_3, 11 partitions) still fully applied
+    assert res.partitions.where(
+        (F.col("database_name") == "raw_data_db0")
+        & (F.col("table_name") == "table_3")
+    ).count() == 11
+
+
 def test_corrupt_side_channel_line_dead_letters(spark, tmp_path):
     """A malformed ndjson line in a large table's side channel must NOT
     fail the import or vanish: good lines of that table still apply,
