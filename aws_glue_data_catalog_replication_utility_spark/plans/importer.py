@@ -433,4 +433,6 @@ def import_events(
         db_import_audit=db_audit,
         table_import_audit=table_audit,
         dlq=dlq,
+        partitions_delta=exported_parts,
+        sync_scope=exported_tables_scope,
     )

@@ -2,11 +2,13 @@
 and event-time windowed rollups. See ingest.py / rollup.py."""
 
 from .ingest import (  # noqa: F401
+    commit_partitions,
     latest_version,
     read_audit,
+    read_partitions,
     read_state,
     start_event_stream,
-    write_state,
+    write_small_planes,
 )
 from .dedupe import dedupe_events  # noqa: F401
 from .rollup import windowed_rollup  # noqa: F401

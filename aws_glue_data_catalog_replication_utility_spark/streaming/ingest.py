@@ -10,37 +10,49 @@ Reference semantics being reproduced (SURVEY.md §2A #8-10, #21, #32-33):
 
 Spark-native shape: `readStream` over the events directory (file source —
 each dropped file is a batch of messages), `foreachBatch` running the SAME
-`import_events` plan the batch job runs, writing a new catalog-state
-version per micro-batch. Checkpointing makes batch replay at-least-once;
-the idempotent MERGE makes it effectively-once. Audit/DLQ appends are
-keyed by micro-batch id and written with per-batch overwrite, so a
-replayed batch rewrites its own audit partition instead of duplicating it.
+`import_events` plan the batch job runs. Checkpointing makes batch replay
+at-least-once; the idempotent MERGE + per-batch overwrites make it
+effectively-once.
 
 State layout under `state_root` (local FS in tests; object store in prod —
 version discovery would move to a manifest file there, the write protocol
 is already last-version-wins):
 
-    state_root/v=<N>/{databases,tables,partitions}/   parquet snapshots
+    state_root/v=<N>/{databases,tables}/              parquet snapshots
+    state_root/partitions/database_name=*/table_name=*/   partition-scoped
     state_root/audit/db_import/batch_id=<B>/          parquet, per-batch
     state_root/audit/table_import/batch_id=<B>/
     state_root/dlq/batch_id=<B>/
+
+The dbs/tables planes are catalog-metadata-small and stay whole-copy
+versioned (the version history doubles as the reference's table-version
+archive, GlueUtil.java:264-350 `skipArchive`). The partitions plane is the
+big one — at 100 TB of catalog metadata a whole-copy write per micro-batch
+is a full-table rewrite — so it is stored hive-partitioned by
+(database_name, table_name) and committed with dynamic partition
+overwrite: a micro-batch rewrites ONLY the table directories in its sync
+scope, exactly the reference's delete-then-add on the affected table
+(GDCUtil.java:76-99), and untouched tables' files are never opened.
 """
 
 from __future__ import annotations
 
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..model import DATABASE, MESSAGE, PARTITION, TABLE
+from ..operators.sync import DEFAULT_SYNC_KEYS
 from ..plans.importer import import_events
 
 _V_RE = re.compile(r"^v=(\d+)$")
 
 
 def latest_version(state_root: str) -> int | None:
-    """Highest committed state version, or None when uninitialized."""
+    """Highest committed dbs/tables state version, or None when
+    uninitialized."""
     if not os.path.isdir(state_root):
         return None
     versions = [
@@ -49,6 +61,22 @@ def latest_version(state_root: str) -> int | None:
         if (m := _V_RE.match(d)) and os.path.exists(os.path.join(state_root, d, "_DONE"))
     ]
     return max(versions, default=None)
+
+
+def read_partitions(spark: SparkSession, state_root: str) -> DataFrame:
+    """The partitions plane from its partition-scoped store. The explicit
+    schema pins partition-column types (no directory-name inference — a
+    table named '123' must stay a string) and restores the canonical
+    PARTITION column order."""
+    root = f"{state_root}/partitions"
+    if not os.path.isdir(root):
+        return spark.createDataFrame([], PARTITION)
+    return (
+        spark.read.schema(PARTITION)
+        .option("basePath", root)
+        .parquet(root)
+        .select(*[f.name for f in PARTITION.fields])
+    )
 
 
 def read_state(
@@ -61,29 +89,79 @@ def read_state(
         return (
             spark.createDataFrame([], DATABASE),
             spark.createDataFrame([], TABLE),
-            spark.createDataFrame([], PARTITION),
+            read_partitions(spark, state_root),
         )
     base = f"{state_root}/v={v}"
     return (
         spark.read.parquet(f"{base}/databases"),
         spark.read.parquet(f"{base}/tables"),
-        spark.read.parquet(f"{base}/partitions"),
+        read_partitions(spark, state_root),
     )
 
 
-def write_state(
-    dbs: DataFrame, tables: DataFrame, parts: DataFrame, state_root: str
-) -> int:
-    """Commit a new state version (write all three planes, then the
-    _DONE marker — readers only see fully-written versions)."""
+def write_small_planes(dbs: DataFrame, tables: DataFrame, state_root: str) -> int:
+    """Commit a new version of the two metadata-small planes (write both,
+    then the _DONE marker — readers only see fully-written versions). The
+    retained v=N history is the engine's analogue of Glue's table-version
+    archive (GlueUtil.java:264-350): every committed state is recoverable,
+    which is `skipArchive=false` semantics at snapshot granularity."""
     v = (latest_version(state_root) or 0) + 1
     base = f"{state_root}/v={v}"
     dbs.write.mode("overwrite").parquet(f"{base}/databases")
     tables.write.mode("overwrite").parquet(f"{base}/tables")
-    parts.write.mode("overwrite").parquet(f"{base}/partitions")
     with open(f"{base}/_DONE", "w") as fh:
         fh.write("")
     return v
+
+
+def commit_partitions(
+    spark: SparkSession,
+    partitions_delta: DataFrame,
+    sync_scope: DataFrame,
+    state_root: str,
+) -> None:
+    """Partition-scoped commit of one batch's partition sync — the
+    storage-level form of `full_refresh_sync`'s 4-case semantics
+    (GDCUtil.java:61-111 / README.md:266-273):
+
+    - table in scope, delta rows exist  -> dynamic partition overwrite
+      rewrites exactly that table's directory (delete-all-then-add-all);
+    - table in scope, zero delta rows   -> its directory is removed
+      (the delete-all case — dynamic overwrite never touches a partition
+      absent from the data, so the wipe is explicit);
+    - table not in scope                -> its files are never opened.
+
+    The scope collect is metadata-scale (bounded by the number of TABLES
+    in the batch's messages, not by partition rows). On an object store
+    this commit maps 1:1 onto Delta/Iceberg `replaceWhere`; plain-parquet
+    dynamic overwrite is atomic per table directory (rename), not across
+    tables — same per-message granularity as the reference's Lambda, and
+    checkpoint replay + idempotent overwrite recovers a mid-batch crash.
+    """
+    keys = list(DEFAULT_SYNC_KEYS)
+    root = f"{state_root}/partitions"
+    # delete-all lane: in-scope tables with no incoming partition rows
+    empties = (
+        sync_scope.select(*keys)
+        .dropDuplicates(keys)
+        .join(partitions_delta.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+        .collect()
+    )
+    for r in empties:
+        shutil.rmtree(
+            f"{root}/database_name={r.database_name}/table_name={r.table_name}",
+            ignore_errors=True,
+        )
+    # inside foreachBatch the batch DataFrame belongs to a CLONED session
+    # with isolated conf — the overwrite-mode flag must be set on the
+    # session that will execute the write, not the outer one
+    sess = partitions_delta.sparkSession
+    prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        partitions_delta.write.mode("overwrite").partitionBy(*keys).parquet(root)
+    finally:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def _append_batch(df: DataFrame, root: str, batch_id: int) -> None:
@@ -127,7 +205,13 @@ def start_event_stream(
             side_channel_path=side_channel_path,
             run_id=batch_id,
         )
-        write_state(result.databases, result.tables, result.partitions, state_root)
+        write_small_planes(result.databases, result.tables, state_root)
+        # result.partitions (the full logical plane) is never executed
+        # here: the partition-scoped commit realizes the same 4-case
+        # semantics at the storage layer, touching only this batch's
+        # sync scope (test_stream_state_matches_batch_import pins the
+        # equivalence against the batch plan)
+        commit_partitions(spark, result.partitions_delta, result.sync_scope, state_root)
         _append_batch(result.db_import_audit, f"{state_root}/audit/db_import", batch_id)
         _append_batch(
             result.table_import_audit, f"{state_root}/audit/table_import", batch_id
