@@ -20,6 +20,7 @@ we keep runs reproducible).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -40,6 +41,26 @@ def _read(spark, path, schema=None):
 
 def _write(df, path):
     df.write.mode("overwrite").parquet(path)
+
+
+def _write_all(outputs, root):
+    """Write a set of result plans whose INPUTS may live under `root`
+    (in-place state update). Every plan is fully materialized into a
+    staging directory first, then swapped in — so a later plan can never
+    scan a path an earlier overwrite already clobbered. Local-FS rename;
+    an object-store deployment would stage to a new version prefix
+    instead (see streaming.ingest.write_small_planes)."""
+    import shutil
+
+    staging = f"{root}/.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    for name, df in outputs:
+        _write(df, f"{staging}/{name}")
+    for name, _ in outputs:
+        final = f"{root}/{name}"
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(f"{staging}/{name}", final)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -145,17 +166,19 @@ def main(argv: list[str] | None = None) -> int:
             side_channel_path=args.side_channel,
             run_id=args.run_id,
         )
-        root = args.out_root
-        # materialize BEFORE overwriting inputs the plan may still read
-        for name, df in [
-            ("databases", res.databases),
-            ("tables", res.tables),
-            ("partitions", res.partitions),
-            ("db_import_audit", res.db_import_audit),
-            ("table_import_audit", res.table_import_audit),
-            ("dlq", res.dlq),
-        ]:
-            _write(df, f"{root}/{name}")
+        # staged write: materialize every plan before any input path is
+        # overwritten (in-place --out-root == input dirs is supported)
+        _write_all(
+            [
+                ("databases", res.databases),
+                ("tables", res.tables),
+                ("partitions", res.partitions),
+                ("db_import_audit", res.db_import_audit),
+                ("table_import_audit", res.table_import_audit),
+                ("dlq", res.dlq),
+            ],
+            args.out_root,
+        )
 
     elif args.job == "stream":
         from .streaming.ingest import start_event_stream

@@ -35,7 +35,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join `big` ⋈ `small` on `on`, with a hot key on the big side
     spread over `buckets` shuffle partitions. Result equals the plain
-    join (column set and multiset of rows), independent of `buckets`."""
+    join (column set and multiset of rows), independent of `buckets`.
+
+    `how` is restricted to joins where every output row is witnessed by a
+    big-side row: with right/full outer, an unmatched small-side row is
+    replicated once per salt value, so the equality claim would break."""
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+            "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            f"rows {buckets}x; use one of {sorted(safe)}"
+        )
     on = list(on)
     payload = [c for c in big.columns if c not in on]
     # hash the whole row: duplicate-row salts collide (harmless — they

@@ -20,12 +20,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pyspark.sql import types as T
+
+from ..model import STORAGE_DESCRIPTOR
 from ..operators.routing import DEFAULT_PARTITION_THRESHOLD, threshold_route
 from ..sources.ndjson import write_partitions_ndjson
 
 # catalog_id is part of every join key: two catalogs exported in one
 # batch may contain same-named db/table pairs and must not merge
 _TBL_KEY = ["catalog_id", "database_name", "name"]
+
+# the inline partition_list element type, derived from the model constant
+# (one source of truth for the SD shape)
+_INLINE_PARTITION_LIST_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("values", T.ArrayType(T.StringType())),
+            T.StructField("storage_descriptor", STORAGE_DESCRIPTOR),
+        ]
+    )
+)
 
 
 def _table_struct() -> F.Column:
@@ -120,7 +134,9 @@ def export_catalog(
         "partition_list",
         F.coalesce(
             "partition_list",
-            F.array().cast("array<struct<values:array<string>,storage_descriptor:struct<columns:array<struct<name:string,type:string>>,location:string,input_format:string,output_format:string,compressed:boolean,number_of_buckets:int,serde_info:struct<serialization_library:string,parameters:map<string,string>>,bucket_columns:array<string>,sort_columns:array<struct<column:string,sort_order:int>>,parameters:map<string,string>,stored_as_sub_directories:boolean>>>"),
+            # empty-array fallback typed from the model constant so the
+            # SD schema cannot drift from model.STORAGE_DESCRIPTOR
+            F.array().cast(_INLINE_PARTITION_LIST_TYPE),
         ),
     )
     small_msgs = small.select(

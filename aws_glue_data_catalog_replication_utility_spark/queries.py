@@ -58,7 +58,18 @@ _ORACLE: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # a handful of queries persist() a shared subplan and leave
+            # it cached for the caller's collect; evict those leftovers
+            # when the NEXT query starts, so a 45-query sweep in one
+            # session doesn't accumulate cached relations (eviction is
+            # otherwise LRU-best-effort)
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = wrapped
         if oracle is not None:
             _ORACLE[name] = oracle
         return fn
