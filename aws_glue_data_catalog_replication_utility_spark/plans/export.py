@@ -105,8 +105,14 @@ def export_catalog(
         count_col="n_partitions",
     )
 
+    # failure lane: a table with no name cannot form a message or a
+    # side-channel key — it audits as is_exported=False with a reason
+    # (SNSUtil.java:115-123 failed-publish audit analogue) instead of
+    # silently vanishing
+    publishable = F.col("name").isNotNull() & (F.col("name") != "")
+
     # ---- small path: inline partition arrays, deterministic order ------
-    small_tables = routed.where(F.col("route") == "inline")
+    small_tables = routed.where((F.col("route") == "inline") & publishable)
     inline_parts = (
         partitions.join(
             small_tables.select(
@@ -155,7 +161,7 @@ def export_catalog(
     )
 
     # ---- large path: envelope + ndjson side-channel --------------------
-    large_tables = routed.where(F.col("route") == "large")
+    large_tables = routed.where((F.col("route") == "large") & publishable)
     object_key = F.concat_ws(
         "_",
         F.date_format(F.lit(run_date), "yyyy-MM-dd"),
@@ -202,16 +208,18 @@ def export_catalog(
         F.lit(batch_id).alias("export_batch_id"),
         F.col("catalog_id").alias("source_glue_catalog_id"),
         F.to_json(_table_struct()).alias("table_schema"),
-        F.concat_ws("-", F.lit("msg"), "catalog_id", "database_name", "name").alias(
-            "sns_msg_id"
-        ),
-        F.lit(True).alias("is_exported"),
+        F.when(
+            publishable,
+            F.concat_ws("-", F.lit("msg"), "catalog_id", "database_name", "name"),
+        ).alias("sns_msg_id"),
+        publishable.alias("is_exported"),
         (F.col("route") == "large").alias("is_large_table"),
-        F.when(F.col("route") == "large", F.lit(bucket_name))
-        .otherwise(F.lit(None))
+        F.when((F.col("route") == "large") & publishable, F.lit(bucket_name))
         .alias("s3_bucket_name"),
-        F.when(F.col("route") == "large", object_key)
-        .otherwise(F.lit(None))
+        F.when((F.col("route") == "large") & publishable, object_key)
         .alias("object_key"),
+        F.when(~publishable, F.lit("table has no name; publish failed")).alias(
+            "error"
+        ),
     )
     return messages, audit

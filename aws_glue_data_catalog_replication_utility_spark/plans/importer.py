@@ -90,6 +90,12 @@ AUTOCREATE_DESC = "Database Imported from Glue Data Catalog of AWS Account Id: {
 
 @dataclass
 class ImportResult:
+    """Audit frames carry an `error` column (null on success): the
+    reference records FAILED imports too — TableReplicationStatus with
+    error flags (DDBUtil.java:150-157), not just the happy path — so
+    every DLQ'd entity also appears in its audit plane with
+    created/updated=False and a reason."""
+
     databases: DataFrame
     tables: DataFrame
     partitions: DataFrame
@@ -165,6 +171,38 @@ def import_events(
     )
     dlq = dlq_bad_type.unionByName(dlq_bad_db).unionByName(dlq_bad_tbl)
 
+    def _tbl_failure(msgs: DataFrame, error: str) -> DataFrame:
+        """Failure-audit projection for a table-shaped message lane:
+        identity columns we could parse plus the reason (the reference
+        audits failed imports too, DDBUtil.java:150-157)."""
+        return msgs.select(
+            "event_id",
+            F.col("msg.table.database_name").alias("database_name"),
+            F.col("msg.table.name").alias("name"),
+            "export_batch_id",
+            "source_catalog_id",
+            F.to_json("msg.table").alias("table_schema"),
+            F.lit(error).alias("error"),
+        )
+
+    # unparseable payloads join the failure-audit lane (identity columns
+    # are null — the event_id still keys the row)
+    db_failures = db_msgs.where(F.col("db.name").isNull()).select(
+        "event_id",
+        F.col("db.name").alias("name"),
+        F.col("export_batch_id").alias("__batch"),
+        F.col("source_catalog_id").alias("__src"),
+        F.lit("unparseable database payload").alias("error"),
+    )
+    tbl_failures = _tbl_failure(
+        tbl_msgs.where(F.col("msg.table.name").isNull()), "unparseable table payload"
+    ).unionByName(
+        _tbl_failure(
+            large_msgs.where(F.col("msg.table.name").isNull()),
+            "unparseable largeTable payload",
+        )
+    )
+
     db_msgs = db_msgs.where(F.col("db.name").isNotNull())
     tbl_msgs = tbl_msgs.where(F.col("msg.table.name").isNotNull())
     large_msgs = large_msgs.where(F.col("msg.table.name").isNotNull())
@@ -192,6 +230,11 @@ def import_events(
     side_good = None
     if side_channel_path is None:
         dlq = dlq.unionByName(_park_large(large_msgs))
+        tbl_failures = tbl_failures.unionByName(
+            _tbl_failure(
+                large_msgs, "no side channel configured for largeTable partitions"
+            )
+        )
         large_msgs = large_msgs.limit(0)
     else:
         side_raw = read_partitions_ndjson(spark, side_channel_path)
@@ -233,6 +276,9 @@ def import_events(
             F.broadcast(fed), on=["__ck", "__dk", "__tk"], how="left_anti"
         )
         dlq = dlq.unionByName(_park_large(starved))
+        tbl_failures = tbl_failures.unionByName(
+            _tbl_failure(starved, "largeTable side channel missing or unreadable")
+        )
         large_msgs = keyed.join(
             F.broadcast(fed), on=["__ck", "__dk", "__tk"], how="left_semi"
         ).drop("__ck", "__dk", "__tk")
@@ -258,17 +304,34 @@ def import_events(
     ).drop("event_id")
 
     created_dbs = missing_anti(incoming_dbs, target_databases, ["name"])
-    db_audit = incoming_dbs.join(
-        target_databases.select("name").withColumn("__exists", F.lit(True)),
-        on="name",
-        how="left",
-    ).select(
-        F.col("name").alias("db_id"),
-        F.lit(run_id).cast("long").alias("import_run_id"),
-        F.col("__batch").alias("export_batch_id"),
-        F.lit(target_catalog_id).alias("target_glue_catalog_id"),
-        F.col("__src").alias("source_glue_catalog_id"),
-        F.col("__exists").isNull().alias("is_created"),
+    db_audit = (
+        incoming_dbs.join(
+            target_databases.select("name").withColumn("__exists", F.lit(True)),
+            on="name",
+            how="left",
+        )
+        .select(
+            F.col("name").alias("db_id"),
+            F.lit(run_id).cast("long").alias("import_run_id"),
+            F.col("__batch").alias("export_batch_id"),
+            F.lit(target_catalog_id).alias("target_glue_catalog_id"),
+            F.col("__src").alias("source_glue_catalog_id"),
+            F.col("__exists").isNull().alias("is_created"),
+            F.lit(None).cast("string").alias("error"),
+        )
+        # failure lane: DLQ'd database events audit as is_created=False
+        # with the reason (DDBUtil.java:150-157 error-flag analogue)
+        .unionByName(
+            db_failures.select(
+                F.coalesce("name", "event_id").alias("db_id"),
+                F.lit(run_id).cast("long").alias("import_run_id"),
+                F.col("__batch").alias("export_batch_id"),
+                F.lit(target_catalog_id).alias("target_glue_catalog_id"),
+                F.col("__src").alias("source_glue_catalog_id"),
+                F.lit(False).alias("is_created"),
+                "error",
+            )
+        )
     )
 
     # ---- 2. tables: union small + large, auto-create parent dbs --------
@@ -355,33 +418,18 @@ def import_events(
         keys=["database_name", "name"],
         order_col="event_id",
     ).drop("event_id")
-    table_audit = (
-        outcomes.where(F.col(ACTION_COL) != "keep")
-        .join(tbl_meta, on=["database_name", "name"], how="left")
-        .select(
-            F.concat_ws("|", "name", "database_name").alias("table_id"),
-            F.lit(run_id).cast("long").alias("import_run_id"),
-            F.col("export_batch_id"),
-            F.col("name").alias("table_name"),
-            F.col("database_name"),
-            F.col("table_schema"),
-            F.lit(target_catalog_id).alias("target_glue_catalog_id"),
-            F.col("source_catalog_id").alias("source_glue_catalog_id"),
-            (F.col(ACTION_COL) == "create").alias("table_created"),
-            (F.col(ACTION_COL) == "update").alias("table_updated"),
-            F.lit(None).cast("boolean").alias("export_has_partitions"),
-            F.lit(None).cast("boolean").alias("partitions_updated"),
-        )
-    )
-
     # ---- 4. partitions: inline + side-channel, full refresh ------------
     inline_parts = tbl_msgs.select(
         F.col("msg.table.database_name").alias("database_name"),
         F.col("msg.table.name").alias("table_name"),
+        F.col("source_catalog_id").alias("__src"),
+        F.col("export_batch_id").alias("__batch"),
         F.explode_outer("msg.partition_list").alias("p"),
     ).where(F.col("p").isNotNull()).select(
         "database_name",
         "table_name",
+        "__src",
+        "__batch",
         F.col("p.values").alias("values"),
         F.col("p.storage_descriptor").alias("storage_descriptor"),
     )
@@ -398,12 +446,44 @@ def import_events(
             F.broadcast(large_scope),
             on=["catalog_id", "database_name", "table_name"],
             how="left_semi",
-        ).select("database_name", "table_name", "values", "storage_descriptor")
-        exported_parts = inline_parts.unionByName(side_parts)
+        ).select(
+            "database_name",
+            "table_name",
+            F.col("catalog_id").alias("__src"),
+            F.lit(None).cast("string").alias("__batch"),
+            "values",
+            "storage_descriptor",
+        )
+        incoming_parts = inline_parts.unionByName(side_parts)
     else:
-        exported_parts = inline_parts
+        incoming_parts = inline_parts
 
-    exported_parts = exported_parts.select(
+    # per-partition validation — the reference's BatchCreatePartition
+    # surfaces per-partition failures INSIDE a batch (GlueUtil.java:
+    # 425-449: failed entries are reported, the rest are still created).
+    # Same here: a partition row with no addressable values cannot be
+    # created — it routes to the DLQ row-by-row; its siblings still
+    # apply, and the owning table's audit row carries the failure count.
+    incoming_parts = incoming_parts.withColumn(
+        "__ok",
+        F.col("values").isNotNull()
+        & (F.size("values") > 0)
+        & ~F.exists("values", lambda v: v.isNull()),
+    )
+    dlq_parts = incoming_parts.where(~F.col("__ok")).select(
+        F.concat_ws(
+            "|", "__src", "database_name", "table_name", F.to_json("values")
+        ).alias("event_id"),
+        F.lit("Partition").alias("schema_type"),
+        F.to_json(
+            F.struct("database_name", "table_name", "values", "storage_descriptor")
+        ).alias("payload"),
+        F.col("__batch").alias("export_batch_id"),
+        F.col("__src").alias("source_glue_catalog_id"),
+    )
+    dlq = dlq.unionByName(dlq_parts)
+
+    exported_parts = incoming_parts.where(F.col("__ok")).select(
         F.lit(target_catalog_id).alias("catalog_id"),
         "database_name",
         "table_name",
@@ -424,6 +504,69 @@ def import_events(
         exported_tables_scope,
         target_partitions,
         keys=["database_name", "table_name"],
+    )
+
+    # ---- 5. table audit: applied outcomes + failure lane ---------------
+    # per-table partition stats fill the TableReplicationStatus fields the
+    # reference tracks (TableReplicationStatus.java via DDBUtil.java:54-65):
+    # exportHasPartitions + partitionsUpdated, plus an error summary when
+    # some of the table's partition rows failed validation
+    part_stats = incoming_parts.groupBy(
+        "database_name", F.col("table_name").alias("name")
+    ).agg(
+        F.count(F.lit(1)).alias("__n_in"),
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("__n_bad"),
+    )
+    table_audit = (
+        outcomes.where(F.col(ACTION_COL) != "keep")
+        .join(tbl_meta, on=["database_name", "name"], how="left")
+        .join(part_stats, on=["database_name", "name"], how="left")
+        .select(
+            F.concat_ws("|", "name", "database_name").alias("table_id"),
+            F.lit(run_id).cast("long").alias("import_run_id"),
+            F.col("export_batch_id"),
+            F.col("name").alias("table_name"),
+            F.col("database_name"),
+            F.col("table_schema"),
+            F.lit(target_catalog_id).alias("target_glue_catalog_id"),
+            F.col("source_catalog_id").alias("source_glue_catalog_id"),
+            (F.col(ACTION_COL) == "create").alias("table_created"),
+            (F.col(ACTION_COL) == "update").alias("table_updated"),
+            F.coalesce(F.col("__n_in") > 0, F.lit(False)).alias(
+                "export_has_partitions"
+            ),
+            # the full-refresh sync ran for every applied table (even the
+            # zero-partition delete-all case counts as an update,
+            # GDCUtil.java:69-79)
+            F.lit(True).alias("partitions_updated"),
+            F.when(
+                F.col("__n_bad") > 0,
+                F.concat(
+                    F.col("__n_bad").cast("string"),
+                    F.lit(" partition row(s) failed validation"),
+                ),
+            ).alias("error"),
+        )
+        .unionByName(
+            tbl_failures.select(
+                F.coalesce(
+                    F.nullif(F.concat_ws("|", "name", "database_name"), F.lit("")),
+                    F.col("event_id"),
+                ).alias("table_id"),
+                F.lit(run_id).cast("long").alias("import_run_id"),
+                F.col("export_batch_id"),
+                F.col("name").alias("table_name"),
+                F.col("database_name"),
+                F.col("table_schema"),
+                F.lit(target_catalog_id).alias("target_glue_catalog_id"),
+                F.col("source_catalog_id").alias("source_glue_catalog_id"),
+                F.lit(False).alias("table_created"),
+                F.lit(False).alias("table_updated"),
+                F.lit(False).alias("export_has_partitions"),
+                F.lit(False).alias("partitions_updated"),
+                "error",
+            )
+        )
     )
 
     return ImportResult(

@@ -41,12 +41,18 @@ def plan_replication(
         databases, tokenize_prefixes(prefix_string, separator), col="name"
     )
 
+    # failure lane: a database with no name cannot form a message — the
+    # reference records failed publishes in the audit with
+    # is_exported=false (SNSUtil.java:115-123 catch + DDBUtil insert)
+    # rather than dropping them silently
+    publishable = F.col("name").isNotNull() & (F.col("name") != "")
+
     payload = F.to_json(
         F.struct(
             "name", "description", "location_uri", "parameters", "create_time"
         )
     )
-    messages = required.select(
+    messages = required.where(publishable).select(
         F.concat_ws("|", "catalog_id", "name").alias("event_id"),
         F.lit("database").alias("message_type"),
         F.col("catalog_id").alias("source_catalog_id"),
@@ -57,12 +63,18 @@ def plan_replication(
     )
 
     audit = required.select(
-        F.col("name").alias("db_id"),
+        F.coalesce("name", F.lit("<unnamed>")).alias("db_id"),
         F.lit(run_id).cast("long").alias("export_run_id"),
         F.lit(batch_id).alias("export_batch_id"),
         F.col("catalog_id").alias("source_glue_catalog_id"),
         payload.alias("database_schema"),
-        F.concat_ws("-", F.lit("msg"), "catalog_id", "name").alias("sns_msg_id"),
-        F.lit(True).alias("is_exported"),
+        F.when(
+            publishable,
+            F.concat_ws("-", F.lit("msg"), "catalog_id", "name"),
+        ).alias("sns_msg_id"),
+        publishable.alias("is_exported"),
+        F.when(~publishable, F.lit("database has no name; publish failed")).alias(
+            "error"
+        ),
     )
     return messages, audit

@@ -1335,11 +1335,21 @@ def q33_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q34_replication_roundtrip")  # deliberately NO oracle: the whole
-# plan->export->import pipeline over catalog-shaped fixtures is not
-# SQL-expressible; the driver records the weaker rows-only check, and the
-# pipeline's value-level correctness is pinned by tests/test_replication_e2e.py
-# + the property suite instead.
+@register(
+    "q34_replication_roundtrip",
+    # the plan->export->import pipeline itself is not SQL-expressible, but
+    # its outcome histogram over the deterministic 24-db fixture IS: the
+    # prefix scope keeps 12 of 24 dbs (raw_data_/processed_data_ in the
+    # 4-prefix cycle), and each of their 5 tables is created (none
+    # updated) on an empty target. A VALUES-literal oracle pins
+    # rows+schema+hash (VERDICT r02 #3); value-level correctness of the
+    # pipeline internals stays pinned by tests/test_replication_e2e.py +
+    # the property suite.
+    oracle="""
+    SELECT TRUE AS table_created, FALSE AS table_updated,
+           CAST(60 AS BIGINT) AS n
+    """,
+)
 def q34_replication_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's actual product, timed as one unit: plan (prefix
     scoping) -> export (threshold routing + ndjson side-channel) ->
@@ -1856,6 +1866,112 @@ def q45_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("p50_approx") - F.col("p50_exact"))
             <= F.abs(F.col("p50_exact")) * 0.02
         ).alias("approx_within_2pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 46. failure-path audit: exported vs failed per lane
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q46_failure_audit",
+    oracle="""
+    SELECT lane, CAST(n AS BIGINT) AS n, CAST(n_failed AS BIGINT) AS n_failed
+    FROM (VALUES
+      ('dlq', 4, 4),
+      ('export', 21, 1),
+      ('import_db', 5, 1),
+      ('import_table', 21, 2),
+      ('plan', 5, 1)
+    ) AS t(lane, n, n_failed)
+    """,
+)
+def q46_failure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The failure-path audit contract, end to end: every entity that
+    cannot be published or applied still appears in its audit plane with
+    the failure flag + reason (the reference records failed publishes
+    with isExported=false, SNSUtil.java:115-123, and failed imports via
+    TableReplicationStatus error flags, DDBUtil.java:150-157) — and
+    per-partition failures inside a batch dead-letter row-by-row while
+    their siblings apply (GlueUtil.java:425-449). The fixture is a
+    deterministic 4-db catalog with one nameless database, one nameless
+    table, one unaddressable partition, and three corrupt events; the
+    oracle is the exact exported-vs-failed census per lane."""
+    import tempfile
+
+    from .model import DATABASE, PARTITION, empty_catalog, sample_catalog
+    from .plans.export import export_catalog
+    from .plans.importer import import_events
+    from .plans.planner import plan_replication
+
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    bad_db = spark.createDataFrame(
+        [("123412341234", None, "nameless", None, None, None)], DATABASE
+    )
+    bad_tbl = src_tables.where(
+        (F.col("database_name") == "raw_data_db0") & (F.col("name") == "table_0")
+    ).withColumn("name", F.lit(None).cast("string"))
+    bad_part = spark.createDataFrame(
+        [
+            (
+                "123412341234",
+                "raw_data_db0",
+                "table_1",
+                ["2024", None, "99"],
+                None,
+                None,
+                None,
+                None,
+            )
+        ],
+        PARTITION,
+    )
+
+    # empty prefix = replicate-everything bypass so the nameless db
+    # reaches the publish step (GDCReplicationPlanner.java:70-81)
+    msgs, plan_audit = plan_replication(
+        src_dbs.unionByName(bad_db), prefix_string="", batch_id="b1"
+    )
+    side = tempfile.mkdtemp(prefix="q46_side_")
+    tbl_msgs, export_audit = export_catalog(
+        spark,
+        msgs,
+        src_tables.unionByName(bad_tbl),
+        src_parts.unionByName(bad_part),
+        threshold=10,
+        batch_id="b1",
+        side_channel_path=side,
+    )
+    corrupt = spark.createDataFrame(
+        [
+            ("e1", "database", "111", "b1", "{not json", None, None),
+            ("e2", "garbageType", "111", "b1", "{}", None, None),
+            ("e3", "table", "111", "b1", '{"table": {"noname": 1}}', None, None),
+        ],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, "
+        "region_name string",
+    )
+    events = msgs.unionByName(tbl_msgs).unionByName(corrupt)
+    d, t, p = empty_catalog(spark)
+    res = import_events(spark, events, d, t, p, side_channel_path=side)
+
+    def lane(df: DataFrame, name: str, failed) -> DataFrame:
+        return df.select(F.lit(name).alias("lane"), failed.alias("failed"))
+
+    rows = (
+        lane(plan_audit, "plan", ~F.col("is_exported"))
+        .unionByName(lane(export_audit, "export", ~F.col("is_exported")))
+        .unionByName(lane(res.db_import_audit, "import_db", F.col("error").isNotNull()))
+        .unionByName(
+            lane(res.table_import_audit, "import_table", F.col("error").isNotNull())
+        )
+        .unionByName(lane(res.dlq, "dlq", F.lit(True)))
+    )
+    return rows.groupBy("lane").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("failed"), 1).otherwise(0)).alias("n_failed"),
     )
 
 

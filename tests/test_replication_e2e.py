@@ -393,6 +393,128 @@ def test_dlq_redrive_converges(spark, tmp_path):
     assert created.count() == 4
 
 
+def test_failure_audit_planner_and_export(spark, tmp_path):
+    """VERDICT r02 #4: failed publishes must appear in the AUDIT with
+    is_exported=False + an error reason (SNSUtil.java:115-123 records
+    the failed publish via DDBUtil), not only vanish from the message
+    stream. An entity with no name is the one statically-detectable
+    publish failure in a pure-plan world."""
+    from aws_glue_data_catalog_replication_utility_spark.model import DATABASE
+
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    bad_db = spark.createDataFrame(
+        [("123412341234", None, "nameless", None, None, None)], DATABASE
+    )
+    # empty prefix list = replicate-everything bypass
+    # (GDCReplicationPlanner.java:70-81) so the nameless db reaches publish
+    msgs, plan_audit = plan_replication(
+        src_dbs.unionByName(bad_db), prefix_string="", batch_id="b1"
+    )
+    assert msgs.count() == 4  # no message for the nameless db
+    assert plan_audit.count() == 5  # ... but it IS audited
+    failed = plan_audit.where(~F.col("is_exported")).collect()
+    assert len(failed) == 1
+    assert failed[0].sns_msg_id is None and "no name" in failed[0].error
+    assert plan_audit.where(F.col("is_exported")).where(
+        F.col("error").isNotNull()
+    ).count() == 0
+
+    # export side: a nameless table audits as failed, emits no message
+    bad_tbl = src_tables.where(
+        (F.col("database_name") == "raw_data_db0") & (F.col("name") == "table_0")
+    ).withColumn("name", F.lit(None).cast("string"))
+    side = str(tmp_path / "side")
+    tbl_msgs, export_audit = export_catalog(
+        spark,
+        msgs,
+        src_tables.unionByName(bad_tbl),
+        src_parts,
+        threshold=10,
+        batch_id="b1",
+        side_channel_path=side,
+    )
+    assert tbl_msgs.count() == 4 * 5  # 3 inline + 2 large per db, bad one absent
+    assert export_audit.count() == 21
+    f = export_audit.where(~F.col("is_exported")).collect()
+    assert len(f) == 1
+    assert "no name" in f[0].error and f[0].sns_msg_id is None
+
+
+def test_import_failure_audit_rows(spark):
+    """Corrupt / unappliable events must produce audit rows with the
+    failure flag (DDBUtil.java:150-157 TableReplicationStatus error
+    lane), alongside their DLQ rows."""
+    large_payload = (
+        '{"catalog_id": "111", "large_table": true, '
+        '"number_of_partitions": 31, '
+        '"table": {"database_name": "raw_data_db0", "name": "table_4", '
+        '"owner": "o", "retention": 0, "table_type": "EXTERNAL_TABLE", '
+        '"parameters": {}, "partition_keys": [], '
+        '"storage_descriptor": {"location": "s3://x"}}, '
+        '"s3_object_key": "k", "s3_bucket_name": "b"}'
+    )
+    bad = spark.createDataFrame(
+        [
+            ("e1", "database", "111", "b1", "{not json", None, None),
+            ("e3", "table", "111", "b1", '{"table": {"noname": 1}}', None, None),
+            ("e4", "largeTable", "111", "b1", large_payload, "b", "local"),
+        ],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, region_name string",
+    )
+    d, t, p = empty_catalog(spark)
+    res = import_events(spark, bad, d, t, p, side_channel_path=None)
+
+    da = res.db_import_audit.collect()
+    assert len(da) == 1
+    assert da[0].is_created is False and "unparseable" in da[0].error
+    assert da[0].db_id == "e1"  # event_id keys the row when name is unknown
+
+    ta = {r.table_id: r for r in res.table_import_audit.collect()}
+    assert set(ta) == {"e3", "table_4|raw_data_db0"}
+    assert ta["e3"].error == "unparseable table payload"
+    assert ta["e3"].table_created is False and ta["e3"].table_updated is False
+    assert ta["table_4|raw_data_db0"].error.startswith("no side channel")
+    assert ta["table_4|raw_data_db0"].partitions_updated is False
+    # nothing applied
+    assert res.tables.count() == 0 and res.databases.count() == 0
+
+
+def test_partition_validation_routes_bad_rows(spark):
+    """Per-partition failure INSIDE a batch (GlueUtil.java:425-449
+    BatchCreatePartition error handling): a partition row with no
+    addressable values dead-letters row-by-row; its siblings still
+    apply; the owning table's audit row summarizes the failure count."""
+    sd = '{"location": "s3://x"}'
+    payload = (
+        '{"table": {"database_name": "d1", "name": "t1", "owner": "o", '
+        '"retention": 0, "table_type": "EXTERNAL_TABLE", "parameters": {}, '
+        '"partition_keys": [{"name": "year", "type": "string"}], '
+        f'"storage_descriptor": {sd}}}, '
+        '"partition_list": ['
+        f'{{"values": ["2024", "01", "01"], "storage_descriptor": {sd}}}, '
+        f'{{"values": ["2024", null, "02"], "storage_descriptor": {sd}}}, '
+        f'{{"values": ["2024", "01", "03"], "storage_descriptor": {sd}}}]}}'
+    )
+    events = spark.createDataFrame(
+        [("e1", "table", "111", "b1", payload, None, None)],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, region_name string",
+    )
+    d, t, p = empty_catalog(spark)
+    res = import_events(spark, events, d, t, p)
+    # siblings applied, bad row did not poison the batch
+    assert res.partitions.count() == 2
+    dlq = res.dlq.collect()
+    assert len(dlq) == 1 and dlq[0].schema_type == "Partition"
+    assert "2024" in dlq[0].payload
+    ta = res.table_import_audit.collect()
+    assert len(ta) == 1
+    assert ta[0].table_created is True
+    assert ta[0].export_has_partitions is True
+    assert ta[0].error == "1 partition row(s) failed validation"
+
+
 def test_auto_create_missing_parent_db(spark):
     # GDCUtil.java:47-57: table arrives whose db is absent on target
     from aws_glue_data_catalog_replication_utility_spark.model import empty_catalog
