@@ -17,10 +17,13 @@ from .text import (
     STOPWORDS,
 )
 from .dedup import (
+    ensure_min_parallelism,
     exact_dedup,
+    shingle_array,
     word_shingles,
     jaccard_pairs,
     minhash_signature,
+    minhash_signature_arrays,
     minhash_band_pairs,
     prune_hot_shingles,
     simhash,
@@ -45,10 +48,13 @@ __all__ = [
     "lang_guess",
     "fingerprint",
     "STOPWORDS",
+    "ensure_min_parallelism",
     "exact_dedup",
+    "shingle_array",
     "word_shingles",
     "jaccard_pairs",
     "minhash_signature",
+    "minhash_signature_arrays",
     "minhash_band_pairs",
     "prune_hot_shingles",
     "simhash",

@@ -31,12 +31,10 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5
-) -> DataFrame:
-    """Explode each document into its distinct word n-gram shingles.
-    Returns (id_col, shingle). JVM-side: split + transform + explode
-    (no Python)."""
+def shingle_array(text_col: str, n: int = 5) -> F.Column:
+    """Column expression: the distinct word n-gram shingles of a text
+    column, as an array. Pure narrow expression (split + transform),
+    whole-stage codegen, no Python, no explode."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # positions 0 .. size-n; explicitly empty when doc is shorter than n
     # tokens (sequence(0, negative) would count DOWN, not produce empty)
@@ -45,8 +43,17 @@ def word_shingles(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
     ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Explode each document into its distinct word n-gram shingles.
+    Returns (id_col, shingle). The exploded relation feeds the
+    inverted-index joins (jaccard_pairs, prune_hot_shingles)."""
     return df.select(
-        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
     )
 
 
@@ -95,6 +102,60 @@ def minhash_signature(
         for i in range(num_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
+
+
+def ensure_min_parallelism(df: DataFrame, fraction: float = 1.0) -> DataFrame:
+    """Round a CPU-heavy narrow plan's parallelism up toward the
+    cluster's cores. A shuffle-free projection inherits its parallelism
+    from input splits; when the source is fewer splits than cores (one
+    small parquet file locally; a handful of giant row groups in the
+    wild) the whole compute serializes onto those few tasks. The
+    repartition shuffles only the COMPACT input rows (documents, not
+    their exploded shingles), and is skipped entirely when splits
+    already cover the target — at 100 TB the scan has ~million splits
+    and this is a no-op.
+
+    fraction tunes the target: 1.0 (all cores) for a single-stage
+    narrow projection; smaller (e.g. 0.25) when the result feeds a
+    CACHED relation consumed by many downstream stages — every stage
+    over the cache schedules one task per cached partition, so fewer,
+    fatter partitions amortize per-stage scheduling overhead across the
+    fan-out."""
+    spark = df.sparkSession
+    target = max(1, int(spark.sparkContext.defaultParallelism * fraction))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def minhash_signature_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """Shuffle-FREE MinHash: signatures computed per row from the
+    document's shingle array (`array_min` over `transform`) instead of
+    exploding shingles through a groupBy. Identical values to
+    `minhash_signature` (lexicographic min over the same md5 strings;
+    docs with zero shingles are excluded on both paths) but the plan is
+    a single narrow projection in whole-stage codegen — at 100 TB this
+    removes the signature stage's shuffle entirely; only the band-key
+    candidate join shuffles. Returns (id, mh_0..mh_{k-1})."""
+    df = ensure_min_parallelism(df)
+    tmp = df.select(F.col(id_col), shingle_array(text_col, n).alias("__sh"))
+    return tmp.where(F.size("__sh") > 0).select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    "__sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def prune_hot_shingles(

@@ -208,17 +208,30 @@ def cosine_topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Throughput variant: numpy matmul per Arrow batch via mapInPandas.
 
     Each batch computes a (batch x num_queries) similarity matrix in one
     BLAS call — the 100 TB lane (10-100x the fold path). Not bit-stable
     vs the oracle (pairwise summation), so benched, not hash-checked.
+
+    The query set is collected to the driver and broadcast inside the
+    UDF closure — correct only while it is config-sized. max_queries
+    guards that contract: the collect is bounded (limit max_queries+1,
+    never an unbounded pull) and overflow raises instead of silently
+    OOMing the driver on the 100 TB lane.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id_col, vec_col).collect()  # small, driver-ok
+    q_rows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_pandas broadcasts the query set driver-side; got "
+            f">{max_queries} query rows — raise max_queries deliberately or "
+            f"use a join-based lane (cosine_topk / ivf_topk) for large query sets"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

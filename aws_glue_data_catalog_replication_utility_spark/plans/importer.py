@@ -174,14 +174,17 @@ def import_events(
     def _tbl_failure(msgs: DataFrame, error: str) -> DataFrame:
         """Failure-audit projection for a table-shaped message lane:
         identity columns we could parse plus the reason (the reference
-        audits failed imports too, DDBUtil.java:150-157)."""
+        audits failed imports too, DDBUtil.java:150-157). table_schema
+        is the RAW received payload — for a failed row that is the
+        faithful record (and skips re-serializing the wide struct,
+        which costs Catalyst analysis on every failure leg)."""
         return msgs.select(
             "event_id",
             F.col("msg.table.database_name").alias("database_name"),
             F.col("msg.table.name").alias("name"),
             "export_batch_id",
             "source_catalog_id",
-            F.to_json("msg.table").alias("table_schema"),
+            F.col("payload").alias("table_schema"),
             F.lit(error).alias("error"),
         )
 

@@ -37,10 +37,12 @@ from .operators import (
     threshold_route,
 )
 from .functions.dedup import (
+    ensure_min_parallelism,
     exact_dedup,
     jaccard_pairs,
     minhash_band_pairs,
     minhash_signature,
+    minhash_signature_arrays,
     simhash,
     simhash_pairs,
     word_shingles,
@@ -668,8 +670,11 @@ def q17_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     # three consumers (size agg + both self-join sides) read the shingle
     # relation — materialize once instead of re-exploding per branch
-    # (measured ~2.5x end-to-end at sf0.1)
-    sh = word_shingles(docs, "doc_id", "text", n=5).persist()
+    # (measured ~2.5x end-to-end at sf0.1); repartition the compact docs
+    # first so the explode isn't serialized onto one tiny input split
+    sh = word_shingles(
+        ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
+    ).persist()
     sh.count()
     return jaccard_pairs(sh, "doc_id", threshold=0.6)
 
@@ -689,11 +694,13 @@ def q17_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic MinHash signatures (md5-keyed min per seed): the
-    sketch behind LSH banding. One aggregation, map-side partial mins."""
+    """Deterministic MinHash signatures (md5-keyed min per seed),
+    computed shuffle-FREE: array_min over the per-document shingle array
+    — one narrow projection in whole-stage codegen, no explode, no
+    aggregation shuffle. Value-identical to the explode+groupBy form
+    (the oracle IS that form, in DuckDB)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=5)
-    return minhash_signature(sh, "doc_id", num_hashes=12)
+    return minhash_signature_arrays(docs, "doc_id", "text", n=5, num_hashes=12)
 
 
 @register(
@@ -748,9 +755,18 @@ def q19_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per branch — measured 3-4x on this query at sf0.1. At cluster
     # scale this is the classic "reuse a partitioning across stages"
     # point; storage level spills to disk if executors are tight.
-    sh = word_shingles(docs, "doc_id", "text", n=5).persist()
+    # parallelize the explode: the scan is one tiny split locally, and a
+    # shuffle-free explode would serialize onto it (see
+    # ensure_min_parallelism) — repartitioning the compact docs first
+    # spreads the shingle work AND gives the cache that partitioning
+    sh = word_shingles(
+        ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
+    ).persist()
     sh.count()  # materialize before branches race the cache
     exact = jaccard_pairs(sh, "doc_id", threshold=0.6)
+    # signatures reuse the cached exploded relation (4th consumer): one
+    # cheap 12-min agg over cached rows beats recomputing shingles+md5
+    # from the raw docs (the standalone array lane is q18's plan)
     sigs = minhash_signature(sh, "doc_id", num_hashes=12)
     cands = minhash_band_pairs(sigs, "doc_id", num_hashes=12, bands=4).withColumn(
         "captured", F.lit(True)
@@ -1540,7 +1556,9 @@ def q37_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     from .functions.dedup import prune_hot_shingles
 
-    sh = word_shingles(docs, "doc_id", "text", n=5)
+    sh = word_shingles(
+        ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
+    )
     pruned = prune_hot_shingles(sh, max_df=20)
     return jaccard_pairs(pruned, "doc_id", threshold=0.6)
 

@@ -99,18 +99,38 @@ def read_state(
     )
 
 
-def write_small_planes(dbs: DataFrame, tables: DataFrame, state_root: str) -> int:
+def write_small_planes(
+    dbs: DataFrame,
+    tables: DataFrame,
+    state_root: str,
+    retain_versions: int | None = None,
+) -> int:
     """Commit a new version of the two metadata-small planes (write both,
     then the _DONE marker — readers only see fully-written versions). The
     retained v=N history is the engine's analogue of Glue's table-version
-    archive (GlueUtil.java:264-350): every committed state is recoverable,
-    which is `skipArchive=false` semantics at snapshot granularity."""
+    archive (GlueUtil.java:264-350: UpdateTable archives the previous
+    table version unless `skipArchive=true`), at snapshot granularity:
+
+    - retain_versions=None (default) keeps every committed version —
+      `skipArchive=false`: any prior state is recoverable;
+    - retain_versions=N prunes to the newest N after each commit, so
+      retain_versions=1 is `skipArchive=true`: only the current state
+      survives, no archive accrues.
+
+    Pruning happens strictly after the new version's _DONE marker is
+    written, so a reader that resolved `latest_version` before the commit
+    still sees a complete older snapshot or the new one, never a
+    half-deleted directory."""
     v = (latest_version(state_root) or 0) + 1
     base = f"{state_root}/v={v}"
     dbs.write.mode("overwrite").parquet(f"{base}/databases")
     tables.write.mode("overwrite").parquet(f"{base}/tables")
     with open(f"{base}/_DONE", "w") as fh:
         fh.write("")
+    if retain_versions is not None and retain_versions >= 1:
+        for d in os.listdir(state_root):
+            if (m := _V_RE.match(d)) and int(m.group(1)) <= v - retain_versions:
+                shutil.rmtree(os.path.join(state_root, d), ignore_errors=True)
     return v
 
 
@@ -180,6 +200,7 @@ def start_event_stream(
     side_channel_path: str | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    retain_versions: int | None = None,
 ):
     """Start the streaming import: events_path is a directory of ndjson
     message files (the SNS topic equivalent — drop a file, it becomes a
@@ -187,6 +208,10 @@ def start_event_stream(
 
     available_now=True drains everything currently present then stops —
     the test/batch-catchup mode; False runs continuously.
+
+    retain_versions maps Glue's `skipArchive` (GlueUtil.java:264-350) to
+    snapshot retention: None archives every committed state
+    (skipArchive=false), 1 keeps only the current one (skipArchive=true).
     """
     reader = spark.readStream.schema(MESSAGE)
     if max_files_per_trigger is not None:
@@ -205,7 +230,10 @@ def start_event_stream(
             side_channel_path=side_channel_path,
             run_id=batch_id,
         )
-        write_small_planes(result.databases, result.tables, state_root)
+        write_small_planes(
+            result.databases, result.tables, state_root,
+            retain_versions=retain_versions,
+        )
         # result.partitions (the full logical plane) is never executed
         # here: the partition-scoped commit realizes the same 4-case
         # semantics at the storage layer, touching only this batch's

@@ -64,6 +64,28 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(per_query.values()), 3)
+
+    # extras: benched-not-hash-checked lanes (cross-engine bit-exactness
+    # excluded by design; the hash-checked twin pins correctness). The
+    # BLAS cosine lane is the claimed 10-100x throughput path of q21 —
+    # time it against the same 5-query workload.
+    from pyspark.sql import functions as F
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        cosine_topk_pandas,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.session import load_tables
+
+    extras: dict[str, float] = {}
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q_set = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.perf_counter()
+    cosine_topk_pandas(emb, q_set, k=5).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    extras["cosine_topk_pandas"] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -71,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "extras": extras,
                 "sf": sf,
             }
         )

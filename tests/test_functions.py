@@ -75,6 +75,30 @@ def test_minhash_banding_finds_identical_docs(spark):
     assert (0, 2) not in cand  # disjoint shingle sets shouldn't collide
 
 
+def test_minhash_array_lane_matches_agg_lane(spark):
+    """The shuffle-free array lane (array_min over the shingle array)
+    must be value-identical to the explode+groupBy lane, including
+    excluding zero-shingle docs."""
+    from aws_glue_data_catalog_replication_utility_spark.functions import (
+        minhash_signature_arrays,
+    )
+
+    df = _docs(
+        spark,
+        [
+            "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+            "a b c d e f g h i j k l",
+            "short doc",  # < 5 tokens: excluded on both lanes
+        ],
+    )
+    sh = word_shingles(df, "doc_id", "text", n=5)
+    agg = sorted(map(str, minhash_signature(sh, "doc_id", 12).collect()))
+    arr = sorted(
+        map(str, minhash_signature_arrays(df, "doc_id", "text", 5, 12).collect())
+    )
+    assert agg == arr and len(arr) == 2
+
+
 def test_cosine_topk_ranks_aligned_vector_first(spark):
     emb = spark.createDataFrame(
         [
