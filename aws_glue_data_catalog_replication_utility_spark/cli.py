@@ -116,6 +116,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--side-channel", default=None)
     s.add_argument("--available-now", action="store_true",
                    help="drain what's present then stop (default: run forever)")
+    s.add_argument("--retain-versions", type=int, default=None,
+                   help="keep only the newest N state snapshots; 1 = "
+                        "skipArchive semantics (default: archive all)")
 
     args = ap.parse_args(argv)
     spark = _spark(args)
@@ -191,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
             target_catalog_id=args.target_catalog_id,
             side_channel_path=args.side_channel,
             available_now=args.available_now,
+            retain_versions=args.retain_versions,
         )
         q.awaitTermination()
 

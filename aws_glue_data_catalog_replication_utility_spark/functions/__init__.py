@@ -7,6 +7,8 @@ is deterministic so the DuckDB oracle can replicate it.
 """
 
 from .text import (
+    redact,
+    redaction_count,
     token_count,
     regex_token_count,
     punct_ratio,
@@ -37,9 +39,19 @@ from .similarity import (
     ivf_assignments,
     dot_udf_available,
 )
+from .sampling import (
+    hash_bucket,
+    pack_sequences,
+    stratified_sample,
+)
 from .multimodal import attach_blob, blob_features, decode_image
 
 __all__ = [
+    "hash_bucket",
+    "pack_sequences",
+    "stratified_sample",
+    "redact",
+    "redaction_count",
     "token_count",
     "regex_token_count",
     "punct_ratio",

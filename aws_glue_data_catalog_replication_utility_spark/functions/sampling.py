@@ -1,0 +1,83 @@
+"""Deterministic sampling + sequence packing for training-data pipelines.
+
+Reproducible corpus construction needs sampling that is a PURE FUNCTION
+of the row — not Spark's `df.sample` (seeded per-partition RNG: the
+kept set changes with partitioning/retries, unusable for an audited
+corpus). Here membership is decided by a salted md5 of the row id:
+stable across runs, partitionings, engines (the DuckDB oracle recomputes
+the identical buckets), and trivially invertible for holdout splits
+(`bucket >= rate`).
+
+Sequence packing is the concat-and-chunk shape real LLM pipelines use:
+documents are laid head-to-tail in a deterministic order and split into
+fixed token windows; a document's bin is floor(prefix_sum / window).
+Packing requires a total order, which would serialize on one window —
+so it is done PER SHARD (`shard_col`): each shard packs independently
+in parallel, the practical formulation at 100 TB (shards are files /
+sources / date buckets).
+
+Reference tie-in: the reference has no sampler, but its deterministic
+object-key discipline (run ids injected, never wall-clock —
+SNSUtil.java:91-92 is the counterexample we rejected) is the same
+reproducibility contract applied here to row selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SALT = "smp:"
+
+
+def hash_bucket(id_col: str, salt: str = SALT, buckets: int = 100) -> F.Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars of the
+    salted id, as an integer. Engine-portable: DuckDB computes the same
+    value as ('0x' || substring(md5(...), 1, 8))::BIGINT % buckets."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 5,
+    salt: str = SALT,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling at integer-percent rates, decided
+    by the deterministic hash bucket — row membership never depends on
+    partitioning, task retries, or a seed. Narrow (no shuffle): a filter
+    the optimizer pushes toward the scan."""
+    rate = None
+    for k, v in sorted(rates_pct.items()):
+        cond = F.col(strata_col) == k
+        rate = F.when(cond, v) if rate is None else rate.when(cond, v)
+    rate = rate.otherwise(default_pct) if rate is not None else F.lit(default_pct)
+    return df.where(hash_bucket(id_col, salt) < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    token_count: F.Column,
+    window_tokens: int = 2048,
+) -> DataFrame:
+    """Greedy concat-and-chunk packing: within each shard, documents in
+    `order_col` order are laid head-to-tail; a document belongs to bin
+    floor(tokens_before_it / window_tokens). One shuffle on the shard
+    key; each shard's running sum is a window cumsum (sorted within its
+    partition only — no global order, no single-task bottleneck).
+    Returns the input plus (n_tokens, bin)."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn("n_tokens", token_count).withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / window_tokens
+        ),
+    )

@@ -94,3 +94,26 @@ def fingerprint(text: str | Column) -> Column:
     and DuckDB compute the same hex digest."""
     t = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "))
+
+
+def redact(
+    text: str | Column,
+    pattern: str,
+    replacement: str = "[MASKED]",
+) -> Column:
+    """Replace every match of `pattern` (PII scrubbing shape: emails,
+    phone numbers, sensitive vocabulary). Pure column expression —
+    regexp_replace in whole-stage codegen. Keep patterns to the
+    Java-regex/RE2 common subset so the DuckDB oracle (regexp_replace
+    with the 'g' flag) computes the identical result."""
+    return F.regexp_replace(
+        F.col(text) if isinstance(text, str) else text, pattern, replacement
+    )
+
+
+def redaction_count(text: str | Column, pattern: str) -> Column:
+    """How many spans `redact` would mask (the audit counter a scrubbing
+    pipeline reports per batch)."""
+    return F.regexp_count(
+        F.col(text) if isinstance(text, str) else text, F.lit(pattern)
+    )

@@ -1994,6 +1994,155 @@ def q46_failure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 47. deterministic stratified sampling (corpus construction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q47_stratified_sample",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             ('0x' || substring(md5('smp:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket,
+             CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 2
+                             WHEN 'purchase' THEN 50 ELSE 5 END AS rate
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN bucket < rate
+                         THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS sampled_value
+    FROM s GROUP BY event_type
+    """,
+)
+def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified corpus sampling: per-stratum Bernoulli
+    rates decided by a salted md5 hash of the row id — membership is a
+    pure function of the row, stable across partitioning, retries, and
+    engines (`df.sample`'s per-partition RNG is none of those). The
+    oracle recomputes the identical buckets in DuckDB; counts and the
+    sampled-value checksum must match exactly."""
+    from .functions.sampling import stratified_sample
+
+    (events,) = _t(spark, sf_dir, "events")
+    rates = {"click": 10, "view": 2, "purchase": 50}
+    totals = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = (
+        stratified_sample(events, "event_type", "event_id", rates, default_pct=5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(_dec("value", 6)).cast("double").alias("sampled_value"),
+        )
+    )
+    return totals.join(sampled, on="event_type", how="left").select(
+        "event_type",
+        "n_total",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        "sampled_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 48. greedy sequence packing (concat-and-chunk into token windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q48_sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    p AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2048) AS BIGINT) AS bin
+      FROM d)
+    SELECT source, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM p GROUP BY source, bin
+    """,
+)
+def q48_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing, the shape LLM pipelines use to
+    fill fixed context windows: per shard (source), documents in doc_id
+    order are laid head-to-tail and a document's bin is
+    floor(tokens_before_it / 2048). Shard-parallel — the cumsum is a
+    window over the shard key, never a global order — so the plan is
+    one shuffle on source + one partial agg."""
+    from .functions.sampling import pack_sequences
+    from .functions.text import token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, "source", "doc_id", token_count("text"), window_tokens=2048
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 49. pattern redaction (PII-scrubbing shape) with audit counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q49_redaction",
+    oracle=r"""
+    WITH r AS (
+      SELECT source,
+             len(regexp_extract_all(text, '\bcustomer\b')) AS n_hits,
+             length(regexp_replace(text, '\bcustomer\b', '[MASKED]', 'g'))
+               AS len_after
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_hits,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           CAST(SUM(len_after) AS BIGINT) AS total_len_after
+    FROM r GROUP BY source
+    """,
+)
+def q49_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Pattern redaction (the PII-scrubbing shape: emails, phone
+    numbers, sensitive vocabulary) with the per-batch audit counters a
+    scrubbing pipeline reports. Pure regexp column expressions in
+    whole-stage codegen; the pattern stays in the Java-regex/RE2 common
+    subset so DuckDB computes the identical masks. Verified here against
+    the masked-output length checksum, not just the hit counts."""
+    from .functions.text import redact, redaction_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pat = r"\bcustomer\b"
+    return (
+        docs.select(
+            "source",
+            redaction_count("text", pat).alias("n_hits"),
+            F.length(redact("text", pat, "[MASKED]")).alias("len_after"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).alias(
+                "docs_with_hits"
+            ),
+            F.sum("n_hits").alias("total_hits"),
+            F.sum("len_after").alias("total_len_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 

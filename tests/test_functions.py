@@ -139,3 +139,65 @@ def test_quality_score_bounded(spark):
     df = _docs(spark, ["the cat sat on the mat and it is fine", "x", "!!!!!!"])
     for r in df.select(quality_score("text").alias("q")).collect():
         assert -0.25 <= r.q <= 1.0
+
+
+def test_stratified_sample_is_partition_invariant(spark):
+    """Membership must be a pure function of the row — identical kept
+    set no matter how the input is partitioned (df.sample is not)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS event_id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS stratum"
+    )
+    kept1 = {
+        r.event_id
+        for r in stratified_sample(df, "stratum", "event_id", {"a": 20}, 5).collect()
+    }
+    kept2 = {
+        r.event_id
+        for r in stratified_sample(
+            df.repartition(13), "stratum", "event_id", {"a": 20}, 5
+        ).collect()
+    }
+    assert kept1 == kept2 and 0 < len(kept1) < 2000
+
+
+def test_pack_sequences_bins_by_prefix_sum(spark):
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        pack_sequences,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("s", 1, 900), ("s", 2, 900), ("s", 3, 900), ("t", 1, 2500)],
+        "shard string, doc_id int, tc int",
+    )
+    out = {
+        (r.shard, r.doc_id): r.bin
+        for r in pack_sequences(df, "shard", "doc_id", F.col("tc"), 2048).collect()
+    }
+    # s: prefix sums 0, 900, 1800 -> bins 0, 0, 0 (doc3 starts at 1800 < 2048)
+    assert out[("s", 1)] == 0 and out[("s", 2)] == 0
+    assert out[("s", 3)] == 0
+    # t: single huge doc starts at 0 -> bin 0; a follower would start at 2500
+    assert out[("t", 1)] == 0
+
+
+def test_redact_masks_all_matches(spark):
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        redact,
+        redaction_count,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("mail a@b.co and c@d.org here",)], "text string"
+    )
+    pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    row = df.select(
+        redact("text", pat).alias("r"), redaction_count("text", pat).alias("n")
+    ).collect()[0]
+    assert row.r == "mail [MASKED] and [MASKED] here"
+    assert row.n == 2
