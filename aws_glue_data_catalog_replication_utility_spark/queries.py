@@ -121,8 +121,13 @@ def _dec(col, scale: int = 2):
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style pricing summary: the hash-aggregation workhorse.
-    Map-side partial aggregation; one shuffle on a 6-value group key."""
+    Map-side partial aggregation; one shuffle on a 6-value group key.
+    The split-guard repartition fires only when the scan has fewer
+    splits than cores (the local single-row-group file, which parquet
+    cannot split) — with real multi-file input it is a no-op and the
+    partial agg runs straight off the scan."""
     (li,) = _t(spark, sf_dir, "lineitem")
+    li = ensure_min_parallelism(li)
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -635,7 +640,11 @@ def q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint: one hash aggregation, keeps
     the min doc_id deterministically (vs dropDuplicates' arbitrary row)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    with_fp = docs.select(TX.fingerprint("text").alias("fp"), "doc_id")
+    # split-guard: md5 fingerprinting is compute-bound and the local
+    # single-row-group scan would otherwise run it on one task
+    with_fp = ensure_min_parallelism(docs).select(
+        TX.fingerprint("text").alias("fp"), "doc_id"
+    )
     return exact_dedup(with_fp, ["fp"], "doc_id")
 
 
@@ -1020,7 +1029,9 @@ def q27_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     magic prefix — the exact harness an image/audio decoder plugs into
     (functions/multimodal.py; decode itself is stubbed, no codecs here)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    with_blob = attach_blob(docs.select("doc_id", "text"))
+    # split-guard: mapInPandas parallelism = input partitions; one local
+    # split would serialize every Arrow batch through one worker
+    with_blob = attach_blob(ensure_min_parallelism(docs).select("doc_id", "text"))
     return blob_features(with_blob)
 
 

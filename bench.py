@@ -51,10 +51,34 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=cpus)
     registry = Q.registry()
 
-    # JVM/codegen warm-up on a trivial plan so q1 doesn't pay startup
-    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # JVM warm-up so the first timed query doesn't pay interpreter/JIT
+    # startup: exercise the expression families the suite uses (hash,
+    # decimal agg, window, JSON codec, exchange) once on tiny data.
+    # Per-query codegen still compiles inside each measurement — this
+    # only warms the shared machinery (Janino, shuffle, Arrow).
+    from pyspark.sql import Window as _W, functions as _F
+
+    warm = (
+        spark.range(10000)
+        .repartition(8)
+        .select(
+            "id",
+            _F.md5(_F.concat(_F.lit("w:"), _F.col("id").cast("string"))).alias("h"),
+            (_F.col("id") % 7).alias("g"),
+            _F.to_json(_F.struct("id")).alias("js"),
+        )
+        .withColumn("fj", _F.get_json_object("js", "$.id"))
+        .withColumn(
+            "rn", _F.row_number().over(_W.partitionBy("g").orderBy("h"))
+        )
+        .groupBy("g")
+        .agg(
+            _F.sum(_F.col("id").cast("decimal(18,2)")).alias("s"),
+            _F.min("h").alias("m"),
+            _F.count(_F.lit(1)).alias("n"),
+        )
+    )
+    warm.write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
