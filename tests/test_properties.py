@@ -222,3 +222,74 @@ def test_replication_converges_and_is_idempotent(spark, tmp_path, seed):
     ).count() == 0
     assert again.db_import_audit.where(F.col("is_created")).count() == 0
     assert again.partitions.count() == res.partitions.count()
+
+
+@pytest.mark.parametrize("seed", [5, 29, 71])
+def test_corruption_never_poisons_the_batch(spark, tmp_path, seed):
+    """Failure-lane accounting invariant: corrupt a random subset of the
+    event payloads mid-flight; then (1) every corrupted event lands in
+    the DLQ, (2) every corrupted db/table-shaped event also appears in
+    its audit plane flagged with an error (DDBUtil.java:150-157 /
+    SNSUtil.java:115-123 semantics), (3) every UNcorrupted table still
+    applies — one bad message never fails the batch."""
+    rng = random.Random(seed)
+    src_rows = _random_catalog(rng, "111111111111")
+    src_dbs = spark.createDataFrame(src_rows[0], DATABASE)
+    src_tables = spark.createDataFrame(src_rows[1], TABLE)
+    src_parts = spark.createDataFrame(src_rows[2], PARTITION)
+
+    side = str(tmp_path / f"cside{seed}")
+    msgs, _ = plan_replication(src_dbs, prefix_string="raw_data_", batch_id="c1")
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="c1",
+        side_channel_path=side,
+    )
+    events = msgs.unionByName(tbl_msgs)
+    all_events = events.select("event_id", "message_type").collect()
+    corrupt_ids = {
+        r.event_id for r in all_events if rng.random() < 0.35
+    }
+    by_id = {r.event_id: r.message_type for r in all_events}
+
+    mangled = events.withColumn(
+        "payload",
+        F.when(
+            F.col("event_id").isin(list(corrupt_ids)), F.lit("{truncated")
+        ).otherwise(F.col("payload")),
+    )
+    from aws_glue_data_catalog_replication_utility_spark.model import empty_catalog
+
+    d, t, p = empty_catalog(spark)
+    res = import_events(spark, mangled, d, t, p, side_channel_path=side)
+
+    # (1) DLQ holds exactly the corrupted events
+    assert {r.event_id for r in res.dlq.collect()} == corrupt_ids
+
+    # (2) corrupted events are audited with the failure flag
+    db_errs = {
+        r.db_id for r in res.db_import_audit.where(F.col("error").isNotNull()).collect()
+    }
+    tbl_errs = {
+        r.table_id
+        for r in res.table_import_audit.where(F.col("error").isNotNull()).collect()
+    }
+    for eid in corrupt_ids:
+        if by_id[eid] == "database":
+            assert eid in db_errs
+        else:
+            assert eid in tbl_errs
+
+    # (3) every uncorrupted table event applied (created on empty target)
+    surviving = {
+        eid for eid, mt in by_id.items()
+        if mt in ("table", "largeTable") and eid not in corrupt_ids
+    }
+    created = res.table_import_audit.where(F.col("table_created"))
+    assert created.count() == len(surviving)
+    # and their parent dbs all exist
+    orphans = (
+        res.tables.select(F.col("database_name").alias("name"))
+        .distinct()
+        .join(res.databases.select("name"), on="name", how="left_anti")
+    )
+    assert orphans.count() == 0
