@@ -69,7 +69,8 @@ def pack_sequences(
     floor(tokens_before_it / window_tokens). One shuffle on the shard
     key; each shard's running sum is a window cumsum (sorted within its
     partition only — no global order, no single-task bottleneck).
-    Returns the input plus (n_tokens, bin)."""
+    `order_col` must be unique within a shard for the packing to be
+    deterministic (doc ids are). Returns the input plus (n_tokens, bin)."""
     w = (
         Window.partitionBy(shard_col)
         .orderBy(order_col)

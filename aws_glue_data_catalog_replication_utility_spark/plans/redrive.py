@@ -21,7 +21,11 @@ from .importer import ImportResult, import_events
 
 # DLQ schema_type -> event message_type (SQSUtil.java:26-32 attribute
 # values {Database, Table, largeTable}; unknown types pass through and
-# re-dead-letter inside import_events' dispatch)
+# re-dead-letter inside import_events' dispatch). 'Partition' rows (a
+# partition that failed per-row validation) and 'corruptPartitionLine'
+# rows re-park BY DESIGN: they are data errors a retry cannot fix — the
+# fix is a corrected re-export, whose fresh full-refresh sync supersedes
+# the parked row.
 _TYPE_MAP = {"Database": "database", "Table": "table", "largeTable": "largeTable"}
 
 

@@ -118,9 +118,10 @@ def write_small_planes(
       survives, no archive accrues.
 
     Pruning happens strictly after the new version's _DONE marker is
-    written, so a reader that resolved `latest_version` before the commit
-    still sees a complete older snapshot or the new one, never a
-    half-deleted directory."""
+    written. Within the stream that is sufficient (reads and commits
+    alternate in one foreachBatch loop); an EXTERNAL reader racing the
+    stream should use retain_versions >= 2 so the version it resolved
+    stays on disk for at least one more commit cycle."""
     v = (latest_version(state_root) or 0) + 1
     base = f"{state_root}/v={v}"
     dbs.write.mode("overwrite").parquet(f"{base}/databases")
