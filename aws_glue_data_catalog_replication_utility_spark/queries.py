@@ -2036,24 +2036,24 @@ def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (`df.sample`'s per-partition RNG is none of those). The
     oracle recomputes the identical buckets in DuckDB; counts and the
     sampled-value checksum must match exactly."""
-    from .functions.sampling import stratified_sample
+    from .functions.sampling import hash_bucket
 
     (events,) = _t(spark, sf_dir, "events")
-    rates = {"click": 10, "view": 2, "purchase": 50}
-    totals = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
-    sampled = (
-        stratified_sample(events, "event_type", "event_id", rates, default_pct=5)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(_dec("value", 6)).cast("double").alias("sampled_value"),
-        )
+    # single pass: the census (kept vs total per stratum) is conditional
+    # aggregation over the same deterministic bucket `stratified_sample`
+    # filters on — one scan, no self-join. stratified_sample itself (the
+    # materializing filter form) is unit-tested partition-invariant.
+    rate = (
+        F.when(F.col("event_type") == "click", 10)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 50)
+        .otherwise(5)
     )
-    return totals.join(sampled, on="event_type", how="left").select(
-        "event_type",
-        "n_total",
-        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
-        "sampled_value",
+    keep = hash_bucket("event_id") < rate
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep.cast("int")).alias("n_sampled"),
+        F.sum(F.when(keep, _dec("value", 6))).cast("double").alias("sampled_value"),
     )
 
 
