@@ -118,21 +118,34 @@ def write_small_planes(
       survives, no archive accrues.
 
     Pruning happens strictly after the new version's _DONE marker is
-    written. Within the stream that is sufficient (reads and commits
-    alternate in one foreachBatch loop); an EXTERNAL reader racing the
-    stream should use retain_versions >= 2 so the version it resolved
-    stays on disk for at least one more commit cycle."""
+    written — but CAUTION with laziness: any still-unexecuted plan that
+    reads the old version (e.g. an audit projection built against the
+    pre-batch snapshots) must be materialized BEFORE pruning runs. The
+    stream therefore prunes via `prune_versions` at the END of its
+    batch, after every write; only pass retain_versions here when no
+    such plan is pending. An EXTERNAL reader racing a pruning writer
+    should use retain_versions >= 2 so the version it resolved stays on
+    disk for at least one more commit cycle."""
     v = (latest_version(state_root) or 0) + 1
     base = f"{state_root}/v={v}"
     dbs.write.mode("overwrite").parquet(f"{base}/databases")
     tables.write.mode("overwrite").parquet(f"{base}/tables")
     with open(f"{base}/_DONE", "w") as fh:
         fh.write("")
-    if retain_versions is not None and retain_versions >= 1:
-        for d in os.listdir(state_root):
-            if (m := _V_RE.match(d)) and int(m.group(1)) <= v - retain_versions:
-                shutil.rmtree(os.path.join(state_root, d), ignore_errors=True)
+    if retain_versions is not None:
+        prune_versions(state_root, v, retain_versions)
     return v
+
+
+def prune_versions(state_root: str, latest: int, retain: int) -> None:
+    """Remove committed versions older than the newest `retain` (the
+    skipArchive lane). Callers must ensure no pending lazy plan still
+    reads the pruned versions."""
+    if retain < 1:
+        return
+    for d in os.listdir(state_root):
+        if (m := _V_RE.match(d)) and int(m.group(1)) <= latest - retain:
+            shutil.rmtree(os.path.join(state_root, d), ignore_errors=True)
 
 
 def commit_partitions(
@@ -231,10 +244,7 @@ def start_event_stream(
             side_channel_path=side_channel_path,
             run_id=batch_id,
         )
-        write_small_planes(
-            result.databases, result.tables, state_root,
-            retain_versions=retain_versions,
-        )
+        v = write_small_planes(result.databases, result.tables, state_root)
         # result.partitions (the full logical plane) is never executed
         # here: the partition-scoped commit realizes the same 4-case
         # semantics at the storage layer, touching only this batch's
@@ -246,6 +256,11 @@ def start_event_stream(
             result.table_import_audit, f"{state_root}/audit/table_import", batch_id
         )
         _append_batch(result.dlq, f"{state_root}/dlq", batch_id)
+        # retention LAST: the audit/dlq/partition plans above lazily read
+        # the PRE-batch snapshot (the merge compares against it) — prune
+        # only after every plan of this batch has executed
+        if retain_versions is not None:
+            prune_versions(state_root, v, retain_versions)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_path

@@ -143,6 +143,46 @@ def test_version_retention_maps_skip_archive(spark, tmp_path):
     assert dbs.count() == 0 and tables.count() == 0
 
 
+def test_stream_with_retention_keeps_only_latest_version(spark, tmp_path):
+    """End-to-end retention through the stream job: multiple micro-batches
+    with retain_versions=1 leave exactly one v=N snapshot on disk
+    (skipArchive=true semantics), and the final state still matches the
+    unretained stream's content."""
+    import os
+
+    root = tmp_path
+    side = str(root / "side")
+    events_dir = str(root / "events")
+    state_root = str(root / "state")
+
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    msgs, _ = plan_replication(src_dbs, prefix_string="raw_data_", batch_id="b1")
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="b1",
+        side_channel_path=side,
+    )
+    msgs.unionByName(tbl_msgs).repartition(3).write.mode("overwrite").json(events_dir)
+
+    q = start_event_stream(
+        spark,
+        events_dir,
+        state_root,
+        checkpoint_path=str(root / "ckpt"),
+        side_channel_path=side,
+        max_files_per_trigger=1,
+        retain_versions=1,
+    )
+    q.awaitTermination(300)
+
+    vs = [d for d in os.listdir(state_root) if d.startswith("v=")]
+    v = latest_version(state_root)
+    assert v >= 2  # several micro-batches committed...
+    assert vs == [f"v={v}"]  # ...but only the newest survives
+    dbs, tables, parts = read_state(spark, state_root)
+    assert dbs.count() == 1 and tables.count() == 5
+    assert parts.count() == 0 + 3 + 10 + 11 + 31
+
+
 def test_unrelated_batch_leaves_partition_files_untouched(spark, tmp_path):
     """VERDICT r02 scale fix: the partitions plane is committed with
     dynamic partition overwrite, so a micro-batch touching one table must
