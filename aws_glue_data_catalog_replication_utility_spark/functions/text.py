@@ -117,3 +117,34 @@ def redaction_count(text: str | Column, pattern: str) -> Column:
     return F.regexp_count(
         F.col(text) if isinstance(text, str) else text, F.lit(pattern)
     )
+
+
+def distinctive_terms(
+    df, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+):
+    """The k most DISTINCTIVE terms of each document: its distinct tokens
+    ranked by corpus document frequency ascending (rarest first, term as
+    the total tie-break). The IDF idea with integer-only outputs — no
+    transcendental functions, so the DuckDB oracle matches hash-exactly.
+
+    Plan: explode distinct tokens -> df aggregation on the token key
+    (shuffle bounded by VOCABULARY size, not corpus size) -> join back
+    (vocabulary is corpus-small: broadcast or sort-merge, Catalyst
+    picks) -> per-document window top-k. Returns (id, term, df, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("term"),
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "term")
+    return (
+        toks.join(dfreq, on="term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "df", "rank")
+    )

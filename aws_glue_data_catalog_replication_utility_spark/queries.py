@@ -2154,6 +2154,42 @@ def q49_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 50. distinctive terms per document (IDF shape, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q50_distinctive_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+      FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
+    ranked AS (
+      SELECT t.doc_id, t.term, d.df,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.term) AS rank
+      FROM toks t JOIN dfreq d USING (term))
+    SELECT doc_id, term, df, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q50_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarest-terms-per-document (the IDF idea with integer-only
+    outputs): distinct tokens ranked by corpus document frequency, top 3
+    per doc. The df aggregation shuffles on the VOCABULARY key (bounded
+    by vocab size, not corpus size); the join back is vocab-vs-corpus;
+    the top-k is a per-document window. No transcendentals anywhere, so
+    the hash check is exact."""
+    from .functions.text import distinctive_terms
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return distinctive_terms(
+        ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", k=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 

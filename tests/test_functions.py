@@ -201,3 +201,25 @@ def test_redact_masks_all_matches(spark):
     ).collect()[0]
     assert row.r == "mail [MASKED] and [MASKED] here"
     assert row.n == 2
+
+
+def test_distinctive_terms_prefers_rare_tokens(spark):
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        distinctive_terms,
+    )
+
+    df = _docs(
+        spark,
+        [
+            "common common rareA common",   # doc 0: rareA unique to it
+            "common rareB common",          # doc 1: rareB unique to it
+            "common only here",             # doc 2
+        ],
+    )
+    out = {
+        (r.doc_id, r.rank): (r.term, r.df)
+        for r in distinctive_terms(df, "doc_id", "text", k=2).collect()
+    }
+    assert out[(0, 1)] == ("rareA", 1)   # rarest first
+    assert out[(1, 1)] == ("rareB", 1)
+    assert out[(0, 2)] == ("common", 3)  # then the shared token
