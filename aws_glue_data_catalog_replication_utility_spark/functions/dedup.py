@@ -91,17 +91,42 @@ def jaccard_pairs(
     )
 
 
+# universal-hash family for MinHash: mh_i = min((a_i*h + b_i) mod P) over
+# the shingles' base hashes h (first 8 md5 hex chars as int64). ONE md5
+# per shingle + k integer permutations — the textbook construction
+# (pairwise-independent family), ~k/1 cheaper than k salted md5 calls.
+# P = 2^61-1 (Mersenne); a_i < 2^28 keeps a*h < 2^60: no int64 overflow,
+# so DuckDB's BIGINT arithmetic reproduces every value bit-exactly.
+MINHASH_P = (1 << 61) - 1
+MINHASH_AB: tuple[tuple[int, int], ...] = (
+    (87178291, 40014), (143906717, 2531011), (16807, 9999999),
+    (48271, 1013904223), (69621, 1655692), (181081, 97531),
+    (205891, 134775813), (233317, 7919), (99990001, 65537),
+    (33554467, 1234567), (67867967, 362437), (198491317, 50331653),
+)
+
+
+def _base_hash(col) -> F.Column:
+    """First 8 md5 hex chars of a string column, as int64 (identical in
+    DuckDB: ('0x' || substring(md5(x), 1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signature(
     shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 12
 ) -> DataFrame:
-    """Deterministic MinHash signature: h_i(doc) = min over shingles of
-    md5(i || ':' || shingle). One aggregation computes all hashes
-    (map-side partial min). Returns (id, mh_0..mh_{k-1})."""
+    """Deterministic MinHash signature over a (id, shingle) relation:
+    mh_i(doc) = min over shingles of (a_i*h + b_i) mod P. One
+    aggregation computes all hashes (map-side partial min). Returns
+    (id, mh_0..mh_{k-1}) as int64 columns."""
+    assert num_hashes <= len(MINHASH_AB)
+    h = _base_hash(F.col("shingle"))
+    base = shingles.select(F.col(id_col), h.alias("__h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def ensure_min_parallelism(df: DataFrame, fraction: float = 1.0) -> DataFrame:
@@ -143,17 +168,21 @@ def minhash_signature_arrays(
     a single narrow projection in whole-stage codegen — at 100 TB this
     removes the signature stage's shuffle entirely; only the band-key
     candidate join shuffles. Returns (id, mh_0..mh_{k-1})."""
+    assert num_hashes <= len(MINHASH_AB)
     df = ensure_min_parallelism(df)
     tmp = df.select(F.col(id_col), shingle_array(text_col, n).alias("__sh"))
-    return tmp.where(F.size("__sh") > 0).select(
+    # one md5 per shingle, then k integer permutations over the int array
+    hashed = tmp.where(F.size("__sh") > 0).select(
+        F.col(id_col),
+        F.transform("__sh", lambda s: _base_hash(s)).alias("__h"),
+    )
+    return hashed.select(
         F.col(id_col),
         *[
             F.array_min(
-                F.transform(
-                    "__sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
+                F.transform("__h", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
             ).alias(f"mh_{i}")
-            for i in range(num_hashes)
+            for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
         ],
     )
 

@@ -37,6 +37,8 @@ from .operators import (
     threshold_route,
 )
 from .functions.dedup import (
+    MINHASH_AB,
+    MINHASH_P,
     ensure_min_parallelism,
     exact_dedup,
     jaccard_pairs,
@@ -655,6 +657,18 @@ _SHINGLE_SQL = """
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
 """
 
+# DuckDB mirror of the MinHash universal-hash family (dedup.MINHASH_AB):
+# one md5 per shingle -> int64 base hash -> k integer permutations mod P
+_MH_BASE_SQL = (
+    "SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h FROM sh"
+)
+
+
+def _mh_min_sql(i: int) -> str:
+    a, b = MINHASH_AB[i]
+    return f"MIN(({a}*h + {b}) % {MINHASH_P})"
+
+
 
 @register(
     "q17_ngram_jaccard_pairs",
@@ -691,23 +705,21 @@ def q17_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_minhash_signatures",
     oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL})
+    WITH sh AS ({_SHINGLE_SQL}),
+    hs AS ({_MH_BASE_SQL})
     SELECT doc_id,
-           MIN(md5('0:' || shingle)) AS mh_0,  MIN(md5('1:' || shingle)) AS mh_1,
-           MIN(md5('2:' || shingle)) AS mh_2,  MIN(md5('3:' || shingle)) AS mh_3,
-           MIN(md5('4:' || shingle)) AS mh_4,  MIN(md5('5:' || shingle)) AS mh_5,
-           MIN(md5('6:' || shingle)) AS mh_6,  MIN(md5('7:' || shingle)) AS mh_7,
-           MIN(md5('8:' || shingle)) AS mh_8,  MIN(md5('9:' || shingle)) AS mh_9,
-           MIN(md5('10:' || shingle)) AS mh_10, MIN(md5('11:' || shingle)) AS mh_11
-    FROM sh GROUP BY doc_id
+           {', '.join(f"{_mh_min_sql(i)} AS mh_{i}" for i in range(12))}
+    FROM hs GROUP BY doc_id
     """,
 )
 def q18_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic MinHash signatures (md5-keyed min per seed),
-    computed shuffle-FREE: array_min over the per-document shingle array
-    — one narrow projection in whole-stage codegen, no explode, no
-    aggregation shuffle. Value-identical to the explode+groupBy form
-    (the oracle IS that form, in DuckDB)."""
+    """Deterministic MinHash signatures via the universal-hash family
+    (ONE md5 per shingle -> int64 -> k integer permutations (a*h+b)%P,
+    the textbook pairwise-independent construction — k/1 cheaper than k
+    salted md5 calls), computed shuffle-FREE: array_min over the
+    per-document shingle array, one narrow projection in whole-stage
+    codegen. Value-identical to the explode+groupBy form (the oracle IS
+    that form, in DuckDB, same integer arithmetic)."""
     (docs,) = _t(spark, sf_dir, "documents")
     return minhash_signature_arrays(docs, "doc_id", "text", n=5, num_hashes=12)
 
@@ -727,15 +739,11 @@ def q18_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
       WHERE inter / (x.sz + y.sz - inter) >= 0.6
     ),
+    hs AS ({_MH_BASE_SQL}),
     sig AS (
       SELECT doc_id,
-             [MIN(md5('0:' || shingle)),  MIN(md5('1:' || shingle)),
-              MIN(md5('2:' || shingle)),  MIN(md5('3:' || shingle)),
-              MIN(md5('4:' || shingle)),  MIN(md5('5:' || shingle)),
-              MIN(md5('6:' || shingle)),  MIN(md5('7:' || shingle)),
-              MIN(md5('8:' || shingle)),  MIN(md5('9:' || shingle)),
-              MIN(md5('10:' || shingle)), MIN(md5('11:' || shingle))] AS mh
-      FROM sh GROUP BY doc_id
+             [{', '.join(f"CAST({_mh_min_sql(i)} AS VARCHAR)" for i in range(12))}] AS mh
+      FROM hs GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, b, array_to_string(mh[b*3+1 : b*3+3], '|') AS band_key
