@@ -31,10 +31,14 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def shingle_array(text_col: str, n: int = 5) -> F.Column:
-    """Column expression: the distinct word n-gram shingles of a text
-    column, as an array. Pure narrow expression (split + transform),
-    whole-stage codegen, no Python, no explode."""
+def shingle_array(text_col: str, n: int = 5, distinct: bool = True) -> F.Column:
+    """Column expression: the word n-gram shingles of a text column, as
+    an array (distinct by default). Pure narrow expression (split +
+    transform), whole-stage codegen, no Python, no explode.
+
+    distinct=False skips the array_distinct pass — correct whenever the
+    consumer is duplicate-insensitive (a MIN over the shingles), and
+    measured at ~half the cost of the signature lane."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # positions 0 .. size-n; explicitly empty when doc is shorter than n
     # tokens (sequence(0, negative) would count DOWN, not produce empty)
@@ -43,7 +47,7 @@ def shingle_array(text_col: str, n: int = 5) -> F.Column:
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh)
+    return F.array_distinct(sh) if distinct else sh
 
 
 def word_shingles(
@@ -170,9 +174,19 @@ def minhash_signature_arrays(
     candidate join shuffles. Returns (id, mh_0..mh_{k-1})."""
     assert num_hashes <= len(MINHASH_AB)
     df = ensure_min_parallelism(df)
-    tmp = df.select(F.col(id_col), shingle_array(text_col, n).alias("__sh"))
+    # exclusion filter on the CHEAP precondition (token count >= n,
+    # equivalent to "has shingles") BEFORE the shingle projection: a
+    # filter on the shingle array itself would be substituted through
+    # the projection by Catalyst and build every array twice (measured
+    # 3x this lane's cost). distinct=False because MIN over shingles is
+    # duplicate-insensitive — array_distinct would buy nothing for ~half
+    # the lane's cost.
+    eligible = df.where(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n)
+    tmp = eligible.select(
+        F.col(id_col), shingle_array(text_col, n, distinct=False).alias("__sh")
+    )
     # one md5 per shingle, then k integer permutations over the int array
-    hashed = tmp.where(F.size("__sh") > 0).select(
+    hashed = tmp.select(
         F.col(id_col),
         F.transform("__sh", lambda s: _base_hash(s)).alias("__h"),
     )
