@@ -48,6 +48,64 @@ CASES = {
           FROM events) WHERE rn = 1
         GROUP BY event_type
     """,
+    "q47_stratified_sample": """
+        SELECT event_type,
+               COUNT(*) AS n_total,
+               SUM(CAST(bucket < rate AS INT)) AS n_sampled,
+               CAST(SUM(CASE WHEN bucket < rate
+                             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+                 AS sampled_value
+        FROM (
+          SELECT event_type, value,
+                 CAST(conv(substring(md5(concat('smp:',
+                      CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)
+                   % 100 AS bucket,
+                 CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 2
+                                 WHEN 'purchase' THEN 50 ELSE 5 END AS rate
+          FROM events)
+        GROUP BY event_type
+    """,
+    "q48_sequence_packing": """
+        WITH d AS (
+          SELECT source, doc_id,
+                 size(split(trim(text), '\\\\s+')) AS n_tokens
+          FROM documents),
+        p AS (
+          SELECT source, n_tokens,
+                 FLOOR(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 2048) AS bin
+          FROM d)
+        SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+        FROM p GROUP BY source, bin
+    """,
+    "q49_redaction": """
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS docs_with_hits,
+               SUM(n_hits) AS total_hits,
+               SUM(len_after) AS total_len_after
+        FROM (
+          SELECT source,
+                 regexp_count(text, '\\\\bcustomer\\\\b') AS n_hits,
+                 length(regexp_replace(text, '\\\\bcustomer\\\\b', '[MASKED]'))
+                   AS len_after
+          FROM documents)
+        GROUP BY source
+    """,
+    "q50_distinctive_terms": """
+        WITH toks AS (
+          SELECT doc_id,
+                 explode(array_distinct(split(trim(text), '\\\\s+'))) AS term
+          FROM documents),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
+        ranked AS (
+          SELECT t.doc_id, t.term, d.df,
+                 ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                    ORDER BY d.df, t.term) AS rank
+          FROM toks t JOIN dfreq d ON t.term = d.term)
+        SELECT doc_id, term, df, rank FROM ranked WHERE rank <= 3
+    """,
 }
 
 
