@@ -30,11 +30,13 @@ SALT = "smp:"
 
 
 def hash_bucket(id_col: str, salt: str = SALT, buckets: int = 100) -> F.Column:
-    """Deterministic bucket in [0, buckets): first 8 md5 hex chars of the
-    salted id, as an integer. Engine-portable: DuckDB computes the same
-    value as ('0x' || substring(md5(...), 1, 8))::BIGINT % buckets."""
-    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+    """Deterministic bucket in [0, buckets): the salted id's base hash
+    (dedup._base_hash — ONE definition of the engine-portable
+    md5-prefix-to-int64 construction; DuckDB mirror is
+    ('0x' || substring(md5(...), 1, 8))::BIGINT) modulo buckets."""
+    from .dedup import _base_hash
+
+    return _base_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % buckets
 
 
 def stratified_sample(

@@ -136,9 +136,7 @@ def distinctive_terms(
 
     toks = df.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-        ).alias("term"),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("term"),
     )
     dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "term")

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def asof_join(
@@ -51,9 +51,9 @@ def asof_join(
     # papered over by an older row, and with several value_cols every
     # output field comes from the SAME (latest) right row rather than a
     # per-column mix. This is the DuckDB/standard ASOF contract.
-    payload_t = "struct<" + ",".join(
-        f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in value_cols
-    ) + ">"
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tag = left.select(
         *by,
         ts_col,

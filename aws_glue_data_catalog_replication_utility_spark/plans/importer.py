@@ -422,20 +422,34 @@ def import_events(
         order_col="event_id",
     ).drop("event_id")
     # ---- 4. partitions: inline + side-channel, full refresh ------------
-    inline_parts = tbl_msgs.select(
-        F.col("msg.table.database_name").alias("database_name"),
-        F.col("msg.table.name").alias("table_name"),
-        F.col("source_catalog_id").alias("__src"),
-        F.col("export_batch_id").alias("__batch"),
-        F.explode_outer("msg.partition_list").alias("p"),
-    ).where(F.col("p").isNotNull()).select(
-        "database_name",
-        "table_name",
-        "__src",
-        "__batch",
-        F.col("p.values").alias("values"),
-        F.col("p.storage_descriptor").alias("storage_descriptor"),
-    )
+    # latest-event-wins per partition ADDRESS (db, table, values): an
+    # event redelivered into the SAME batch (SQS at-least-once) must not
+    # double its inline partitions — the reference applies each message's
+    # delete-all-then-add-all sequentially, so duplicates are naturally
+    # idempotent there; in the set-oriented union they must be deduped,
+    # with the same event_id winner rule as the table merge
+    inline_parts = latest_by(
+        tbl_msgs.select(
+            F.col("msg.table.database_name").alias("database_name"),
+            F.col("msg.table.name").alias("table_name"),
+            F.col("source_catalog_id").alias("__src"),
+            F.col("export_batch_id").alias("__batch"),
+            "event_id",
+            F.explode_outer("msg.partition_list").alias("p"),
+        )
+        .where(F.col("p").isNotNull())
+        .select(
+            "database_name",
+            "table_name",
+            "__src",
+            "__batch",
+            "event_id",
+            F.col("p.values").alias("values"),
+            F.col("p.storage_descriptor").alias("storage_descriptor"),
+        ),
+        keys=["database_name", "table_name", "values"],
+        order_col="event_id",
+    ).drop("event_id")
 
     if side_good is not None:
         # scope by the SOURCE catalog named in the message so two source
@@ -552,10 +566,17 @@ def import_events(
         )
         .unionByName(
             tbl_failures.select(
-                F.coalesce(
-                    F.nullif(F.concat_ws("|", "name", "database_name"), F.lit("")),
-                    F.col("event_id"),
-                ).alias("table_id"),
+                # the 'name|database' key only when BOTH parts parsed —
+                # concat_ws silently skips NULLs, so a half-parsed
+                # identity would collide across distinct failures;
+                # otherwise the event_id keys the row
+                F.when(
+                    F.col("name").isNotNull()
+                    & F.col("database_name").isNotNull(),
+                    F.concat_ws("|", "name", "database_name"),
+                )
+                .otherwise(F.col("event_id"))
+                .alias("table_id"),
                 F.lit(run_id).cast("long").alias("import_run_id"),
                 F.col("export_batch_id"),
                 F.col("name").alias("table_name"),

@@ -60,15 +60,29 @@ _REGISTRY: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 
 
+# multi-consumer subplans persist()ed by queries, still cached for the
+# caller's collect of the LAST query's result; evicted (scoped — never
+# spark.catalog.clearCache(), which would also drop caches an embedding
+# application owns) when the NEXT registry query starts, so a 50-query
+# sweep in one session doesn't accumulate cached relations
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Materialize a shared subplan once (Spark does NOT reuse
+    non-exchange subplans across plan branches) and register it for
+    scoped eviction at the next registry call."""
+    df = df.persist()
+    df.count()
+    _PERSISTED.append(df)
+    return df
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # a handful of queries persist() a shared subplan and leave
-            # it cached for the caller's collect; evict those leftovers
-            # when the NEXT query starts, so a 45-query sweep in one
-            # session doesn't accumulate cached relations (eviction is
-            # otherwise LRU-best-effort)
-            spark.catalog.clearCache()
+            while _PERSISTED:
+                _PERSISTED.pop().unpersist()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
@@ -695,10 +709,11 @@ def q17_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation — materialize once instead of re-exploding per branch
     # (measured ~2.5x end-to-end at sf0.1); repartition the compact docs
     # first so the explode isn't serialized onto one tiny input split
-    sh = word_shingles(
-        ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
-    ).persist()
-    sh.count()
+    sh = _persist(
+        word_shingles(
+            ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
+        )
+    )
     return jaccard_pairs(sh, "doc_id", threshold=0.6)
 
 
@@ -776,10 +791,11 @@ def q19_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-free explode would serialize onto it (see
     # ensure_min_parallelism) — repartitioning the compact docs first
     # spreads the shingle work AND gives the cache that partitioning
-    sh = word_shingles(
-        ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
-    ).persist()
-    sh.count()  # materialize before branches race the cache
+    sh = _persist(
+        word_shingles(
+            ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
+        )
+    )  # materialized before branches race the cache
     exact = jaccard_pairs(sh, "doc_id", threshold=0.6)
     # signatures reuse the cached exploded relation (4th consumer): one
     # cheap 12-min agg over cached rows beats recomputing shingles+md5
@@ -1283,8 +1299,7 @@ def q32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     # 8 consumers (4 bands x 2 join sides) read the signatures:
     # materialize once rather than re-aggregating per branch
-    sigs = simhash(docs, "doc_id", "text", bits=16).persist()
-    sigs.count()
+    sigs = _persist(simhash(docs, "doc_id", "text", bits=16))
     return simhash_pairs(sigs, "doc_id", max_hamming=3, bits=16, bands=4).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
@@ -1342,8 +1357,7 @@ def q33_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     from .functions.similarity import ivf_assignments
 
-    assign = ivf_assignments(emb, n_seeds=8).persist()
-    assign.count()  # two consumers below
+    assign = _persist(ivf_assignments(emb, n_seeds=8))  # two consumers below
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1420,8 +1434,7 @@ def q34_replication_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the side-channel write already ran the export subgraph once; pin
     # the (small) message set so the import action doesn't re-run it
-    events = msgs.unionByName(tbl_msgs).persist()
-    events.count()
+    events = _persist(msgs.unionByName(tbl_msgs))
     d, t, p = empty_catalog(spark)
     res = import_events(spark, events, d, t, p, side_channel_path=side)
     return (

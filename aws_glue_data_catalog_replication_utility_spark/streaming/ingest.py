@@ -49,6 +49,24 @@ from ..plans.importer import import_events
 
 _V_RE = re.compile(r"^v=(\d+)$")
 
+# Hive/Spark partition-directory escaping (ExternalCatalogUtils
+# .escapePathName): these characters are %XX-encoded in directory names
+# by partitionBy() writers; the delete-all lane must target the SAME
+# escaped path or the wipe silently misses (worse, a '/' in a name
+# would address the wrong subtree)
+_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def escape_dir_name(value: str | None) -> str:
+    """A partition value as Spark's partitioned writer encodes it on
+    disk (null -> __HIVE_DEFAULT_PARTITION__, special chars -> %XX)."""
+    if value is None:
+        return _DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch for ch in value
+    )
+
 
 def latest_version(state_root: str) -> int | None:
     """Highest committed dbs/tables state version, or None when
@@ -183,7 +201,8 @@ def commit_partitions(
     )
     for r in empties:
         shutil.rmtree(
-            f"{root}/database_name={r.database_name}/table_name={r.table_name}",
+            f"{root}/database_name={escape_dir_name(r.database_name)}"
+            f"/table_name={escape_dir_name(r.table_name)}",
             ignore_errors=True,
         )
     # inside foreachBatch the batch DataFrame belongs to a CLONED session

@@ -515,6 +515,39 @@ def test_partition_validation_routes_bad_rows(spark):
     assert ta[0].error == "1 partition row(s) failed validation"
 
 
+def test_duplicate_event_in_one_batch_does_not_double_partitions(spark):
+    """SQS at-least-once can deliver the same message twice into ONE
+    drained batch. The reference applies each message's delete-all-then-
+    add-all sequentially (idempotent); the set-oriented union must dedupe
+    by partition address with the same latest-event-wins rule as the
+    table merge — or every inline partition would appear twice."""
+    sd = '{"location": "s3://x"}'
+    payload = (
+        '{"table": {"database_name": "d1", "name": "t1", "owner": "o", '
+        '"retention": 0, "table_type": "EXTERNAL_TABLE", "parameters": {}, '
+        '"partition_keys": [{"name": "year", "type": "string"}], '
+        f'"storage_descriptor": {sd}}}, '
+        '"partition_list": ['
+        f'{{"values": ["2024"], "storage_descriptor": {sd}}}, '
+        f'{{"values": ["2025"], "storage_descriptor": {sd}}}]}}'
+    )
+    events = spark.createDataFrame(
+        [
+            ("e1", "table", "111", "b1", payload, None, None),
+            ("e2", "table", "111", "b1", payload, None, None),  # redelivery
+        ],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, region_name string",
+    )
+    d, t, p = empty_catalog(spark)
+    res = import_events(spark, events, d, t, p)
+    assert res.tables.count() == 1
+    assert res.partitions.count() == 2  # NOT 4
+    assert {tuple(r["values"]) for r in res.partitions.collect()} == {
+        ("2024",), ("2025",),
+    }
+
+
 def test_auto_create_missing_parent_db(spark):
     # GDCUtil.java:47-57: table arrives whose db is absent on target
     from aws_glue_data_catalog_replication_utility_spark.model import empty_catalog

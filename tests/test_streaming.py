@@ -111,6 +111,31 @@ def test_stream_replay_is_effectively_once(spark, stream_env):
     assert da.where(F.col("is_created")).count() == 0
 
 
+def test_partition_commit_wipes_hive_escaped_dir_names(spark, tmp_path):
+    """partitionBy() writers %XX-escape special characters in directory
+    names; the delete-all lane must target the ESCAPED path, or the wipe
+    silently misses (and a '/' in a name would address a wrong subtree)."""
+    from aws_glue_data_catalog_replication_utility_spark.model import PARTITION
+    from aws_glue_data_catalog_replication_utility_spark.streaming.ingest import (
+        commit_partitions,
+        read_partitions,
+    )
+
+    state = str(tmp_path / "state")
+    delta = spark.createDataFrame(
+        [("999", "d1", "a:b/c", ["2024"], None, None, None, None)], PARTITION
+    )
+    scope = spark.createDataFrame(
+        [("d1", "a:b/c")], "database_name string, table_name string"
+    )
+    commit_partitions(spark, delta, scope, state)
+    assert read_partitions(spark, state).count() == 1
+
+    # delete-all case: table in scope, zero delta rows
+    commit_partitions(spark, delta.limit(0), scope, state)
+    assert read_partitions(spark, state).count() == 0
+
+
 def test_version_retention_maps_skip_archive(spark, tmp_path):
     """`skipArchive` mapping (GlueUtil.java:264-350: UpdateTable archives
     the prior table version unless skipArchive=true). At snapshot
