@@ -32,3 +32,29 @@ def test_no_plan_antipatterns(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} has an undeclared BroadcastNestedLoopJoin"
         )
+
+
+def test_ivf_cluster_layout_prunes_partitions(spark, tmp_path):
+    """The IVF story's storage half: clusters written as partition
+    directories make nprobe=1 search a DIRECTORY prune, not a scan —
+    the plan must show a PartitionFilters entry on `cluster` and read
+    only that cluster's files."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        ivf_assignments,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+    assign = ivf_assignments(emb, n_seeds=4)
+    root = str(tmp_path / "ivf")
+    emb.join(assign, on="vec_id").write.partitionBy("cluster").parquet(root)
+
+    full = spark.read.parquet(root)
+    probe = full.where(F.col("cluster") == 1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the cluster predicate is a partition filter (directory prune), not
+    # a data filter evaluated per row
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert probe.count() == full.where(F.col("cluster") == 1).count() > 0
