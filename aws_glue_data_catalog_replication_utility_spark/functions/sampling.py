@@ -84,3 +84,36 @@ def pack_sequences(
             F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / window_tokens
         ),
     )
+
+
+def mix_corpora(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_count: F.Column | None = None,
+    salt: str = SALT,
+) -> DataFrame:
+    """Equal-token-budget corpus mixing: every source is downsampled to
+    (approximately) the smallest source's token count, with integer
+    percent rates derived FROM THE DATA — rate_s = min(100,
+    (100*min_tokens) DIV tokens_s) — and membership decided by the
+    deterministic hash bucket. All integer arithmetic: the mix is
+    engine-reproducible and re-runs identically.
+
+    Plan: one agg on the source key (corpus-small), a global-window min
+    for the budget (source-count rows, not corpus rows), broadcast the
+    tiny rate table back, then the narrow hash filter. Returns the kept
+    rows with (rate_pct, n_tokens) attached."""
+    d = df.select(F.col(source_col), F.col(id_col), token_count.alias("n_tokens"))
+    tot = d.groupBy(source_col).agg(F.sum("n_tokens").alias("__toks"))
+    rates = tot.withColumn(
+        "__b", F.min("__toks").over(Window.partitionBy())
+    ).select(
+        source_col,
+        # DIV (integer division), never `/`+floor: float rounding would
+        # break cross-engine reproducibility of the rate itself
+        F.least(F.lit(100), F.expr("(100 * __b) DIV __toks")).alias("rate_pct"),
+    )
+    return d.join(F.broadcast(rates), on=source_col).where(
+        hash_bucket(id_col, salt) < F.col("rate_pct")
+    )

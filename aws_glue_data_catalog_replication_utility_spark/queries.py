@@ -2215,6 +2215,54 @@ def q50_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 51. corpus mixing to an equal token budget
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q51_corpus_mixing",
+    oracle=r"""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS tc
+      FROM documents),
+    tot AS (SELECT source, SUM(tc) AS toks FROM d GROUP BY source),
+    budget AS (SELECT MIN(toks) AS b FROM tot),
+    rates AS (
+      SELECT source, LEAST(100, (100 * b) // toks) AS rate
+      FROM tot CROSS JOIN budget),
+    kept AS (
+      SELECT d.source, d.tc, r.rate,
+             ('0x' || substring(md5('smp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM d JOIN rates r USING (source))
+    SELECT source,
+           CAST(MAX(rate) AS BIGINT) AS rate_pct,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(tc) AS BIGINT) AS tokens_kept
+    FROM kept WHERE bucket < rate GROUP BY source
+    """,
+)
+def q51_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to an equal token budget: per-source sampling rates
+    are derived FROM THE DATA (integer DIV against the smallest source's
+    token count — never float division, so the rates themselves are
+    engine-reproducible), then rows are kept by the deterministic hash
+    bucket. The census per source (rate, docs kept, tokens kept) is the
+    mixing report a corpus-construction pipeline logs."""
+    from .functions.sampling import mix_corpora
+    from .functions.text import token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    kept = mix_corpora(docs, "source", "doc_id", token_count("text"))
+    return kept.groupBy("source").agg(
+        F.max("rate_pct").cast("long").alias("rate_pct"),
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 

@@ -223,3 +223,24 @@ def test_distinctive_terms_prefers_rare_tokens(spark):
     assert out[(0, 1)] == ("rareA", 1)   # rarest first
     assert out[(1, 1)] == ("rareB", 1)
     assert out[(0, 2)] == ("common", 3)  # then the shared token
+
+
+def test_mix_corpora_downsamples_to_smallest_budget(spark):
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        mix_corpora,
+    )
+
+    # source a: 1000 docs x 10 tokens; source b: 100 docs x 10 tokens
+    df = spark.range(0, 1100).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 1000 THEN 'a' ELSE 'b' END AS source",
+        "10 AS tc",
+    )
+    kept = mix_corpora(df, "source", "doc_id", F.col("tc"))
+    rates = {r.source: r.rate_pct for r in kept.select("source", "rate_pct").distinct().collect()}
+    assert rates["b"] == 100  # the smallest source IS the budget
+    assert rates["a"] == 10  # 100 * 1000 / 10000
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] == 100  # kept whole
+    # hash sampling at 10%: close to the budget, not exact
+    assert 50 <= counts["a"] <= 200
