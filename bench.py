@@ -34,6 +34,12 @@ HEADLINE = [
     "q27_blob_features",
     "q28_merge_catalog_shapes",
     "q34_replication_roundtrip",
+    # round-3 additions: training-data pipeline breadth
+    "q47_stratified_sample",
+    "q48_sequence_packing",
+    "q49_redaction",
+    "q50_distinctive_terms",
+    "q51_corpus_mixing",
 ]
 
 
