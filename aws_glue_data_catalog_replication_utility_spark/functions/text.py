@@ -146,3 +146,49 @@ def distinctive_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "df", "rank")
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+):
+    """Split documents into overlapping token-window chunks (the passage
+    shape retrieval and pretraining pipelines feed downstream): chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may run short; a doc
+    shorter than one window yields exactly one chunk.
+
+    Pure column algebra — tokenize once, posexplode a chunk-index
+    sequence, slice per chunk. No shuffle: parallelism follows input
+    splits (wrap the source with ensure_min_parallelism for
+    degenerate-split inputs). All index math is exact-integer (modulo
+    trick instead of float division) so the DuckDB oracle reproduces
+    chunk boundaries bit-exactly. Returns (id, chunk_idx, chunk_len,
+    chunk_md5), the md5 fingerprinting the chunk's space-joined tokens.
+    """
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    base = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    # ceil((sz - overlap) / stride) as exact integers: subtract the
+    # remainder before dividing, so the division is an exact multiple
+    num = F.size("__toks") - overlap + (stride - 1)
+    n_chunks = F.greatest(
+        ((num - num % stride) / stride).cast("int"), F.lit(1)
+    )
+    exploded = base.select(
+        id_col,
+        "__toks",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "__i"),
+    )
+    start = F.col("chunk_idx") * stride
+    length = F.least(F.lit(chunk_tokens), F.size("__toks") - start)
+    chunk = F.slice("__toks", start + 1, length)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

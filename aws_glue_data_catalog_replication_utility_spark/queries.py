@@ -2263,6 +2263,50 @@ def q51_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 52. document chunking into overlapping token windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q52_document_chunking",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS sz,
+             GREATEST((len(toks) - 16 + 47) // 48, 1) AS nc
+      FROM d),
+    c AS (SELECT doc_id, toks, sz, unnest(range(0, nc)) AS chunk_idx FROM n)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks[chunk_idx*48+1 : LEAST(chunk_idx*48+64, sz)]) AS INT)
+             AS chunk_len,
+           md5(array_to_string(
+             toks[chunk_idx*48+1 : LEAST(chunk_idx*48+64, sz)], ' '))
+             AS chunk_md5
+    FROM c
+    """,
+)
+def q52_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16-token
+    overlap — the passage shape retrieval/pretraining pipelines emit):
+    tokenize once, posexplode a chunk-index sequence, slice per chunk.
+    Shuffle-free; chunk boundaries are exact-integer arithmetic and the
+    chunk md5 fingerprints are engine-portable, so every chunk of every
+    document hash-checks."""
+    from .functions.text import chunk_documents
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        ensure_min_parallelism(docs, fraction=0.25),
+        "doc_id",
+        "text",
+        chunk_tokens=64,
+        overlap=16,
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 

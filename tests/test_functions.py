@@ -244,3 +244,18 @@ def test_mix_corpora_downsamples_to_smallest_budget(spark):
     assert counts["b"] == 100  # kept whole
     # hash sampling at 10%: close to the budget, not exact
     assert 50 <= counts["a"] <= 200
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        chunk_documents,
+    )
+
+    long = " ".join(f"w{i}" for i in range(100))
+    df = _docs(spark, [long, "tiny doc"])
+    out = {
+        (r.doc_id, r.chunk_idx): r.chunk_len
+        for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    }
+    # 100 tokens, stride 48: chunks at 0 (64), 48 (52) -> ceil(84/48)=2
+    assert out == {(0, 0): 64, (0, 1): 52, (1, 0): 2}
