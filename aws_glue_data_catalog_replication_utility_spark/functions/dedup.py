@@ -333,3 +333,69 @@ def minhash_band_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over an
+    undirected pair relation by iterative min-label propagation — the
+    step a dedup pipeline needs after pair generation (keep ONE doc per
+    cluster, not per pair). Returns (id, label) where label is the
+    smallest member id of the component; vertices absent from any pair
+    keep their own id (singleton clusters).
+
+    Each iteration is one equi-join + one min-aggregation, fully
+    distributed; the driver sees only a per-iteration scalar (sum of
+    labels, strictly decreasing until the fixpoint, so equality IS
+    convergence). Iteration count is the component DIAMETER — small for
+    near-dup clusters by construction. For adversarially long chains at
+    100 TB the alternating large-star/small-star formulation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") drops rounds to
+    O(log n); this direct form keeps the plan minimal.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+    ).persist()
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        cur = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter too large — use the large-star/small-star "
+            "variant for chain-shaped graphs)"
+        )
+    return labels

@@ -2307,6 +2307,72 @@ def q52_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 53. duplicate-cluster resolution (connected components over pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q53_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+      WHERE inter / (x.sz + y.sz - inter) >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS lab FROM documents
+      UNION
+      SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    lab AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+    csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+    SELECT l.id AS doc_id, l.cluster_id, c.cluster_size,
+           l.id = l.cluster_id AS is_keeper
+    FROM lab l JOIN csz c USING (cluster_id)
+    """,
+)
+def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution — the step after pair generation
+    that real dedup pipelines need (keep ONE document per duplicate
+    cluster, not per pair): connected components over the exact Jaccard
+    >= 0.6 pairs via iterative min-label propagation (each round one
+    equi-join + one min-agg, driver sees only a scalar convergence
+    check). The DuckDB oracle computes the same components with a
+    recursive CTE, so cluster ids, sizes, and keeper flags all
+    hash-check. Docs in no pair are singleton keepers."""
+    from .functions.dedup import connected_components
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = _persist(
+        word_shingles(
+            ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
+        )
+    )
+    pairs = jaccard_pairs(sh, "doc_id", threshold=0.6).select("id_a", "id_b")
+    labels = connected_components(pairs, docs.select("doc_id"), "doc_id")
+    _PERSISTED.append(labels)  # scoped eviction at the next registry call
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, on="label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 

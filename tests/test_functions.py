@@ -259,3 +259,18 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     }
     # 100 tokens, stride 48: chunks at 0 (64), 48 (52) -> ceil(84/48)=2
     assert out == {(0, 0): 64, (0, 1): 52, (1, 0): 2}
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    verts = spark.range(0, 13).select(F.col("id").alias("doc_id"))
+    got = {r.id: r.label for r in connected_components(pairs, verts).collect()}
+    assert got[1] == got[2] == got[3] == got[4] == 1  # 3-hop chain converges
+    assert got[10] == got[11] == 10
+    assert got[0] == 0 and got[7] == 7  # singletons keep their own id
