@@ -40,6 +40,8 @@ HEADLINE = [
     "q49_redaction",
     "q50_distinctive_terms",
     "q51_corpus_mixing",
+    "q52_document_chunking",
+    "q53_dedup_clusters",
 ]
 
 
