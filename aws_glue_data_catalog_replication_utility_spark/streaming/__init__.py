@@ -3,6 +3,8 @@ and event-time windowed rollups. See ingest.py / rollup.py."""
 
 from .ingest import (  # noqa: F401
     commit_partitions,
+    escape_dir_name,
+    prune_versions,
     latest_version,
     read_audit,
     read_partitions,
@@ -11,5 +13,6 @@ from .ingest import (  # noqa: F401
     write_small_planes,
 )
 from .dedupe import dedupe_events  # noqa: F401
+from .enrich import interval_join  # noqa: F401
 from .rollup import windowed_rollup  # noqa: F401
 from .sessions import session_rollup  # noqa: F401

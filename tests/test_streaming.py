@@ -373,3 +373,62 @@ def test_dedupe_events_drops_redeliveries_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedupe_test").collect())
     assert got == [101, 102, 103, 104]  # each id exactly once
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: same plan in batch and under two
+    readStreams with watermarks (state bounded by the interval + the
+    watermark horizon); append output must equal the batch join."""
+    import datetime as dt
+
+    from aws_glue_data_catalog_replication_utility_spark.streaming.enrich import (
+        interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    clicks = [
+        (t0 + dt.timedelta(minutes=m), u, f"c{m}")
+        for u, m in [(1, 5), (1, 40), (2, 10)]
+    ]
+    buys = [
+        (t0 + dt.timedelta(minutes=m), u, float(m))
+        for u, m in [(1, 8), (1, 70), (2, 9), (3, 12)]
+    ]
+    cs, bs = "ts timestamp, user_id long, click_id string", (
+        "ts timestamp, user_id long, amount double"
+    )
+    cdf, bdf = spark.createDataFrame(clicks, cs), spark.createDataFrame(buys, bs)
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    cdf.write.mode("overwrite").json(cdir)
+    bdf.write.mode("overwrite").json(bdir)
+
+    # purchase within [click_ts - 2m, click_ts + 10m]
+    expected = sorted(
+        (r.click_id, str(r.r_ts), r.r_amount)
+        for r in interval_join(
+            cdf, bdf, on="user_id", lower="2 minutes", upper="10 minutes"
+        ).collect()
+    )
+    assert expected  # the fixture produces matches
+
+    q = (
+        interval_join(
+            spark.readStream.schema(cs).json(cdir),
+            spark.readStream.schema(bs).json(bdir),
+            on="user_id",
+            lower="2 minutes",
+            upper="10 minutes",
+            watermark="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.click_id, str(r.r_ts), r.r_amount)
+        for r in spark.sql("SELECT * FROM ij_test").collect()
+    )
+    assert got == expected
