@@ -347,18 +347,22 @@ def connected_components(
     undirected pair relation by iterative min-label propagation — the
     step a dedup pipeline needs after pair generation (keep ONE doc per
     cluster, not per pair). Returns (id, label) where label is the
-    smallest member id of the component; vertices absent from any pair
-    keep their own id (singleton clusters).
+    smallest member id of the component (any orderable id type — min is
+    lexicographic for strings); vertices absent from any pair keep
+    their own id (singleton clusters).
 
     Each iteration is one equi-join + one min-aggregation, fully
-    distributed; the driver sees only a per-iteration scalar (sum of
-    labels, strictly decreasing until the fixpoint, so equality IS
-    convergence). Iteration count is the component DIAMETER — small for
-    near-dup clusters by construction. For adversarially long chains at
-    100 TB the alternating large-star/small-star formulation (Kiveris et
-    al., "Connected Components in MapReduce and Beyond") drops rounds to
+    distributed; the driver sees only a per-iteration scalar (the exact
+    count of labels that changed — no type-dependent checksum).
+    Iteration count is the component DIAMETER — small for near-dup
+    clusters by construction. For adversarially long chains at 100 TB
+    the alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") drops rounds to
     O(log n); this direct form keeps the plan minimal.
-    """
+
+    The returned frame is persist()ed (its lineage is the whole
+    iteration tower) — ownership transfers to the caller, who should
+    unpersist() it when done."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         e.unionByName(
@@ -368,9 +372,8 @@ def connected_components(
         .persist()
     )
     labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).persist()
-    prev = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         msgs = (
@@ -383,13 +386,17 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .persist()
         )
-        cur = new_labels.agg(F.sum("label")).collect()[0][0]
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
         labels.unpersist()
         labels = new_labels
-        if cur == prev:
+        if changed == 0:
             converged = True
             break
-        prev = cur
     edges.unpersist()
     if not converged:
         labels.unpersist()

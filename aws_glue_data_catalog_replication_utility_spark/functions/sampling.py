@@ -88,9 +88,9 @@ def pack_sequences(
 
 def mix_corpora(
     df: DataFrame,
-    source_col: str = "source",
-    id_col: str = "doc_id",
-    token_count: F.Column | None = None,
+    source_col: str,
+    id_col: str,
+    token_count: F.Column,
     salt: str = SALT,
 ) -> DataFrame:
     """Equal-token-budget corpus mixing: every source is downsampled to
@@ -105,7 +105,14 @@ def mix_corpora(
     tiny rate table back, then the narrow hash filter. Returns the kept
     rows with (rate_pct, n_tokens) attached."""
     d = df.select(F.col(source_col), F.col(id_col), token_count.alias("n_tokens"))
-    tot = d.groupBy(source_col).agg(F.sum("n_tokens").alias("__toks"))
+    # a zero-token source would poison the budget (min would be 0 -> every
+    # real source rated 0, and its own DIV-by-zero NULL would slip past
+    # least()): it contributes nothing, so it is excluded outright
+    tot = (
+        d.groupBy(source_col)
+        .agg(F.sum("n_tokens").alias("__toks"))
+        .where(F.col("__toks") > 0)
+    )
     rates = tot.withColumn(
         "__b", F.min("__toks").over(Window.partitionBy())
     ).select(

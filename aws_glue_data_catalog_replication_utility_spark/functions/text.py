@@ -169,7 +169,10 @@ def chunk_documents(
     chunk boundaries bit-exactly. Returns (id, chunk_idx, chunk_len,
     chunk_md5), the md5 fingerprinting the chunk's space-joined tokens.
     """
-    assert 0 <= overlap < chunk_tokens
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
     stride = chunk_tokens - overlap
     base = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
     # ceil((sz - overlap) / stride) as exact integers: subtract the
@@ -181,7 +184,7 @@ def chunk_documents(
     exploded = base.select(
         id_col,
         "__toks",
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "__i"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     )
     start = F.col("chunk_idx") * stride
     length = F.least(F.lit(chunk_tokens), F.size("__toks") - start)

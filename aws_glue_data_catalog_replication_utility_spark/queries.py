@@ -683,17 +683,24 @@ def _mh_min_sql(i: int) -> str:
     return f"MIN(({a}*h + {b}) % {MINHASH_P})"
 
 
-
-@register(
-    "q17_ngram_jaccard_pairs",
-    oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+# shared Jaccard pair-generation CTEs (assumes a preceding `sh` CTE):
+# per-doc set sizes + inverted-index intersection counts. ONE definition
+# so the q17 baseline, the q19 recall anchor, and the q53 clustering
+# oracle can never silently diverge on the pair semantics.
+_JACCARD_CTES = """
     sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+
+@register(
+    "q17_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),{_JACCARD_CTES}
     SELECT id_a, id_b,
            inter / (x.sz + y.sz - inter) AS jaccard
     FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
@@ -742,13 +749,7 @@ def q18_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_lsh_candidate_recall",
     oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
-    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    WITH sh AS ({_SHINGLE_SQL}),{_JACCARD_CTES},
     exact AS (
       SELECT id_a, id_b, inter / (x.sz + y.sz - inter) AS jaccard
       FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
@@ -2315,13 +2316,7 @@ def q52_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE
-    sh AS ({_SHINGLE_SQL}),
-    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    sh AS ({_SHINGLE_SQL}),{_JACCARD_CTES},
     pairs AS (
       SELECT id_a, id_b
       FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id

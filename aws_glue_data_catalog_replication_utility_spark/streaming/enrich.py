@@ -37,8 +37,8 @@ def interval_join(
     (Spark derives the state horizon from the join condition — this is
     what makes the join runnable unbounded).
 
-    Column names: right's ts arrives as `right_ts_out`; right's other
-    columns must not collide with left's (select/alias beforehand).
+    Output columns: all of left's, plus right's non-key columns
+    prefixed `r_` (e.g. right's ts arrives as `r_ts`).
     """
     l, r = left.alias("l"), right.alias("r")
     if watermark is not None:

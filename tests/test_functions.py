@@ -270,7 +270,9 @@ def test_connected_components_chains_and_singletons(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
     )
     verts = spark.range(0, 13).select(F.col("id").alias("doc_id"))
-    got = {r.id: r.label for r in connected_components(pairs, verts).collect()}
+    labels = connected_components(pairs, verts)  # ownership: caller unpersists
+    got = {r.id: r.label for r in labels.collect()}
+    labels.unpersist()
     assert got[1] == got[2] == got[3] == got[4] == 1  # 3-hop chain converges
     assert got[10] == got[11] == 10
     assert got[0] == 0 and got[7] == 7  # singletons keep their own id

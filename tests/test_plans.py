@@ -57,4 +57,6 @@ def test_ivf_cluster_layout_prunes_partitions(spark, tmp_path):
     # a data filter evaluated per row
     assert "PartitionFilters" in plan
     assert "cluster" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
-    assert probe.count() == full.where(F.col("cluster") == 1).count() > 0
+    # pruned read returns exactly the pre-write source's cluster-1 rows
+    expected = emb.join(assign, on="vec_id").where(F.col("cluster") == 1).count()
+    assert probe.count() == expected > 0
