@@ -276,3 +276,24 @@ def test_connected_components_chains_and_singletons(spark):
     assert got[1] == got[2] == got[3] == got[4] == 1  # 3-hop chain converges
     assert got[10] == got[11] == 10
     assert got[0] == 0 and got[7] == 7  # singletons keep their own id
+
+
+def test_connected_components_string_ids(spark):
+    """Labels keep the id's own type (the long-cast regression silently
+    NULLed every label for string ids); min is lexicographic."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-c", "doc-a")], "id_a string, id_b string"
+    )
+    verts = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-c",), ("doc-z",)], "doc_id string"
+    )
+    labels = connected_components(pairs, verts)
+    got = {r.id: r.label for r in labels.collect()}
+    labels.unpersist()
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a", "doc-z": "doc-z",
+    }
