@@ -297,3 +297,18 @@ def test_connected_components_string_ids(spark):
     assert got == {
         "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a", "doc-z": "doc-z",
     }
+
+
+def test_quantize_embeddings_values_and_zero_vector(spark):
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert got[0].scale == 1.0
+    assert got[0].quantized == [127, -64, 31]  # floor(-63.5) = -64
+    assert got[1].scale == 0.0 and got[1].quantized == [0, 0, 0]
