@@ -42,6 +42,7 @@ HEADLINE = [
     "q51_corpus_mixing",
     "q52_document_chunking",
     "q53_dedup_clusters",
+    "q54_embedding_quantization",
 ]
 
 
