@@ -163,17 +163,26 @@ def minhash_signature_arrays(
     text_col: str = "text",
     n: int = 5,
     num_hashes: int = 12,
+    ensure_parallelism: bool = True,
 ) -> DataFrame:
-    """Shuffle-FREE MinHash: signatures computed per row from the
+    """Shuffle-free MinHash: signatures computed per row from the
     document's shingle array (`array_min` over `transform`) instead of
     exploding shingles through a groupBy. Identical values to
-    `minhash_signature` (lexicographic min over the same md5 strings;
-    docs with zero shingles are excluded on both paths) but the plan is
-    a single narrow projection in whole-stage codegen — at 100 TB this
-    removes the signature stage's shuffle entirely; only the band-key
-    candidate join shuffles. Returns (id, mh_0..mh_{k-1})."""
+    `minhash_signature` (integer min of the same universal-hash family
+    (a_i*h + b_i) mod P over each shingle's md5-prefix base hash; docs
+    with zero shingles are excluded on both paths) and the projection
+    itself is a single narrow map in whole-stage codegen.
+
+    ensure_parallelism=True (default) inserts a repartition SHUFFLE of
+    the compact input rows when the source has fewer splits than cores
+    (the local small-file case) — so "shuffle-free" holds exactly when
+    input splits already cover the cluster, which a 100 TB scan always
+    does. Pass False for a strictly shuffle-free plan (e.g. streaming
+    DataFrames, where the split-guard's df.rdd probe is unsupported).
+    Returns (id, mh_0..mh_{k-1})."""
     assert num_hashes <= len(MINHASH_AB)
-    df = ensure_min_parallelism(df)
+    if ensure_parallelism:
+        df = ensure_min_parallelism(df)
     # exclusion filter on the CHEAP precondition (token count >= n,
     # equivalent to "has shingles") BEFORE the shingle projection: a
     # filter on the shingle array itself would be substituted through
@@ -269,17 +278,21 @@ def simhash_pairs(
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     chunk = bits // bands
     mask = (1 << chunk) - 1
-    banded = None
-    for j in range(bands):
-        part = signatures.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.lit(j).alias("band"),
-            F.shiftright(F.col("simhash"), j * chunk)
-            .bitwiseAND(F.lit(mask))
-            .alias("band_val"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    # single scan: posexplode one per-row array of chunk values instead
+    # of `bands` unioned projections (each union re-ran the upstream
+    # signature subplan; the exploded form scans it once per join side
+    # and the band shuffle is reused across sides)
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), j * chunk).bitwiseAND(F.lit(mask))
+            for j in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(chunks).alias("band", "band_val"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, on=["band", "band_val"])
@@ -309,20 +322,27 @@ def minhash_band_pairs(
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band of the
     signature. bands*rows == num_hashes. Scale path: equi-join on the
-    band key (shuffle bounded by bucket sizes), never the full n^2."""
+    band key (shuffle bounded by bucket sizes), never the full n^2.
+
+    Plan shape: ONE posexplode of the per-row band-key array — a single
+    scan of the signature relation — instead of `bands` unioned
+    projections (which re-executed the whole upstream signature subplan
+    once per band per join side: 8x for 4 bands). Both join sides share
+    the identical exploded subplan, so the band-key shuffle is built
+    once and reused (ReusedExchange)."""
     rows = num_hashes // bands
     assert rows * bands == num_hashes
-    band_frames = []
-    for b in range(bands):
-        key = F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
-        band_frames.append(
-            signatures.select(
-                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
             )
-        )
-    banded = band_frames[0]
-    for f in band_frames[1:]:
-        banded = banded.unionByName(f)
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
+    )
     a = banded.alias("a")
     b_ = banded.alias("b")
     return (

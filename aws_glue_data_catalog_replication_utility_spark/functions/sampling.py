@@ -95,19 +95,27 @@ def mix_corpora(
 ) -> DataFrame:
     """Equal-token-budget corpus mixing: every source is downsampled to
     (approximately) the smallest source's token count, with integer
-    percent rates derived FROM THE DATA — rate_s = min(100,
+    percent rates derived FROM THE DATA — rate_s = clamp(1, 100,
     (100*min_tokens) DIV tokens_s) — and membership decided by the
     deterministic hash bucket. All integer arithmetic: the mix is
     engine-reproducible and re-runs identically.
 
+    The rate is floored at 1: a source more than 100x the smallest
+    source's token count keeps ~1% (over-represented relative to the
+    equal-budget ideal, by at most 100x min_tokens) instead of being
+    silently dropped from the mix — every non-empty source contributes
+    (ADVICE r03). Finer budgets need finer-than-percent buckets.
+
     Plan: one agg on the source key (corpus-small), a global-window min
     for the budget (source-count rows, not corpus rows), broadcast the
-    tiny rate table back, then the narrow hash filter. Returns the kept
-    rows with (rate_pct, n_tokens) attached."""
-    d = df.select(F.col(source_col), F.col(id_col), token_count.alias("n_tokens"))
+    tiny rate table back, then the narrow hash filter. Returns ALL input
+    columns of the kept rows (the mixed corpus is usable as-is) plus
+    (n_tokens, rate_pct); column pruning keeps the rate-derivation agg
+    narrow regardless."""
+    d = df.withColumn("n_tokens", token_count)
     # a zero-token source would poison the budget (min would be 0 -> every
-    # real source rated 0, and its own DIV-by-zero NULL would slip past
-    # least()): it contributes nothing, so it is excluded outright
+    # real source rated 0 pre-floor, and its own DIV-by-zero NULL would
+    # slip past least()): it contributes nothing, so it is excluded
     tot = (
         d.groupBy(source_col)
         .agg(F.sum("n_tokens").alias("__toks"))
@@ -119,7 +127,9 @@ def mix_corpora(
         source_col,
         # DIV (integer division), never `/`+floor: float rounding would
         # break cross-engine reproducibility of the rate itself
-        F.least(F.lit(100), F.expr("(100 * __b) DIV __toks")).alias("rate_pct"),
+        F.greatest(
+            F.lit(1), F.least(F.lit(100), F.expr("(100 * __b) DIV __toks"))
+        ).alias("rate_pct"),
     )
     return d.join(F.broadcast(rates), on=source_col).where(
         hash_bucket(id_col, salt) < F.col("rate_pct")

@@ -125,17 +125,18 @@ def sign_lsh_candidates(
     per band -> fewer candidates, lower recall; q29 pins the trade
     exactly against the `cosine_pairs` baseline)."""
     sign = lambda i: F.when(F.col(vec_col)[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
-    per_band = [
-        embeddings.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.concat(*[sign(b * bits + i) for i in range(bits)]).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    banded = per_band[0]
-    for f in per_band[1:]:
-        banded = banded.unionByName(f)
+    # single scan: posexplode one per-row array of band keys instead of
+    # `bands` unioned projections (one scan per join side; the band-key
+    # shuffle is identical on both sides -> ReusedExchange)
+    keys = F.array(
+        *[
+            F.concat(*[sign(b * bits + i) for i in range(bits)])
+            for b in range(bands)
+        ]
+    )
+    banded = embeddings.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(b_, on=["band", "band_key"])
@@ -153,41 +154,68 @@ def ivf_assignments(
     n_seeds: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_seeds: int = 4096,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest-by-cosine
     centroid. Centroids here are the first `n_seeds` vectors by id —
     deterministic and oracle-reproducible; production would k-means them
     (same assignment plan, different seed source). Returns (id, cluster).
 
-    Plan shape: broadcast the tiny centroid set, stream the embeddings
-    once, per-vector argmax via a window — no shuffle until the rank.
+    Plan shape: MAP-SIDE argmax — the centroid set is collected to the
+    driver (bounded by max_seeds, raising on overflow like
+    cosine_topk_pandas) and folded into ONE narrow projection: per row,
+    score all centroids inside an array expression and take the max
+    struct. ZERO exchanges before the search join — the whole
+    assignment is whole-stage codegen over a single scan. (The previous
+    per-vector window argmax shuffled the entire scored corpus just to
+    rank n_seeds candidates — at 100 TB that shuffles the whole
+    embedding table once per index build.)
+
     At search time, nprobe=1 reads ONE cluster's bucket instead of the
     full table: the inverted-file layout is a `partitionBy(cluster)`
-    write, so cluster pruning is directory pruning."""
-    from pyspark.sql import Window
+    write, so cluster pruning is directory pruning.
 
+    Determinism: cosine is the same left-to-right double fold as the
+    window lane; ties break toward the smaller seed id via max over
+    struct(cos, -seed_id) — bit-identical results to the old plan."""
+    if n_seeds > max_seeds:
+        raise ValueError(
+            f"ivf_assignments folds the centroid set into the projection "
+            f"driver-side; n_seeds={n_seeds} exceeds max_seeds={max_seeds} — "
+            f"raise max_seeds deliberately or use a coarser quantizer"
+        )
     e = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    seeds = e.where(F.col(id_col) < n_seeds).select(
-        F.col(id_col).alias("__seed_id"), F.col("__v").alias("__sv")
+    seed_rows = (
+        e.where(F.col(id_col) < n_seeds)
+        .orderBy(id_col)
+        .collect()
     )
-    scored = e.crossJoin(F.broadcast(seeds)).select(
-        id_col,
-        "__seed_id",
-        (
-            _fold_dot(F.col("__v"), F.col("__sv"))
-            / (F.sqrt(_fold_norm2(F.col("__v"))) * F.sqrt(_fold_norm2(F.col("__sv"))))
-        ).alias("__cos"),
+    # literal array<struct<sid,sv>> — tiny (n_seeds vectors), lives in the
+    # plan itself; no broadcast join, no shuffle
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).alias("sid"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("sv"),
+            )
+            for r in seed_rows
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cos").desc(), F.col("__seed_id").asc()
+    norm_v = F.sqrt(_fold_norm2(F.col("__v")))
+    scores = F.transform(
+        cents,
+        lambda c: F.struct(
+            (
+                _fold_dot(F.col("__v"), c["sv"])
+                / (norm_v * F.sqrt(_fold_norm2(c["sv"])))
+            ).alias("cos"),
+            (-c["sid"]).alias("negsid"),
+        ),
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__seed_id").alias("cluster"))
-    )
+    best = F.array_max(scores)
+    return e.select(F.col(id_col), (-best["negsid"]).cast("long").alias("cluster"))
 
 
 def dot_udf_available() -> bool:

@@ -738,10 +738,14 @@ def q18_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MinHash signatures via the universal-hash family
     (ONE md5 per shingle -> int64 -> k integer permutations (a*h+b)%P,
     the textbook pairwise-independent construction — k/1 cheaper than k
-    salted md5 calls), computed shuffle-FREE: array_min over the
-    per-document shingle array, one narrow projection in whole-stage
-    codegen. Value-identical to the explode+groupBy form (the oracle IS
-    that form, in DuckDB, same integer arithmetic)."""
+    salted md5 calls): array_min over the per-document shingle array,
+    one narrow projection in whole-stage codegen. No aggregation
+    shuffle; the only possible exchange is the split-count guard's
+    repartition of the compact input (skipped whenever input splits
+    already cover the cores — always true at 100 TB; see
+    minhash_signature_arrays). Value-identical to the explode+groupBy
+    form (the oracle IS that form, in DuckDB, same integer
+    arithmetic)."""
     (docs,) = _t(spark, sf_dir, "documents")
     return minhash_signature_arrays(docs, "doc_id", "text", n=5, num_hashes=12)
 
@@ -2230,7 +2234,7 @@ def q50_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT source, SUM(tc) AS toks FROM d GROUP BY source),
     budget AS (SELECT MIN(toks) AS b FROM tot),
     rates AS (
-      SELECT source, LEAST(100, (100 * b) // toks) AS rate
+      SELECT source, GREATEST(1, LEAST(100, (100 * b) // toks)) AS rate
       FROM tot CROSS JOIN budget),
     kept AS (
       SELECT d.source, d.tc, r.rate,

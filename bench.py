@@ -6,6 +6,16 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect bottleneck, no disk write skew).
+
+Methodology (round 4 — attributable timings, VERDICT r03 #3): each
+query runs SPARK_GRAFT_BENCH_N times (default 3) and reports the
+MEDIAN; all raw runs are in "runs". The registry wrapper evicts
+persisted frames at the start of every call, so repeats do not reuse
+Spark-side caches (OS page cache stays warm, as it would on any
+long-lived cluster). Medians suppress the single-run variance that
+made BENCH_r03 vs r02 unattributable (first-run codegen, GC pauses,
+Python-worker cold starts on mapInPandas lanes). "methodology" in the
+output records this so rounds are comparable.
 """
 
 from __future__ import annotations
@@ -89,12 +99,18 @@ def main() -> None:
     )
     warm.write.format("noop").mode("overwrite").save()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     per_query: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        times: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 3))
+        raw_runs[name] = times
+        per_query[name] = sorted(times)[len(times) // 2]  # median
 
     total = round(sum(per_query.values()), 3)
 
@@ -126,6 +142,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "runs": raw_runs,
+                "n_runs": n_runs,
+                "methodology": (
+                    "median of n_runs per query; registry evicts Spark "
+                    "caches between calls (since r03); raw timings in "
+                    "'runs'. r02 and earlier reused caches across queries "
+                    "and ran n=1 — not directly comparable."
+                ),
                 "extras": extras,
                 "sf": sf,
             }

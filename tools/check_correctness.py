@@ -111,18 +111,32 @@ def main() -> int:
         probs = []
         # The driver's canonicalizer cannot hash container cells (pandas
         # sort_values raises on list values) — fail loudly here so an
-        # array-typed output column never looks green locally.
-        bad = [
-            c
-            for i, c in enumerate(s_cols)
-            if any(
-                isinstance(r[i], (list, tuple, dict, set))
-                for r in s_rows[:200]
-            )
-        ]
+        # array-typed output column never looks green locally. Checked
+        # on the SCHEMA (ADVICE r03: a cell sample misses columns whose
+        # sampled values are all NULL), with the cell scan kept as a
+        # belt-and-braces net for e.g. object-typed columns.
+        from pyspark.sql import types as _T
+
+        bad = sorted(
+            {
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(
+                    f.dataType, (_T.ArrayType, _T.MapType, _T.StructType)
+                )
+            }
+            | {
+                c
+                for i, c in enumerate(s_cols)
+                if any(
+                    isinstance(r[i], (list, tuple, dict, set))
+                    for r in s_rows[:200]
+                )
+            }
+        )
         if bad:
             probs.append(
-                f"container-typed cells (driver canonicalizer rejects): {bad}"
+                f"container-typed columns (driver canonicalizer rejects): {bad}"
             )
         if sorted(s_cols) != sorted(d_cols):
             probs.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
