@@ -400,11 +400,16 @@ def connected_components(
             edges.join(labels, edges["src"] == labels["id"])
             .select(F.col("dst").alias("id"), "label")
         )
+        # localCheckpoint, not persist: each round references the prior
+        # round's frame several times (union + join), so a lazy lineage
+        # would grow EXPONENTIALLY in plan nodes with the round count
+        # (persist caches execution but not the logical plan) — the
+        # checkpoint resets the plan to a materialized leaf every round
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -422,7 +427,117 @@ def connected_components(
         labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter too large — use the large-star/small-star "
-            "variant for chain-shaped graphs)"
+            "(component diameter too large — use connected_components_star, "
+            "which converges in O(log n) rounds on chain-shaped graphs)"
         )
+    return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the adversarial-diameter escape hatch for the
+    min-label-propagation form above: a path graph of n nodes needs
+    ~n rounds of label propagation but only O(log n) alternating star
+    rounds, because every round POINTS NODES AT THEIR NEIGHBORHOOD MIN,
+    halving tree depth instead of walking it.
+
+    Per round, each phase is one groupBy-min + one equi-join over the
+    CURRENT edge set (which only shrinks toward star shape — never the
+    quadratic blow-up of path doubling), and the driver sees one scalar
+    per round (did the edge set change). Same contract as
+    connected_components: returns (id, label), label = smallest member
+    id of the component (any orderable id type), singletons keep their
+    own id; result is persist()ed, ownership transfers to the caller.
+
+    large-star(u): every neighbor v > u is re-pointed at
+    m = min(N(u) ∪ {u}); small-star(u): every neighbor v < u (and u
+    itself) is re-pointed at m = min(N(u) ∪ {u}) restricted to the
+    smaller-side neighborhood. Both preserve connectivity; the fixed
+    point is a star per component centered on its minimum."""
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighbor relation
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.where(F.col("v") > F.col("u"))
+            .join(m, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # key every edge by its LARGER endpoint
+        dir_e = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        m = dir_e.groupBy("u").agg(F.min("v").alias("m"))
+        joined = dir_e.join(m, on="u")
+        repointed = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_edge = joined.select("u", F.col("m").alias("v"))
+        return (
+            repointed.unionByName(self_edge)
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .persist()
+    )
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # localCheckpoint, not persist: one star round references the
+        # input edge frame ~16 times (two unions + two groupBy-join
+        # pairs), so lazy lineage grows ~16^rounds plan nodes — the
+        # checkpoint resets the plan to a materialized leaf every round
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # one scalar per round: symmetric difference empty <=> fixed point
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # fixed point: every non-min node has exactly the edge (node, min).
+    labels = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(
+            edges.groupBy("u").agg(F.min("v").alias("__m")),
+            on=F.col("id") == F.col("u"),
+            how="left",
+        )
+        .select(
+            "id", F.coalesce(F.col("__m"), F.col("id")).alias("label")
+        )
+        .persist()
+    )
+    labels.count()
+    edges.unpersist()
+    labels._cc_rounds = rounds  # observability for tests/benchmarks
     return labels

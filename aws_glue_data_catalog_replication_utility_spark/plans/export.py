@@ -79,6 +79,7 @@ def export_catalog(
     bucket_name: str = "side-channel",
     region_name: str = "local",
     run_date: str = "2024-01-01",
+    truncate_lineage: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (table_messages, table_export_audit). Side-channel ndjson
     is written when any table routes large and a path is given.
@@ -86,7 +87,15 @@ def export_catalog(
     db_messages: planner output — scopes which databases export
     (join on the db name inside event_id's payload is avoided; we use
     the audit-friendly source_catalog_id + name columns carried along).
-    """
+
+    truncate_lineage=True materializes the routed table set (scoped
+    tables + partition counts) with localCheckpoint+persist: it feeds
+    four consumers (small lane, large lane, audit, the eager ndjson
+    write), each of which would otherwise re-analyze and re-execute the
+    scope join + count aggregation. The routed relation is METADATA-
+    sized (one row per exported table — bounded by catalog size, never
+    table data), so the cut is cheap at any scale; pass False to keep
+    the plan fully lazy."""
     requested = db_messages.select(
         F.get_json_object("payload", "$.name").alias("database_name"),
         F.col("source_catalog_id").alias("catalog_id"),
@@ -104,6 +113,9 @@ def export_catalog(
         threshold=threshold,
         count_col="n_partitions",
     )
+    if truncate_lineage:
+        routed = routed.localCheckpoint(eager=True).persist()
+        routed.count()
 
     # failure lane: a table with no name cannot form a message or a
     # side-channel key — it audits as is_exported=False with a reason

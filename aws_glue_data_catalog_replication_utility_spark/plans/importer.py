@@ -19,6 +19,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..functions.hive_types import all_column_types_valid
 from ..model import PARTITION, STORAGE_DESCRIPTOR, COLUMN
 from ..operators.joins import missing_anti
 from ..operators.merge import ACTION_COL, merge_outcomes
@@ -111,17 +112,45 @@ class ImportResult:
     sync_scope: DataFrame | None = None
 
 
-def import_events(
+@dataclass
+class ParsedEvents:
+    """Target-independent half of the import: parsed message lanes plus
+    the shared DLQ/failure feeds. Produced once by `parse_events`;
+    consumed by one `_apply_parsed` per target catalog — the fan-out
+    shape of the reference's cross-account SNS distribution
+    (README.md:173-188: ONE SchemaDistributionSNSTopic message is
+    delivered to every subscribed target account's import stack)."""
+
+    db_msgs: DataFrame
+    tbl_msgs: DataFrame
+    large_msgs: DataFrame
+    dlq: DataFrame
+    db_failures: DataFrame
+    tbl_failures: DataFrame
+    side_good: DataFrame | None
+
+
+def parse_events(
     spark: SparkSession,
     events: DataFrame,
-    target_databases: DataFrame,
-    target_tables: DataFrame,
-    target_partitions: DataFrame,
-    target_catalog_id: str = "999999999999",
     side_channel_path: str | None = None,
-    run_id: int = 0,
-) -> ImportResult:
-    """Apply an event batch to the target catalog snapshots."""
+    truncate_lineage: bool = True,
+) -> ParsedEvents:
+    """Parse + validate an event batch (target-independent).
+
+    truncate_lineage=True (default) materializes the parsed event set
+    with localCheckpoint right after from_json. The import tower
+    derives ~20 branches per target from these lanes (success, DLQ,
+    audit, partition planes), and PySpark analyzes EAGERLY per
+    transformation — without the cut, every branch re-embeds and
+    re-analyzes the wide nested from_json subtree (measured: ~4s of
+    driver-side plan construction + a 400-exchange physical plan for a
+    24-db batch; with the cut the downstream trees start at one tiny
+    in-memory leaf and the payload is parsed once, not once per
+    branch). Event batches are message-sized — bounded by the export
+    fan-out, never table data — so the materialization itself is
+    trivial. Pass False to keep the fully lazy plan (e.g. to compose
+    the import into a larger unexecuted pipeline)."""
 
     # ---- 0. dispatch + malformed-to-DLQ --------------------------------
     dlq_bad_type = events.where(~F.col("message_type").isin(*VALID_TYPES)).select(
@@ -132,14 +161,41 @@ def import_events(
         F.col("source_catalog_id").alias("source_glue_catalog_id"),
     )
 
-    db_msgs = events.where(F.col("message_type") == "database").withColumn(
-        "db", F.from_json("payload", DB_MSG)
+    # all three payload shapes parsed in ONE projection (each from_json
+    # guarded by its message_type, so every payload is parsed exactly
+    # once with exactly one schema)
+    parsed = events.select(
+        "*",
+        F.when(
+            F.col("message_type") == "database", F.from_json("payload", DB_MSG)
+        ).alias("db"),
+        F.when(
+            F.col("message_type") == "table", F.from_json("payload", TABLE_MSG)
+        ).alias("__tm"),
+        F.when(
+            F.col("message_type") == "largeTable",
+            F.from_json("payload", LARGE_MSG),
+        ).alias("__lm"),
     )
-    tbl_msgs = events.where(F.col("message_type") == "table").withColumn(
-        "msg", F.from_json("payload", TABLE_MSG)
+    if truncate_lineage:
+        # checkpoint cuts the analysis tree; the persist+count on top
+        # gives the cut leaf REAL size statistics (a bare LogicalRDD
+        # reports defaultSizeInBytes = "huge", which would demote every
+        # downstream broadcast join to a sort-merge shuffle)
+        parsed = parsed.localCheckpoint(eager=True).persist()
+        parsed.count()
+    db_msgs = parsed.where(F.col("message_type") == "database").drop(
+        "__tm", "__lm"
     )
-    large_msgs = events.where(F.col("message_type") == "largeTable").withColumn(
-        "msg", F.from_json("payload", LARGE_MSG)
+    tbl_msgs = (
+        parsed.where(F.col("message_type") == "table")
+        .withColumnRenamed("__tm", "msg")
+        .drop("db", "__lm")
+    )
+    large_msgs = (
+        parsed.where(F.col("message_type") == "largeTable")
+        .withColumnRenamed("__lm", "msg")
+        .drop("db", "__tm")
     )
 
     # unparseable payloads (from_json -> null struct / null required name)
@@ -209,6 +265,44 @@ def import_events(
     db_msgs = db_msgs.where(F.col("db.name").isNotNull())
     tbl_msgs = tbl_msgs.where(F.col("msg.table.name").isNotNull())
     large_msgs = large_msgs.where(F.col("msg.table.name").isNotNull())
+
+    # ---- Hive type-grammar validation (SURVEY §1.2) --------------------
+    # the reference replicates `columns.type` strings unvalidated (deep
+    # array<struct<...>> nesting, sample_table_schema.json:29); a
+    # malformed type would silently poison the target catalog. Validate
+    # every column + partition-key type with the engine-portable grammar
+    # check; a table carrying any invalid type dead-letters (with its
+    # failure-audit row) while sibling messages still apply.
+    types_ok = all_column_types_valid(
+        F.col("msg.table.storage_descriptor.columns"),
+        F.col("msg.table.partition_keys"),
+    )
+
+    def _type_dlq(msgs: DataFrame, schema_type: str) -> DataFrame:
+        return msgs.select(
+            "event_id",
+            F.lit(schema_type).alias("schema_type"),
+            "payload",
+            "export_batch_id",
+            F.col("source_catalog_id").alias("source_glue_catalog_id"),
+        )
+
+    bad_tbl_types = tbl_msgs.where(~types_ok)
+    bad_large_types = large_msgs.where(~types_ok)
+    dlq = dlq.unionByName(_type_dlq(bad_tbl_types, "Table")).unionByName(
+        _type_dlq(bad_large_types, "largeTable")
+    )
+    tbl_failures = tbl_failures.unionByName(
+        _tbl_failure(
+            bad_tbl_types, "invalid Hive type string in table schema"
+        )
+    ).unionByName(
+        _tbl_failure(
+            bad_large_types, "invalid Hive type string in table schema"
+        )
+    )
+    tbl_msgs = tbl_msgs.where(types_ok)
+    large_msgs = large_msgs.where(types_ok)
 
     # largeTable events can only be applied when their side channel is
     # readable — the reference always reads the S3 object named in the
@@ -285,6 +379,110 @@ def import_events(
         large_msgs = keyed.join(
             F.broadcast(fed), on=["__ck", "__dk", "__tk"], how="left_semi"
         ).drop("__ck", "__dk", "__tk")
+
+    return ParsedEvents(
+        db_msgs=db_msgs,
+        tbl_msgs=tbl_msgs,
+        large_msgs=large_msgs,
+        dlq=dlq,
+        db_failures=db_failures,
+        tbl_failures=tbl_failures,
+        side_good=side_good,
+    )
+
+
+def import_events(
+    spark: SparkSession,
+    events: DataFrame,
+    target_databases: DataFrame,
+    target_tables: DataFrame,
+    target_partitions: DataFrame,
+    target_catalog_id: str = "999999999999",
+    side_channel_path: str | None = None,
+    run_id: int = 0,
+    truncate_lineage: bool = True,
+) -> ImportResult:
+    """Apply an event batch to the target catalog snapshots (parse once
+    + apply to one target; see parse_events for truncate_lineage)."""
+    parsed = parse_events(
+        spark, events, side_channel_path, truncate_lineage=truncate_lineage
+    )
+    return _apply_parsed(
+        parsed,
+        target_databases,
+        target_tables,
+        target_partitions,
+        target_catalog_id=target_catalog_id,
+        run_id=run_id,
+    )
+
+
+def import_events_fanout(
+    spark: SparkSession,
+    events: DataFrame,
+    targets: dict[str, tuple[DataFrame, DataFrame, DataFrame]],
+    side_channel_path: str | None = None,
+    run_id: int = 0,
+    truncate_lineage: bool = True,
+) -> dict[str, ImportResult]:
+    """ONE event set -> N target catalogs in ONE run — the reference's
+    core deployment shape (README.md:173-188: every target account
+    subscribes its import stack to the same SchemaDistributionSNSTopic,
+    so one export fans out to all of them).
+
+    targets: {target_glue_catalog_id: (databases, tables, partitions)}.
+
+    The event set is parsed, validated, and side-channel-guarded ONCE
+    (one scan, one lineage cut shared by every target), then each
+    target gets its own full ImportResult — audit planes keyed by that
+    target's target_glue_catalog_id, so `fanout_table_audit` /
+    `fanout_db_audit` give the cross-target correlation view of one
+    run."""
+    parsed = parse_events(
+        spark, events, side_channel_path, truncate_lineage=truncate_lineage
+    )
+    return {
+        tid: _apply_parsed(parsed, d, t, p, target_catalog_id=tid, run_id=run_id)
+        for tid, (d, t, p) in targets.items()
+    }
+
+
+def fanout_table_audit(results: dict[str, ImportResult]) -> DataFrame:
+    """Union of per-target table-import audits (rows distinguish their
+    target via target_glue_catalog_id)."""
+    frames = [r.table_import_audit for r in results.values()]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def fanout_db_audit(results: dict[str, ImportResult]) -> DataFrame:
+    """Union of per-target database-import audits."""
+    frames = [r.db_import_audit for r in results.values()]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _apply_parsed(
+    parsed: ParsedEvents,
+    target_databases: DataFrame,
+    target_tables: DataFrame,
+    target_partitions: DataFrame,
+    target_catalog_id: str = "999999999999",
+    run_id: int = 0,
+) -> ImportResult:
+    """Target-specific half of the import: apply one parsed event batch
+    to one target catalog's snapshots (steps 1-5)."""
+    db_msgs = parsed.db_msgs
+    tbl_msgs = parsed.tbl_msgs
+    large_msgs = parsed.large_msgs
+    dlq = parsed.dlq
+    db_failures = parsed.db_failures
+    tbl_failures = parsed.tbl_failures
+    side_good = parsed.side_good
 
     # ---- 1. databases: create-if-absent (GDCUtil.java:139-168) ---------
     # deterministic winner when the same db arrives from multiple source

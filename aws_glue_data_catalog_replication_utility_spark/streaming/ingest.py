@@ -43,7 +43,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..model import DATABASE, MESSAGE, PARTITION, TABLE
+from ..model import DATABASE, PARTITION, TABLE
 from ..operators.sync import DEFAULT_SYNC_KEYS
 from ..plans.importer import import_events
 
@@ -226,17 +226,22 @@ def _append_batch(df: DataFrame, root: str, batch_id: int) -> None:
 
 def start_event_stream(
     spark: SparkSession,
-    events_path: str,
-    state_root: str,
-    checkpoint_path: str,
+    events_path: str | None = None,
+    state_root: str = "",
+    checkpoint_path: str = "",
     target_catalog_id: str = "999999999999",
     side_channel_path: str | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     retain_versions: int | None = None,
+    source=None,
 ):
-    """Start the streaming import: events_path is a directory of ndjson
-    message files (the SNS topic equivalent — drop a file, it becomes a
+    """Start the streaming import. The event bus is a pluggable SOURCE
+    ADAPTER (sources/streams.py): pass `source` (anything with
+    `load(spark) -> streaming DataFrame[MESSAGE]` — FileEventSource,
+    KafkaEventSource, ...), or `events_path` as shorthand for the
+    sandbox default FileEventSource (a directory of ndjson message
+    files — the SNS topic equivalent; drop a file, it becomes a
     micro-batch). Returns the StreamingQuery; callers awaitTermination().
 
     available_now=True drains everything currently present then stops —
@@ -246,10 +251,13 @@ def start_event_stream(
     snapshot retention: None archives every committed state
     (skipArchive=false), 1 keeps only the current one (skipArchive=true).
     """
-    reader = spark.readStream.schema(MESSAGE)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.json(events_path)
+    from ..sources.streams import FileEventSource
+
+    if source is None:
+        if events_path is None:
+            raise ValueError("pass either events_path or a source adapter")
+        source = FileEventSource(events_path, max_files_per_trigger)
+    stream = source.load(spark)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         tgt_dbs, tgt_tables, tgt_parts = read_state(spark, state_root)

@@ -299,6 +299,58 @@ def test_connected_components_string_ids(spark):
     }
 
 
+def test_connected_components_star_path_graph_log_rounds(spark):
+    """The large-star/small-star variant collapses a 100-node PATH —
+    the adversarial diameter-99 shape where min-label propagation needs
+    ~99 rounds (and the default form deliberately raises) — in O(log n)
+    alternating rounds."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    verts = spark.range(0, 101).select(F.col("id").alias("doc_id"))
+    labels = connected_components_star(pairs, verts)
+    got = {r.id: r.label for r in labels.collect()}
+    rounds = labels._cc_rounds
+    labels.unpersist()
+    assert all(got[i] == 0 for i in range(100))  # one component, min id 0
+    assert got[100] == 100  # singleton untouched
+    assert rounds <= 12, f"expected O(log n) rounds on a path, got {rounds}"
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Parity on a small mixed graph (chains + triangle + singletons +
+    string ids): both algorithms produce identical component labels."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            ("b", "c"), ("c", "a"),          # triangle via shared min
+            ("x1", "x2"), ("x2", "x3"),      # chain
+            ("dup", "dup"),                  # self loop ignored
+        ],
+        "id_a string, id_b string",
+    )
+    verts = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "x1", "x2", "x3", "dup", "lone"]],
+        "doc_id string",
+    )
+    l1 = connected_components(pairs, verts)
+    got1 = {r.id: r.label for r in l1.collect()}
+    l1.unpersist()
+    l2 = connected_components_star(pairs, verts)
+    got2 = {r.id: r.label for r in l2.collect()}
+    l2.unpersist()
+    assert got1 == got2
+    assert got2["c"] == "a" and got2["x3"] == "x1" and got2["lone"] == "lone"
+
+
 def test_quantize_embeddings_values_and_zero_vector(spark):
     from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
         quantize_embeddings,
@@ -312,3 +364,48 @@ def test_quantize_embeddings_values_and_zero_vector(spark):
     assert got[0].scale == 1.0
     assert got[0].quantized == [127, -64, 31]  # floor(-63.5) = -64
     assert got[1].scale == 0.0 and got[1].quantized == [0, 0, 0]
+
+
+def test_hive_type_validator_cross_engine_parity(spark):
+    """The validator must produce IDENTICAL verdicts in Spark and DuckDB
+    (hive_type_valid_sql emits the same algorithm) — this is the
+    contract that lets the import's DLQ lane be oracle-checked."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.hive_types import (
+        hive_type_valid,
+        hive_type_valid_sql,
+    )
+
+    cases = [
+        ("string", True),
+        ("STRING", True),
+        ("decimal(38,18)", True),
+        ("array<map<string,struct<a:int,b:array<string>>>>", True),
+        ("struct< name : string , age : int >", True),  # whitespace ok
+        ("uniontype<int,string,double>", True),
+        ("aray<string>", False),
+        ("array<string", False),
+        ("array<string>>", False),
+        ("map<,string>", False),
+        ("struct<a:>", False),
+        ("int,string", False),
+        (None, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], "i long, type_str string"
+    )
+    got_spark = {
+        r.i: r.v
+        for r in df.select("i", hive_type_valid("type_str").alias("v")).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {}
+    for i, (c, _) in enumerate(cases):
+        lit = "NULL" if c is None else "'" + c.replace("'", "''") + "'"
+        got_duck[i] = con.sql(
+            f"SELECT {hive_type_valid_sql(lit)}"
+        ).fetchone()[0]
+    for i, (c, want) in enumerate(cases):
+        assert got_spark[i] == want, f"spark: {c!r} -> {got_spark[i]}, want {want}"
+        assert bool(got_duck[i]) == want, f"duckdb: {c!r} -> {got_duck[i]}, want {want}"

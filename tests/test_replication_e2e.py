@@ -569,3 +569,139 @@ def test_auto_create_missing_parent_db(spark):
     assert len(dbs) == 1 and dbs[0].name == "orphan_db"
     assert "111122223333" in dbs[0].description  # imported-from marker
     assert res.tables.count() == 1
+
+
+def test_corrupt_hive_type_routes_to_dlq(spark):
+    """SURVEY §1.2: a table whose column list carries a malformed Hive
+    type string must dead-letter (DLQ + failure-audit row) instead of
+    replicating garbage types silently; sibling messages still apply."""
+    sd_ok = '{"columns": [{"name": "id", "type": "string"}], "location": "s3://x"}'
+    sd_bad = (
+        '{"columns": [{"name": "id", "type": "string"}, '
+        '{"name": "payload", "type": "aray<string>"}], "location": "s3://x"}'
+    )
+    mk = lambda name, sd: (
+        f'{{"table": {{"database_name": "d1", "name": "{name}", "owner": "o", '
+        '"retention": 0, "table_type": "EXTERNAL_TABLE", "parameters": {}, '
+        f'"partition_keys": [], "storage_descriptor": {sd}}}, '
+        '"partition_list": []}'
+    )
+    events = spark.createDataFrame(
+        [
+            ("e1", "table", "111", "b1", mk("t_ok", sd_ok), None, None),
+            ("e2", "table", "111", "b1", mk("t_bad", sd_bad), None, None),
+        ],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, region_name string",
+    )
+    d, t, p = empty_catalog(spark)
+    res = import_events(spark, events, d, t, p)
+    # sibling applied; bad-typed table NOT replicated
+    assert {r.name for r in res.tables.collect()} == {"t_ok"}
+    dlq = res.dlq.collect()
+    assert len(dlq) == 1
+    assert dlq[0].event_id == "e2" and dlq[0].schema_type == "Table"
+    ta = {r.table_id: r for r in res.table_import_audit.collect()}
+    assert ta["t_bad|d1"].error == "invalid Hive type string in table schema"
+    assert ta["t_bad|d1"].table_created is False
+    assert ta["t_ok|d1"].table_created is True and ta["t_ok|d1"].error is None
+
+
+def test_deep_valid_hive_type_replicates(spark):
+    """The reference fixture's deep array<struct<...>> nesting
+    (sample_table_schema.json:29) must PASS validation — the DLQ lane is
+    for malformed strings, not deep ones."""
+    deep = (
+        "array<struct<sha:string,author:struct<name:string,email:string>,"
+        "distinct:boolean,added:array<string>>>"
+    )
+    sd = (
+        f'{{"columns": [{{"name": "payload", "type": "{deep}"}}], '
+        '"location": "s3://x"}'
+    )
+    payload = (
+        f'{{"table": {{"database_name": "d1", "name": "t_deep", "owner": "o", '
+        '"retention": 0, "table_type": "EXTERNAL_TABLE", "parameters": {}, '
+        f'"partition_keys": [{{"name": "year", "type": "string"}}], '
+        f'"storage_descriptor": {sd}}}, "partition_list": []}}'
+    )
+    events = spark.createDataFrame(
+        [("e1", "table", "111", "b1", payload, None, None)],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, region_name string",
+    )
+    res = import_events(spark, events, *empty_catalog(spark))
+    assert {r.name for r in res.tables.collect()} == {"t_deep"}
+    assert res.dlq.count() == 0
+
+
+def test_multi_target_fanout(spark, tmp_path):
+    """One export -> two target catalogs in ONE run (cross-account SNS
+    shape, reference README.md:173-188): both targets converge to the
+    source scope, audits are distinguishable by target_glue_catalog_id,
+    and re-running the fanout is a per-target no-op (idempotent)."""
+    from aws_glue_data_catalog_replication_utility_spark.plans.importer import (
+        fanout_db_audit,
+        fanout_table_audit,
+        import_events_fanout,
+    )
+
+    side = str(tmp_path / "side")
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    msgs, _ = plan_replication(
+        src_dbs, prefix_string="raw_data_,processed_data_", batch_id="b1"
+    )
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="b1",
+        side_channel_path=side,
+    )
+    events = msgs.unionByName(tbl_msgs)
+    results = import_events_fanout(
+        spark,
+        events,
+        {
+            "111111111111": empty_catalog(spark),
+            "222222222222": empty_catalog(spark),
+        },
+        side_channel_path=side,
+    )
+    assert set(results) == {"111111111111", "222222222222"}
+    expected_tables = src_tables.where(
+        F.col("database_name").isin("raw_data_db0", "processed_data_db1")
+    ).count()
+    for tid, res in results.items():
+        assert res.tables.count() == expected_tables
+        assert res.databases.count() == 2
+        assert res.partitions.count() == 2 * (0 + 3 + 10 + 11 + 31)
+        # every audit row carries ITS target's id
+        assert res.table_import_audit.where(
+            F.col("target_glue_catalog_id") != tid
+        ).count() == 0
+    # combined planes distinguish targets and cover both
+    ta = fanout_table_audit(results)
+    per_target = {
+        r.target_glue_catalog_id: r.n
+        for r in ta.groupBy("target_glue_catalog_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_target == {
+        "111111111111": expected_tables,
+        "222222222222": expected_tables,
+    }
+    assert fanout_db_audit(results).count() == 4  # 2 dbs x 2 targets
+    # idempotence per target: re-import into the converged snapshots
+    again = import_events_fanout(
+        spark,
+        events,
+        {
+            tid: (r.databases, r.tables, r.partitions)
+            for tid, r in results.items()
+        },
+        side_channel_path=side,
+    )
+    for tid, res2 in again.items():
+        assert res2.tables.count() == expected_tables
+        created = res2.table_import_audit.where(F.col("table_created")).count()
+        updated = res2.table_import_audit.where(F.col("table_updated")).count()
+        assert created == 0 and updated == 0

@@ -432,3 +432,99 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ij_test").collect()
     )
     assert got == expected
+
+
+def test_kafka_decode_roundtrip_and_poison_record(spark):
+    """The Kafka adapter's engine-side contract (sources/streams.py):
+    encode -> decode round-trips the MESSAGE envelope bit-for-bit, and a
+    poison record (unparseable value) still yields a row addressed by
+    topic/partition/offset whose raw value lands in `payload` — the
+    import dispatch then dead-letters it (bad-type lane) instead of
+    dropping it."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.streams import (
+        decode_kafka_events,
+        encode_kafka_events,
+    )
+
+    events = spark.createDataFrame(
+        [
+            ("e1", "database", "111", "b1", '{"name": "d1"}', None, None),
+            ("e2", "table", "111", "b1", '{"table": {"name": "t"}}', "b", "r"),
+        ],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, region_name string",
+    )
+    wire = encode_kafka_events(events)
+    # shape the connector's output: key/value binary + address columns
+    raw = wire.select(
+        F.col("key").cast("binary"),
+        F.col("value").cast("binary"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+    )
+    back = decode_kafka_events(raw)
+    assert sorted(map(str, back.collect())) == sorted(map(str, events.collect()))
+
+    poison = spark.createDataFrame(
+        [(b"k", b"{not json", "events", 3, 42)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    rows = decode_kafka_events(poison).collect()
+    assert len(rows) == 1
+    assert rows[0].event_id == "events/3/42"
+    assert rows[0].message_type is None  # -> import DLQ bad-type lane
+    assert rows[0].payload == "{not json"
+
+
+def test_kafka_source_requires_connector(spark):
+    """Without the spark-sql-kafka jar the adapter must fail LOUDLY at
+    stream-build time (DATA_SOURCE_NOT_FOUND), never silently no-op. If
+    a deployment bundles the connector, load() succeeds and this test
+    self-skips."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.streams import (
+        KafkaEventSource,
+    )
+
+    src = KafkaEventSource("localhost:9092", "events")
+    try:
+        src.load(spark)
+        pytest.skip("kafka connector present in this environment")
+    except Exception as e:
+        assert "kafka" in str(e).lower()
+
+
+def test_stream_via_explicit_source_adapter(spark, tmp_path):
+    """The ingest is source-agnostic: driving it through an explicit
+    FileEventSource adapter instance produces the same converged state
+    as the events_path shorthand (the adapter seam KafkaEventSource
+    plugs into)."""
+    from aws_glue_data_catalog_replication_utility_spark.model import sample_catalog
+    from aws_glue_data_catalog_replication_utility_spark.sources.streams import (
+        FileEventSource,
+    )
+
+    side = str(tmp_path / "side")
+    events_dir = str(tmp_path / "events")
+    state_root = str(tmp_path / "state")
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    msgs, _ = plan_replication(
+        src_dbs, prefix_string="raw_data_", run_id=1, batch_id="b1"
+    )
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="b1",
+        run_id=1, side_channel_path=side,
+    )
+    msgs.unionByName(tbl_msgs).write.mode("overwrite").json(events_dir)
+    q = start_event_stream(
+        spark,
+        state_root=state_root,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        side_channel_path=side,
+        source=FileEventSource(events_dir),
+    )
+    q.awaitTermination(300)
+    sdbs, stables, sparts = read_state(spark, state_root)
+    assert {r.name for r in sdbs.collect()} == {"raw_data_db0"}
+    assert stables.count() == 5
+    assert sparts.count() == 0 + 3 + 10 + 11 + 31
