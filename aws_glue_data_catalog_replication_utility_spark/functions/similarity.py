@@ -298,6 +298,82 @@ def cosine_topk_pandas(
     )
 
 
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+    max_codebook: int = 65536,
+) -> DataFrame:
+    """Product-quantization codes over the int8-quantized vectors: the
+    vector is split into `m` contiguous subvectors; each subvector maps
+    to the nearest (squared-L2) of `k` codewords; the stored code is m
+    small ints — with k<=256 that is m BYTES per vector, the standard
+    ANN compression step past scalar quantization (which pq composes
+    with: codes are computed over quantize_embeddings' int8 codes, so
+    every distance is INTEGER arithmetic — exact under any summation
+    order, hence bit-identical in the DuckDB oracle; float-L2 PQ would
+    hinge on fold order).
+
+    Codebook: per subspace, the subvectors of the first `k` vectors by
+    id — deterministic and oracle-reproducible (production k-means
+    would replace the seed source, same assignment plan). Collected
+    driver-side (bounded by max_codebook entries, raising on overflow)
+    and folded into ONE narrow projection — map-side argmin like
+    ivf_assignments, zero exchanges. Ties break toward the smaller
+    codeword index. Trailing dims beyond m*(dim//m) are ignored by the
+    code (document-level contract; dim % m == 0 in practice).
+
+    Returns (id, m, codes array<int>)."""
+    if m * k > max_codebook:
+        raise ValueError(
+            f"pq_codes folds the codebook into the projection driver-side; "
+            f"m*k={m * k} exceeds max_codebook={max_codebook}"
+        )
+    q = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col, levels=levels)
+    seed_rows = q.where(F.col(id_col) < k).orderBy(id_col).collect()
+    if not seed_rows:
+        return q.select(
+            F.col(id_col), F.lit(m).alias("m"),
+            F.array().cast("array<int>").alias("codes"),
+        )
+    dim = seed_rows[0]["n_dims"]
+    sub = dim // m
+    # codebook[j][c] = the c-th codeword of subspace j (a list of ints)
+    codebook = [
+        [list(r["quantized"][j * sub : (j + 1) * sub]) for r in seed_rows]
+        for j in range(m)
+    ]
+    qv = F.col("quantized")
+    code_cols = []
+    for j in range(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        -F.aggregate(
+                            F.zip_with(
+                                F.slice(qv, j * sub + 1, sub),
+                                F.array(*[F.lit(int(x)) for x in codebook[j][c]]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("negdist"),
+                    F.lit(-c).alias("negc"),
+                )
+                for c in range(len(seed_rows))
+            ]
+        )
+        code_cols.append((-F.array_max(cands)["negc"]).cast("int"))
+    return q.select(
+        F.col(id_col), F.lit(m).alias("m"), F.array(*code_cols).alias("codes")
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -114,20 +114,34 @@ class ImportResult:
 
 @dataclass
 class ParsedEvents:
-    """Target-independent half of the import: parsed message lanes plus
-    the shared DLQ/failure feeds. Produced once by `parse_events`;
-    consumed by one `_apply_parsed` per target catalog — the fan-out
-    shape of the reference's cross-account SNS distribution
-    (README.md:173-188: ONE SchemaDistributionSNSTopic message is
-    delivered to every subscribed target account's import stack)."""
+    """Target-independent half of the import, fully derived: parsed +
+    validated + deduplicated entity lanes plus the shared DLQ/failure
+    feeds. Produced once by `parse_events`; consumed by one
+    `_apply_parsed` per target catalog — the fan-out shape of the
+    reference's cross-account SNS distribution (README.md:173-188: ONE
+    SchemaDistributionSNSTopic message is delivered to every subscribed
+    target account's import stack). Everything here is computed once no
+    matter how many targets consume it; the per-target half is only the
+    diff/merge against that target's snapshots."""
 
-    db_msgs: DataFrame
-    tbl_msgs: DataFrame
-    large_msgs: DataFrame
     dlq: DataFrame
     db_failures: DataFrame
     tbl_failures: DataFrame
-    side_good: DataFrame | None
+    # latest-event-wins db rows (no catalog_id — the target stamps it)
+    incoming_dbs: DataFrame
+    # (name, source_catalog_id) of every table's parent db
+    parent_dbs: DataFrame
+    # latest-event-wins table rows, merge-ready projection
+    incoming_tables: DataFrame
+    # (database_name, name, export_batch_id, source_catalog_id,
+    #  table_schema) audit metadata for the same winner rows
+    tbl_meta: DataFrame
+    # one row per (database_name, table_name) in the batch — the sync scope
+    table_scope: DataFrame
+    # validated partition rows (inline + side channel, latest-event-wins)
+    parts_ok: DataFrame
+    # per-table (__n_in, __n_bad) partition validation stats
+    part_stats: DataFrame
 
 
 def parse_events(
@@ -380,14 +394,194 @@ def parse_events(
             F.broadcast(fed), on=["__ck", "__dk", "__tk"], how="left_semi"
         ).drop("__ck", "__dk", "__tk")
 
+    # ---- target-independent derivations (shared across fan-out) --------
+    # deterministic winner when the same db arrives from multiple source
+    # catalogs/batches in one event set (ADVICE r01): latest event_id
+    # wins — a total order, unlike dropDuplicates' arbitrary row
+    incoming_dbs = latest_by(
+        db_msgs.select(
+            F.col("db.name").alias("name"),
+            F.col("db.description").alias("description"),
+            F.col("db.location_uri").alias("location_uri"),
+            F.col("db.parameters").alias("parameters"),
+            F.col("db.create_time").alias("create_time"),
+            F.col("source_catalog_id").alias("__src"),
+            F.col("export_batch_id").alias("__batch"),
+            "event_id",
+        ),
+        keys=["name"],
+        order_col="event_id",
+    ).drop("event_id")
+
+    all_tbl = tbl_msgs.select(
+        "event_id",
+        "export_batch_id",
+        "source_catalog_id",
+        F.col("msg.table").alias("t"),
+    ).unionByName(
+        large_msgs.select(
+            "event_id",
+            "export_batch_id",
+            "source_catalog_id",
+            F.col("msg.table").alias("t"),
+        )
+    )
+
+    # topological db->table ordering replaces the dbNotFound retry
+    # (GDCUtil.java:47-57): the parent-db set every target may need
+    parent_dbs = (
+        all_tbl.select(F.col("t.database_name").alias("name"), "source_catalog_id")
+        .groupBy("name")
+        .agg(F.min("source_catalog_id").alias("source_catalog_id"))
+    )
+
+    # ONE latest-by window serves BOTH the merge input and the audit
+    # metadata (round 3 ran two identical windows over all_tbl); the
+    # reference persists the full schema JSON on every audit row
+    # (DDBUtil.java:54-65), hence table_schema here
+    enriched = latest_by(
+        all_tbl.select(
+            F.col("t.database_name").alias("database_name"),
+            F.col("t.name").alias("name"),
+            F.col("t.owner").alias("owner"),
+            F.col("t.description").alias("description"),
+            F.col("t.last_access_time").alias("last_access_time"),
+            F.col("t.retention").alias("retention"),
+            F.col("t.table_type").alias("table_type"),
+            F.col("t.view_original_text").alias("view_original_text"),
+            F.col("t.view_expanded_text").alias("view_expanded_text"),
+            F.col("t.parameters").alias("parameters"),
+            F.col("t.partition_keys").alias("partition_keys"),
+            F.col("t.storage_descriptor").alias("storage_descriptor"),
+            "export_batch_id",
+            "source_catalog_id",
+            F.to_json("t").alias("table_schema"),
+            "event_id",
+        ),
+        keys=["database_name", "name"],
+        order_col="event_id",
+    ).drop("event_id")
+    if truncate_lineage:
+        # the winner relation feeds the merge, the audit meta, and the
+        # sync scope of EVERY target — cut once here so each consumer
+        # analyzes/executes against a stats-bearing in-memory leaf
+        enriched = enriched.localCheckpoint(eager=True).persist()
+        enriched.count()
+    incoming_tables = enriched.drop(
+        "export_batch_id", "source_catalog_id", "table_schema"
+    )
+    tbl_meta = enriched.select(
+        "database_name", "name", "export_batch_id", "source_catalog_id",
+        "table_schema",
+    )
+    # one row per (db, table) in the batch — enriched is already deduped
+    table_scope = enriched.select(
+        "database_name", F.col("name").alias("table_name")
+    )
+
+    # ---- partitions: inline + side-channel, validated ------------------
+    # latest-event-wins per partition ADDRESS (db, table, values): an
+    # event redelivered into the SAME batch (SQS at-least-once) must not
+    # double its inline partitions — the reference applies each message's
+    # delete-all-then-add-all sequentially, so duplicates are naturally
+    # idempotent there; in the set-oriented union they must be deduped,
+    # with the same event_id winner rule as the table merge
+    inline_parts = latest_by(
+        tbl_msgs.select(
+            F.col("msg.table.database_name").alias("database_name"),
+            F.col("msg.table.name").alias("table_name"),
+            F.col("source_catalog_id").alias("__src"),
+            F.col("export_batch_id").alias("__batch"),
+            "event_id",
+            F.explode_outer("msg.partition_list").alias("p"),
+        )
+        .where(F.col("p").isNotNull())
+        .select(
+            "database_name",
+            "table_name",
+            "__src",
+            "__batch",
+            "event_id",
+            F.col("p.values").alias("values"),
+            F.col("p.storage_descriptor").alias("storage_descriptor"),
+        ),
+        keys=["database_name", "table_name", "values"],
+        order_col="event_id",
+    ).drop("event_id")
+
+    if side_good is not None:
+        # scope by the SOURCE catalog named in the message so two source
+        # catalogs with same-named db/table don't merge partition lists
+        large_scope = large_msgs.select(
+            F.col("msg.catalog_id").alias("catalog_id"),
+            F.col("msg.table.database_name").alias("database_name"),
+            F.col("msg.table.name").alias("table_name"),
+        ).dropDuplicates()
+        side_parts = side_good.join(
+            F.broadcast(large_scope),
+            on=["catalog_id", "database_name", "table_name"],
+            how="left_semi",
+        ).select(
+            "database_name",
+            "table_name",
+            F.col("catalog_id").alias("__src"),
+            F.lit(None).cast("string").alias("__batch"),
+            "values",
+            "storage_descriptor",
+        )
+        incoming_parts = inline_parts.unionByName(side_parts)
+    else:
+        incoming_parts = inline_parts
+
+    # per-partition validation — the reference's BatchCreatePartition
+    # surfaces per-partition failures INSIDE a batch (GlueUtil.java:
+    # 425-449: failed entries are reported, the rest are still created).
+    # Same here: a partition row with no addressable values cannot be
+    # created — it routes to the DLQ row-by-row; its siblings still
+    # apply, and the owning table's audit row carries the failure count.
+    incoming_parts = incoming_parts.withColumn(
+        "__ok",
+        F.col("values").isNotNull()
+        & (F.size("values") > 0)
+        & ~F.exists("values", lambda v: v.isNull()),
+    )
+    dlq_parts = incoming_parts.where(~F.col("__ok")).select(
+        F.concat_ws(
+            "|", "__src", "database_name", "table_name", F.to_json("values")
+        ).alias("event_id"),
+        F.lit("Partition").alias("schema_type"),
+        F.to_json(
+            F.struct("database_name", "table_name", "values", "storage_descriptor")
+        ).alias("payload"),
+        F.col("__batch").alias("export_batch_id"),
+        F.col("__src").alias("source_glue_catalog_id"),
+    )
+    dlq = dlq.unionByName(dlq_parts)
+
+    parts_ok = incoming_parts.where(F.col("__ok")).select(
+        "database_name", "table_name", "values", "storage_descriptor"
+    )
+    # per-table partition stats fill the TableReplicationStatus fields
+    # the reference tracks (DDBUtil.java:54-65): exportHasPartitions +
+    # partitionsUpdated, plus an error summary for failed rows
+    part_stats = incoming_parts.groupBy(
+        "database_name", F.col("table_name").alias("name")
+    ).agg(
+        F.count(F.lit(1)).alias("__n_in"),
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("__n_bad"),
+    )
+
     return ParsedEvents(
-        db_msgs=db_msgs,
-        tbl_msgs=tbl_msgs,
-        large_msgs=large_msgs,
         dlq=dlq,
         db_failures=db_failures,
         tbl_failures=tbl_failures,
-        side_good=side_good,
+        incoming_dbs=incoming_dbs,
+        parent_dbs=parent_dbs,
+        incoming_tables=incoming_tables,
+        tbl_meta=tbl_meta,
+        table_scope=table_scope,
+        parts_ok=parts_ok,
+        part_stats=part_stats,
     )
 
 
@@ -474,35 +668,18 @@ def _apply_parsed(
     target_catalog_id: str = "999999999999",
     run_id: int = 0,
 ) -> ImportResult:
-    """Target-specific half of the import: apply one parsed event batch
-    to one target catalog's snapshots (steps 1-5)."""
-    db_msgs = parsed.db_msgs
-    tbl_msgs = parsed.tbl_msgs
-    large_msgs = parsed.large_msgs
+    """Target-specific half of the import: diff/merge one parsed event
+    batch (ParsedEvents — already validated and deduplicated) against
+    one target catalog's snapshots, producing that target's new planes,
+    audits, and DLQ view."""
     dlq = parsed.dlq
     db_failures = parsed.db_failures
     tbl_failures = parsed.tbl_failures
-    side_good = parsed.side_good
 
     # ---- 1. databases: create-if-absent (GDCUtil.java:139-168) ---------
-    # deterministic winner when the same db arrives from multiple source
-    # catalogs/batches in one event set (ADVICE r01): latest event_id
-    # wins — a total order, unlike dropDuplicates' arbitrary row
-    incoming_dbs = latest_by(
-        db_msgs.select(
-            F.lit(target_catalog_id).alias("catalog_id"),
-            F.col("db.name").alias("name"),
-            F.col("db.description").alias("description"),
-            F.col("db.location_uri").alias("location_uri"),
-            F.col("db.parameters").alias("parameters"),
-            F.col("db.create_time").alias("create_time"),
-            F.col("source_catalog_id").alias("__src"),
-            F.col("export_batch_id").alias("__batch"),
-            "event_id",
-        ),
-        keys=["name"],
-        order_col="event_id",
-    ).drop("event_id")
+    incoming_dbs = parsed.incoming_dbs.select(
+        F.lit(target_catalog_id).alias("catalog_id"), "*"
+    )
 
     created_dbs = missing_anti(incoming_dbs, target_databases, ["name"])
     db_audit = (
@@ -535,30 +712,14 @@ def _apply_parsed(
         )
     )
 
-    # ---- 2. tables: union small + large, auto-create parent dbs --------
-    all_tbl = tbl_msgs.select(
-        "event_id", "export_batch_id", "source_catalog_id", F.col("msg.table").alias("t")
-    ).unionByName(
-        large_msgs.select(
-            "event_id",
-            "export_batch_id",
-            "source_catalog_id",
-            F.col("msg.table").alias("t"),
-        )
-    )
-
+    # ---- 2. tables: auto-create parent dbs -----------------------------
     dbs_after_create = target_databases.unionByName(
         created_dbs.drop("__src", "__batch"), allowMissingColumns=True
     )
 
     # topological db->table ordering replaces the dbNotFound retry
     # (GDCUtil.java:47-57): auto-create any parent db the target lacks
-    parent_dbs = (
-        all_tbl.select(F.col("t.database_name").alias("name"), "source_catalog_id")
-        .groupBy("name")
-        .agg(F.min("source_catalog_id").alias("source_catalog_id"))
-    )
-    autocreated = missing_anti(parent_dbs, dbs_after_create, ["name"]).select(
+    autocreated = missing_anti(parsed.parent_dbs, dbs_after_create, ["name"]).select(
         F.lit(target_catalog_id).alias("catalog_id"),
         "name",
         F.concat(
@@ -572,28 +733,8 @@ def _apply_parsed(
     new_databases = dbs_after_create.unionByName(autocreated)
 
     # ---- 3. table MERGE with outcome flags (GlueUtil.java:264-350) -----
-    incoming_tables = latest_by(
-        all_tbl.select(
-            F.col("t.database_name").alias("database_name"),
-            F.col("t.name").alias("name"),
-            F.col("t.owner").alias("owner"),
-            F.col("t.description").alias("description"),
-            F.col("t.last_access_time").alias("last_access_time"),
-            F.col("t.retention").alias("retention"),
-            F.col("t.table_type").alias("table_type"),
-            F.col("t.view_original_text").alias("view_original_text"),
-            F.col("t.view_expanded_text").alias("view_expanded_text"),
-            F.col("t.parameters").alias("parameters"),
-            F.col("t.partition_keys").alias("partition_keys"),
-            F.col("t.storage_descriptor").alias("storage_descriptor"),
-            "event_id",
-        ),
-        keys=["database_name", "name"],
-        order_col="event_id",
-    ).drop("event_id")
-
     outcomes = merge_outcomes(
-        incoming_tables,
+        parsed.incoming_tables,
         target_tables,
         keys=["database_name", "name"],
     )
@@ -605,100 +746,8 @@ def _apply_parsed(
         .withColumn("catalog_id", F.coalesce("catalog_id", F.lit(target_catalog_id)))
     )
 
-    tbl_meta = latest_by(
-        all_tbl.select(
-            F.col("t.database_name").alias("database_name"),
-            F.col("t.name").alias("name"),
-            "export_batch_id",
-            "source_catalog_id",
-            # the reference persists the full schema JSON on every audit
-            # row (DDBUtil.java:54-65)
-            F.to_json("t").alias("table_schema"),
-            "event_id",
-        ),
-        keys=["database_name", "name"],
-        order_col="event_id",
-    ).drop("event_id")
-    # ---- 4. partitions: inline + side-channel, full refresh ------------
-    # latest-event-wins per partition ADDRESS (db, table, values): an
-    # event redelivered into the SAME batch (SQS at-least-once) must not
-    # double its inline partitions — the reference applies each message's
-    # delete-all-then-add-all sequentially, so duplicates are naturally
-    # idempotent there; in the set-oriented union they must be deduped,
-    # with the same event_id winner rule as the table merge
-    inline_parts = latest_by(
-        tbl_msgs.select(
-            F.col("msg.table.database_name").alias("database_name"),
-            F.col("msg.table.name").alias("table_name"),
-            F.col("source_catalog_id").alias("__src"),
-            F.col("export_batch_id").alias("__batch"),
-            "event_id",
-            F.explode_outer("msg.partition_list").alias("p"),
-        )
-        .where(F.col("p").isNotNull())
-        .select(
-            "database_name",
-            "table_name",
-            "__src",
-            "__batch",
-            "event_id",
-            F.col("p.values").alias("values"),
-            F.col("p.storage_descriptor").alias("storage_descriptor"),
-        ),
-        keys=["database_name", "table_name", "values"],
-        order_col="event_id",
-    ).drop("event_id")
-
-    if side_good is not None:
-        # scope by the SOURCE catalog named in the message so two source
-        # catalogs with same-named db/table don't merge partition lists
-        large_scope = large_msgs.select(
-            F.col("msg.catalog_id").alias("catalog_id"),
-            F.col("msg.table.database_name").alias("database_name"),
-            F.col("msg.table.name").alias("table_name"),
-        ).dropDuplicates()
-        side_parts = side_good.join(
-            F.broadcast(large_scope),
-            on=["catalog_id", "database_name", "table_name"],
-            how="left_semi",
-        ).select(
-            "database_name",
-            "table_name",
-            F.col("catalog_id").alias("__src"),
-            F.lit(None).cast("string").alias("__batch"),
-            "values",
-            "storage_descriptor",
-        )
-        incoming_parts = inline_parts.unionByName(side_parts)
-    else:
-        incoming_parts = inline_parts
-
-    # per-partition validation — the reference's BatchCreatePartition
-    # surfaces per-partition failures INSIDE a batch (GlueUtil.java:
-    # 425-449: failed entries are reported, the rest are still created).
-    # Same here: a partition row with no addressable values cannot be
-    # created — it routes to the DLQ row-by-row; its siblings still
-    # apply, and the owning table's audit row carries the failure count.
-    incoming_parts = incoming_parts.withColumn(
-        "__ok",
-        F.col("values").isNotNull()
-        & (F.size("values") > 0)
-        & ~F.exists("values", lambda v: v.isNull()),
-    )
-    dlq_parts = incoming_parts.where(~F.col("__ok")).select(
-        F.concat_ws(
-            "|", "__src", "database_name", "table_name", F.to_json("values")
-        ).alias("event_id"),
-        F.lit("Partition").alias("schema_type"),
-        F.to_json(
-            F.struct("database_name", "table_name", "values", "storage_descriptor")
-        ).alias("payload"),
-        F.col("__batch").alias("export_batch_id"),
-        F.col("__src").alias("source_glue_catalog_id"),
-    )
-    dlq = dlq.unionByName(dlq_parts)
-
-    exported_parts = incoming_parts.where(F.col("__ok")).select(
+    # ---- 4. partitions: full refresh over the batch's sync scope -------
+    exported_parts = parsed.parts_ok.select(
         F.lit(target_catalog_id).alias("catalog_id"),
         "database_name",
         "table_name",
@@ -709,33 +758,18 @@ def _apply_parsed(
         F.lit(None).cast("map<string,string>").alias("parameters"),
     )
 
-    exported_tables_scope = all_tbl.select(
-        F.col("t.database_name").alias("database_name"),
-        F.col("t.name").alias("table_name"),
-    ).dropDuplicates()
-
     new_partitions = full_refresh_sync(
         exported_parts,
-        exported_tables_scope,
+        parsed.table_scope,
         target_partitions,
         keys=["database_name", "table_name"],
     )
 
     # ---- 5. table audit: applied outcomes + failure lane ---------------
-    # per-table partition stats fill the TableReplicationStatus fields the
-    # reference tracks (TableReplicationStatus.java via DDBUtil.java:54-65):
-    # exportHasPartitions + partitionsUpdated, plus an error summary when
-    # some of the table's partition rows failed validation
-    part_stats = incoming_parts.groupBy(
-        "database_name", F.col("table_name").alias("name")
-    ).agg(
-        F.count(F.lit(1)).alias("__n_in"),
-        F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("__n_bad"),
-    )
     table_audit = (
         outcomes.where(F.col(ACTION_COL) != "keep")
-        .join(tbl_meta, on=["database_name", "name"], how="left")
-        .join(part_stats, on=["database_name", "name"], how="left")
+        .join(parsed.tbl_meta, on=["database_name", "name"], how="left")
+        .join(parsed.part_stats, on=["database_name", "name"], how="left")
         .select(
             F.concat_ws("|", "name", "database_name").alias("table_id"),
             F.lit(run_id).cast("long").alias("import_run_id"),
@@ -799,5 +833,5 @@ def _apply_parsed(
         table_import_audit=table_audit,
         dlq=dlq,
         partitions_delta=exported_parts,
-        sync_scope=exported_tables_scope,
+        sync_scope=parsed.table_scope,
     )

@@ -2319,9 +2319,10 @@ def q52_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q53_dedup_clusters",
-    oracle=f"""
+# the connected-components oracle (recursive CTE over the exact Jaccard
+# pairs) — shared by q53 (min-label propagation) and q57 (large-star/
+# small-star): both algorithms MUST produce identical component labels
+_CC_ORACLE = f"""
     WITH RECURSIVE
     sh AS ({_SHINGLE_SQL}),{_JACCARD_CTES},
     pairs AS (
@@ -2343,8 +2344,10 @@ def q52_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.id AS doc_id, l.cluster_id, c.cluster_size,
            l.id = l.cluster_id AS is_keeper
     FROM lab l JOIN csz c USING (cluster_id)
-    """,
-)
+    """
+
+
+@register("q53_dedup_clusters", oracle=_CC_ORACLE)
 def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER resolution — the step after pair generation
     that real dedup pipelines need (keep ONE document per duplicate
@@ -2551,6 +2554,103 @@ def q56_hive_type_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cases = spark.createDataFrame([(c,) for c in _TYPE_CASES], "type_str string")
     return cases.select("type_str", hive_type_valid("type_str").alias("is_valid"))
+
+
+# ---------------------------------------------------------------------------
+# 57. dedup clustering via large-star/small-star (adversarial-diameter lane)
+# ---------------------------------------------------------------------------
+
+
+@register("q57_dedup_clusters_star", oracle=_CC_ORACLE)
+def q57_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster contract as q53, computed by the
+    alternating large-star/small-star algorithm (Kiveris et al.) — the
+    lane that stays O(log n) rounds when components are adversarial
+    chains (where min-label propagation needs diameter rounds). Output
+    and oracle are IDENTICAL to q53: the two algorithms must agree
+    label-for-label, and the hash check enforces it cross-engine."""
+    from .functions.dedup import connected_components_star
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = _persist(
+        word_shingles(
+            ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
+        )
+    )
+    pairs = jaccard_pairs(sh, "doc_id", threshold=0.6).select("id_a", "id_b")
+    labels = connected_components_star(pairs, docs.select("doc_id"), "doc_id")
+    _PERSISTED.append(labels)  # scoped eviction at the next registry call
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, on="label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 58. product quantization (PQ codes over the int8 lane)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q58_product_quantization",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale
+          FROM e),
+    q AS (SELECT vec_id, len(v) AS nd,
+                 CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(v,
+                             x -> CAST(FLOOR(x * 127.0 / scale) AS INT)) END AS qv
+          FROM s),
+    sb AS (SELECT MAX(nd) // 4 AS sub FROM q),
+    seeds AS (SELECT vec_id AS c, qv AS sv FROM q WHERE vec_id < 8),
+    pairs AS (
+      SELECT q.vec_id, j.j, seeds.c,
+             list_sum(list_transform(range(1, sb.sub + 1),
+               i -> (q.qv[j.j * sb.sub + i] - seeds.sv[j.j * sb.sub + i])
+                  * (q.qv[j.j * sb.sub + i] - seeds.sv[j.j * sb.sub + i])))
+               AS dist
+      FROM q CROSS JOIN sb CROSS JOIN seeds
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    ),
+    bd AS (SELECT vec_id, j, MIN(dist) AS d FROM pairs GROUP BY vec_id, j),
+    bc AS (
+      SELECT p.vec_id, p.j, MIN(p.c) AS code
+      FROM pairs p JOIN bd ON p.vec_id = bd.vec_id AND p.j = bd.j
+                         AND p.dist = bd.d
+      GROUP BY p.vec_id, p.j
+    )
+    SELECT vec_id, CAST(4 AS INT) AS m,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS code_str
+    FROM bc GROUP BY vec_id
+    """,
+)
+def q58_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes — the compression step PAST scalar
+    quantization an ANN index stores (m=4 subspaces x k=8 codewords =
+    4 bytes/vector here): computed over the int8-quantized vectors so
+    every subspace distance is INTEGER arithmetic, exact under any
+    summation order — which is what makes a PQ assignment verifiable
+    bit-for-bit across engines (float-L2 PQ would hinge on fold order).
+    The Spark plan is one narrow projection with the codebook folded in
+    as literals (map-side argmin, zero exchanges — same shape as the
+    IVF assignment); the oracle recomputes codes via an explicit
+    (vector x subspace x codeword) distance relation."""
+    from .functions.similarity import pq_codes
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    codes = pq_codes(emb, m=4, k=8)
+    return codes.select(
+        "vec_id",
+        "m",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("code_str"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -409,3 +409,81 @@ def test_hive_type_validator_cross_engine_parity(spark):
     for i, (c, want) in enumerate(cases):
         assert got_spark[i] == want, f"spark: {c!r} -> {got_spark[i]}, want {want}"
         assert bool(got_duck[i]) == want, f"duckdb: {c!r} -> {got_duck[i]}, want {want}"
+
+
+def test_ivf_assignment_plan_has_zero_exchanges(spark):
+    """VERDICT r03 #4: the coarse-quantizer assignment must be a
+    map-side argmax — one narrow projection over the embedding scan,
+    ZERO exchanges before the search join (the window form shuffled the
+    whole scored corpus to rank 8 candidates)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        ivf_assignments,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    assign = ivf_assignments(emb, n_seeds=4)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and it is still CORRECT: every vector lands on its best centroid
+    import math
+
+    rows = emb.collect()
+    seeds = {r.vec_id: r.embedding for r in rows if r.vec_id < 4}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    got = {r.vec_id: r.cluster for r in assign.collect()}
+    for r in rows:
+        best = max(
+            sorted(seeds),
+            key=lambda s: (cos(r.embedding, seeds[s]), -s),
+        )
+        assert got[r.vec_id] == best, (r.vec_id, got[r.vec_id], best)
+
+
+def test_pq_codes_map_side_and_correct(spark):
+    """PQ codes: zero-exchange plan (codebook folded into the
+    projection) and integer-exact nearest-codeword assignment with
+    ties to the smaller codeword index."""
+    import math
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        pq_codes,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [math.sin(i * 3 + j) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_codes(emb, m=2, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    # python replica of the integer pipeline
+    rows = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def quant(v):
+        scale = max(abs(x) for x in v)
+        if scale == 0:
+            return [0] * len(v)
+        return [math.floor(x * 127.0 / scale) for x in v]
+
+    qv = {i: quant(v) for i, v in rows.items()}
+    sub = 8 // 2
+    got = {r.vec_id: list(r.codes) for r in out.collect()}
+    for i, q in qv.items():
+        for j in range(2):
+            dists = []
+            for c in range(4):
+                sv = qv[c][j * sub : (j + 1) * sub]
+                xv = q[j * sub : (j + 1) * sub]
+                dists.append((sum((a - b) * (a - b) for a, b in zip(xv, sv)), c))
+            want = min(dists)[1]
+            assert got[i][j] == want, (i, j, got[i], dists)
