@@ -374,6 +374,91 @@ def pq_codes(
     )
 
 
+def pq_adc_topk(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_queries: int = 5,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the query
+    side of a PQ index: per query, a lookup table LUT[j][c] holds the
+    integer squared-L2 distance between the query's j-th (quantized)
+    subvector and codeword c; a stored vector's approximate distance is
+    just sum_j LUT[j][code_j] — m table lookups instead of a d-dim
+    distance, the whole point of PQ at search time.
+
+    All integer arithmetic over the int8 lane (exact in any summation
+    order -> oracle-verifiable bit-for-bit). Queries here are the first
+    n_queries vectors by id, deterministic like the q21/q33 query sets.
+    Plan: codes are a map-side projection (pq_codes); the LUTs fold in
+    as literals; one posexplode emits (query, vec, adist) rows and ONE
+    window shuffle on query_id ranks them. Ties: smaller vec_id wins.
+    Returns (query_id, vec_id, adist, rank), self-matches excluded."""
+    qz = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col, levels=levels)
+    seed_rows = qz.where(F.col(id_col) < k).orderBy(id_col).collect()
+    query_rows = qz.where(F.col(id_col) < n_queries).orderBy(id_col).collect()
+    if not seed_rows or not query_rows:
+        raise ValueError("pq_adc_topk needs at least k seed and n_queries vectors")
+    dim = seed_rows[0]["n_dims"]
+    sub = dim // m
+    codebook = [
+        [list(r["quantized"])[j * sub : (j + 1) * sub] for r in seed_rows]
+        for j in range(m)
+    ]
+    luts: dict[int, list[list[int]]] = {}
+    for qr in query_rows:
+        qv = list(qr["quantized"])
+        luts[int(qr[0])] = [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(qv[j * sub : (j + 1) * sub], codebook[j][c])
+                )
+                for c in range(len(seed_rows))
+            ]
+            for j in range(m)
+        ]
+
+    codes = pq_codes(embeddings, m=m, k=k, id_col=id_col, vec_col=vec_col, levels=levels)
+    per_query = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                sum(
+                    (
+                        F.element_at(
+                            F.array(*[F.lit(int(x)) for x in lut[j]]),
+                            F.col("codes")[j] + 1,
+                        )
+                        for j in range(m)
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("adist"),
+            )
+            for qid, lut in sorted(luts.items())
+        ]
+    )
+    scored = (
+        codes.select(F.col(id_col), F.explode(per_query).alias("s"))
+        .select(id_col, F.col("s.query_id"), F.col("s.adist"))
+        .where(F.col(id_col) != F.col("query_id"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= topk)
+        .select("query_id", id_col, "adist", F.col("__rn").cast("int").alias("rank"))
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",

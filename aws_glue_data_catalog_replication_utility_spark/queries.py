@@ -2654,6 +2654,72 @@ def q58_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 59. PQ asymmetric-distance search (the ADC query side of the PQ index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q59_pq_adc_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale
+          FROM e),
+    q AS (SELECT vec_id, len(v) AS nd,
+                 CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(v,
+                             x -> CAST(FLOOR(x * 127.0 / scale) AS INT)) END AS qv
+          FROM s),
+    sb AS (SELECT MAX(nd) // 4 AS sub FROM q),
+    seeds AS (SELECT vec_id AS c, qv AS sv FROM q WHERE vec_id < 8),
+    pairs AS (
+      SELECT q.vec_id, j.j, seeds.c,
+             list_sum(list_transform(range(1, sb.sub + 1),
+               i -> (q.qv[j.j * sb.sub + i] - seeds.sv[j.j * sb.sub + i])
+                  * (q.qv[j.j * sb.sub + i] - seeds.sv[j.j * sb.sub + i])))
+               AS dist
+      FROM q CROSS JOIN sb CROSS JOIN seeds
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    ),
+    bd AS (SELECT vec_id, j, MIN(dist) AS d FROM pairs GROUP BY vec_id, j),
+    bc AS (
+      SELECT p.vec_id, p.j, MIN(p.c) AS code
+      FROM pairs p JOIN bd ON p.vec_id = bd.vec_id AND p.j = bd.j
+                         AND p.dist = bd.d
+      GROUP BY p.vec_id, p.j
+    ),
+    ad AS (
+      SELECT l.vec_id AS query_id, b.vec_id, SUM(l.dist) AS adist
+      FROM bc b JOIN pairs l ON l.j = b.j AND l.c = b.code AND l.vec_id < 5
+      WHERE b.vec_id != l.vec_id
+      GROUP BY l.vec_id, b.vec_id
+    ),
+    rk AS (SELECT query_id, vec_id, adist,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist, vec_id) AS rank
+           FROM ad)
+    SELECT query_id, vec_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+)
+def q59_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query side of the PQ index: asymmetric-distance (ADC) top-5
+    per query — each query precomputes an m x k integer lookup table
+    against the codebook, and every stored vector's approximate
+    distance is m table lookups over its PQ code (never a d-dim
+    distance). With q58 (codes), q54 (int8 SQ), and q33 (IVF pruning)
+    this completes the standard ANN index stack, every stage
+    oracle-checked exactly: the int8 lane makes all distances integer
+    arithmetic, so both engines agree bit-for-bit. One code projection
+    + posexplode + ONE window shuffle on query_id."""
+    from .functions.similarity import pq_adc_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, m=4, k=8, n_queries=5, topk=5)
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 

@@ -53,6 +53,9 @@ HEADLINE = [
     "q52_document_chunking",
     "q53_dedup_clusters",
     "q54_embedding_quantization",
+    # round-4 additions: ANN index stack depth (PQ codes + ADC search)
+    "q58_product_quantization",
+    "q59_pq_adc_topk",
 ]
 
 
