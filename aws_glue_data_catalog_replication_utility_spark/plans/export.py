@@ -89,13 +89,13 @@ def export_catalog(
     the audit-friendly source_catalog_id + name columns carried along).
 
     truncate_lineage=True materializes the routed table set (scoped
-    tables + partition counts) with localCheckpoint+persist: it feeds
-    four consumers (small lane, large lane, audit, the eager ndjson
-    write), each of which would otherwise re-analyze and re-execute the
-    scope join + count aggregation. The routed relation is METADATA-
-    sized (one row per exported table — bounded by catalog size, never
-    table data), so the cut is cheap at any scale; pass False to keep
-    the plan fully lazy."""
+    tables + partition counts) with persist+count: it feeds four
+    consumers (small lane, large lane, audit, the eager ndjson write),
+    each of which would otherwise re-execute the scope join + count
+    aggregation. The routed relation is METADATA-sized (one row per
+    exported table — bounded by catalog size, never table data), so
+    the materialization is cheap at any scale; pass False to keep the
+    plan fully lazy."""
     requested = db_messages.select(
         F.get_json_object("payload", "$.name").alias("database_name"),
         F.col("source_catalog_id").alias("catalog_id"),
@@ -114,7 +114,10 @@ def export_catalog(
         count_col="n_partitions",
     )
     if truncate_lineage:
-        routed = routed.localCheckpoint(eager=True).persist()
+        # persist (not checkpoint): routed's lineage is two scans + one
+        # count agg — shallow; materialization is what its four
+        # consumers need, and stats come with it
+        routed = routed.persist()
         routed.count()
 
     # failure lane: a table with no name cannot form a message or a

@@ -463,9 +463,11 @@ def parse_events(
     ).drop("event_id")
     if truncate_lineage:
         # the winner relation feeds the merge, the audit meta, and the
-        # sync scope of EVERY target — cut once here so each consumer
-        # analyzes/executes against a stats-bearing in-memory leaf
-        enriched = enriched.localCheckpoint(eager=True).persist()
+        # sync scope of EVERY target — materialize once so each consumer
+        # executes against a stats-bearing in-memory relation (its
+        # lineage is already shallow: it hangs off the parsed cut leaf,
+        # so a full checkpoint would only buy an extra copy job)
+        enriched = enriched.persist()
         enriched.count()
     incoming_tables = enriched.drop(
         "export_batch_id", "source_catalog_id", "table_schema"
