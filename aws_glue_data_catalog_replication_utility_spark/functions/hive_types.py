@@ -50,8 +50,11 @@ _PRIM_RE = (
 )
 
 # one nesting level of each composite, innermost-first. The marker `!`
-# never occurs in valid input (whitespace-stripped), so matches cannot
-# bleed across levels. Struct field names may themselves have collapsed
+# is REJECTED from input before the reduction runs (see hive_type_valid:
+# a '!' in the raw string would forge an already-reduced subtree, so
+# 'array<!>' or bare '!' would validate), which is what licenses using
+# it as the reduced-subtree token. Struct field names may themselves
+# have collapsed
 # to `!` when a name collides with a primitive (e.g. struct<string:int>)
 # — harmless acceptance, the TYPE positions are still checked.
 _LEVEL_RES = (
@@ -66,28 +69,39 @@ DEFAULT_MAX_DEPTH = 16
 
 def hive_type_valid(type_col: Column | str, max_depth: int = DEFAULT_MAX_DEPTH) -> Column:
     """True iff the column's Hive type string is well-formed (subset
-    above, nesting depth <= max_depth). NULL/empty -> False."""
+    above, nesting depth <= max_depth). NULL/empty -> False. Input
+    containing the reduction marker '!' is rejected up front (ADVICE
+    r04): without the gate, '!' / 'array<!>' / 'map<!,!>' would forge
+    already-reduced subtrees and validate as well-formed, bypassing the
+    DLQ lane this validator feeds."""
     c = F.col(type_col) if isinstance(type_col, str) else type_col
-    s = F.regexp_replace(F.lower(c), r"\s+", "")
-    s = F.regexp_replace(s, _PRIM_RE, "!")
+    stripped = F.regexp_replace(F.lower(c), r"\s+", "")
+    s = F.regexp_replace(stripped, _PRIM_RE, "!")
     for _ in range(max_depth):
         for pat, rep in _LEVEL_RES:
             s = F.regexp_replace(s, pat, rep)
-    return c.isNotNull() & (s == "!")
+    return c.isNotNull() & ~stripped.contains("!") & (s == "!")
+
+
+def _stripped_sql(expr: str) -> str:
+    return f"regexp_replace(lower({expr}), '\\s+', '', 'g')"
 
 
 def hive_type_valid_sql(expr: str, max_depth: int = DEFAULT_MAX_DEPTH) -> str:
     """The identical validator as a DuckDB SQL expression over `expr`
     (global regexp_replace, same RE2-safe patterns) — the oracle half
     of the cross-engine contract."""
-    s = f"regexp_replace(lower({expr}), '\\s+', '', 'g')"
     prim = _PRIM_RE.replace("'", "''")
-    s = f"regexp_replace({s}, '{prim}', '!', 'g')"
+    s = f"regexp_replace({_stripped_sql(expr)}, '{prim}', '!', 'g')"
     for _ in range(max_depth):
         for pat, rep in _LEVEL_RES:
             p = pat.replace("'", "''")
             s = f"regexp_replace({s}, '{p}', '{rep}', 'g')"
-    return f"({expr} IS NOT NULL AND {s} = '!')"
+    return (
+        f"({expr} IS NOT NULL"
+        f" AND NOT contains({_stripped_sql(expr)}, '!')"
+        f" AND {s} = '!')"
+    )
 
 
 def all_column_types_valid(

@@ -80,6 +80,7 @@ def export_catalog(
     region_name: str = "local",
     run_date: str = "2024-01-01",
     truncate_lineage: bool = True,
+    materialized_out: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (table_messages, table_export_audit). Side-channel ndjson
     is written when any table routes large and a path is given.
@@ -95,7 +96,13 @@ def export_catalog(
     aggregation. The routed relation is METADATA-sized (one row per
     exported table — bounded by catalog size, never table data), so
     the materialization is cheap at any scale; pass False to keep the
-    plan fully lazy."""
+    plan fully lazy.
+
+    materialized_out: when given, the persisted routed frame is appended
+    so the CALLER owns its lifetime (unpersist once the returned plans
+    have executed). Without it the cache entry lives until session end —
+    fine for a one-shot batch job, a leak in a long-lived loop (ADVICE
+    r04)."""
     requested = db_messages.select(
         F.get_json_object("payload", "$.name").alias("database_name"),
         F.col("source_catalog_id").alias("catalog_id"),
@@ -119,6 +126,8 @@ def export_catalog(
         # consumers need, and stats come with it
         routed = routed.persist()
         routed.count()
+        if materialized_out is not None:
+            materialized_out.append(routed)
 
     # failure lane: a table with no name cannot form a message or a
     # side-channel key — it audits as is_exported=False with a reason

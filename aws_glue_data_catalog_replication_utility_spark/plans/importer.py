@@ -110,6 +110,17 @@ class ImportResult:
     # plane, to commit a batch without rewriting untouched tables
     partitions_delta: DataFrame | None = None
     sync_scope: DataFrame | None = None
+    # frames parse_events materialized (localCheckpoint/persist) for this
+    # result's plans: release() once every returned plan has executed, or
+    # a long-lived session leaks one CacheManager entry per batch (the
+    # streaming foreachBatch path calls it per micro-batch; ADVICE r04)
+    materialized: tuple[DataFrame, ...] = ()
+
+    def release(self) -> None:
+        """Unpersist the materialized intermediates. Idempotent; call
+        after the audit/state plans have been executed or written."""
+        for df in self.materialized:
+            df.unpersist()
 
 
 @dataclass
@@ -142,6 +153,13 @@ class ParsedEvents:
     parts_ok: DataFrame
     # per-table (__n_in, __n_bad) partition validation stats
     part_stats: DataFrame
+    # frames materialized by parse_events (see ImportResult.materialized)
+    materialized: tuple[DataFrame, ...] = ()
+
+    def release(self) -> None:
+        """Unpersist the materialized intermediates (idempotent)."""
+        for df in self.materialized:
+            df.unpersist()
 
 
 def parse_events(
@@ -191,6 +209,7 @@ def parse_events(
             F.from_json("payload", LARGE_MSG),
         ).alias("__lm"),
     )
+    materialized: list[DataFrame] = []
     if truncate_lineage:
         # checkpoint cuts the analysis tree; the persist+count on top
         # gives the cut leaf REAL size statistics (a bare LogicalRDD
@@ -198,6 +217,7 @@ def parse_events(
         # downstream broadcast join to a sort-merge shuffle)
         parsed = parsed.localCheckpoint(eager=True).persist()
         parsed.count()
+        materialized.append(parsed)
     db_msgs = parsed.where(F.col("message_type") == "database").drop(
         "__tm", "__lm"
     )
@@ -469,6 +489,7 @@ def parse_events(
         # so a full checkpoint would only buy an extra copy job)
         enriched = enriched.persist()
         enriched.count()
+        materialized.append(enriched)
     incoming_tables = enriched.drop(
         "export_batch_id", "source_catalog_id", "table_schema"
     )
@@ -584,6 +605,7 @@ def parse_events(
         table_scope=table_scope,
         parts_ok=parts_ok,
         part_stats=part_stats,
+        materialized=tuple(materialized),
     )
 
 
@@ -603,7 +625,7 @@ def import_events(
     parsed = parse_events(
         spark, events, side_channel_path, truncate_lineage=truncate_lineage
     )
-    return _apply_parsed(
+    result = _apply_parsed(
         parsed,
         target_databases,
         target_tables,
@@ -611,6 +633,8 @@ def import_events(
         target_catalog_id=target_catalog_id,
         run_id=run_id,
     )
+    result.materialized = parsed.materialized
+    return result
 
 
 def import_events_fanout(
@@ -637,10 +661,16 @@ def import_events_fanout(
     parsed = parse_events(
         spark, events, side_channel_path, truncate_lineage=truncate_lineage
     )
-    return {
+    results = {
         tid: _apply_parsed(parsed, d, t, p, target_catalog_id=tid, run_id=run_id)
         for tid, (d, t, p) in targets.items()
     }
+    # every result shares the ONE parsed materialization; release() is
+    # idempotent, so releasing any (or all) of them is safe once every
+    # target's plans have executed
+    for r in results.values():
+        r.materialized = parsed.materialized
+    return results
 
 
 def fanout_table_audit(results: dict[str, ImportResult]) -> DataFrame:

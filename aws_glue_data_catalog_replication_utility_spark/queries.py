@@ -1435,9 +1435,10 @@ def q34_replication_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs, _ = plan_replication(
         src_dbs, prefix_string="raw_data_,processed_data_", batch_id="bench"
     )
+    mats: list[DataFrame] = []
     tbl_msgs, _ = export_catalog(
         spark, msgs, src_tables, src_parts, threshold=10, batch_id="bench",
-        side_channel_path=side,
+        side_channel_path=side, materialized_out=mats,
     )
     # no _persist here: import_events cuts (checkpoints) the parsed
     # event set itself, and the message build below the cut is cheap —
@@ -1445,6 +1446,10 @@ def q34_replication_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = msgs.unionByName(tbl_msgs)
     d, t, p = empty_catalog(spark)
     res = import_events(spark, events, d, t, p, side_channel_path=side)
+    # pipeline-internal persists (routed set + parse cuts) evict at the
+    # next registry call like every _persist frame (ADVICE r04)
+    _PERSISTED.extend(mats)
+    _PERSISTED.extend(res.materialized)
     return (
         res.table_import_audit.groupBy("table_created", "table_updated")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1996,6 +2001,7 @@ def q46_failure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dbs.unionByName(bad_db), prefix_string="", batch_id="b1"
     )
     side = tempfile.mkdtemp(prefix="q46_side_")
+    mats: list[DataFrame] = []
     tbl_msgs, export_audit = export_catalog(
         spark,
         msgs,
@@ -2004,6 +2010,7 @@ def q46_failure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=10,
         batch_id="b1",
         side_channel_path=side,
+        materialized_out=mats,
     )
     corrupt = spark.createDataFrame(
         [
@@ -2018,6 +2025,8 @@ def q46_failure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = msgs.unionByName(tbl_msgs).unionByName(corrupt)
     d, t, p = empty_catalog(spark)
     res = import_events(spark, events, d, t, p, side_channel_path=side)
+    _PERSISTED.extend(mats)
+    _PERSISTED.extend(res.materialized)
 
     def lane(df: DataFrame, name: str, failed) -> DataFrame:
         return df.select(F.lit(name).alias("lane"), failed.alias("failed"))
@@ -2466,9 +2475,10 @@ def q55_multi_target_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs, _ = plan_replication(
         src_dbs, prefix_string="raw_data_,processed_data_", batch_id="bench"
     )
+    mats: list[DataFrame] = []
     tbl_msgs, _ = export_catalog(
         spark, msgs, src_tables, src_parts, threshold=10, batch_id="bench",
-        side_channel_path=side,
+        side_channel_path=side, materialized_out=mats,
     )
     events = msgs.unionByName(tbl_msgs)
     # target B = converged state (one prior import) with one table's
@@ -2493,6 +2503,9 @@ def q55_multi_target_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         side_channel_path=side,
     )
+    _PERSISTED.extend(mats)
+    _PERSISTED.extend(base.materialized)
+    _PERSISTED.extend(next(iter(results.values())).materialized)
     return (
         fanout_table_audit(results)
         .groupBy("target_glue_catalog_id", "table_created", "table_updated")
@@ -2527,6 +2540,9 @@ _TYPE_CASES = [
     "struct<:int>",            # empty field name
     "int; drop table x",       # trailing garbage
     "",                        # empty
+    "!",                       # forged reduction marker (ADVICE r04)
+    "array<!>",                # forged reduced subtree
+    "map<!,!>",                # forged reduced subtree
 ]
 
 

@@ -66,7 +66,14 @@ def decode_kafka_events(raw: DataFrame) -> DataFrame:
     import dispatch routes exactly that shape to the DLQ
     (importer.parse_events bad-type lane), so a poison record is
     dead-lettered instead of dropped, same as the file source's
-    corrupt-line handling."""
+    corrupt-line handling.
+
+    The raw-value fallback is gated on PARSE FAILURE (the poison shape:
+    from_json yields a null struct, or an envelope naming neither
+    event_id nor message_type), never on payload nullness — a valid
+    envelope whose payload is legitimately null keeps its null payload
+    instead of having the whole envelope JSON substituted (ADVICE
+    r04)."""
     parsed = raw.select(
         F.col("value").cast("string").alias("__v"),
         F.from_json(F.col("value").cast("string"), MESSAGE).alias("m"),
@@ -74,12 +81,15 @@ def decode_kafka_events(raw: DataFrame) -> DataFrame:
             "/", F.col("topic"), F.col("partition"), F.col("offset")
         ).alias("__addr"),
     )
+    poison = F.col("m").isNull() | (
+        F.col("m.event_id").isNull() & F.col("m.message_type").isNull()
+    )
     return parsed.select(
         F.coalesce(F.col("m.event_id"), F.col("__addr")).alias("event_id"),
         F.col("m.message_type").alias("message_type"),
         F.col("m.source_catalog_id").alias("source_catalog_id"),
         F.col("m.export_batch_id").alias("export_batch_id"),
-        F.coalesce(F.col("m.payload"), F.col("__v")).alias("payload"),
+        F.when(poison, F.col("__v")).otherwise(F.col("m.payload")).alias("payload"),
         F.col("m.bucket_name").alias("bucket_name"),
         F.col("m.region_name").alias("region_name"),
     )

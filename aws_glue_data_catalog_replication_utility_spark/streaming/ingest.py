@@ -288,6 +288,11 @@ def start_event_stream(
         # only after every plan of this batch has executed
         if retain_versions is not None:
             prune_versions(state_root, v, retain_versions)
+        # release the batch's parse-time materializations (checkpoint +
+        # persist frames): a continuously-running stream otherwise
+        # accumulates one CacheManager entry + checkpoint blocks per
+        # micro-batch, without bound (ADVICE r04)
+        result.release()
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_path

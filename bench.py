@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -113,7 +114,9 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
         raw_runs[name] = times
-        per_query[name] = sorted(times)[len(times) // 2]  # median
+        # true median (ADVICE r04: the upper-middle pick biased slow for
+        # even SPARK_GRAFT_BENCH_N)
+        per_query[name] = round(statistics.median(times), 3)
 
     total = round(sum(per_query.values()), 3)
 

@@ -391,6 +391,12 @@ def test_hive_type_validator_cross_engine_parity(spark):
         ("struct<a:>", False),
         ("int,string", False),
         (None, False),
+        # marker injection (ADVICE r04): '!' from input must never pose
+        # as an already-reduced subtree
+        ("!", False),
+        ("array<!>", False),
+        ("map<!,!>", False),
+        ("struct<a:!>", False),
     ]
     df = spark.createDataFrame(
         [(i, c) for i, (c, _) in enumerate(cases)], "i long, type_str string"

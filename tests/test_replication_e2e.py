@@ -571,6 +571,28 @@ def test_auto_create_missing_parent_db(spark):
     assert res.tables.count() == 1
 
 
+def test_import_release_frees_parse_caches(spark):
+    """ADVICE r04: parse_events materializes (checkpoint+persist) two
+    frames per call; ImportResult.release() must free them, or the
+    streaming foreachBatch path (one import per micro-batch, release at
+    batch end) accumulates CacheManager entries without bound."""
+    from aws_glue_data_catalog_replication_utility_spark.model import empty_catalog
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()  # isolate from other tests' scoped caches
+    events = spark.createDataFrame(
+        [("e1", "database", "111", "b1", '{"name": "d1"}', None, None)],
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, region_name string",
+    )
+    res = import_events(spark, events, *empty_catalog(spark))
+    res.db_import_audit.count()
+    assert not cm.isEmpty()  # the parse cut is cached while plans run
+    res.release()
+    res.release()  # idempotent
+    assert cm.isEmpty()
+
+
 def test_corrupt_hive_type_routes_to_dlq(spark):
     """SURVEY §1.2: a table whose column list carries a malformed Hive
     type string must dead-letter (DLQ + failure-audit row) instead of
