@@ -522,25 +522,12 @@ def q12_object_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 13-15. sort/limit + multi-way joins (deterministic top-k; bench heads)
+# 14-15. sort/limit + multi-way joins (deterministic top-k; bench heads)
+# (r05 registry consolidation: the driver's correctness artifact caps at
+# 50 rows, so single-operator queries subsumed by richer ones were
+# folded — standalone top-k (was q13) is pinned by q14's
+# TakeOrderedAndProject tail and q38's.)
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "q13_top_orders",
-    oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-    """,
-)
-def q13_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k with total ordering (TakeOrderedAndProject — no full sort)."""
-    (orders,) = _t(spark, sf_dir, "orders")
-    return (
-        orders.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-    )
 
 
 @register(
@@ -697,31 +684,11 @@ _JACCARD_CTES = """
 
 
 
-@register(
-    "q17_ngram_jaccard_pairs",
-    oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),{_JACCARD_CTES}
-    SELECT id_a, id_b,
-           inter / (x.sz + y.sz - inter) AS jaccard
-    FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-    WHERE inter / (x.sz + y.sz - inter) >= 0.6
-    """,
-)
-def q17_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs by word-5-gram Jaccard >= 0.6: shingle
-    inverted-index self-join (the exactness baseline the MinHash/LSH
-    scale path is verified against)."""
-    (docs,) = _t(spark, sf_dir, "documents")
-    # three consumers (size agg + both self-join sides) read the shingle
-    # relation — materialize once instead of re-exploding per branch
-    # (measured ~2.5x end-to-end at sf0.1); repartition the compact docs
-    # first so the explode isn't serialized onto one tiny input split
-    sh = _persist(
-        word_shingles(
-            ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
-        )
-    )
-    return jaccard_pairs(sh, "doc_id", threshold=0.6)
+# (exact-Jaccard pairs as a standalone query — was q17 — folded in r05:
+# the identical pair semantics stay pinned THREE ways — q37 runs
+# jaccard_pairs with df-pruning against the same _JACCARD_CTES oracle,
+# q19 recomputes the exact pairs inside its recall oracle, and the q53
+# clustering oracle builds its edges from them.)
 
 
 @register(
@@ -818,15 +785,35 @@ def q19_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 20. text analysis (north star)
+# 20. text analysis (north star) — full per-document profile
+# (r05 consolidation: absorbed q30_language_quality and
+# q36_rolling_fingerprint — all three were per-document column profiles
+# over the same scan, so ONE projection now pins the whole text-analysis
+# surface: counts/ratios/fp + lang-ID + quality + winnowing sketch.)
 # ---------------------------------------------------------------------------
+
+
+def _sw_sql(lang_words) -> str:
+    return "len(list_filter(toks, t -> t IN ({})))".format(
+        ", ".join(f"'{w}'" for w in lang_words)
+    )
 
 
 @register(
     "q20_text_stats",
-    oracle="""
+    oracle=f"""
     WITH base AS (
-      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
+             lower(trim(text)) AS s
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, toks, s,
+             {_sw_sql(TX.STOPWORDS["en"])} AS s_en,
+             {_sw_sql(TX.STOPWORDS["de"])} AS s_de,
+             {_sw_sql(TX.STOPWORDS["es"])} AS s_es,
+             {_sw_sql(TX.STOPWORDS["fr"])} AS s_fr
+      FROM base
     )
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -836,22 +823,62 @@ def q19_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 0.0 END AS punct_ratio,
            len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on')))
              / len(toks) AS stopword_ratio,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-    FROM base
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang,
+           0.5 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+             + 0.5 * least((s_en / len(toks)) * 5.0, 1.0)
+             - 0.25 * least(
+                 (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                            / length(text)
+                       ELSE 0.0 END) * 10.0, 1.0) AS quality,
+           array_to_string(
+             list_slice(
+               list_sort(list_distinct(
+                 [md5(substring(s, i, 8))
+                  for i in range(1, greatest(length(s) - 7 + 1, 2))])),
+               1, 4),
+             '|') AS fp_sketch
+    FROM scored
     """,
 )
 def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text-quality profile: token counts, punctuation
-    density, stopword mass, content fingerprint — all JVM-side column
-    expressions (no UDF)."""
+    """Per-document text profile, the whole analysis surface in ONE
+    narrow projection over one scan (no UDF, no shuffle, no explode):
+
+    - token counts, punctuation density, stopword mass, content
+      fingerprint (the quality-filter features);
+    - language-ID (stopword-vote heuristic with fixed priority
+      tie-break, functions/text.py) and the quality score fold — the
+      double arithmetic is bit-exact vs the oracle;
+    - winnowing-style rolling-hash sketch: hash every char-8-gram, keep
+      the 4 smallest distinct hashes ('|'-joined so downstream
+      comparators treat the sketch as one scalar cell) — the
+      copy-detection primitive, entirely array expressions."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return docs.select(
+    base = docs.select(
+        "doc_id", "text", F.lower(F.trim(F.col("text"))).alias("__s")
+    )
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(__s) - 7, 1)),"
+        " i -> md5(substring(__s, i, 8)))"
+    )
+    return base.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
         TX.regex_token_count("text").alias("n_words"),
         TX.punct_ratio("text").alias("punct_ratio"),
         TX.stopword_ratio("text", "en").alias("stopword_ratio"),
         TX.fingerprint("text").alias("fp"),
+        TX.lang_guess("text").alias("lang"),
+        TX.quality_score("text", rounded=False).alias("quality"),
+        F.concat_ws(
+            "|", F.slice(F.array_sort(F.array_distinct(grams)), 1, 4)
+        ).alias("fp_sketch"),
     )
 
 
@@ -902,51 +929,46 @@ def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_users,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           TRUE AS approx_within_10pct
     FROM events GROUP BY event_type
     """,
 )
 def q22_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-cardinality stats per entity type (the counters the
     reference prints at ExportDatabaseWithTables.java:220-222, as real
-    aggregates)."""
+    aggregates) — exact AND approximate in one pass (r05: absorbed
+    q26_approx_distinct). approx_count_distinct (HLL++) rides the same
+    aggregation; the oracle can't reproduce Spark's sketch, so the
+    DETERMINISTIC contract checked is the error bound: the hash match
+    fails unless the approximation lands within 10% of exact (rsd=0.05
+    keeps HLL well inside that). At scale the approx variant replaces
+    the exact count's full shuffle of distinct keys with fixed-size
+    mergeable sketches."""
     (events,) = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum(_dec("value", 6)).cast("double").alias("total_value"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("__n_approx"),
     )
-
-
-# ---------------------------------------------------------------------------
-# 23. event-time windowed aggregation (streaming-shaped, batch-checked)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q23_hourly_rollup",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS hour, event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q23_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window rollup over event time — the batch shape of the
-    Structured Streaming leg (same plan runs under readStream with a
-    watermark; see streaming/)."""
-    (events,) = _t(spark, sf_dir, "events")
-    return events.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+    return agg.select(
+        "event_type",
+        "n_users",
+        "n_events",
+        "total_value",
+        (
+            F.abs(F.col("__n_approx") - F.col("n_users")) / F.col("n_users")
+            <= 0.1
+        ).alias("approx_within_10pct"),
     )
 
 
 # ---------------------------------------------------------------------------
 # 24. streaming-native windowed rollup (batch shape of streaming/rollup.py)
+# (r05: the date_trunc batch twin — was q23 — folded; q24 computes the
+# identical hourly rollup through the F.window operator, which is the
+# stronger pin: one plan, batch AND stream.)
 # ---------------------------------------------------------------------------
 
 
@@ -999,41 +1021,7 @@ def q25_audit_latest_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_entities"))
 
 
-# ---------------------------------------------------------------------------
-# 26. approx distinct (catalog stats at scale)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q26_approx_distinct",
-    oracle="""
-    SELECT event_type,
-           COUNT(DISTINCT user_id) AS n_users_exact,
-           TRUE AS approx_within_10pct
-    FROM events GROUP BY event_type
-    """,
-)
-def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) beside the exact count. The oracle
-    can't reproduce Spark's sketch, so the DETERMINISTIC contract checked
-    is the error bound: the hash match fails unless the approximation is
-    within 10% of exact (rsd=0.05 keeps HLL well inside that). At scale
-    the approx variant replaces the exact count's full shuffle of
-    distinct keys with fixed-size mergeable sketches."""
-    (events,) = _t(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users_exact"),
-        F.approx_count_distinct("user_id", rsd=0.05).alias("n_approx"),
-    )
-    return agg.select(
-        "event_type",
-        "n_users_exact",
-        (
-            F.abs(F.col("n_approx") - F.col("n_users_exact"))
-            / F.col("n_users_exact")
-            <= 0.1
-        ).alias("approx_within_10pct"),
-    )
+# (q26_approx_distinct folded into q22_catalog_stats in r05.)
 
 
 # ---------------------------------------------------------------------------
@@ -1189,59 +1177,7 @@ def q29_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# 30. language-ID + quality scoring (north star)
-# ---------------------------------------------------------------------------
-
-
-def _sw_sql(lang_words) -> str:
-    return "len(list_filter(toks, t -> t IN ({})))".format(
-        ", ".join(f"'{w}'" for w in lang_words)
-    )
-
-
-@register(
-    "q30_language_quality",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
-      FROM documents
-    ),
-    scored AS (
-      SELECT doc_id, text, toks,
-             {_sw_sql(TX.STOPWORDS["en"])} AS s_en,
-             {_sw_sql(TX.STOPWORDS["de"])} AS s_de,
-             {_sw_sql(TX.STOPWORDS["es"])} AS s_es,
-             {_sw_sql(TX.STOPWORDS["fr"])} AS s_fr
-      FROM base
-    )
-    SELECT doc_id,
-           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
-                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
-                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-                ELSE 'fr' END AS lang,
-           0.5 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-             + 0.5 * least((s_en / len(toks)) * 5.0, 1.0)
-             - 0.25 * least(
-                 (CASE WHEN length(text) > 0
-                       THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                            / length(text)
-                       ELSE 0.0 END) * 10.0, 1.0) AS quality
-    FROM scored
-    """,
-)
-def q30_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document language-ID (stopword-vote heuristic with fixed
-    priority tie-break, functions/text.py) and quality score (length /
-    stopword-mass / punctuation-density fold) — pure column expressions,
-    zero UDFs; the quality double fold is bit-exact vs the oracle."""
-    (docs,) = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.lang_guess("text").alias("lang"),
-        TX.quality_score("text", rounded=False).alias("quality"),
-    )
+# (q30_language_quality folded into q20_text_stats in r05.)
 
 
 # ---------------------------------------------------------------------------
@@ -1273,16 +1209,10 @@ _SIMHASH_SQL = """
 )
 
 
-@register(
-    "q31_simhash",
-    oracle=f"SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM ({_SIMHASH_SQL})",
-)
-def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit token SimHash signatures (md5-vote per bit): the
-    Hamming-space dedup sketch. One explode + one aggregation with
-    map-side partial sums — same shuffle profile as MinHash (q18)."""
-    (docs,) = _t(spark, sf_dir, "documents")
-    return simhash(docs, "doc_id", "text", bits=16)
+# (q31_simhash — the standalone signature projection — folded in r05:
+# q32's oracle recomputes the identical signatures brute-force and the
+# banded pairs must match them, so the signature values stay pinned;
+# the simhash() operator is also unit-tested directly.)
 
 
 @register(
@@ -1525,49 +1455,7 @@ def q35_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# 36. rolling-hash document fingerprint (bottom-k sketch, north star)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q36_rolling_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           array_to_string(
-             list_slice(
-               list_sort(list_distinct(
-                 [md5(substring(s, i, 8))
-                  for i in range(1, greatest(length(s) - 7 + 1, 2))])),
-               1, 4),
-             '|') AS fp
-    FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
-    """,
-)
-def q36_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style content fingerprint: hash every char-8-gram
-    (the rolling-hash window), keep the 4 smallest distinct hashes as a
-    sorted bottom-k sketch. Two docs sharing any sketch element share an
-    8-char run — the copy-detection primitive. Entirely array
-    expressions inside one projection: NO explode, NO shuffle, NO UDF —
-    a pure map over the scan, embarrassingly parallel at any scale.
-
-    The sketch is emitted as a '|'-delimited string (not array<string>)
-    so downstream comparators — and the driver's canonicalizer — treat
-    it as one hashable scalar cell."""
-    (docs,) = _t(spark, sf_dir, "documents")
-    grams = F.expr(
-        "transform(sequence(1, greatest(length(__s) - 7, 1)),"
-        " i -> md5(substring(__s, i, 8)))"
-    )
-    return docs.select(
-        "doc_id", F.lower(F.trim(F.col("text"))).alias("__s")
-    ).select(
-        "doc_id",
-        F.concat_ws(
-            "|", F.slice(F.array_sort(F.array_distinct(grams)), 1, 4)
-        ).alias("fp"),
-    )
+# (q36_rolling_fingerprint folded into q20_text_stats in r05.)
 
 
 # ---------------------------------------------------------------------------
@@ -1661,22 +1549,40 @@ def q38_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            quantile_cont(value, 0.25) AS p25,
            quantile_cont(value, 0.50) AS p50,
            quantile_cont(value, 0.75) AS p75,
-           MIN(value) AS vmin, MAX(value) AS vmax
+           MIN(value) AS vmin, MAX(value) AS vmax,
+           TRUE AS approx_within_2pct
     FROM events GROUP BY event_type
     """,
 )
 def q39_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated quantiles per group (verified bit-exact
-    vs DuckDB's quantile_cont). At 100 TB the drop-in scale variant is
-    approx_percentile (t-digest sketch, mergeable map-side) — same plan
-    shape, bounded memory — under a tolerance contract like q26."""
+    vs DuckDB's quantile_cont) PLUS the 100 TB scale path in the same
+    pass (r05: absorbed q45_approx_quantiles): approx_percentile
+    (t-digest sketch, mergeable map-side, bounded memory — survives
+    cardinalities where the exact sort-based percentile would spill)
+    rides the same aggregation under a bounded-error contract — the
+    hash match fails unless the sketch's p50 lands within 2% of
+    exact."""
     (events,) = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.percentile("value", 0.25).alias("p25"),
         F.percentile("value", 0.50).alias("p50"),
         F.percentile("value", 0.75).alias("p75"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
+        F.approx_percentile("value", 0.50, 10000).alias("__p50_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "p25",
+        "p50",
+        "p75",
+        "vmin",
+        "vmax",
+        (
+            F.abs(F.col("__p50_approx") - F.col("p50"))
+            <= F.abs(F.col("p50")) * 0.02
+        ).alias("approx_within_2pct"),
     )
 
 
@@ -1858,82 +1764,12 @@ def q43_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# 44. promo revenue (broadcast dim join + conditional aggregation)
-# ---------------------------------------------------------------------------
+# (q44_promo_revenue — broadcast-dim join + conditional decimal agg —
+# folded in r05: the join shape stays pinned by q14/q15 and the
+# conditional decimal aggregation by q47/q49.)
 
 
-@register(
-    "q44_promo_revenue",
-    oracle="""
-    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-                         THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
-                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
-           CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
-             AS total_revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
-      AND l_shipdate < TIMESTAMP '1997-10-01'
-    """,
-)
-def q44_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q14-style promo revenue share: the month's lineitems join
-    the part dim (broadcast — the filter-pushed fact side streams once)
-    with a conditional decimal-exact aggregation."""
-    li, part = _t(spark, sf_dir, "lineitem", "part")
-    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-    return (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
-        )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            F.sum(
-                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
-                    F.lit(0).cast("decimal(18,4)")
-                )
-            )
-            .cast("double")
-            .alias("promo_revenue"),
-            F.sum(rev).cast("double").alias("total_revenue"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# 45. approx quantiles under a tolerance contract (scale path of q39)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q45_approx_quantiles",
-    oracle="""
-    SELECT event_type,
-           quantile_cont(value, 0.50) AS p50_exact,
-           TRUE AS approx_within_2pct
-    FROM events GROUP BY event_type
-    """,
-)
-def q45_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The q39 scale path made verifiable: approx_percentile (mergeable
-    sketch, bounded memory map-side — survives cardinalities where the
-    exact sort-based percentile would spill) beside the exact value,
-    under the same bounded-error contract as q26: the hash match fails
-    unless the sketch lands within 2% of exact."""
-    (events,) = _t(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
-        F.percentile("value", 0.50).alias("p50_exact"),
-        F.approx_percentile("value", 0.50, 10000).alias("p50_approx"),
-    )
-    return agg.select(
-        "event_type",
-        "p50_exact",
-        (
-            F.abs(F.col("p50_approx") - F.col("p50_exact"))
-            <= F.abs(F.col("p50_exact")) * 0.02
-        ).alias("approx_within_2pct"),
-    )
+# (q45_approx_quantiles folded into q39_value_quantiles in r05.)
 
 
 # ---------------------------------------------------------------------------
@@ -2329,8 +2165,10 @@ def q52_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the connected-components oracle (recursive CTE over the exact Jaccard
-# pairs) — shared by q53 (min-label propagation) and q57 (large-star/
-# small-star): both algorithms MUST produce identical component labels
+# pairs). q53 runs BOTH engine algorithms — min-label propagation and
+# large-star/small-star — and emits each one's label, so the oracle
+# repeats its label column: the hash match enforces that the two
+# algorithms agree with the oracle AND with each other, label-for-label
 _CC_ORACLE = f"""
     WITH RECURSIVE
     sh AS ({_SHINGLE_SQL}),{_JACCARD_CTES},
@@ -2351,7 +2189,8 @@ _CC_ORACLE = f"""
     lab AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
     csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
     SELECT l.id AS doc_id, l.cluster_id, c.cluster_size,
-           l.id = l.cluster_id AS is_keeper
+           l.id = l.cluster_id AS is_keeper,
+           l.cluster_id AS star_cluster_id
     FROM lab l JOIN csz c USING (cluster_id)
     """
 
@@ -2361,12 +2200,21 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER resolution — the step after pair generation
     that real dedup pipelines need (keep ONE document per duplicate
     cluster, not per pair): connected components over the exact Jaccard
-    >= 0.6 pairs via iterative min-label propagation (each round one
-    equi-join + one min-agg, driver sees only a scalar convergence
-    check). The DuckDB oracle computes the same components with a
-    recursive CTE, so cluster ids, sizes, and keeper flags all
-    hash-check. Docs in no pair are singleton keepers."""
-    from .functions.dedup import connected_components
+    >= 0.6 pairs, computed by BOTH engine algorithms in one query (r05:
+    absorbed q57_dedup_clusters_star):
+
+    - iterative min-label propagation (each round one equi-join + one
+      min-agg; optimal when component diameters are small);
+    - alternating large-star/small-star (Kiveris et al.) — the lane
+      that stays O(log n) rounds on adversarial chains.
+
+    The output carries each algorithm's label (cluster_id /
+    star_cluster_id); the oracle computes the components once with a
+    recursive CTE and repeats its label column, so the hash check
+    enforces three-way agreement: min-label == oracle == star,
+    label-for-label, plus sizes and keeper flags. Docs in no pair are
+    singleton keepers."""
+    from .functions.dedup import connected_components, connected_components_star
 
     (docs,) = _t(spark, sf_dir, "documents")
     sh = _persist(
@@ -2374,15 +2222,28 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
         )
     )
-    pairs = jaccard_pairs(sh, "doc_id", threshold=0.6).select("id_a", "id_b")
+    # both algorithms seed from the SAME pair set — materialize it once
+    # (the jaccard self-join is the expensive subplan here)
+    pairs = _persist(
+        jaccard_pairs(sh, "doc_id", threshold=0.6).select("id_a", "id_b")
+    )
     labels = connected_components(pairs, docs.select("doc_id"), "doc_id")
-    _PERSISTED.append(labels)  # scoped eviction at the next registry call
+    star = connected_components_star(pairs, docs.select("doc_id"), "doc_id")
+    _PERSISTED.extend([labels, star])  # scoped eviction at the next call
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, on="label").select(
-        F.col("id").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        "cluster_size",
-        (F.col("id") == F.col("label")).alias("is_keeper"),
+    return (
+        labels.join(sizes, on="label")
+        .join(
+            star.select("id", F.col("label").alias("star_cluster_id")),
+            on="id",
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("label")).alias("is_keeper"),
+            "star_cluster_id",
+        )
     )
 
 
@@ -2572,37 +2433,9 @@ def q56_hive_type_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cases.select("type_str", hive_type_valid("type_str").alias("is_valid"))
 
 
-# ---------------------------------------------------------------------------
-# 57. dedup clustering via large-star/small-star (adversarial-diameter lane)
-# ---------------------------------------------------------------------------
-
-
-@register("q57_dedup_clusters_star", oracle=_CC_ORACLE)
-def q57_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same duplicate-cluster contract as q53, computed by the
-    alternating large-star/small-star algorithm (Kiveris et al.) — the
-    lane that stays O(log n) rounds when components are adversarial
-    chains (where min-label propagation needs diameter rounds). Output
-    and oracle are IDENTICAL to q53: the two algorithms must agree
-    label-for-label, and the hash check enforces it cross-engine."""
-    from .functions.dedup import connected_components_star
-
-    (docs,) = _t(spark, sf_dir, "documents")
-    sh = _persist(
-        word_shingles(
-            ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
-        )
-    )
-    pairs = jaccard_pairs(sh, "doc_id", threshold=0.6).select("id_a", "id_b")
-    labels = connected_components_star(pairs, docs.select("doc_id"), "doc_id")
-    _PERSISTED.append(labels)  # scoped eviction at the next registry call
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, on="label").select(
-        F.col("id").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        "cluster_size",
-        (F.col("id") == F.col("label")).alias("is_keeper"),
-    )
+# (q57_dedup_clusters_star folded into q53_dedup_clusters in r05: one
+# query now runs both CC algorithms and the oracle enforces label-for-
+# label agreement between them.)
 
 
 # ---------------------------------------------------------------------------

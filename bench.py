@@ -37,14 +37,17 @@ HEADLINE = [
     "q14_shipping_priority",
     "q15_local_supplier_volume",
     "q16_dedup_exact",
-    "q17_ngram_jaccard_pairs",
+    # q17/q23 retired in the r05 registry consolidation; q37 carries the
+    # exact-Jaccard plan (df-pruned, same oracle family) and q24 the
+    # hourly rollup (streaming-native operator, same aggregation)
     "q18_minhash_signatures",
     "q19_lsh_candidate_recall",
     "q21_cosine_topk",
-    "q23_hourly_rollup",
+    "q24_windowed_rollup",
     "q27_blob_features",
     "q28_merge_catalog_shapes",
     "q34_replication_roundtrip",
+    "q37_jaccard_df_pruned",
     # round-3 additions: training-data pipeline breadth
     "q47_stratified_sample",
     "q48_sequence_packing",
@@ -52,11 +55,13 @@ HEADLINE = [
     "q50_distinctive_terms",
     "q51_corpus_mixing",
     "q52_document_chunking",
-    "q53_dedup_clusters",
+    "q53_dedup_clusters",  # r05: now runs BOTH CC algorithms in one query
     "q54_embedding_quantization",
     # round-4 additions: ANN index stack depth (PQ codes + ADC search)
     "q58_product_quantization",
     "q59_pq_adc_topk",
+    # round-5 additions (VERDICT r04 #6): pipeline fan-out lane
+    "q55_multi_target_fanout",
 ]
 
 
