@@ -60,8 +60,10 @@ HEADLINE = [
     # round-4 additions: ANN index stack depth (PQ codes + ADC search)
     "q58_product_quantization",
     "q59_pq_adc_topk",
-    # round-5 additions (VERDICT r04 #6): pipeline fan-out lane
+    # round-5 additions: pipeline fan-out lane (VERDICT r04 #6) and the
+    # composed IVF+ADC production search with its recall pins
     "q55_multi_target_fanout",
+    "q60_ivf_adc_recall",
 ]
 
 

@@ -493,3 +493,82 @@ def test_pq_codes_map_side_and_correct(spark):
                 dists.append((sum((a - b) * (a - b) for a, b in zip(xv, sv)), c))
             want = min(dists)[1]
             assert got[i][j] == want, (i, j, got[i], dists)
+
+
+def _ivf_pq_fixture(spark):
+    import math
+
+    return spark.createDataFrame(
+        [(i, [math.sin(i * 3 + j) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_ivf_pq_scores_plan_and_probe_ranks(spark):
+    """The composed search surface (VERDICT r04 #3/#4): the scored
+    relation must be ONE map-side projection + explode — zero exchanges
+    — and probe_rank must be, per query, a permutation rank: every
+    stored vector's rank is in 1..n_seeds, and each query ranks each
+    cluster consistently (all vectors of one cluster share one rank)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        ivf_assignments,
+        ivf_pq_scores,
+    )
+
+    emb = _ivf_pq_fixture(spark)
+    scores = ivf_pq_scores(emb, n_seeds=4, m=2, k=4, n_queries=3)
+    plan = scores._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    assign = {r.vec_id: r.cluster for r in ivf_assignments(emb, n_seeds=4).collect()}
+    rank_of: dict[tuple[int, int], int] = {}
+    rows = scores.collect()
+    assert len(rows) == 3 * 40 - 3  # self-matches excluded
+    for r in rows:
+        assert 1 <= r.probe_rank <= 4
+        key = (r.query_id, assign[r.vec_id])
+        assert rank_of.setdefault(key, r.probe_rank) == r.probe_rank
+    for qid in range(3):
+        ranks = sorted(v for (q, _), v in rank_of.items() if q == qid)
+        # every cluster with members gets a distinct rank
+        assert ranks == sorted(set(ranks))
+
+
+def test_ivf_adc_full_probe_degenerates_to_pq_adc(spark):
+    """nprobe = n_seeds must reproduce the full-table ADC search
+    (q59's lane) EXACTLY — the pruning is the only difference between
+    the composed search and pq_adc_topk."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        ivf_adc_topk,
+        pq_adc_topk,
+    )
+
+    emb = _ivf_pq_fixture(spark)
+    full = sorted(
+        map(tuple, ivf_adc_topk(emb, nprobe=4, n_seeds=4, m=2, k=4, n_queries=3).collect())
+    )
+    ref = sorted(map(tuple, pq_adc_topk(emb, m=2, k=4, n_queries=3).collect()))
+    assert full == ref and len(full) == 3 * 5
+
+
+def test_ivf_adc_probe_subsets_nest(spark):
+    """The nprobe candidate sets nest, so each lane's top-k comes from a
+    superset of the previous lane's candidates: every result row at
+    nprobe=p must come from a cluster within the query's top-p probe
+    order (probe_rank <= p by construction)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        ivf_pq_scores,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _ivf_pq_fixture(spark)
+    scores = ivf_pq_scores(emb, n_seeds=4, m=2, k=4, n_queries=3)
+    bad = scores.where(
+        (F.col("probe_rank") < 1) | (F.col("probe_rank") > 4)
+    ).count()
+    assert bad == 0
+    # nprobe=1 candidates ⊂ nprobe=2 candidates ⊂ ... per query
+    c1 = scores.where("probe_rank <= 1").count()
+    c2 = scores.where("probe_rank <= 2").count()
+    c4 = scores.where("probe_rank <= 4").count()
+    assert c1 <= c2 <= c4 == scores.count()

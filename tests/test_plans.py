@@ -15,7 +15,15 @@ from aws_glue_data_catalog_replication_utility_spark import queries as Q
 #                             baseline; the production lane is sign-LSH)
 #   q33 IVF quantizer       — broadcast 8-centroid crossJoin + the q21
 #                             baseline it is scored against
-ALLOWED_BNLJ = {"q21_cosine_topk", "q29_embedding_near_dup", "q33_ivf_topk_recall"}
+#   q60 IVF+ADC recall      — embeds the q21 exact baseline as its
+#                             ground truth (the ADC/IVF lanes themselves
+#                             are map-side + windows, no BNLJ)
+ALLOWED_BNLJ = {
+    "q21_cosine_topk",
+    "q29_embedding_near_dup",
+    "q33_ivf_topk_recall",
+    "q60_ivf_adc_recall",
+}
 
 # pipeline fixtures build their own side channels and run minutes of
 # setup; their import plan is audited separately (SURVEY §7: hash/SMJ/
