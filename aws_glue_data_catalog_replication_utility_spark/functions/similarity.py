@@ -15,6 +15,8 @@ bit-equality; see `cosine_topk_pandas`.)
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -714,4 +716,147 @@ def quantize_embeddings(
         F.size(v).alias("n_dims"),
         scale.alias("scale"),
         q.alias("quantized"),
+    )
+
+
+def _int_l2_argmin(cent_rows: list[tuple[int, list[int]]], qcol: Column) -> Column:
+    """Nearest centroid by integer squared-L2 over the quantized lane —
+    the centroid set folds into ONE literal projection (map-side, zero
+    exchanges, same pattern as `_argmax_cluster`/`_pq_code_cols`). All
+    arithmetic is exact long math, so the argmin is bit-identical in any
+    engine. Ties break toward the smaller centroid id."""
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    -F.aggregate(
+                        F.zip_with(
+                            qcol,
+                            F.array(*[F.lit(int(x)) for x in cv]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("negdist"),
+                F.lit(-cid).alias("negc"),
+            )
+            for cid, cv in cent_rows
+        ]
+    )
+    return (-F.array_max(cands)["negc"]).cast("long")
+
+
+def kmeans_codebook(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+    max_clusters: int = 4096,
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
+    """Deterministic Lloyd's k-means over the int8-quantized lane — the
+    seeded-codebook alternative to first-k-by-id centroids for IVF/PQ
+    (VERDICT r04 #9). Every quantity is integer-exact and
+    order-independent, so the trained codebook is bit-reproducible by
+    any engine (the q61 oracle re-runs the identical iterations in SQL):
+
+    - init: the first `n_clusters` quantized vectors by id;
+    - assign: map-side integer-L2 argmin (`_int_l2_argmin`) — zero
+      exchanges, the centroid set lives in the projection as literals;
+    - update: posexplode(quantized) -> groupBy(cluster, pos).sum/count.
+      Partial (map-side) aggregation reduces each partition's
+      contribution to n_clusters x dim rows BEFORE the shuffle, so the
+      per-iteration exchange moves O(clusters x dim x partitions) rows
+      regardless of corpus size — the canonical distributed-k-means
+      shape. New centroid component = FLOOR(sum/count) in IEEE double
+      division (exact long operands -> identical result in any engine;
+      never bankers'-rounding, which differs across engines). An empty
+      cluster keeps its previous centroid.
+
+    Driver state per iteration is one bounded collect of
+    n_clusters x dim (sum, count) rows, guarded by `max_clusters`; each
+    iteration's plan restarts from literals, so lineage does not grow
+    with n_iters. The quantized scan re-runs per iteration (map-only) —
+    at 100 TB, persist the quantized projection externally if iterating
+    deep.
+
+    Returns (centroids, assignments): centroids as [(cluster_id,
+    [int components])], assignments as (id, cluster) computed with the
+    final codebook."""
+    if n_clusters > max_clusters:
+        raise ValueError(
+            f"kmeans_codebook folds the centroid set into the projection "
+            f"driver-side; n_clusters={n_clusters} exceeds max_clusters="
+            f"{max_clusters} — raise max_clusters deliberately"
+        )
+    qz = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col, levels=levels)
+    seed_rows = qz.where(F.col(id_col) < n_clusters).orderBy(id_col).collect()
+    if len(seed_rows) < n_clusters:
+        raise ValueError(
+            f"kmeans_codebook needs ids 0..{n_clusters - 1} present for seeding"
+        )
+    cents = [(c, list(r["quantized"])) for c, r in enumerate(seed_rows)]
+    for _ in range(n_iters):
+        assigned = qz.select(
+            _int_l2_argmin(cents, F.col("quantized")).alias("cluster"),
+            F.posexplode("quantized").alias("pos", "val"),
+        )
+        stats = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in stats:
+            comp = by_cluster.setdefault(int(r["cluster"]), {})
+            # FLOOR over IEEE double division of exact longs: both Spark
+            # and DuckDB evaluate fl(s/c) identically, so the floor is
+            # engine-exact even in the rare case it differs from the
+            # mathematical floor
+            comp[int(r["pos"])] = int(math.floor(r["s"] / r["c"]))
+        cents = [
+            (
+                cid,
+                [by_cluster[cid][p] for p in range(len(old))]
+                if cid in by_cluster
+                else old,
+            )
+            for cid, old in cents
+        ]
+    assignments = qz.select(
+        F.col(id_col), _int_l2_argmin(cents, F.col("quantized")).alias("cluster")
+    )
+    return cents, assignments
+
+
+def quantized_ivf_assignments(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    seed_source: str = "first",
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """IVF coarse assignment over the quantized lane with a pluggable
+    codebook source: `first` = the first n_clusters vectors by id (the
+    q33-style deterministic seed), `kmeans` = Lloyd-trained codebook
+    (`kmeans_codebook`). Both produce (id, cluster) via the same
+    map-side integer-L2 argmin, so a recall comparison between them
+    isolates exactly the codebook's effect (q61)."""
+    if seed_source == "kmeans":
+        _, assignments = kmeans_codebook(
+            embeddings, n_clusters=n_clusters, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col, levels=levels,
+        )
+        return assignments
+    if seed_source != "first":
+        raise ValueError(f"unknown seed_source: {seed_source!r}")
+    qz = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col, levels=levels)
+    seed_rows = qz.where(F.col(id_col) < n_clusters).orderBy(id_col).collect()
+    cents = [(c, list(r["quantized"])) for c, r in enumerate(seed_rows)]
+    return qz.select(
+        F.col(id_col), _int_l2_argmin(cents, F.col("quantized")).alias("cluster")
     )

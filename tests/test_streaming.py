@@ -528,3 +528,84 @@ def test_stream_via_explicit_source_adapter(spark, tmp_path):
     assert {r.name for r in sdbs.collect()} == {"raw_data_db0"}
     assert stables.count() == 5
     assert sparts.count() == 0 + 3 + 10 + 11 + 31
+
+
+# ---------------------------------------------------------------------------
+# partition commit backend matrix (VERDICT r04 #8): same 4-case semantics
+# on the plain-parquet lane (sandbox default) and the Delta replaceWhere
+# lane (transactional, gated on delta-spark being importable)
+# ---------------------------------------------------------------------------
+
+from aws_glue_data_catalog_replication_utility_spark.streaming.ingest import (  # noqa: E402
+    _scope_predicate,
+    commit_partitions,
+    delta_backend_available,
+    read_partitions,
+)
+
+_BACKENDS = ["parquet"] + (["delta"] if delta_backend_available() else [])
+
+
+@pytest.mark.parametrize("backend", _BACKENDS)
+def test_partition_commit_four_cases_per_backend(spark, tmp_path, backend):
+    """The 4-case sync matrix (GDCUtil.java:61-111) holds on every
+    backend: overwrite-in-scope, delete-all-in-scope, untouched
+    out-of-scope, and idempotent replay."""
+    from aws_glue_data_catalog_replication_utility_spark.model import PARTITION
+
+    state = str(tmp_path / f"state_{backend}")
+
+    def part_rows(*specs):
+        return spark.createDataFrame(
+            [("999", db, tbl, [v], None, None, None, None) for db, tbl, v in specs],
+            PARTITION,
+        )
+
+    def scope_of(*pairs):
+        return spark.createDataFrame(
+            list(pairs), "database_name string, table_name string"
+        )
+
+    # batch 1: two tables land
+    b1 = part_rows(("d1", "t1", "2024"), ("d1", "t1", "2025"), ("d1", "t2", "2024"))
+    commit_partitions(spark, b1, scope_of(("d1", "t1"), ("d1", "t2")), state, backend)
+    got = read_partitions(spark, state, backend)
+    assert got.count() == 3
+
+    # batch 2: t1 rewritten smaller (delete-then-add), t2 out of scope
+    b2 = part_rows(("d1", "t1", "2026"))
+    commit_partitions(spark, b2, scope_of(("d1", "t1")), state, backend)
+    got = {(r.table_name, r.values[0]) for r in read_partitions(spark, state, backend).collect()}
+    assert got == {("t1", "2026"), ("t2", "2024")}
+
+    # batch 3: t2 in scope with zero rows -> delete-all
+    commit_partitions(spark, b2.limit(0), scope_of(("d1", "t2")), state, backend)
+    got = {(r.table_name, r.values[0]) for r in read_partitions(spark, state, backend).collect()}
+    assert got == {("t1", "2026")}
+
+    # replay batch 2 (at-least-once redelivery) -> state unchanged
+    commit_partitions(spark, b2, scope_of(("d1", "t1")), state, backend)
+    got = {(r.table_name, r.values[0]) for r in read_partitions(spark, state, backend).collect()}
+    assert got == {("t1", "2026")}
+
+
+def test_scope_predicate_quoting_and_guards(spark):
+    """The Delta lane's replaceWhere predicate builder: SQL-quote
+    injection-safe, null-safe equality, empty scope replaces nothing,
+    overflow guard raises. Pure driver logic, testable without delta."""
+    scope = spark.createDataFrame(
+        [("d'b", "t1"), (None, "t2")], "database_name string, table_name string"
+    )
+    pred = _scope_predicate(scope, ["database_name", "table_name"])
+    assert "d''b" in pred and "NULL" in pred and "<=>" in pred
+    # the predicate must be valid SQL Spark can parse
+    spark.sql(
+        "SELECT count(*) FROM (SELECT 'x' AS database_name, 'y' AS table_name) "
+        f"WHERE {pred}"
+    ).collect()
+
+    empty = scope.limit(0)
+    assert _scope_predicate(empty, ["database_name", "table_name"]) == "false"
+
+    with pytest.raises(ValueError, match="sync scope exceeds"):
+        _scope_predicate(scope, ["database_name", "table_name"], max_tables=1)
