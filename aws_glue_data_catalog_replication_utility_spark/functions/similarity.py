@@ -799,10 +799,13 @@ def kmeans_codebook(
         )
     cents = [(c, list(r["quantized"])) for c, r in enumerate(seed_rows)]
     for _ in range(n_iters):
+        # two-step select: a generator (posexplode) in the same select as
+        # the argmin strips F.struct field aliases during analysis (Spark
+        # generator-resolution quirk), so compute the cluster first
         assigned = qz.select(
             _int_l2_argmin(cents, F.col("quantized")).alias("cluster"),
-            F.posexplode("quantized").alias("pos", "val"),
-        )
+            "quantized",
+        ).select("cluster", F.posexplode("quantized").alias("pos", "val"))
         stats = (
             assigned.groupBy("cluster", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))

@@ -1245,10 +1245,61 @@ def q32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _kmeans_oracle_ctes(n_clusters: int, n_iters: int) -> str:
+    """DuckDB CTE chain reproducing `kmeans_codebook` bit-for-bit (the
+    oracle leg of the q33 codebook comparison): int8 quantization (q54's
+    formula), first-k init, then per iteration an integer-L2 argmin
+    assignment and a FLOOR(sum/count) centroid update. Every quantity is
+    exact integer math (double division of exact longs is IEEE-identical
+    across engines), so the SQL converges to the same codebook as the
+    Spark lane for any n_iters. Assumes a CTE `e(vec_id, v DOUBLE[])`."""
+    parts = [
+        f"""zs AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+    zq AS (SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(FLOOR(x * 127.0 / scale) AS INT)) END AS qv
+           FROM zs),
+    cent0 AS (SELECT vec_id AS c, qv AS cv FROM zq WHERE vec_id < {n_clusters})"""
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(
+            f"""zassign{i} AS (
+      SELECT vec_id, qv, c AS cluster FROM (
+        SELECT z.vec_id, z.qv, s.c,
+               ROW_NUMBER() OVER (PARTITION BY z.vec_id ORDER BY
+                 list_inner_product(z.qv, z.qv) - 2 * list_inner_product(z.qv, s.cv)
+                   + list_inner_product(s.cv, s.cv) ASC, s.c ASC) AS rn
+        FROM zq z CROSS JOIN cent{p} s) WHERE rn = 1),
+    znew{i} AS (
+      SELECT cluster, list(CAST(FLOOR(s / n) AS INT) ORDER BY pos) AS cv FROM (
+        SELECT cluster, pos, SUM(val) AS s, COUNT(*) AS n FROM (
+          SELECT cluster, unnest(qv) AS val,
+                 unnest(range(1, len(qv) + 1)) AS pos
+          FROM zassign{i}) GROUP BY cluster, pos) GROUP BY cluster),
+    cent{i} AS (SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+                FROM cent{p} p LEFT JOIN znew{i} n ON n.cluster = p.c)"""
+        )
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT z.vec_id, s.c,
+               ROW_NUMBER() OVER (PARTITION BY z.vec_id ORDER BY
+                 list_inner_product(z.qv, z.qv) - 2 * list_inner_product(z.qv, s.cv)
+                   + list_inner_product(s.cv, s.cv) ASC, s.c ASC) AS rn
+        FROM zq z CROSS JOIN {cent} s) WHERE rn = 1)"""
+
+    parts.append(assign_cte("zfirst", "cent0"))
+    parts.append(assign_cte("zkm", f"cent{n_iters}"))
+    return ",\n    ".join(parts)
+
+
 @register(
     "q33_ivf_topk_recall",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_kmeans_oracle_ctes(n_clusters=8, n_iters=2)},
     seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < 8),
     assign AS (
       SELECT vec_id, seed_id AS cluster FROM (
@@ -1276,40 +1327,70 @@ def q32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored) WHERE rank <= 5
     )
     SELECT t.query_id, t.vec_id, t.cosine, t.rank,
-           (qa.cluster = na.cluster) AS found_by_ivf
+           (qa.cluster = na.cluster) AS found_by_ivf,
+           (fq.cluster = fn.cluster) AS found_by_first_l2,
+           (kq.cluster = kn.cluster) AS found_by_kmeans_l2
     FROM topk t
     JOIN assign qa ON qa.vec_id = t.query_id
     JOIN assign na ON na.vec_id = t.vec_id
+    JOIN zfirst fq ON fq.vec_id = t.query_id
+    JOIN zfirst fn ON fn.vec_id = t.vec_id
+    JOIN zkm kq ON kq.vec_id = t.query_id
+    JOIN zkm kn ON kn.vec_id = t.vec_id
     """,
 )
 def q33_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN, recall pinned: every vector is coarse-quantized
-    to its nearest of 8 deterministic centroids (functions/similarity.py
-    ivf_assignments); the exact top-5 (q21 baseline) is annotated with
-    whether an nprobe=1 IVF search — which scans only the query's
-    cluster bucket, i.e. partition-pruned at 100 TB — would have found
-    it. The hash check pins the recall trade exactly."""
+    """IVF-bucketed ANN, recall pinned across THREE codebook/metric
+    lanes: the exact top-5 (q21 baseline) is annotated with whether an
+    nprobe=1 IVF search — which scans only the query's cluster bucket,
+    i.e. partition-pruned at 100 TB — would have found it, under
+
+    - `found_by_ivf`: cosine coarse quantizer over float embeddings,
+      first-8-by-id centroids (functions/similarity.py ivf_assignments);
+    - `found_by_first_l2`: integer-L2 quantizer over the int8 lane,
+      same first-8 seeds (quantized_ivf_assignments seed_source=first);
+    - `found_by_kmeans_l2`: integer-L2 quantizer with a Lloyd-trained
+      codebook (kmeans_codebook, 2 iterations, VERDICT r04 #9).
+
+    The hash check pins all three recall trades exactly — the k-means
+    oracle leg re-runs the identical integer-exact iterations in SQL
+    (`_kmeans_oracle_ctes`). On this corpus first-k seeds already sit
+    near the true modes, so k-means' measured win is cluster BALANCE
+    (max bucket 150 vs 195 of 500 at sf0.01) — the tail-latency/skew
+    knob at 100 TB — at recall within one hit of the first-k codebook
+    (tests/test_functions.py pins both properties)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    from .functions.similarity import ivf_assignments
+    from .functions.similarity import ivf_assignments, quantized_ivf_assignments
 
     assign = _persist(ivf_assignments(emb, n_seeds=8))  # two consumers below
+    first_l2 = _persist(quantized_ivf_assignments(emb, 8, "first"))
+    km_l2 = _persist(quantized_ivf_assignments(emb, 8, "kmeans", n_iters=2))
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     topk = cosine_topk(emb, queries, k=5)
-    qa = assign.select(
-        F.col("vec_id").alias("query_id"), F.col("cluster").alias("__qc")
-    )
-    na = assign.select("vec_id", F.col("cluster").alias("__nc"))
+
+    def _q(a: DataFrame, col: str) -> DataFrame:
+        return a.select(F.col("vec_id").alias("query_id"), F.col("cluster").alias(col))
+
+    def _n(a: DataFrame, col: str) -> DataFrame:
+        return a.select("vec_id", F.col("cluster").alias(col))
+
     return (
-        topk.join(qa, on="query_id")
-        .join(na, on="vec_id")
+        topk.join(_q(assign, "__qc"), on="query_id")
+        .join(_n(assign, "__nc"), on="vec_id")
+        .join(_q(first_l2, "__fq"), on="query_id")
+        .join(_n(first_l2, "__fn"), on="vec_id")
+        .join(_q(km_l2, "__kq"), on="query_id")
+        .join(_n(km_l2, "__kn"), on="vec_id")
         .select(
             "query_id",
             "vec_id",
             "cosine",
             "rank",
             (F.col("__qc") == F.col("__nc")).alias("found_by_ivf"),
+            (F.col("__fq") == F.col("__fn")).alias("found_by_first_l2"),
+            (F.col("__kq") == F.col("__kn")).alias("found_by_kmeans_l2"),
         )
     )
 

@@ -572,3 +572,86 @@ def test_ivf_adc_probe_subsets_nest(spark):
     c2 = scores.where("probe_rank <= 2").count()
     c4 = scores.where("probe_rank <= 4").count()
     assert c1 <= c2 <= c4 == scores.count()
+
+
+def test_kmeans_codebook_deterministic_and_lloyd_correct(spark):
+    """kmeans_codebook (VERDICT r04 #9): the Lloyd iteration over the
+    int8-quantized lane is (a) bit-reproducible across runs/partitionings
+    — integer sums are order-independent — and (b) a faithful Lloyd
+    update: a driver-side reimplementation over the same quantized
+    vectors must produce the identical codebook and assignment."""
+    import math
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        kmeans_codebook,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [math.sin(i * 5 + j) * (1 + i % 7) for j in range(6)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cents, assign = kmeans_codebook(emb, n_clusters=4, n_iters=3)
+    cents2, _ = kmeans_codebook(emb.repartition(7), n_clusters=4, n_iters=3)
+    assert cents == cents2  # order-independent integer arithmetic
+
+    qv = {r.vec_id: list(r.quantized) for r in quantize_embeddings(emb).collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    ref = [(c, qv[c]) for c in range(4)]
+    for _ in range(3):
+        members: dict[int, list[int]] = {}
+        for vid, v in qv.items():
+            best = min(ref, key=lambda s: (d2(v, s[1]), s[0]))[0]
+            members.setdefault(best, []).append(vid)
+        ref = [
+            (
+                c,
+                [
+                    math.floor(sum(qv[m][j] for m in members[c]) / len(members[c]))
+                    for j in range(6)
+                ]
+                if c in members
+                else old,
+            )
+            for c, old in ref
+        ]
+    assert cents == ref
+    got = {r.vec_id: r.cluster for r in assign.collect()}
+    for vid, v in qv.items():
+        assert got[vid] == min(ref, key=lambda s: (d2(v, s[1]), s[0]))[0]
+
+
+def test_kmeans_codebook_balances_clusters_on_corpus(spark):
+    """The codebook comparison pinned by q33's extension: on the
+    embeddings corpus the Lloyd-trained codebook must (a) strictly
+    reduce the max bucket size vs first-k seeds — the skew/tail-latency
+    knob an IVF layout cares about at 100 TB — and (b) stay within one
+    exact-top-k hit of the first-k codebook's nprobe=1 recall. Measured
+    at sf0.01 (the correctness-gate scale): 8 clusters over 50 vectors
+    at sf0.001 is too degenerate for a recall property."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        cosine_topk,
+        quantized_ivf_assignments,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    first = quantized_ivf_assignments(emb, 8, "first")
+    km = quantized_ivf_assignments(emb, 8, "kmeans", n_iters=2)
+    sizes_first = [r["count"] for r in first.groupBy("cluster").count().collect()]
+    sizes_km = [r["count"] for r in km.groupBy("cluster").count().collect()]
+    assert max(sizes_km) < max(sizes_first), (sizes_km, sizes_first)
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = cosine_topk(emb, queries, k=5).collect()
+    fa = {r.vec_id: r.cluster for r in first.collect()}
+    ka = {r.vec_id: r.cluster for r in km.collect()}
+    recall_first = sum(fa[t.query_id] == fa[t.vec_id] for t in topk)
+    recall_km = sum(ka[t.query_id] == ka[t.vec_id] for t in topk)
+    assert recall_km >= recall_first - 1, (recall_km, recall_first)
