@@ -33,6 +33,8 @@ replicate unchecked).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, functions as F
 
 # primitives -> marker. Parameterized forms are separate alternatives
@@ -113,7 +115,18 @@ def all_column_types_valid(
     AND partition-key list is a valid Hive type string. NULL lists pass
     (a table with no columns is odd but type-well-formed); NULL or
     invalid entries fail. One forall over each array — still a narrow
-    expression."""
+    expression.
+
+    When both columns are given BY NAME the built expression is cached
+    per (names, depth): the validator unrolls to ~130 nested
+    regexp_replace nodes, each a Py4J round-trip to construct, which
+    measurably taxed every parse_events call (the q34 pipeline's
+    driver-side plan-build phase). An unresolved Column is plan-
+    independent, so reuse across DataFrames is sound."""
+    if isinstance(columns_col, str) and isinstance(partition_keys_col, str):
+        return _all_column_types_valid_cached(
+            columns_col, partition_keys_col, max_depth
+        )
     cols = F.col(columns_col) if isinstance(columns_col, str) else columns_col
     pks = (
         F.col(partition_keys_col)
@@ -124,3 +137,12 @@ def all_column_types_valid(
         arr, lambda f: hive_type_valid(f["type"], max_depth)
     )
     return ok(cols) & ok(pks)
+
+
+@lru_cache(maxsize=32)
+def _all_column_types_valid_cached(
+    columns_name: str, partition_keys_name: str, max_depth: int
+) -> Column:
+    return all_column_types_valid(
+        F.col(columns_name), F.col(partition_keys_name), max_depth
+    )

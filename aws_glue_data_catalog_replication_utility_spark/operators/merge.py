@@ -25,11 +25,22 @@ pruning keeps the scan narrow.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 ACTION_COL = "merge_action"
+
+
+@lru_cache(maxsize=256)
+def _canonical_named(name: str, dt_json: str) -> Column:
+    """`canonical(F.col(name), dt)` cached per (column name, type): the
+    rewrite recurses over the full catalog struct schema (~hundreds of
+    Py4J round-trips for a storage_descriptor), and the resulting
+    unresolved Column is plan-independent — merge_outcomes compares the
+    same s./t. column names on every call."""
+    return canonical(F.col(name), T._parse_datatype_json_string(dt_json))
 
 
 def _contains_map(dt: T.DataType) -> bool:
@@ -109,10 +120,13 @@ def merge_outcomes(
     for c in compare_cols:
         # null-safe inequality; map-bearing columns compare via their
         # canonical (key-sorted JSON) form since <=> rejects MapType
-        lhs, rhs = F.col(f"s.{c}"), F.col(f"t.{c}")
         dt = src_types[c]
         if _contains_map(dt):
-            lhs, rhs = canonical(lhs, dt), canonical(rhs, dt)
+            dj = dt.json()
+            lhs = _canonical_named(f"s.{c}", dj)
+            rhs = _canonical_named(f"t.{c}", dj)
+        else:
+            lhs, rhs = F.col(f"s.{c}"), F.col(f"t.{c}")
         changed = changed | ~lhs.eqNullSafe(rhs)
 
     action = (

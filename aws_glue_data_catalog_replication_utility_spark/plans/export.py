@@ -81,9 +81,17 @@ def export_catalog(
     run_date: str = "2024-01-01",
     truncate_lineage: bool = True,
     materialized_out: list[DataFrame] | None = None,
+    side_channel_writer_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (table_messages, table_export_audit). Side-channel ndjson
     is written when any table routes large and a path is given.
+
+    side_channel_writer_out: when given, the ndjson write is NOT run
+    inline — a zero-arg callable is appended instead, letting the caller
+    overlap the write (an independent Spark job) with its own plan
+    building, e.g. on a thread joined via import_events'
+    side_channel_ready barrier. The caller MUST run it before anything
+    reads the side channel.
 
     db_messages: planner output — scopes which databases export
     (join on the db name inside event_id's payload is avoided; we use
@@ -123,9 +131,10 @@ def export_catalog(
     if truncate_lineage:
         # persist (not checkpoint): routed's lineage is two scans + one
         # count agg — shallow; materialization is what its four
-        # consumers need, and stats come with it
+        # consumers need. LAZY: the first consumer to execute (normally
+        # the eager ndjson write below) fills the cache as part of its
+        # own job — a dedicated count job beforehand was pure overhead
         routed = routed.persist()
-        routed.count()
         if materialized_out is not None:
             materialized_out.append(routed)
 
@@ -222,7 +231,13 @@ def export_catalog(
             on=["catalog_id", "database_name", "table_name"],
             how="left_semi",
         )
-        write_partitions_ndjson(large_parts, side_channel_path)
+        if side_channel_writer_out is not None:
+            path = side_channel_path
+            side_channel_writer_out.append(
+                lambda: write_partitions_ndjson(large_parts, path)
+            )
+        else:
+            write_partitions_ndjson(large_parts, side_channel_path)
 
     messages = small_msgs.unionByName(large_msgs)
 

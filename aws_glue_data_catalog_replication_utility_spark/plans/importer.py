@@ -167,8 +167,15 @@ def parse_events(
     events: DataFrame,
     side_channel_path: str | None = None,
     truncate_lineage: bool = True,
+    side_channel_ready=None,
 ) -> ParsedEvents:
     """Parse + validate an event batch (target-independent).
+
+    side_channel_ready: optional zero-arg barrier invoked immediately
+    before the side channel is first read (its file listing resolves at
+    read-build time). Lets a caller run the export-side ndjson write on
+    a thread overlapped with this function's parse materialization and
+    join it exactly at the point the files must exist.
 
     truncate_lineage=True (default) materializes the parsed event set
     with localCheckpoint right after from_json. The import tower
@@ -211,12 +218,12 @@ def parse_events(
     )
     materialized: list[DataFrame] = []
     if truncate_lineage:
-        # checkpoint cuts the analysis tree; the persist+count on top
-        # gives the cut leaf REAL size statistics (a bare LogicalRDD
-        # reports defaultSizeInBytes = "huge", which would demote every
-        # downstream broadcast join to a sort-merge shuffle)
-        parsed = parsed.localCheckpoint(eager=True).persist()
-        parsed.count()
+        # checkpoint cuts the analysis tree. On Spark 4 the resulting
+        # LogicalRDD leaf carries REAL size statistics from the
+        # materialized blocks (verified: joins against it broadcast),
+        # so no persist+count layer is needed on top — one job, and
+        # downstream scans read the checkpoint blocks directly
+        parsed = parsed.localCheckpoint(eager=True)
         materialized.append(parsed)
     db_msgs = parsed.where(F.col("message_type") == "database").drop(
         "__tm", "__lm"
@@ -307,9 +314,11 @@ def parse_events(
     # every column + partition-key type with the engine-portable grammar
     # check; a table carrying any invalid type dead-letters (with its
     # failure-audit row) while sibling messages still apply.
+    # passed BY NAME so the ~130-node validator expression is built once
+    # per process (all_column_types_valid caches the Column)
     types_ok = all_column_types_valid(
-        F.col("msg.table.storage_descriptor.columns"),
-        F.col("msg.table.partition_keys"),
+        "msg.table.storage_descriptor.columns",
+        "msg.table.partition_keys",
     )
 
     def _type_dlq(msgs: DataFrame, schema_type: str) -> DataFrame:
@@ -368,6 +377,8 @@ def parse_events(
         )
         large_msgs = large_msgs.limit(0)
     else:
+        if side_channel_ready is not None:
+            side_channel_ready()
         side_raw = read_partitions_ndjson(spark, side_channel_path)
         side_good, side_bad = split_corrupt(side_raw)
         # malformed side-channel lines dead-letter instead of vanishing
@@ -486,7 +497,10 @@ def parse_events(
         # sync scope of EVERY target — materialize once so each consumer
         # executes against a stats-bearing in-memory relation (its
         # lineage is already shallow: it hangs off the parsed cut leaf,
-        # so a full checkpoint would only buy an extra copy job)
+        # so a full checkpoint would only buy an extra copy job; and a
+        # lazy persist measured WORSE — the first consumer's one-pass
+        # plan over the uncached window is costlier than the dedicated
+        # fill job)
         enriched = enriched.persist()
         enriched.count()
         materialized.append(enriched)
@@ -619,11 +633,14 @@ def import_events(
     side_channel_path: str | None = None,
     run_id: int = 0,
     truncate_lineage: bool = True,
+    side_channel_ready=None,
 ) -> ImportResult:
     """Apply an event batch to the target catalog snapshots (parse once
-    + apply to one target; see parse_events for truncate_lineage)."""
+    + apply to one target; see parse_events for truncate_lineage and
+    the side_channel_ready overlap barrier)."""
     parsed = parse_events(
-        spark, events, side_channel_path, truncate_lineage=truncate_lineage
+        spark, events, side_channel_path, truncate_lineage=truncate_lineage,
+        side_channel_ready=side_channel_ready,
     )
     result = _apply_parsed(
         parsed,

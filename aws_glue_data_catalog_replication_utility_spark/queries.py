@@ -1447,16 +1447,33 @@ def q34_replication_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dbs, prefix_string="raw_data_,processed_data_", batch_id="bench"
     )
     mats: list[DataFrame] = []
+    writers: list = []
     tbl_msgs, _ = export_catalog(
         spark, msgs, src_tables, src_parts, threshold=10, batch_id="bench",
         side_channel_path=side, materialized_out=mats,
+        side_channel_writer_out=writers,
     )
+    # overlap the side-channel ndjson write (an independent Spark job)
+    # with the import tower's parse materialization — the build phase's
+    # two costliest serial jobs; parse_events joins the thread via
+    # side_channel_ready exactly where the files must exist
+    import threading
+
+    th = threading.Thread(target=writers[0])
+    th.start()
     # no _persist here: import_events cuts (checkpoints) the parsed
     # event set itself, and the message build below the cut is cheap —
     # export_catalog already pinned the routed table set
-    events = msgs.unionByName(tbl_msgs)
+    # the event set is metadata-sized (bounded by the export fan-out,
+    # never table data): coalesce to a few partitions so the ~20
+    # downstream branch jobs schedule a handful of tasks each instead
+    # of one per upstream shard
+    events = msgs.unionByName(tbl_msgs).coalesce(4)
     d, t, p = empty_catalog(spark)
-    res = import_events(spark, events, d, t, p, side_channel_path=side)
+    res = import_events(
+        spark, events, d, t, p, side_channel_path=side,
+        side_channel_ready=th.join,
+    )
     # pipeline-internal persists (routed set + parse cuts) evict at the
     # next registry call like every _persist frame (ADVICE r04)
     _PERSISTED.extend(mats)
