@@ -655,3 +655,83 @@ def test_kmeans_codebook_balances_clusters_on_corpus(spark):
     recall_first = sum(fa[t.query_id] == fa[t.vec_id] for t in topk)
     recall_km = sum(ka[t.query_id] == ka[t.vec_id] for t in topk)
     assert recall_km >= recall_first - 1, (recall_km, recall_first)
+
+
+def test_contamination_pairs_matches_duckdb_exactly(spark):
+    """Benchmark-contamination screen (train/test n-gram overlap): the
+    Spark inverted-index plan must agree bit-for-bit with a DuckDB
+    reimplementation over the same parquet — integer overlap / integer
+    eval size, so containment is engine-exact. Eval set = every 7th
+    document (deterministic); n=5 suits the ~54-token fixture docs."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        contamination_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    docs = spark.read.parquet(path)
+    eval_docs = docs.where(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    got = (
+        contamination_pairs(docs, eval_docs, n=5, min_containment=0.3)
+        .where(F.col("doc_id") != F.col("eval_id"))
+        .orderBy("doc_id", "eval_id")
+        .collect()
+    )
+    # self-pairs are the sanity anchor: containment must be exactly 1
+    selfs = (
+        contamination_pairs(docs, eval_docs, n=5, min_containment=0.3)
+        .where(F.col("doc_id") == F.col("eval_id"))
+        .collect()
+    )
+    assert selfs and all(r.containment == 1.0 for r in selfs)
+
+    want = duckdb.connect().execute(f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(list_slice(toks, i, i+4), ' ')
+                                       for i in range(1, greatest(len(toks)-3, 1))])) AS shingle
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM '{path}')),
+        ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 7 = 3),
+        sz AS (SELECT eval_id, COUNT(*) AS eval_sz FROM ev GROUP BY eval_id),
+        ov AS (SELECT sh.doc_id, ev.eval_id, COUNT(*) AS overlap
+               FROM sh JOIN ev USING (shingle) GROUP BY 1, 2)
+        SELECT ov.doc_id, ov.eval_id, overlap, eval_sz,
+               overlap / eval_sz AS containment
+        FROM ov JOIN sz USING (eval_id)
+        WHERE overlap / eval_sz >= 0.3 AND ov.doc_id <> ov.eval_id
+        ORDER BY ov.doc_id, ov.eval_id
+    """).fetchall()
+    assert [(r.doc_id, r.eval_id, r.overlap, r.eval_sz, r.containment) for r in got] == [
+        tuple(w) for w in want
+    ]
+
+
+def test_contamination_df_cap_is_conservative(spark):
+    """With max_df pruning, every surviving pair's overlap must be <=
+    the unpruned overlap (pruning can lower a score, never raise it),
+    and no pair absent from the unpruned result may appear."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        contamination_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    eval_docs = docs.where(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    full = {
+        (r.doc_id, r.eval_id): r.overlap
+        for r in contamination_pairs(docs, eval_docs, n=5, min_containment=0.0).collect()
+    }
+    capped = contamination_pairs(
+        docs, eval_docs, n=5, min_containment=0.0, max_df=20
+    ).collect()
+    assert capped
+    for r in capped:
+        assert (r.doc_id, r.eval_id) in full
+        assert r.overlap <= full[(r.doc_id, r.eval_id)]
