@@ -151,18 +151,41 @@ def sign_lsh_candidates(
     )
 
 
+def _memo_expr(cache: dict, key, build):
+    """Content-keyed memo for literal-folded Column expressions: the
+    IVF/PQ lanes fold config-sized codebooks into the projection as
+    literals, which costs thousands of Py4J round-trips to construct
+    (~2s of every q58/q59 call). An unresolved Column is plan-
+    independent and the key is the full literal content, so reuse is
+    exact. Bounded: these caches hold a handful of codebook-sized
+    entries per process."""
+    if key not in cache:
+        if len(cache) > 64:
+            cache.clear()
+        cache[key] = build()
+    return cache[key]
+
+
+_CENTROID_MEMO: dict = {}
+
+
 def _centroid_literal(seed_rows) -> Column:
     """The centroid set as a literal array<struct<sid, sv>> — tiny
     (config-sized), lives in the plan itself; no broadcast join, no
-    shuffle. seed_rows: collected (id, vector) rows."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(r[0])).alias("sid"),
-                F.array(*[F.lit(float(x)) for x in r[1]]).alias("sv"),
-            )
-            for r in seed_rows
-        ]
+    shuffle. seed_rows: collected (id, vector) rows. Content-memoized."""
+    key = tuple((int(r[0]), tuple(float(x) for x in r[1])) for r in seed_rows)
+    return _memo_expr(
+        _CENTROID_MEMO,
+        key,
+        lambda: F.array(
+            *[
+                F.struct(
+                    F.lit(int(r[0])).alias("sid"),
+                    F.array(*[F.lit(float(x)) for x in r[1]]).alias("sv"),
+                )
+                for r in seed_rows
+            ]
+        ),
     )
 
 
@@ -325,10 +348,24 @@ def _pq_codebook(seed_rows, m: int):
     return codebook, sub
 
 
+_PQ_CODE_MEMO: dict = {}
+
+
 def _pq_code_cols(codebook, m: int, sub: int, n_codewords: int) -> list[Column]:
     """Per-subspace nearest-codeword index over the `quantized` column —
     squared-L2 integer argmin folded into literal expressions (map-side,
-    zero exchanges). Ties break toward the smaller codeword index."""
+    zero exchanges). Ties break toward the smaller codeword index.
+    Content-memoized (see _memo_expr)."""
+    key = (
+        tuple(tuple(tuple(cw) for cw in cws) for cws in codebook),
+        m, sub, n_codewords,
+    )
+    return _memo_expr(
+        _PQ_CODE_MEMO, key, lambda: _pq_code_cols_build(codebook, m, sub, n_codewords)
+    )
+
+
+def _pq_code_cols_build(codebook, m: int, sub: int, n_codewords: int) -> list[Column]:
     qv = F.col("quantized")
     code_cols = []
     for j in range(m):
@@ -435,18 +472,27 @@ def _adc_luts(query_rows, codebook, m: int, sub: int, n_codewords: int):
     return luts
 
 
+_ADIST_MEMO: dict = {}
+
+
 def _adist_expr(lut, m: int) -> Column:
     """sum_j LUT[j][code_j] over the `codes` column — the ADC distance
-    as m literal-array lookups, whole-stage codegen."""
-    return sum(
-        (
-            F.element_at(
-                F.array(*[F.lit(int(x)) for x in lut[j]]),
-                F.col("codes")[j] + 1,
-            )
-            for j in range(m)
+    as m literal-array lookups, whole-stage codegen. Content-memoized
+    (see _memo_expr)."""
+    key = (tuple(tuple(row) for row in lut), m)
+    return _memo_expr(
+        _ADIST_MEMO,
+        key,
+        lambda: sum(
+            (
+                F.element_at(
+                    F.array(*[F.lit(int(x)) for x in lut[j]]),
+                    F.col("codes")[j] + 1,
+                )
+                for j in range(m)
+            ),
+            F.lit(0).cast("long"),
         ),
-        F.lit(0).cast("long"),
     )
 
 
@@ -719,12 +765,22 @@ def quantize_embeddings(
     )
 
 
-def _int_l2_argmin(cent_rows: list[tuple[int, list[int]]], qcol: Column) -> Column:
+_ARGMIN_MEMO: dict = {}
+
+
+def _int_l2_argmin(cent_rows: list[tuple[int, list[int]]], qcol: Column | str) -> Column:
     """Nearest centroid by integer squared-L2 over the quantized lane —
     the centroid set folds into ONE literal projection (map-side, zero
     exchanges, same pattern as `_argmax_cluster`/`_pq_code_cols`). All
     arithmetic is exact long math, so the argmin is bit-identical in any
-    engine. Ties break toward the smaller centroid id."""
+    engine. Ties break toward the smaller centroid id. Content-memoized
+    when qcol is given BY NAME (see _memo_expr)."""
+    if isinstance(qcol, str):
+        key = (tuple((cid, tuple(cv)) for cid, cv in cent_rows), qcol)
+        return _memo_expr(
+            _ARGMIN_MEMO, key,
+            lambda: _int_l2_argmin(cent_rows, F.col(qcol)),
+        )
     cands = F.array(
         *[
             F.struct(
@@ -803,7 +859,7 @@ def kmeans_codebook(
         # the argmin strips F.struct field aliases during analysis (Spark
         # generator-resolution quirk), so compute the cluster first
         assigned = qz.select(
-            _int_l2_argmin(cents, F.col("quantized")).alias("cluster"),
+            _int_l2_argmin(cents, "quantized").alias("cluster"),
             "quantized",
         ).select("cluster", F.posexplode("quantized").alias("pos", "val"))
         stats = (
@@ -829,7 +885,7 @@ def kmeans_codebook(
             for cid, old in cents
         ]
     assignments = qz.select(
-        F.col(id_col), _int_l2_argmin(cents, F.col("quantized")).alias("cluster")
+        F.col(id_col), _int_l2_argmin(cents, "quantized").alias("cluster")
     )
     return cents, assignments
 
@@ -861,5 +917,5 @@ def quantized_ivf_assignments(
     seed_rows = qz.where(F.col(id_col) < n_clusters).orderBy(id_col).collect()
     cents = [(c, list(r["quantized"])) for c, r in enumerate(seed_rows)]
     return qz.select(
-        F.col(id_col), _int_l2_argmin(cents, F.col("quantized")).alias("cluster")
+        F.col(id_col), _int_l2_argmin(cents, "quantized").alias("cluster")
     )
