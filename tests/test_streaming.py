@@ -543,14 +543,16 @@ from aws_glue_data_catalog_replication_utility_spark.streaming.ingest import (  
     read_partitions,
 )
 
-_BACKENDS = ["parquet"] + (["delta"] if delta_backend_available() else [])
-
-
-@pytest.mark.parametrize("backend", _BACKENDS)
+@pytest.mark.parametrize("backend", ["parquet", "delta"])
 def test_partition_commit_four_cases_per_backend(spark, tmp_path, backend):
     """The 4-case sync matrix (GDCUtil.java:61-111) holds on every
     backend: overwrite-in-scope, delete-all-in-scope, untouched
-    out-of-scope, and idempotent replay."""
+    out-of-scope, and idempotent replay. The delta leg skips (visibly)
+    where delta-spark isn't installed — the sandbox ships plain
+    pyspark; the predicate logic it relies on is covered everywhere by
+    test_scope_predicate_quoting_and_guards."""
+    if backend == "delta" and not delta_backend_available():
+        pytest.skip("delta-spark not installed in this environment")
     from aws_glue_data_catalog_replication_utility_spark.model import PARTITION
 
     state = str(tmp_path / f"state_{backend}")
