@@ -385,7 +385,16 @@ def connected_components(
 
     The returned frame is persist()ed (its lineage is the whole
     iteration tower) — ownership transfers to the caller, who should
-    unpersist() it when done."""
+    unpersist() it when done.
+
+    Round cost (r05 rework): the iteration runs over EDGE-PARTICIPATING
+    vertices only — at 100 TB the duplicate graph is a few percent of
+    the corpus, so propagating labels for every singleton each round
+    wasted the data plane; singletons join the result once at the end.
+    And each round is ONE checkpoint job plus a cheap scan: the old
+    label rides through the min-aggregation (msgs rows carry NULL old,
+    so min(old) ignoring nulls restores it), making the changed-count a
+    filter over the freshly checkpointed blocks instead of a join job."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         e.unionByName(
@@ -394,9 +403,13 @@ def connected_components(
         .dropDuplicates()
         .persist()
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).persist()
+    # src covers every participant (edges are symmetric)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     converged = False
     for _ in range(max_iter):
         msgs = (
@@ -409,31 +422,37 @@ def connected_components(
         # (persist caches execution but not the logical plan) — the
         # checkpoint resets the plan to a materialized leaf every round
         new_labels = (
-            labels.unionByName(msgs)
+            labels.select("id", "label", F.col("label").alias("__old"))
+            .unionByName(
+                msgs.select(
+                    "id", "label", F.lit(None).cast(msgs.schema["label"].dataType).alias("__old")
+                )
+            )
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("__old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             converged = True
             break
     edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter too large — use connected_components_star, "
             "which converges in O(log n) rounds on chain-shaped graphs)"
         )
-    return labels
+    # singletons (no pair membership) keep their own id, attached once
+    all_labels = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(labels, on="id", how="left_anti")
+        .select("id", F.col("id").alias("label"))
+        .unionByName(labels)
+        .persist()
+    )
+    return all_labels
 
 
 def connected_components_star(
@@ -452,10 +471,10 @@ def connected_components_star(
     rounds, because every round POINTS NODES AT THEIR NEIGHBORHOOD MIN,
     halving tree depth instead of walking it.
 
-    Per round, each phase is one groupBy-min + one equi-join over the
-    CURRENT edge set (which only shrinks toward star shape — never the
+    Per round, each phase is ONE window-min shuffle over the CURRENT
+    edge set (which only shrinks toward star shape — never the
     quadratic blow-up of path doubling), and the driver sees one scalar
-    per round (did the edge set change). Same contract as
+    per round (the structural fixed-point probe). Same contract as
     connected_components: returns (id, label), label = smallest member
     id of the component (any orderable id type), singletons keep their
     own id; result is persist()ed, ownership transfers to the caller.
@@ -466,20 +485,26 @@ def connected_components_star(
     smaller-side neighborhood. Both preserve connectivity; the fixed
     point is a star per component centered on its minimum."""
 
+    from pyspark.sql import Window
+
+    # per-u neighborhood minimum via a WINDOW over the partition key
+    # instead of groupBy + join-back: one shuffle per phase where the
+    # agg+join form paid two (the round is stage-latency bound — at
+    # 100 TB both forms shuffle the same edge bytes on the same key,
+    # but the window keeps them in one exchange)
     def _large_star(e: DataFrame) -> DataFrame:
         # symmetric neighbor relation
         nbrs = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = nbrs.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+        w = Window.partitionBy("u")
+        with_m = nbrs.select(
+            "u", "v", F.least(F.min("v").over(w), F.col("u")).alias("m")
         )
         return (
-            nbrs.where(F.col("v") > F.col("u"))
-            .join(m, on="u")
+            with_m.where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .dropDuplicates()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -487,8 +512,8 @@ def connected_components_star(
         dir_e = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).where(F.col("u") != F.col("v"))
-        m = dir_e.groupBy("u").agg(F.min("v").alias("m"))
-        joined = dir_e.join(m, on="u")
+        w = Window.partitionBy("u")
+        joined = dir_e.select("u", "v", F.min("v").over(w).alias("m"))
         repointed = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
         self_edge = joined.select("u", F.col("m").alias("v"))
         return (
@@ -503,6 +528,32 @@ def connected_components_star(
         .dropDuplicates()
         .persist()
     )
+    def _is_min_star_forest(e: DataFrame) -> bool:
+        """True iff `e` (oriented u > v by construction of the star
+        phases) is a fixed point: a forest of stars centered on each
+        component's minimum. Equivalent structural test — (a) no node
+        appears as both a leaf (u) and a center (v), and (b) every leaf
+        has exactly one edge — checked in ONE tiny aggregation job.
+        Either violation implies a further round changes the edge set;
+        both holding implies every leaf points at its component min
+        (all u > v and centers never chain). Detecting the fixed point
+        STRUCTURALLY on the fresh round output saves the extra
+        confirmation round (and the two exceptAll set-difference jobs
+        per round) the old new==old comparison paid (r05)."""
+        sides = e.select(
+            F.col("u").alias("n"), F.lit(1).alias("us"), F.lit(0).alias("vs")
+        ).unionByName(
+            e.select(F.col("v").alias("n"), F.lit(0).alias("us"), F.lit(1).alias("vs"))
+        )
+        bad = (
+            sides.groupBy("n")
+            .agg(F.sum("us").alias("us"), F.sum("vs").alias("vs"))
+            .where(((F.col("us") > 0) & (F.col("vs") > 0)) | (F.col("us") > 1))
+            .limit(1)
+            .count()
+        )
+        return bad == 0
+
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -512,14 +563,9 @@ def connected_components_star(
         # pairs), so lazy lineage grows ~16^rounds plan nodes — the
         # checkpoint resets the plan to a materialized leaf every round
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # one scalar per round: symmetric difference empty <=> fixed point
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
-        )
         edges.unpersist()
         edges = new_edges
-        if changed == 0:
+        if _is_min_star_forest(edges):
             converged = True
             break
     if not converged:
