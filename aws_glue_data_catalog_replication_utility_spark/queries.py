@@ -2435,20 +2435,34 @@ def q55_multi_target_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dbs, prefix_string="raw_data_,processed_data_", batch_id="bench"
     )
     mats: list[DataFrame] = []
+    writers: list = []
     tbl_msgs, _ = export_catalog(
         spark, msgs, src_tables, src_parts, threshold=10, batch_id="bench",
         side_channel_path=side, materialized_out=mats,
+        side_channel_writer_out=writers,
     )
-    events = msgs.unionByName(tbl_msgs)
+    # overlap the ndjson write with the first import's parse cut (the
+    # q34 pattern); the barrier joins before the side channel is read
+    import threading
+
+    th = threading.Thread(target=writers[0])
+    th.start()
+    events = msgs.unionByName(tbl_msgs).coalesce(4)
     # target B = converged state (one prior import) with one table's
     # description drifted -> the re-import must flag exactly that table
     base = import_events(
-        spark, events, *empty_catalog(spark), side_channel_path=side
+        spark, events, *empty_catalog(spark), side_channel_path=side,
+        side_channel_ready=th.join,
     )
     drift = F.when(
         (F.col("database_name") == "raw_data_db0") & (F.col("name") == "table_0"),
         F.lit("stale description"),
     ).otherwise(F.col("description"))
+    # target B's planes stay LAZY on purpose: they hang off the first
+    # import's materialized parse/enrich cuts already, and the fan-out
+    # executes only the slices it needs — eager checkpoints of the
+    # three planes measured strictly slower (9.2s lazy vs 12.4s all-
+    # checkpointed at sf-independent n_dbs=4)
     results = import_events_fanout(
         spark,
         events,
