@@ -7,6 +7,7 @@ is deterministic so the DuckDB oracle can replicate it.
 """
 
 from .text import (
+    dedup_paragraphs,
     redact,
     redaction_count,
     token_count,
@@ -19,6 +20,7 @@ from .text import (
     STOPWORDS,
 )
 from .dedup import (
+    contamination_pairs,
     ensure_min_parallelism,
     exact_dedup,
     shingle_array,
@@ -62,6 +64,8 @@ __all__ = [
     "STOPWORDS",
     "ensure_min_parallelism",
     "exact_dedup",
+    "contamination_pairs",
+    "dedup_paragraphs",
     "shingle_array",
     "word_shingles",
     "jaccard_pairs",

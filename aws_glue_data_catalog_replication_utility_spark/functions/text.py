@@ -195,3 +195,65 @@ def chunk_documents(
         F.size(chunk).alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+def dedup_paragraphs(
+    docs,
+    max_df: int = 1,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-level paragraph deduplication — the RefinedWeb/FineWeb
+    cleaning step: a paragraph (text split on `sep`) whose EXACT content
+    appears in more than `max_df` distinct documents is boilerplate
+    (nav bars, cookie banners, license footers) and is removed from
+    every document; each document is reassembled from its surviving
+    paragraphs in original order. Returns (id, text, n_paragraphs,
+    n_removed) — documents whose paragraphs all vanish keep a row with
+    empty text, so the output is row-for-row with the input.
+
+    Shape at 100 TB: posexplode paragraphs -> per-document distinct ->
+    one map-side-combined groupBy on the paragraph hash counts document
+    frequency (never a self-join); the hot-hash set (df > max_df) is
+    the SMALL side — boilerplate is by definition few distinct strings
+    — so the anti join broadcasts; reassembly is one groupBy(doc) with
+    an array_sort over (pos, paragraph) structs, deterministic in any
+    row order. All hashing is md5 (engine-portable; the pytest pins a
+    DuckDB twin bit-for-bit)."""
+    from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
+
+    base = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("__h", F.md5(F.col("para")))
+    dfreq = (
+        base.select(id_col, "__h")
+        .dropDuplicates([id_col, "__h"])
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    hot = dfreq.where(F.col("__df") > max_df).select("__h")
+    kept = base.join(F.broadcast(hot), on="__h", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("__text", F.lit("")).alias(text_col),
+            "n_paragraphs",
+            (F.col("n_paragraphs") - F.coalesce("__n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
