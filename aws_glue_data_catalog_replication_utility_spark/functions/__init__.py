@@ -9,6 +9,7 @@ is deterministic so the DuckDB oracle can replicate it.
 from .text import (
     dedup_paragraphs,
     redact,
+    repetition_stats,
     redaction_count,
     token_count,
     regex_token_count,
@@ -66,6 +67,7 @@ __all__ = [
     "exact_dedup",
     "contamination_pairs",
     "dedup_paragraphs",
+    "repetition_stats",
     "shingle_array",
     "word_shingles",
     "jaccard_pairs",

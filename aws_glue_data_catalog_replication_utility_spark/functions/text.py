@@ -257,3 +257,52 @@ def dedup_paragraphs(
             ),
         )
     )
+
+
+def repetition_stats(
+    text: str | Column, sep: str = "\n", n: int = 2
+) -> Column:
+    """Gopher-style intra-document repetition signals as ONE struct
+    column (pure expressions, whole-stage codegen, no explode):
+
+    - n_lines / dup_line_frac: fraction of `sep`-separated lines that
+      are repeats of an earlier line (0.0 when <= 1 line);
+    - top_ngram_frac: the share of the document's word n-grams taken by
+      its single most frequent n-gram (1.0 for a fully-looping doc,
+      ~1/count for diverse text; 0.0 when no n-gram fits).
+
+    The published Gopher rules threshold these (e.g. drop docs whose
+    top 2-gram exceeds 20%); thresholds stay with the caller. The mode
+    computation is O(distinct x total) per row — bounded by document
+    length, the standard per-row budget of this module's expressions.
+    Token n-grams use the same split/slice construction as the dedup
+    lane's shingle_array (functions/dedup.py) so the two surfaces agree
+    on tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, sep)
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines <= 1, F.lit(0.0)
+    ).otherwise(
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines
+    )
+    toks = F.split(F.trim(c), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda v: F.size(F.filter(grams, lambda x: x == v)),
+        )
+    )
+    top_frac = F.when(
+        F.size(grams) > 0, top / F.size(grams)
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        top_frac.alias("top_ngram_frac"),
+    )

@@ -796,3 +796,63 @@ def test_dedup_paragraphs_matches_duckdb_exactly(spark, tmp_path):
     assert by_id[4][1] == "" and by_id[4][3] == 1
     assert boiler not in by_id[0][1] and "unique body zero" in by_id[0][1]
     assert by_id[5][1] == "repeated within doc\nrepeated within doc"
+
+
+def test_repetition_stats_matches_duckdb_exactly(spark, tmp_path):
+    """Intra-doc repetition signals (Gopher rules): line-duplication
+    fraction and top-n-gram share must agree bit-for-bit with a DuckDB
+    twin over the same parquet."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now\nbuy now\nbuy now\nunique line"),
+            (1, "spam spam spam spam spam"),
+            (2, "all words here are fully distinct tokens"),
+            (3, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+
+    got = sorted(
+        (r.doc_id, r.s.n_lines, r.s.dup_line_frac, r.s.top_ngram_frac)
+        for r in spark.read.parquet(path)
+        .select("doc_id", repetition_stats("text").alias("s"))
+        .collect()
+    )
+    want = sorted(
+        tuple(w)
+        for w in duckdb.connect().execute(f"""
+        WITH d AS (SELECT doc_id, text,
+                          string_split(text, chr(10)) AS lines,
+                          string_split_regex(trim(text), '\\s+') AS toks
+                   FROM '{path}/*.parquet'),
+        g AS (SELECT doc_id, len(lines) AS n_lines,
+                     CASE WHEN len(lines) <= 1 THEN 0.0
+                          ELSE (len(lines) - len(list_distinct(lines))) / len(lines) END AS dup_frac,
+                     CASE WHEN len(toks) >= 2
+                          THEN [array_to_string(list_slice(toks, i, i+1), ' ')
+                                for i in range(1, greatest(len(toks)-0, 1))] 
+                          ELSE [] END AS grams
+              FROM d),
+        t AS (SELECT doc_id, n_lines, dup_frac, grams,
+                     CASE WHEN len(grams) > 0
+                          THEN list_max(list_transform(list_distinct(grams),
+                               v -> len(list_filter(grams, x -> x = v)))) * 1.0 / len(grams)
+                          ELSE 0.0 END AS top_frac
+              FROM g)
+        SELECT doc_id, CAST(n_lines AS INT), dup_frac, top_frac FROM t ORDER BY doc_id
+    """).fetchall()
+    )
+    assert got == want
+    by_id = {g[0]: g for g in got}
+    assert by_id[0][2] == 0.5          # 2 of 4 lines are repeats
+    assert by_id[1][3] == 1.0          # fully-looping bigrams
+    assert by_id[2][3] < 0.2           # diverse text
+    assert by_id[3] == (3, 1, 0.0, 0.0)  # single line, no bigram
