@@ -842,8 +842,18 @@ def _sw_sql(lang_words) -> str:
                  [md5(substring(s, i, 8))
                   for i in range(1, greatest(length(s) - 7 + 1, 2))])),
                1, 4),
-             '|') AS fp_sketch
-    FROM scored
+             '|') AS fp_sketch,
+           CASE WHEN len(toks) >= 2 THEN
+                list_max(list_transform(list_distinct(grams),
+                  v -> len(list_filter(grams, x -> x = v)))) * 1.0
+                  / (len(toks) - 1)
+                ELSE 0.0 END AS top_2gram_frac
+    FROM (SELECT *,
+                 CASE WHEN len(toks) >= 2
+                      THEN [array_to_string(list_slice(toks, i, i+1), ' ')
+                            for i in range(1, greatest(len(toks)-0, 1))]
+                      ELSE [] END AS grams
+          FROM scored)
     """,
 )
 def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,6 +889,11 @@ def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "|", F.slice(F.array_sort(F.array_distinct(grams)), 1, 4)
         ).alias("fp_sketch"),
+        # Gopher repetition rule input (r05): the share of the doc's
+        # bigrams taken by its most frequent bigram — integer counts /
+        # integer totals, engine-exact; the line-level signals stay
+        # pinned by the pytest DuckDB twin (fixture docs are one line)
+        TX.repetition_stats("text")["top_ngram_frac"].alias("top_2gram_frac"),
     )
 
 
