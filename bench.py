@@ -148,6 +148,29 @@ def main() -> None:
     ).save()
     extras["cosine_topk_pandas"] = round(time.perf_counter() - t0, 3)
 
+    # r05 pytest-parity lanes (DuckDB twins live in tests/, not the
+    # registry — see the 50-slot note in the README): timed here so a
+    # throughput regression is visible round-over-round
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        contamination_pairs,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        dedup_paragraphs,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    eval_docs = docs.where(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    t0 = time.perf_counter()
+    contamination_pairs(docs, eval_docs, n=5, min_containment=0.3).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    extras["contamination_pairs"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup_paragraphs(docs, max_df=1).write.format("noop").mode("overwrite").save()
+    extras["dedup_paragraphs"] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {

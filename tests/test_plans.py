@@ -68,3 +68,44 @@ def test_ivf_cluster_layout_prunes_partitions(spark, tmp_path):
     # pruned read returns exactly the pre-write source's cluster-1 rows
     expected = emb.join(assign, on="vec_id").where(F.col("cluster") == 1).count()
     assert probe.count() == expected > 0
+
+
+def test_contamination_plan_is_equijoin_with_broadcast_sizes(spark):
+    """The contamination screen must meet in a shingle EQUI-join (never
+    a doc x eval cross product) and broadcast the benchmark-sized eval
+    aggregate."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        contamination_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_docs = docs.where(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    plan = (
+        contamination_pairs(docs, eval_docs, n=5, min_containment=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # eval sizes broadcast
+
+
+def test_dedup_paragraphs_plan_broadcasts_hot_set(spark):
+    """Paragraph dedup's anti join must broadcast the small hot-hash
+    side — a shuffled anti join of the full corpus against boilerplate
+    would be the 100 TB mistake."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        dedup_paragraphs(docs, max_df=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
