@@ -10,6 +10,8 @@ from .text import (
     dedup_paragraphs,
     redact,
     repetition_stats,
+    quality_filter_verdict,
+    FILTER_DEFAULTS,
     redaction_count,
     token_count,
     regex_token_count,
@@ -68,6 +70,8 @@ __all__ = [
     "contamination_pairs",
     "dedup_paragraphs",
     "repetition_stats",
+    "quality_filter_verdict",
+    "FILTER_DEFAULTS",
     "shingle_array",
     "word_shingles",
     "jaccard_pairs",

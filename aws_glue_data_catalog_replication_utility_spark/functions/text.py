@@ -306,3 +306,49 @@ def repetition_stats(
         dup_line_frac.alias("dup_line_frac"),
         top_frac.alias("top_ngram_frac"),
     )
+
+
+# published-recipe default thresholds (Gopher/C4-family); callers tune
+FILTER_DEFAULTS = {
+    "min_tokens": 5,
+    "max_punct_ratio": 0.3,
+    "min_stopword_ratio": 0.02,
+    "max_top_2gram_frac": 0.20,
+    "max_dup_line_frac": 0.30,
+}
+
+
+def quality_filter_verdict(
+    text: str | Column, thresholds: dict | None = None
+) -> Column:
+    """The composed keep/drop gate an LLM cleaning pipeline actually
+    runs: evaluates the published rule family (minimum length,
+    punctuation density, stopword floor, Gopher repetition caps) over
+    one document column and returns a struct (keep boolean, reasons
+    array<string>) — reasons name every violated rule, empty when the
+    document passes, so downstream audits can histogram WHY the corpus
+    shrank (the same failure-audit discipline as the import plane).
+
+    One narrow projection per document — every signal is a pure column
+    expression (token_count / punct_ratio / stopword_ratio /
+    repetition_stats), no UDF, no shuffle; the verdict composes in
+    whole-stage codegen. Threshold dict overrides individual defaults
+    (FILTER_DEFAULTS)."""
+    t = dict(FILTER_DEFAULTS, **(thresholds or {}))
+    rep = repetition_stats(text)
+    checks = [
+        (token_count(text) < t["min_tokens"], "too_few_tokens"),
+        (punct_ratio(text) > t["max_punct_ratio"], "punct_ratio"),
+        (stopword_ratio(text) < t["min_stopword_ratio"], "stopword_ratio"),
+        (rep["top_ngram_frac"] > t["max_top_2gram_frac"], "top_2gram_frac"),
+        (rep["dup_line_frac"] > t["max_dup_line_frac"], "dup_line_frac"),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for cond, name in checks]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return F.struct(
+        (F.size(reasons) == 0).alias("keep"), reasons.alias("reasons")
+    )

@@ -856,3 +856,79 @@ def test_repetition_stats_matches_duckdb_exactly(spark, tmp_path):
     assert by_id[1][3] == 1.0          # fully-looping bigrams
     assert by_id[2][3] < 0.2           # diverse text
     assert by_id[3] == (3, 1, 0.0, 0.0)  # single line, no bigram
+
+
+def test_quality_filter_verdict_matches_duckdb(spark, tmp_path):
+    """The composed keep/drop gate: keep flag AND the named reasons must
+    agree with a DuckDB twin computing the identical rules."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        quality_filter_verdict,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is a fine day for all of us"),
+            (1, "x y"),                                     # too few tokens
+            (2, "!!! ??? ... ;;; ::: !!!"),                 # punct + no stopwords
+            (3, "spam spam spam spam spam spam spam spam"), # repetition + stopwords
+            (4, "the the the the the the the the"),         # repetition (stopword-rich)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+
+    got = sorted(
+        (r.doc_id, r.v.keep, tuple(r.v.reasons))
+        for r in spark.read.parquet(path)
+        .select("doc_id", quality_filter_verdict("text").alias("v"))
+        .collect()
+    )
+    want = sorted(
+        (w[0], w[1], tuple(w[2]))
+        for w in duckdb.connect().execute(f"""
+        WITH d AS (SELECT doc_id, text,
+                          string_split_regex(trim(text), '\\s+') AS toks,
+                          string_split(text, chr(10)) AS lines
+                   FROM '{path}/*.parquet'),
+        g AS (SELECT *,
+                     CASE WHEN len(toks) >= 2
+                          THEN [array_to_string(list_slice(toks, i, i+1), ' ')
+                                for i in range(1, greatest(len(toks)-0, 1))]
+                          ELSE [] END AS grams
+              FROM d),
+        sig AS (SELECT doc_id,
+                  len(toks) AS n_tokens,
+                  CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+                       ELSE 0.0 END AS punct,
+                  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on')))
+                    * 1.0 / len(toks) AS sw,
+                  CASE WHEN len(grams) > 0
+                       THEN list_max(list_transform(list_distinct(grams),
+                            v -> len(list_filter(grams, x -> x = v)))) * 1.0 / len(grams)
+                       ELSE 0.0 END AS top2,
+                  CASE WHEN len(lines) <= 1 THEN 0.0
+                       ELSE (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) END AS dupl
+                FROM g)
+        SELECT doc_id,
+               (n_tokens >= 5 AND punct <= 0.3 AND sw >= 0.02
+                AND top2 <= 0.20 AND dupl <= 0.30) AS keep,
+               list_filter([
+                 CASE WHEN n_tokens < 5 THEN 'too_few_tokens' END,
+                 CASE WHEN punct > 0.3 THEN 'punct_ratio' END,
+                 CASE WHEN sw < 0.02 THEN 'stopword_ratio' END,
+                 CASE WHEN top2 > 0.20 THEN 'top_2gram_frac' END,
+                 CASE WHEN dupl > 0.30 THEN 'dup_line_frac' END],
+                 x -> x IS NOT NULL) AS reasons
+        FROM sig ORDER BY doc_id
+    """).fetchall()
+    )
+    assert got == want
+    by_id = {g[0]: g for g in got}
+    assert by_id[0][1] is True and by_id[0][2] == ()
+    assert by_id[1][1] is False and "too_few_tokens" in by_id[1][2]
+    assert by_id[2][1] is False
+    assert "top_2gram_frac" in by_id[3][2]
