@@ -9,6 +9,8 @@ Jobs (mirroring SURVEY.md §3):
   import   events + target snapshots -> new target snapshots + audit + dlq
   redrive  dlq + target snapshots -> re-applied import (fixpoint retry)
   stream   continuous import: readStream events dir -> versioned state
+  clean    LLM-corpus cleaning: paragraph boilerplate removal ->
+           quality-filter verdicts -> exact dedup, with a why-dropped audit
 
 All inputs/outputs are parquet directories (the engine's catalog-snapshot
 interchange), except the events dir for `stream` (ndjson message files,
@@ -120,6 +122,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep only the newest N state snapshots; 1 = "
                         "skipArchive semantics (default: archive all)")
 
+    c = sub.add_parser(
+        "clean",
+        help="LLM-corpus cleaning: boilerplate paragraph removal -> "
+             "quality-filter verdicts -> exact dedup; writes the cleaned "
+             "corpus plus a why-dropped audit",
+    )
+    c.add_argument("--documents", required=True, help="input parquet (doc_id, text, ...)")
+    c.add_argument("--out", required=True, help="cleaned corpus parquet dir")
+    c.add_argument("--audit-out", required=True,
+                   help="per-document verdict audit parquet dir")
+    c.add_argument("--paragraph-max-df", type=int, default=1,
+                   help="a paragraph in more than this many docs is boilerplate")
+    c.add_argument("--keep-singletons-only", action="store_true",
+                   help="drop ALL copies of exact duplicates instead of keeping one")
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -182,6 +199,50 @@ def main(argv: list[str] | None = None) -> int:
             ],
             args.out_root,
         )
+
+    elif args.job == "clean":
+        from pyspark.sql import functions as F
+
+        from .functions.dedup import exact_dedup
+        from .functions.text import (
+            dedup_paragraphs,
+            fingerprint,
+            quality_filter_verdict,
+        )
+
+        docs = _read(spark, args.documents)
+        extra_cols = [c2 for c2 in docs.columns if c2 not in ("doc_id", "text")]
+        # 1. corpus-level boilerplate removal (paragraph df cap)
+        depara = dedup_paragraphs(docs, max_df=args.paragraph_max_df)
+        # 2. quality verdicts over the boilerplate-free text
+        judged = depara.select(
+            "doc_id", "text", "n_paragraphs", "n_removed",
+            quality_filter_verdict("text").alias("__v"),
+        )
+        kept = judged.where(F.col("__v.keep"))
+        # 3. exact dedup on the normalized fingerprint (min doc_id wins)
+        fp = kept.select("doc_id", fingerprint("text").alias("__fp"))
+        keepers = exact_dedup(fp, ["__fp"], "doc_id")
+        if args.keep_singletons_only:
+            keepers = keepers.where(F.col("dup_count") == 1)
+        survivors = kept.join(
+            F.broadcast(keepers.select(F.col("keep_id").alias("doc_id"))),
+            on="doc_id", how="left_semi",
+        )
+        # cleaned corpus keeps original non-text columns via join-back
+        out = survivors.select("doc_id", "text")
+        if extra_cols:
+            out = out.join(docs.select("doc_id", *extra_cols), on="doc_id")
+        # audit: one row per INPUT doc with its fate + named reasons
+        audit = judged.select(
+            "doc_id",
+            "n_paragraphs",
+            F.col("n_removed").alias("n_boilerplate_paragraphs"),
+            F.col("__v.keep").alias("passed_quality"),
+            F.col("__v.reasons").alias("reasons"),
+        )
+        _write(out, args.out)
+        _write(audit, args.audit_out)
 
     elif args.job == "stream":
         from .streaming.ingest import start_event_stream

@@ -100,3 +100,54 @@ def test_cli_stream_drains_events_dir(spark, tmp_path):
     assert {r.name for r in dbs.collect()} == {"raw_data_db0"}
     assert tables.count() == 5
     assert parts.count() == 0 + 3 + 10 + 11 + 31
+
+
+def test_cli_clean_pipeline(spark, tmp_path):
+    """The `clean` job: boilerplate paragraphs removed corpus-wide,
+    low-quality docs dropped with named reasons, exact duplicates
+    collapsed to the min doc_id — cleaned corpus + audit written."""
+    boiler = "subscribe to our newsletter today"
+    good = (
+        "the cat sat on the mat and it is a fine day for all of us to go"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, f"{good}\n{boiler}", "en"),
+            (1, f"{boiler}\n{good}", "en"),   # exact dup of 0 post-clean
+            (2, "x y", "en"),                  # too short -> dropped
+            (3, f"different words entirely but still the and of it story goes on\n{boiler}", "en"),
+            (4, boiler, "en"),                 # only boilerplate -> empty -> dropped
+        ],
+        "doc_id long, text string, lang string",
+    )
+    in_path = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(in_path)
+    out = str(tmp_path / "cleaned")
+    audit_out = str(tmp_path / "audit")
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    # max-df 2: the boilerplate line (in 4 docs) is removed everywhere,
+    # while the legitimate paragraph shared by the exact-dup pair (0,1)
+    # survives the paragraph stage and collapses at the FINGERPRINT
+    # stage instead — the two dedup stages are doing different jobs
+    assert cli_main([
+        "clean",
+        "--documents", in_path,
+        "--out", out,
+        "--audit-out", audit_out,
+        "--paragraph-max-df", "2",
+    ]) == 0
+
+    cleaned = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # dup pair (0,1) -> keeper 0; doc 3 survives; 2 and 4 dropped
+    assert set(cleaned) == {0, 3}
+    assert boiler not in cleaned[0].text and cleaned[0].text == good
+    assert cleaned[0].lang == "en"  # extra columns joined back
+
+    audit = {r.doc_id: r for r in spark.read.parquet(audit_out).collect()}
+    assert set(audit) == {0, 1, 2, 3, 4}  # one row per INPUT doc
+    assert audit[2].passed_quality is False and "too_few_tokens" in audit[2].reasons
+    assert audit[4].passed_quality is False
+    assert audit[0].passed_quality is True and list(audit[0].reasons) == []
+    assert audit[0].n_boilerplate_paragraphs == 1
