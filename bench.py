@@ -153,19 +153,28 @@ def main() -> None:
     # throughput regression is visible round-over-round
     from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
         contamination_pairs,
+        ensure_min_parallelism,
     )
     from aws_glue_data_catalog_replication_utility_spark.functions.text import (
         dedup_paragraphs,
     )
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # split-guard like every registry doc lane: the corpus parquet is one
+    # split locally, which would serialize the shingle explode onto one task
+    docs = ensure_min_parallelism(
+        load_tables(spark, sf_dir, ["documents"])["documents"], fraction=0.25
+    )
     eval_docs = docs.where(F.col("doc_id") % 7 == 3).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
+    # df-capped: the production lane (the cap is the q37 scale guard —
+    # an uncapped shingle join grows as sum(df_corpus x df_eval) over
+    # hot shingles; at this fixture sf the cap's extra pass costs more
+    # than it saves, which is exactly why its cost is tracked here)
     t0 = time.perf_counter()
-    contamination_pairs(docs, eval_docs, n=5, min_containment=0.3).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    contamination_pairs(
+        docs, eval_docs, n=5, min_containment=0.3, max_df=20
+    ).write.format("noop").mode("overwrite").save()
     extras["contamination_pairs"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     dedup_paragraphs(docs, max_df=1).write.format("noop").mode("overwrite").save()
