@@ -11,6 +11,8 @@ Jobs (mirroring SURVEY.md §3):
   stream   continuous import: readStream events dir -> versioned state
   clean    LLM-corpus cleaning: paragraph boilerplate removal ->
            quality-filter verdicts -> exact dedup, with a why-dropped audit
+  index    build a persistent IVF-PQ ANN index (cluster-partitioned)
+  search   ADC top-k over a built index, nprobe directory pruning
 
 All inputs/outputs are parquet directories (the engine's catalog-snapshot
 interchange), except the events dir for `stream` (ndjson message files,
@@ -137,6 +139,31 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--keep-singletons-only", action="store_true",
                    help="drop ALL copies of exact duplicates instead of keeping one")
 
+    ix = sub.add_parser(
+        "index",
+        help="build a persistent IVF-PQ ANN index (cluster-partitioned "
+             "vectors + meta.json) from an embeddings parquet",
+    )
+    ix.add_argument("--embeddings", required=True)
+    ix.add_argument("--index-root", required=True)
+    ix.add_argument("--n-clusters", type=int, default=8)
+    ix.add_argument("--pq-m", type=int, default=4)
+    ix.add_argument("--pq-k", type=int, default=8)
+    ix.add_argument("--codebook", choices=("first", "kmeans"), default="first")
+    ix.add_argument("--kmeans-iters", type=int, default=2)
+
+    se = sub.add_parser(
+        "search",
+        help="ADC top-k search over a built index, reading only the "
+             "nprobe probed cluster directories",
+    )
+    se.add_argument("--index-root", required=True)
+    se.add_argument("--queries", required=True,
+                    help="parquet with (query_id, embedding)")
+    se.add_argument("--k", type=int, default=5)
+    se.add_argument("--nprobe", type=int, default=1)
+    se.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -198,6 +225,34 @@ def main(argv: list[str] | None = None) -> int:
                 ("dlq", res.dlq),
             ],
             args.out_root,
+        )
+
+    elif args.job == "index":
+        from .functions.ann_index import build_ann_index
+
+        build_ann_index(
+            spark,
+            _read(spark, args.embeddings),
+            args.index_root,
+            n_clusters=args.n_clusters,
+            m=args.pq_m,
+            k=args.pq_k,
+            codebook=args.codebook,
+            kmeans_iters=args.kmeans_iters,
+        )
+
+    elif args.job == "search":
+        from .functions.ann_index import search_ann_index
+
+        _write(
+            search_ann_index(
+                spark,
+                args.index_root,
+                _read(spark, args.queries),
+                k=args.k,
+                nprobe=args.nprobe,
+            ),
+            args.out,
         )
 
     elif args.job == "clean":

@@ -1,0 +1,205 @@
+"""Persistent IVF-PQ index: the ANN stack productized as an on-disk
+layout plus a search that reads only the probed clusters.
+
+Layout under `root`:
+
+    root/vectors/cluster=<c>/...parquet   (vec_id, n_dims, scale,
+                                           quantized, codes, embedding)
+    root/meta.json                        params + centroids + codebook
+
+The vectors plane is hive-partitioned by the IVF cluster, so an
+nprobe-bounded search is DIRECTORY pruning (the q33 layout contract:
+`PartitionFilters` on `cluster`, untouched clusters' files never open).
+Everything numeric runs on the int8-quantized lane (quantize_embeddings)
+with integer-exact arithmetic end to end: cluster assignment is the
+integer-L2 argmin, PQ codes are integer argmins over the stored
+codebook, search is ADC — per query a lookup table of integer squared
+distances folded into the projection as literals. The codebook source
+is `first` (first-k vectors by id) or `kmeans` (Lloyd-trained,
+kmeans_codebook) — both deterministic and bit-reproducible.
+
+Driver-side state is config-sized only: centroids (n_clusters x dim
+ints), the PQ codebook (m x k x sub ints), and the collected query set
+(bounded by max_queries with an overflow guard, the repo-wide policy).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .similarity import (
+    _adist_expr,
+    _int_l2_argmin,
+    _pq_code_cols,
+    kmeans_codebook,
+    quantize_embeddings,
+)
+
+
+def build_ann_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    root: str,
+    n_clusters: int = 8,
+    m: int = 4,
+    k: int = 8,
+    codebook: str = "first",
+    kmeans_iters: int = 2,
+    levels: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build and persist the index; returns the meta dict. One pass of
+    map-side projections (quantize -> cluster argmin -> PQ codes, all
+    literal-folded, zero exchanges) plus the partitioned write's
+    shuffle-free fan-out into cluster directories."""
+    qz = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col, levels=levels)
+    if codebook == "kmeans":
+        cents, _ = kmeans_codebook(
+            embeddings, n_clusters=n_clusters, n_iters=kmeans_iters,
+            id_col=id_col, vec_col=vec_col, levels=levels,
+        )
+    elif codebook == "first":
+        seed = qz.where(F.col(id_col) < n_clusters).orderBy(id_col).collect()
+        if len(seed) < n_clusters:
+            raise ValueError(f"need ids 0..{n_clusters - 1} present for seeding")
+        cents = [(c, list(r["quantized"])) for c, r in enumerate(seed)]
+    else:
+        raise ValueError(f"unknown codebook source: {codebook!r}")
+
+    pq_seed = qz.where(F.col(id_col) < k).orderBy(id_col).collect()
+    if len(pq_seed) < k:
+        raise ValueError(f"need ids 0..{k - 1} present for the PQ codebook")
+    dim = pq_seed[0]["n_dims"]
+    sub = dim // m
+    pq_book = [
+        [list(r["quantized"])[j * sub : (j + 1) * sub] for r in pq_seed]
+        for j in range(m)
+    ]
+
+    vectors = (
+        qz.join(
+            embeddings.select(F.col(id_col), F.col(vec_col).alias("embedding")),
+            on=id_col,
+        )
+        .withColumn("cluster", _int_l2_argmin(cents, "quantized"))
+        .withColumn("codes", F.array(*_pq_code_cols(pq_book, m, sub, k)))
+    )
+    vectors.write.mode("overwrite").partitionBy("cluster").parquet(f"{root}/vectors")
+
+    meta = {
+        "n_clusters": n_clusters,
+        "m": m,
+        "k": k,
+        "sub": sub,
+        "dim": dim,
+        "levels": levels,
+        "codebook_source": codebook,
+        "id_col": id_col,
+        "centroids": [[int(x) for x in cv] for _, cv in cents],
+        "pq_codebook": [[[int(x) for x in cw] for cw in js] for js in pq_book],
+    }
+    with open(f"{root}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def load_ann_meta(root: str) -> dict:
+    with open(f"{root}/meta.json") as fh:
+        return json.load(fh)
+
+
+def _quantize_py(vec, levels: int) -> list[int]:
+    """Driver-side twin of quantize_embeddings for the (config-sized)
+    query set: identical IEEE arithmetic — scale = max |x|,
+    q_i = floor(x_i * levels / scale)."""
+    scale = max(abs(float(x)) for x in vec)
+    if scale == 0:
+        return [0] * len(vec)
+    return [math.floor(float(x) * levels / scale) for x in vec]
+
+
+def search_ann_index(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """ADC top-k over the persisted index, scanning ONLY each query's
+    `nprobe` nearest clusters: the scan filter is `cluster IN (union of
+    probed clusters)` — partition-directory pruning — and per query a
+    literal probe-set membership test keeps exactly its own clusters.
+    Returns (query_id, vec_id, adist, rank); ties break on vec_id.
+
+    The query set collects driver-side (bounded, overflow-raising) and
+    each query's ADC lookup table folds into the projection — m literal
+    array lookups per row, the same plan family as pq_adc_topk."""
+    meta = load_ann_meta(root)
+    m, sub, levels = meta["m"], meta["sub"], meta["levels"]
+    cents = meta["centroids"]
+    book = meta["pq_codebook"]
+
+    q_rows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"search_ann_index collects the query set driver-side; got "
+            f">{max_queries} rows — raise max_queries deliberately"
+        )
+    if not q_rows:
+        raise ValueError("empty query set")
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    per_query = []
+    probed_union: set[int] = set()
+    for r in q_rows:
+        qv = _quantize_py(r[1], levels)
+        ranked = sorted(range(len(cents)), key=lambda c: (l2(qv, cents[c]), c))
+        probe = ranked[: max(1, nprobe)]
+        probed_union.update(probe)
+        lut = [
+            [l2(qv[j * sub : (j + 1) * sub], book[j][c]) for c in range(meta["k"])]
+            for j in range(m)
+        ]
+        per_query.append((int(r[0]), probe, lut))
+
+    vectors = spark.read.option("basePath", f"{root}/vectors").parquet(
+        f"{root}/vectors"
+    )
+    # one scan filter for directory pruning...
+    scan = vectors.where(F.col("cluster").isin(sorted(probed_union)))
+    # ...then per-query rows: (query_id, adist) for rows inside THAT
+    # query's probe set only
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                _adist_expr(lut, m).alias("adist"),
+                F.array(*[F.lit(c) for c in probe]).alias("probe"),
+            )
+            for qid, probe, lut in per_query
+        ]
+    )
+    scored = (
+        scan.select(F.col(meta["id_col"]).alias("vec_id"), "cluster", F.explode(lanes).alias("s"))
+        .where(F.array_contains(F.col("s.probe"), F.col("cluster")))
+        .select("vec_id", F.col("s.query_id").alias("query_id"), F.col("s.adist").alias("adist"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "adist", F.col("__rn").cast("int").alias("rank"))
+    )

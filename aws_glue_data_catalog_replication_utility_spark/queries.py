@@ -847,7 +847,22 @@ def _sw_sql(lang_words) -> str:
                 list_max(list_transform(list_distinct(grams),
                   v -> len(list_filter(grams, x -> x = v)))) * 1.0
                   / (len(toks) - 1)
-                ELSE 0.0 END AS top_2gram_frac
+                ELSE 0.0 END AS top_2gram_frac,
+           COALESCE(array_to_string(list_filter([
+             CASE WHEN len(toks) < 5 THEN 'too_few_tokens' END,
+             CASE WHEN (CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                             / length(text) ELSE 0.0 END) > 0.3
+                  THEN 'punct_ratio' END,
+             CASE WHEN len(list_filter(toks, t -> t IN
+                    ('the','a','of','and','to','in','is','it','for','on')))
+                    * 1.0 / len(toks) < 0.02 THEN 'stopword_ratio' END,
+             CASE WHEN (CASE WHEN len(grams) > 0 THEN
+                        list_max(list_transform(list_distinct(grams),
+                          v -> len(list_filter(grams, x -> x = v)))) * 1.0
+                          / len(grams) ELSE 0.0 END) > 0.20
+                  THEN 'top_2gram_frac' END],
+             x -> x IS NOT NULL), '|'), '') AS filter_reasons
     FROM (SELECT *,
                  CASE WHEN len(toks) >= 2
                       THEN [array_to_string(list_slice(toks, i, i+1), ' ')
@@ -894,6 +909,14 @@ def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer totals, engine-exact; the line-level signals stay
         # pinned by the pytest DuckDB twin (fixture docs are one line)
         TX.repetition_stats("text")["top_ngram_frac"].alias("top_2gram_frac"),
+        # the composed keep/drop gate's named reasons, '|'-joined so the
+        # hash compare treats them as one scalar; the oracle re-derives
+        # the same rule family (dup_line_frac omitted there — one-line
+        # fixture docs can never trip it, and Spark's verdict then
+        # agrees by construction)
+        F.concat_ws(
+            "|", TX.quality_filter_verdict("text")["reasons"]
+        ).alias("filter_reasons"),
     )
 
 

@@ -151,3 +151,42 @@ def test_cli_clean_pipeline(spark, tmp_path):
     assert audit[4].passed_quality is False
     assert audit[0].passed_quality is True and list(audit[0].reasons) == []
     assert audit[0].n_boilerplate_paragraphs == 1
+
+
+def test_cli_index_and_search(spark, tmp_path):
+    """The ANN jobs end to end: build an index from embeddings parquet,
+    search it with a query parquet, read ranked neighbors back."""
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+    from pyspark.sql import functions as F
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    root = str(tmp_path / "idx")
+    assert cli_main([
+        "index",
+        "--embeddings", emb_path,
+        "--index-root", root,
+        "--n-clusters", "4",
+        "--codebook", "kmeans",
+    ]) == 0
+    import os
+    assert os.path.exists(f"{root}/meta.json")
+    assert any(d.startswith("cluster=") for d in os.listdir(f"{root}/vectors"))
+
+    q_path = str(tmp_path / "queries")
+    (spark.read.parquet(emb_path).where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .write.mode("overwrite").parquet(q_path))
+    out = str(tmp_path / "hits")
+    assert cli_main([
+        "search",
+        "--index-root", root,
+        "--queries", q_path,
+        "--k", "4",
+        "--nprobe", "2",
+        "--out", out,
+    ]) == 0
+    hits = spark.read.parquet(out).collect()
+    assert {r.query_id for r in hits} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in hits if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4]

@@ -932,3 +932,68 @@ def test_quality_filter_verdict_matches_duckdb(spark, tmp_path):
     assert by_id[1][1] is False and "too_few_tokens" in by_id[1][2]
     assert by_id[2][1] is False
     assert "top_2gram_frac" in by_id[3][2]
+
+
+def test_ann_index_full_probe_matches_pq_adc_topk(spark, tmp_path):
+    """The persisted IVF-PQ index searched with nprobe = n_clusters is
+    a full ADC scan — it must reproduce pq_adc_topk's ranking EXACTLY
+    (same integer arithmetic, same first-k codebook, same tie rule)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "idx")
+    meta = build_ann_index(spark, emb, root, n_clusters=4, m=4, k=8)
+    assert meta["dim"] == 64 and len(meta["centroids"]) == 4
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id, r.adist)
+        for r in search_ann_index(spark, root, queries, k=5, nprobe=4).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.vec_id, r.adist)
+        for r in pq_adc_topk(emb, m=4, k=8, n_queries=5, topk=5).collect()
+    )
+    assert got == want
+
+
+def test_ann_index_search_prunes_partitions(spark, tmp_path):
+    """nprobe=1 search must read ONLY the probed cluster directories:
+    the scan shows a PartitionFilters entry on `cluster`, and results
+    come exclusively from the probed clusters."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "idx")
+    build_ann_index(spark, emb, root, n_clusters=4, m=4, k=8, codebook="kmeans")
+
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = search_ann_index(spark, root, queries, k=3, nprobe=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # every returned neighbor must live in a probed cluster
+    vectors = spark.read.option("basePath", f"{root}/vectors").parquet(
+        f"{root}/vectors"
+    )
+    clusters = {r.vec_id: r.cluster for r in vectors.select("vec_id", "cluster").collect()}
+    rows = res.collect()
+    assert rows
+    for r in rows:
+        assert clusters[r.vec_id] == clusters[r.query_id]
