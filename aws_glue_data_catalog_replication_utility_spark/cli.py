@@ -162,6 +162,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet with (query_id, embedding)")
     se.add_argument("--k", type=int, default=5)
     se.add_argument("--nprobe", type=int, default=1)
+    se.add_argument("--rerank-factor", type=int, default=None,
+                    help="two-stage search: ADC shortlists k*factor "
+                         "candidates, exact cosine reranks them")
     se.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)
@@ -251,6 +254,7 @@ def main(argv: list[str] | None = None) -> int:
                 _read(spark, args.queries),
                 k=args.k,
                 nprobe=args.nprobe,
+                rerank_factor=args.rerank_factor,
             ),
             args.out,
         )

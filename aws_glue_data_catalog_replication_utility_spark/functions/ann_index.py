@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .similarity import (
     _adist_expr,
+    _fold_dot,
+    _fold_norm2,
     _int_l2_argmin,
     _pq_code_cols,
     kmeans_codebook,
@@ -132,6 +134,7 @@ def search_ann_index(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     max_queries: int = 10_000,
+    rerank_factor: int | None = None,
 ) -> DataFrame:
     """ADC top-k over the persisted index, scanning ONLY each query's
     `nprobe` nearest clusters: the scan filter is `cluster IN (union of
@@ -141,7 +144,17 @@ def search_ann_index(
 
     The query set collects driver-side (bounded, overflow-raising) and
     each query's ADC lookup table folds into the projection — m literal
-    array lookups per row, the same plan family as pq_adc_topk."""
+    array lookups per row, the same plan family as pq_adc_topk.
+
+    rerank_factor enables the standard TWO-STAGE search: ADC shortlists
+    k * rerank_factor candidates per query (cheap integer lookups over
+    the compressed codes), then ONLY the shortlist joins back to the
+    stored float embeddings for an exact-cosine rerank — the same
+    left-to-right fold as cosine_topk, so with full probing and a
+    shortlist covering the corpus the result EQUALS the exact search
+    (pinned in tests). Output is then (query_id, vec_id, cosine, rank).
+    The rerank join is a broadcast of the shortlist id set (bounded by
+    n_queries x k x rerank_factor, config-sized by construction)."""
     meta = load_ann_meta(root)
     m, sub, levels = meta["m"], meta["sub"], meta["levels"]
     cents = meta["centroids"]
@@ -198,8 +211,43 @@ def search_ann_index(
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
-    return (
+    shortlist_k = k if rerank_factor is None else k * max(1, rerank_factor)
+    ranked = (
         scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= shortlist_k)
+    )
+    if rerank_factor is None:
+        return ranked.select(
+            "query_id", "vec_id", "adist", F.col("__rn").cast("int").alias("rank")
+        )
+
+    # stage 2: exact-cosine rerank of the shortlist against the stored
+    # float embeddings; query vectors fold in as literals with the SAME
+    # left-to-right double arithmetic as cosine_topk
+    qvec = {int(r[0]): [float(x) for x in r[1]] for r in q_rows}
+    cand = vectors.select(
+        F.col(meta["id_col"]).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("__e"),
+    ).join(F.broadcast(ranked.select("query_id", "vec_id")), on="vec_id")
+    per_q_cos = F.coalesce(
+        *[
+            F.when(
+                F.col("query_id") == qid,
+                _fold_dot(F.col("__e"), F.array(*[F.lit(x) for x in qv]))
+                / (
+                    F.sqrt(_fold_norm2(F.col("__e")))
+                    * F.sqrt(_fold_norm2(F.array(*[F.lit(x) for x in qv])))
+                ),
+            )
+            for qid, qv in qvec.items()
+        ]
+    )
+    rer = cand.select("query_id", "vec_id", per_q_cos.alias("cosine"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("__rn", F.row_number().over(w2))
         .where(F.col("__rn") <= k)
-        .select("query_id", "vec_id", "adist", F.col("__rn").cast("int").alias("rank"))
+        .select("query_id", "vec_id", "cosine", F.col("__rn").cast("int").alias("rank"))
     )

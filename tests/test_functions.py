@@ -997,3 +997,38 @@ def test_ann_index_search_prunes_partitions(spark, tmp_path):
     assert rows
     for r in rows:
         assert clusters[r.vec_id] == clusters[r.query_id]
+
+
+def test_ann_index_rerank_recovers_exact_search(spark, tmp_path):
+    """Two-stage search (ADC shortlist -> exact-cosine rerank): with
+    full probing and a shortlist covering the corpus, the result must
+    EQUAL brute-force cosine_topk — same fold arithmetic, same ties."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    root = str(tmp_path / "idx")
+    build_ann_index(spark, emb, root, n_clusters=4, m=4, k=8)
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in search_ann_index(
+            spark, root, queries, k=5, nprobe=4, rerank_factor=n,
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    )
+    assert got == want
