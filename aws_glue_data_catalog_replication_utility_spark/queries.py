@@ -2363,8 +2363,31 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _persist(
         jaccard_pairs(sh, "doc_id", threshold=0.6).select("id_a", "id_b")
     )
-    labels = connected_components(pairs, docs.select("doc_id"), "doc_id")
-    star = connected_components_star(pairs, docs.select("doc_id"), "doc_id")
+    # the two algorithms depend only on the MATERIALIZED pair set and
+    # are each stage-latency-bound iterative towers — run them on
+    # concurrent threads so their per-round jobs interleave (r05; the
+    # scheduler handles concurrent job submission, and neither touches
+    # the other's state)
+    import threading
+
+    out: dict[str, DataFrame] = {}
+    err: list[BaseException] = []
+
+    def _run(key, fn):
+        try:
+            out[key] = fn(pairs, docs.select("doc_id"), "doc_id")
+        except BaseException as e:  # surface on the caller thread
+            err.append(e)
+
+    th = threading.Thread(
+        target=_run, args=("star", connected_components_star)
+    )
+    th.start()
+    _run("labels", connected_components)
+    th.join()
+    if err:
+        raise err[0]
+    labels, star = out["labels"], out["star"]
     _PERSISTED.extend([labels, star])  # scoped eviction at the next call
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
