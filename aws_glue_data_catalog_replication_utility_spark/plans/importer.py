@@ -634,14 +634,17 @@ def import_events(
     run_id: int = 0,
     truncate_lineage: bool = True,
     side_channel_ready=None,
+    parsed: ParsedEvents | None = None,
 ) -> ImportResult:
     """Apply an event batch to the target catalog snapshots (parse once
     + apply to one target; see parse_events for truncate_lineage and
-    the side_channel_ready overlap barrier)."""
-    parsed = parse_events(
-        spark, events, side_channel_path, truncate_lineage=truncate_lineage,
-        side_channel_ready=side_channel_ready,
-    )
+    the side_channel_ready overlap barrier). Pass `parsed` to reuse an
+    existing parse of the same event set (events is then ignored)."""
+    if parsed is None:
+        parsed = parse_events(
+            spark, events, side_channel_path, truncate_lineage=truncate_lineage,
+            side_channel_ready=side_channel_ready,
+        )
     result = _apply_parsed(
         parsed,
         target_databases,
@@ -661,6 +664,7 @@ def import_events_fanout(
     side_channel_path: str | None = None,
     run_id: int = 0,
     truncate_lineage: bool = True,
+    parsed: ParsedEvents | None = None,
 ) -> dict[str, ImportResult]:
     """ONE event set -> N target catalogs in ONE run — the reference's
     core deployment shape (README.md:173-188: every target account
@@ -674,10 +678,16 @@ def import_events_fanout(
     target gets its own full ImportResult — audit planes keyed by that
     target's target_glue_catalog_id, so `fanout_table_audit` /
     `fanout_db_audit` give the cross-target correlation view of one
-    run."""
-    parsed = parse_events(
-        spark, events, side_channel_path, truncate_lineage=truncate_lineage
-    )
+    run.
+
+    A caller that already parsed the SAME event set (e.g. to build a
+    bootstrap target it now fans out against, q55's shape) passes it as
+    `parsed` — the fan-out then reuses that materialization instead of
+    re-running the parse towers; `events` is ignored in that case."""
+    if parsed is None:
+        parsed = parse_events(
+            spark, events, side_channel_path, truncate_lineage=truncate_lineage
+        )
     results = {
         tid: _apply_parsed(parsed, d, t, p, target_catalog_id=tid, run_id=run_id)
         for tid, (d, t, p) in targets.items()

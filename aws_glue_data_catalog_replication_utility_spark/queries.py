@@ -2509,11 +2509,16 @@ def q55_multi_target_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = threading.Thread(target=writers[0])
     th.start()
     events = msgs.unionByName(tbl_msgs).coalesce(4)
+    # ONE parse serves the bootstrap import AND the fan-out below (r05:
+    # the previous form ran the parse towers twice over the same events)
+    from .plans.importer import parse_events
+
+    parsed = parse_events(spark, events, side, side_channel_ready=th.join)
     # target B = converged state (one prior import) with one table's
     # description drifted -> the re-import must flag exactly that table
     base = import_events(
         spark, events, *empty_catalog(spark), side_channel_path=side,
-        side_channel_ready=th.join,
+        parsed=parsed,
     )
     drift = F.when(
         (F.col("database_name") == "raw_data_db0") & (F.col("name") == "table_0"),
@@ -2536,6 +2541,7 @@ def q55_multi_target_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
         side_channel_path=side,
+        parsed=parsed,
     )
     _PERSISTED.extend(mats)
     _PERSISTED.extend(base.materialized)
