@@ -146,6 +146,11 @@ def search_ann_index(
     each query's ADC lookup table folds into the projection — m literal
     array lookups per row, the same plan family as pq_adc_topk.
 
+    Query ids share the indexed id space for the self-exclusion rule
+    (a query whose id equals a stored vector's id never returns that
+    vector — the search-the-corpus-with-itself shape); external query
+    sets should use ids disjoint from the corpus ids.
+
     rerank_factor enables the standard TWO-STAGE search: ADC shortlists
     k * rerank_factor candidates per query (cheap integer lookups over
     the compressed codes), then ONLY the shortlist joins back to the

@@ -205,7 +205,8 @@ def dedup_paragraphs(
     text_col: str = "text",
 ):
     """Corpus-level paragraph deduplication — the RefinedWeb/FineWeb
-    cleaning step: a paragraph (text split on `sep`) whose EXACT content
+    cleaning step: a paragraph (text split on `sep`, a Java-regex
+    pattern — the default '\\n' is literal) whose EXACT content
     appears in more than `max_df` distinct documents is boilerplate
     (nav bars, cookie banners, license footers) and is removed from
     every document; each document is reassembled from its surviving

@@ -293,3 +293,47 @@ def test_corruption_never_poisons_the_batch(spark, tmp_path, seed):
         .join(res.databases.select("name"), on="name", how="left_anti")
     )
     assert orphans.count() == 0
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_paragraph_dedup_properties(spark, seed):
+    """Property pass over random corpora: (a) a corpus with NO
+    cross-document duplicate paragraph is returned text-identical;
+    (b) after dedup at max_df, no surviving paragraph appears in more
+    than max_df documents; (c) output is row-for-row with the input."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        dedup_paragraphs,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = " ".join(rng.choices(vocab, k=6))  # a candidate boilerplate
+
+    rows = []
+    for d in range(20):
+        paras = [
+            f"uniq{d}p{j} " + " ".join(rng.choices(vocab, k=5))
+            for j in range(rng.randint(1, 4))
+        ]
+        if rng.random() < 0.5:
+            paras.insert(rng.randrange(len(paras) + 1), shared)
+        rows.append((d, "\n".join(paras)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = dedup_paragraphs(docs, max_df=2).collect()
+    assert {r.doc_id for r in out} == set(range(20))  # (c)
+
+    # (b): surviving paragraph df <= max_df
+    df_count: dict[str, int] = {}
+    for r in out:
+        for p in (r.text.split("\n") if r.text else []):
+            df_count[p] = df_count.get(p, 0) + 1
+    assert all(v <= 2 for v in df_count.values()), df_count
+
+    # (a): unique-paragraph corpus round-trips unchanged
+    uniq = spark.createDataFrame(
+        [(d, f"only{d}a\nonly{d}b") for d in range(8)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in dedup_paragraphs(uniq, max_df=1).collect()}
+    assert got == {d: f"only{d}a\nonly{d}b" for d in range(8)}
