@@ -115,10 +115,15 @@ class ImportResult:
     # a long-lived session leaks one CacheManager entry per batch (the
     # streaming foreachBatch path calls it per micro-batch; ADVICE r04)
     materialized: tuple[DataFrame, ...] = ()
+    # background cache-fill thread (enriched_fill="async") — joined
+    # before any unpersist
+    fill_thread: object = None
 
     def release(self) -> None:
         """Unpersist the materialized intermediates. Idempotent; call
         after the audit/state plans have been executed or written."""
+        if self.fill_thread is not None:
+            self.fill_thread.join()
         for df in self.materialized:
             df.unpersist()
 
@@ -155,9 +160,14 @@ class ParsedEvents:
     part_stats: DataFrame
     # frames materialized by parse_events (see ImportResult.materialized)
     materialized: tuple[DataFrame, ...] = ()
+    # background cache-fill thread (enriched_fill="async"); joined by
+    # release() so an unpersist can never race the fill job
+    fill_thread: object = None
 
     def release(self) -> None:
         """Unpersist the materialized intermediates (idempotent)."""
+        if self.fill_thread is not None:
+            self.fill_thread.join()
         for df in self.materialized:
             df.unpersist()
 
@@ -168,8 +178,17 @@ def parse_events(
     side_channel_path: str | None = None,
     truncate_lineage: bool = True,
     side_channel_ready=None,
+    enriched_fill: str = "eager",
 ) -> ParsedEvents:
     """Parse + validate an event batch (target-independent).
+
+    enriched_fill: "eager" (default) fills the enriched winner-relation
+    cache with a dedicated count before returning — the safe default
+    for long-lived paths; "async" launches that fill on a daemon thread
+    so it overlaps the caller's (driver-side) plan building, the last
+    serial job in the parse tower. The thread is joined by release()
+    before any unpersist; executions that reach the cache first simply
+    block on Spark's per-partition cache locks.
 
     side_channel_ready: optional zero-arg barrier invoked immediately
     before the side channel is first read (its file listing resolves at
@@ -502,8 +521,17 @@ def parse_events(
         # plan over the uncached window is costlier than the dedicated
         # fill job)
         enriched = enriched.persist()
-        enriched.count()
+        if enriched_fill == "async":
+            import threading
+
+            fill_thread = threading.Thread(target=enriched.count, daemon=True)
+            fill_thread.start()
+        else:
+            enriched.count()
+            fill_thread = None
         materialized.append(enriched)
+    else:
+        fill_thread = None
     incoming_tables = enriched.drop(
         "export_batch_id", "source_catalog_id", "table_schema"
     )
@@ -620,6 +648,7 @@ def parse_events(
         parts_ok=parts_ok,
         part_stats=part_stats,
         materialized=tuple(materialized),
+        fill_thread=fill_thread,
     )
 
 
@@ -635,15 +664,17 @@ def import_events(
     truncate_lineage: bool = True,
     side_channel_ready=None,
     parsed: ParsedEvents | None = None,
+    enriched_fill: str = "eager",
 ) -> ImportResult:
     """Apply an event batch to the target catalog snapshots (parse once
-    + apply to one target; see parse_events for truncate_lineage and
-    the side_channel_ready overlap barrier). Pass `parsed` to reuse an
-    existing parse of the same event set (events is then ignored)."""
+    + apply to one target; see parse_events for truncate_lineage, the
+    side_channel_ready overlap barrier, and enriched_fill). Pass
+    `parsed` to reuse an existing parse of the same event set (events
+    is then ignored)."""
     if parsed is None:
         parsed = parse_events(
             spark, events, side_channel_path, truncate_lineage=truncate_lineage,
-            side_channel_ready=side_channel_ready,
+            side_channel_ready=side_channel_ready, enriched_fill=enriched_fill,
         )
     result = _apply_parsed(
         parsed,
@@ -654,6 +685,7 @@ def import_events(
         run_id=run_id,
     )
     result.materialized = parsed.materialized
+    result.fill_thread = parsed.fill_thread
     return result
 
 
@@ -697,6 +729,7 @@ def import_events_fanout(
     # target's plans have executed
     for r in results.values():
         r.materialized = parsed.materialized
+        r.fill_thread = parsed.fill_thread
     return results
 
 

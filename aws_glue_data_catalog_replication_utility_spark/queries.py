@@ -1511,6 +1511,9 @@ def q34_replication_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = import_events(
         spark, events, d, t, p, side_channel_path=side,
         side_channel_ready=th.join,
+        # the enriched cache fill (the parse tower's last serial job)
+        # overlaps the apply towers' driver-side plan building
+        enriched_fill="async",
     )
     # pipeline-internal persists (routed set + parse cuts) evict at the
     # next registry call like every _persist frame (ADVICE r04)
@@ -2513,7 +2516,9 @@ def q55_multi_target_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the previous form ran the parse towers twice over the same events)
     from .plans.importer import parse_events
 
-    parsed = parse_events(spark, events, side, side_channel_ready=th.join)
+    parsed = parse_events(
+        spark, events, side, side_channel_ready=th.join, enriched_fill="async"
+    )
     # target B = converged state (one prior import) with one table's
     # description drifted -> the re-import must flag exactly that table
     base = import_events(
