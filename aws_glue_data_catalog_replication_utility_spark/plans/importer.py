@@ -522,10 +522,9 @@ def parse_events(
         # fill job)
         enriched = enriched.persist()
         if enriched_fill == "async":
-            import threading
+            from ..concurrency import run_overlapped
 
-            fill_thread = threading.Thread(target=enriched.count, daemon=True)
-            fill_thread.start()
+            fill_thread = run_overlapped(enriched.count)
         else:
             enriched.count()
             fill_thread = None

@@ -26,6 +26,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .concurrency import run_overlapped
 from .session import load_tables
 from .operators import (
     exists_semi,
@@ -1493,12 +1494,11 @@ def q34_replication_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # overlap the side-channel ndjson write (an independent Spark job)
     # with the import tower's parse materialization — the build phase's
-    # two costliest serial jobs; parse_events joins the thread via
-    # side_channel_ready exactly where the files must exist
-    import threading
-
-    th = threading.Thread(target=writers[0])
-    th.start()
+    # two costliest serial jobs; parse_events joins the task via
+    # side_channel_ready exactly where the files must exist (join
+    # re-raises a writer failure instead of letting parse read a
+    # missing/partial directory)
+    th = run_overlapped(writers[0])
     # no _persist here: import_events cuts (checkpoints) the parsed
     # event set itself, and the message build below the cut is cheap —
     # export_catalog already pinned the routed table set
@@ -2371,26 +2371,12 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concurrent threads so their per-round jobs interleave (r05; the
     # scheduler handles concurrent job submission, and neither touches
     # the other's state)
-    import threading
-
-    out: dict[str, DataFrame] = {}
-    err: list[BaseException] = []
-
-    def _run(key, fn):
-        try:
-            out[key] = fn(pairs, docs.select("doc_id"), "doc_id")
-        except BaseException as e:  # surface on the caller thread
-            err.append(e)
-
-    th = threading.Thread(
-        target=_run, args=("star", connected_components_star)
+    ids = docs.select("doc_id")
+    star_task = run_overlapped(
+        lambda: connected_components_star(pairs, ids, "doc_id")
     )
-    th.start()
-    _run("labels", connected_components)
-    th.join()
-    if err:
-        raise err[0]
-    labels, star = out["labels"], out["star"]
+    labels = connected_components(pairs, ids, "doc_id")
+    star = star_task.join()
     _PERSISTED.extend([labels, star])  # scoped eviction at the next call
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -2506,11 +2492,9 @@ def q55_multi_target_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         side_channel_writer_out=writers,
     )
     # overlap the ndjson write with the first import's parse cut (the
-    # q34 pattern); the barrier joins before the side channel is read
-    import threading
-
-    th = threading.Thread(target=writers[0])
-    th.start()
+    # q34 pattern); the barrier joins — re-raising writer failures —
+    # before the side channel is read
+    th = run_overlapped(writers[0])
     events = msgs.unionByName(tbl_msgs).coalesce(4)
     # ONE parse serves the bootstrap import AND the fan-out below (r05:
     # the previous form ran the parse towers twice over the same events)

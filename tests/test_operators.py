@@ -311,3 +311,31 @@ def test_latest_by_with_tiebreak(spark):
     )
     got = {r.k: r.v for r in latest_by(df, ["k"], "run", tiebreak=["v"]).collect()}
     assert got == {1: "b", 2: "d"}
+
+
+# --------------------------------------------------- concurrency helper
+
+
+def test_run_overlapped_result_error_and_idempotent_join():
+    """The shared overlap primitive (q34/q55 writer, q53 CC towers,
+    importer async fill): results come back through join(), side-thread
+    exceptions re-raise on the caller thread (every time — a barrier
+    callback may join twice), and join is safe to call repeatedly."""
+    import pytest
+
+    from aws_glue_data_catalog_replication_utility_spark.concurrency import (
+        run_overlapped,
+    )
+
+    ok = run_overlapped(lambda: 42)
+    assert ok.join() == 42
+    assert ok.join() == 42
+
+    def boom():
+        raise RuntimeError("side-channel write failed")
+
+    bad = run_overlapped(boom)
+    with pytest.raises(RuntimeError, match="side-channel write failed"):
+        bad.join()
+    with pytest.raises(RuntimeError, match="side-channel write failed"):
+        bad.join()
