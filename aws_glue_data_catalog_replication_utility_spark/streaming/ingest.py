@@ -198,13 +198,47 @@ def _scope_predicate(sync_scope: DataFrame, keys: list[str], max_tables: int = 1
         return "false"  # empty scope: replace nothing
 
     def q(v: str | None) -> str:
-        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+        # Spark's default expression parser (escapedStringLiterals=false)
+        # treats backslash as an escape inside string literals, so a name
+        # ending in '\' would swallow the closing quote: escape
+        # backslashes FIRST, then double quotes (ADVICE r05)
+        if v is None:
+            return "NULL"
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
 
     return " OR ".join(
         "(" + " AND ".join(
             f"{k} <=> {q(getattr(r, k))}" for k in keys
         ) + ")"
         for r in rows
+    )
+
+
+def replace_where_equivalent(
+    existing: DataFrame, partitions_delta: DataFrame, sync_scope: DataFrame
+) -> DataFrame:
+    """The Delta commit lane as a logical plan: exactly what the
+    partitions plane equals after `_commit_partitions_delta`'s single
+    `replaceWhere` overwrite — rows NOT matching the scope predicate
+    survive, the batch's rows are inserted (Delta's documented
+    overwrite-with-replaceWhere = delete-matching + insert, one
+    commit). The predicate built by `_scope_predicate` uses `<=>`
+    only, so it is never NULL and `~pred` is an exact complement.
+
+    This is how the 4-case sync matrix EXECUTES the delta lane's
+    predicate and set semantics in environments without delta-spark
+    (the sandbox has no network to fetch the jar): the same predicate
+    string goes through Spark's expression parser here as the Delta
+    writer would hand it, and `test_delta_replace_where_semantics`
+    pins the resulting state bit-for-bit against the parquet backend's
+    on-disk state across all four cases. The real-writer leg of the
+    matrix still runs wherever delta-spark is importable."""
+    from pyspark.sql import functions as F
+
+    pred = _scope_predicate(sync_scope, list(DEFAULT_SYNC_KEYS))
+    cols = [f.name for f in PARTITION.fields]
+    return existing.where(~F.expr(pred)).select(*cols).unionByName(
+        partitions_delta.select(*cols)
     )
 
 
