@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+from ._exprcache import check_context, register_cache
+
 from pyspark.sql import Column, functions as F
 
 # primitives -> marker. Parameterized forms are separate alternatives
@@ -124,6 +126,7 @@ def all_column_types_valid(
     driver-side plan-build phase). An unresolved Column is plan-
     independent, so reuse across DataFrames is sound."""
     if isinstance(columns_col, str) and isinstance(partition_keys_col, str):
+        check_context()  # cached Columns die with their SparkContext
         return _all_column_types_valid_cached(
             columns_col, partition_keys_col, max_depth
         )
@@ -146,3 +149,6 @@ def _all_column_types_valid_cached(
     return all_column_types_valid(
         F.col(columns_name), F.col(partition_keys_name), max_depth
     )
+
+
+register_cache(_all_column_types_valid_cached.cache_clear)

@@ -19,6 +19,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ._exprcache import check_context, register_cache
+
 
 def _fold_dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -157,8 +159,11 @@ def _memo_expr(cache: dict, key, build):
     literals, which costs thousands of Py4J round-trips to construct
     (~2s of every q58/q59 call). An unresolved Column is plan-
     independent and the key is the full literal content, so reuse is
-    exact. Bounded: these caches hold a handful of codebook-sized
-    entries per process."""
+    exact — WITHIN one SparkContext; `check_context` invalidates all
+    registered caches across a context restart, since a cached Column
+    wraps the old context's Py4J gateway (ADVICE r05). Bounded: these
+    caches hold a handful of codebook-sized entries per process."""
+    check_context()
     if key not in cache:
         if len(cache) > 64:
             cache.clear()
@@ -166,7 +171,7 @@ def _memo_expr(cache: dict, key, build):
     return cache[key]
 
 
-_CENTROID_MEMO: dict = {}
+_CENTROID_MEMO: dict = register_cache({})
 
 
 def _centroid_literal(seed_rows) -> Column:
@@ -348,7 +353,7 @@ def _pq_codebook(seed_rows, m: int):
     return codebook, sub
 
 
-_PQ_CODE_MEMO: dict = {}
+_PQ_CODE_MEMO: dict = register_cache({})
 
 
 def _pq_code_cols(codebook, m: int, sub: int, n_codewords: int) -> list[Column]:
@@ -472,7 +477,7 @@ def _adc_luts(query_rows, codebook, m: int, sub: int, n_codewords: int):
     return luts
 
 
-_ADIST_MEMO: dict = {}
+_ADIST_MEMO: dict = register_cache({})
 
 
 def _adist_expr(lut, m: int) -> Column:
@@ -765,7 +770,7 @@ def quantize_embeddings(
     )
 
 
-_ARGMIN_MEMO: dict = {}
+_ARGMIN_MEMO: dict = register_cache({})
 
 
 def _int_l2_argmin(cent_rows: list[tuple[int, list[int]]], qcol: Column | str) -> Column:

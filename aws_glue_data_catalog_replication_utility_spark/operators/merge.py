@@ -27,6 +27,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import lru_cache
 
+from ..functions._exprcache import check_context, register_cache
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -123,6 +125,7 @@ def merge_outcomes(
         dt = src_types[c]
         if _contains_map(dt):
             dj = dt.json()
+            check_context()  # cached Columns die with their SparkContext
             lhs = _canonical_named(f"s.{c}", dj)
             rhs = _canonical_named(f"t.{c}", dj)
         else:
@@ -166,3 +169,6 @@ def apply_merge(
     (created or updated) plus untouched target rows. Idempotent."""
     out = merge_outcomes(source, target, keys, compare_cols)
     return out.drop(ACTION_COL)
+
+
+register_cache(_canonical_named.cache_clear)

@@ -1032,3 +1032,82 @@ def test_ann_index_rerank_recovers_exact_search(spark, tmp_path):
         for r in cosine_topk(emb, queries, k=5).collect()
     )
     assert got == want
+
+
+def test_expr_caches_cleared_on_context_change(spark):
+    """A memoized unresolved Column wraps the Py4J gateway of the
+    SparkContext it was built under; after a context restart it is a
+    dead reference (ADVICE r05). Simulate the restart by pointing the
+    guard at an already-collected object (what a GC'd old context looks
+    like) and assert every registered cache empties on the next
+    consult."""
+    import weakref
+
+    from aws_glue_data_catalog_replication_utility_spark.functions import (
+        _exprcache,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.hive_types import (
+        _all_column_types_valid_cached,
+        all_column_types_valid,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        _CENTROID_MEMO,
+        _centroid_literal,
+    )
+
+    _centroid_literal([(1, [0.0, 1.0])])
+    all_column_types_valid("columns", "partition_keys")
+    assert _CENTROID_MEMO
+    assert _all_column_types_valid_cached.cache_info().currsize > 0
+
+    class _Gone:
+        pass
+
+    _exprcache._ctx_ref = weakref.ref(_Gone())  # dead as soon as built
+    _exprcache.check_context()
+    assert _CENTROID_MEMO == {}
+    assert _all_column_types_valid_cached.cache_info().currsize == 0
+
+    # and the next consult rebuilds against the live context
+    col = _centroid_literal([(1, [0.0, 1.0])])
+    assert col is _centroid_literal([(1, [0.0, 1.0])])  # memo warm again
+
+
+def test_dedup_paragraphs_null_text_keeps_row(spark):
+    """A NULL-text document must survive row-for-row (the clean CLI
+    audit is one row per input doc): NULL reads as empty text, one
+    empty paragraph (ADVICE r05)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, None), (3, "a\nc")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs, max_df=1).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].text == "" and out[2].n_paragraphs == 1 and out[2].n_removed == 0
+    assert out[1].text == "b" and out[1].n_removed == 1  # 'a' still hot
+
+
+def test_dedup_paragraphs_hot_set_guard_falls_back_to_shuffle(spark):
+    """The broadcast of the hot-hash set is a bounded assumption
+    (VERDICT r05 #6): above max_hot_broadcast the anti join must run
+    shuffled, with identical rows."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        dedup_paragraphs,
+    )
+
+    # pathological: many DISTINCT hot paragraphs (each shared by 2 docs)
+    docs = spark.createDataFrame(
+        [(i, f"p{i % 50}\nu{i}") for i in range(100)], "doc_id int, text string"
+    )
+    guarded = dedup_paragraphs(docs, max_df=1, max_hot_broadcast=1)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # guard tripped -> shuffled anti
+    baseline = dedup_paragraphs(docs, max_df=1, max_hot_broadcast=None)
+    bplan = baseline._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bplan  # unguarded lane still broadcasts
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, baseline.collect())
+    )
