@@ -111,6 +111,30 @@ def main() -> None:
     warm.write.format("noop").mode("overwrite").save()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+
+    # Drift SENTINEL (VERDICT r05 #3): a fixed, never-optimized probe —
+    # constant parquet scan + hash agg — timed at the start AND end of
+    # the session. Its plan must NEVER change across rounds; ratios of
+    # sentinel medians between two bench records measure the BOX, not
+    # the code, and tools/bench_compare.py prints sentinel-normalized
+    # ratios next to raw ones so cross-round adjudication survives the
+    # box's documented 3-5x single-run noise / day-to-day drift.
+    def _sentinel_once() -> float:
+        probe = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                _F.sum(_F.col("l_quantity").cast("double")).alias("s"),
+                _F.avg(_F.col("l_extendedprice").cast("double")).alias("a"),
+                _F.count(_F.lit(1)).alias("n"),
+            )
+        )
+        t0 = time.perf_counter()
+        probe.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    sentinel_runs = [_sentinel_once() for _ in range(n_runs)]
+
     per_query: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -180,6 +204,9 @@ def main() -> None:
     dedup_paragraphs(docs, max_df=1).write.format("noop").mode("overwrite").save()
     extras["dedup_paragraphs"] = round(time.perf_counter() - t0, 3)
 
+    # closing sentinel leg: intra-session drift (start vs end medians)
+    sentinel_runs_end = [_sentinel_once() for _ in range(n_runs)]
+
     print(
         json.dumps(
             {
@@ -196,6 +223,13 @@ def main() -> None:
                     "and ran n=1 — not directly comparable."
                 ),
                 "extras": extras,
+                "sentinel": round(
+                    statistics.median(sentinel_runs + sentinel_runs_end), 3
+                ),
+                "sentinel_runs": {
+                    "start": sentinel_runs,
+                    "end": sentinel_runs_end,
+                },
                 "sf": sf,
             }
         )

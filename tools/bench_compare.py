@@ -15,13 +15,14 @@ import json
 import sys
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_queries(path: str) -> tuple[dict[str, float], float | None]:
+    """Returns (per-query medians, sentinel median or None)."""
     with open(path) as fh:
         d = json.load(fh)
     if "queries" in d:
-        return d["queries"]
+        return d["queries"], d.get("sentinel")
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-        return d["parsed"]["queries"]
+        return d["parsed"]["queries"], d["parsed"].get("sentinel")
     # driver wrapper with a (possibly left-truncated) 'tail' fragment —
     # recover per-query medians with a regex over the region before the
     # raw 'runs' dict (entries there are lists, not scalars, so they
@@ -33,7 +34,8 @@ def load_queries(path: str) -> dict[str, float]:
     pairs = re.findall(r'"(q\w+)":\s*([0-9.]+)', region)
     if not pairs:
         raise SystemExit(f"{path}: no queries dict found")
-    return {k: float(v) for k, v in pairs}
+    m = re.search(r'"sentinel":\s*([0-9.]+)', tail)
+    return {k: float(v) for k, v in pairs}, (float(m.group(1)) if m else None)
 
 
 def main() -> int:
@@ -41,15 +43,33 @@ def main() -> int:
         print(__doc__)
         return 2
     a_path, b_path = sys.argv[1], sys.argv[2]
-    a, b = load_queries(a_path), load_queries(b_path)
+    (a, sent_a), (b, sent_b) = load_queries(a_path), load_queries(b_path)
+    # sentinel normalization (VERDICT r05 #3): the sentinel is a fixed,
+    # never-optimized probe, so sent_b/sent_a measures the BOX between
+    # the two records; dividing it out of each ratio attributes what is
+    # left to the code. norm = raw * sent_a / sent_b.
+    scale = (sent_a / sent_b) if sent_a and sent_b else None
+    if scale is not None:
+        print(
+            f"sentinel A={sent_a:.2f}s B={sent_b:.2f}s -> box drift "
+            f"x{sent_b / sent_a:.2f}; 'norm' divides it out"
+        )
+    else:
+        print("sentinel missing on one side: raw ratios only")
     common = sorted(set(a) & set(b))
-    print(f"{'query':34s} {'A':>8s} {'B':>8s}  ratio B/A")
+    hdr = f"{'query':34s} {'A':>8s} {'B':>8s}  ratio B/A"
+    print(hdr + ("      norm" if scale is not None else ""))
     for q in common:
         r = b[q] / a[q] if a[q] else float("inf")
-        flag = "  <<<" if r <= 0.8 else ("  !!!" if r >= 1.5 else "")
-        print(f"{q:34s} {a[q]:8.2f} {b[q]:8.2f}  {r:8.2f}{flag}")
+        rn = r * scale if scale is not None else None
+        judged = rn if rn is not None else r
+        flag = "  <<<" if judged <= 0.8 else ("  !!!" if judged >= 1.5 else "")
+        norm_s = f"  {rn:8.2f}" if rn is not None else ""
+        print(f"{q:34s} {a[q]:8.2f} {b[q]:8.2f}  {r:8.2f}{norm_s}{flag}")
     ta, tb = sum(a[q] for q in common), sum(b[q] for q in common)
-    print(f"{'COMMON TOTAL':34s} {ta:8.2f} {tb:8.2f}  {tb / ta:8.2f}")
+    tr = tb / ta
+    tn = f"  {tr * scale:8.2f}" if scale is not None else ""
+    print(f"{'COMMON TOTAL':34s} {ta:8.2f} {tb:8.2f}  {tr:8.2f}{tn}")
     for name, only in (("A", set(a) - set(b)), ("B", set(b) - set(a))):
         if only:
             print(f"only in {name}: {', '.join(sorted(only))}")
