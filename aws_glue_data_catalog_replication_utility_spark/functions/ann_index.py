@@ -36,6 +36,7 @@ from .similarity import (
     _fold_dot,
     _fold_norm2,
     _int_l2_argmin,
+    _lut_adist_col,
     _pq_code_cols,
     kmeans_codebook,
     quantize_embeddings,
@@ -135,6 +136,8 @@ def search_ann_index(
     vec_col: str = "embedding",
     max_queries: int = 10_000,
     rerank_factor: int | None = None,
+    lut_lane_threshold: int = 64,
+    lane: str = "auto",
 ) -> DataFrame:
     """ADC top-k over the persisted index, scanning ONLY each query's
     `nprobe` nearest clusters: the scan filter is `cluster IN (union of
@@ -142,9 +145,19 @@ def search_ann_index(
     literal probe-set membership test keeps exactly its own clusters.
     Returns (query_id, vec_id, adist, rank); ties break on vec_id.
 
-    The query set collects driver-side (bounded, overflow-raising) and
-    each query's ADC lookup table folds into the projection — m literal
-    array lookups per row, the same plan family as pq_adc_topk.
+    The query set collects driver-side (bounded, overflow-raising).
+    TWO scoring lanes, bit-identical, routed on query-set size
+    (VERDICT r05 #2 — the literal lane embeds n_queries x m x k
+    literals in the plan, impractical far below the collect guard):
+    - `literal` (<= lut_lane_threshold queries): each query's ADC
+      lookup table folds into the projection — m literal array lookups
+      per row, the same plan family as pq_adc_topk.
+    - `lut` (large sets): (query_id, probed cluster, luts) becomes a
+      BROADCAST relation equi-joined on `cluster` — so the broadcast
+      hash join ALSO replaces the per-query probe-membership filter,
+      and the plan carries one scoring expression for any query count.
+    Both lanes keep the `cluster IN (union of probes)` scan filter, so
+    directory pruning is unchanged. `lane` forces one for tests.
 
     Query ids share the indexed id space for the self-exclusion rule
     (a query whose id equals a stored vector's id never returns that
@@ -169,7 +182,10 @@ def search_ann_index(
     if len(q_rows) > max_queries:
         raise ValueError(
             f"search_ann_index collects the query set driver-side; got "
-            f">{max_queries} rows — raise max_queries deliberately"
+            f">{max_queries} rows. Raising max_queries is viable on the "
+            f"broadcast-LUT lane (driver memory is the only bound there); "
+            f"for corpus-scale query sets run the search as a join job "
+            f"over a LUT DataFrame instead of collecting"
         )
     if not q_rows:
         raise ValueError("empty query set")
@@ -195,24 +211,50 @@ def search_ann_index(
     )
     # one scan filter for directory pruning...
     scan = vectors.where(F.col("cluster").isin(sorted(probed_union)))
-    # ...then per-query rows: (query_id, adist) for rows inside THAT
-    # query's probe set only
-    lanes = F.array(
-        *[
-            F.struct(
-                F.lit(qid).alias("query_id"),
-                _adist_expr(lut, m).alias("adist"),
-                F.array(*[F.lit(c) for c in probe]).alias("probe"),
+    use_lut = lane == "lut" or (lane == "auto" and len(per_query) > lut_lane_threshold)
+    if use_lut:
+        # broadcast (query_id, cluster, luts) relation: the equi-join on
+        # cluster IS the per-query probe filter, and scoring reads the
+        # joined lut column — no per-query plan growth
+        probe_df = spark.createDataFrame(
+            [
+                (qid, int(c), [[int(x) for x in row] for row in lut])
+                for qid, probe, lut in per_query
+                for c in probe
+            ],
+            "query_id int, cluster int, __luts array<array<bigint>>",
+        )
+        scored = (
+            scan.select(
+                F.col(meta["id_col"]).alias("vec_id"), "cluster", "codes"
             )
-            for qid, probe, lut in per_query
-        ]
-    )
-    scored = (
-        scan.select(F.col(meta["id_col"]).alias("vec_id"), "cluster", F.explode(lanes).alias("s"))
-        .where(F.array_contains(F.col("s.probe"), F.col("cluster")))
-        .select("vec_id", F.col("s.query_id").alias("query_id"), F.col("s.adist").alias("adist"))
-        .where(F.col("vec_id") != F.col("query_id"))
-    )
+            .join(F.broadcast(probe_df), on="cluster")
+            .select(
+                "vec_id",
+                "query_id",
+                _lut_adist_col(F.col("__luts"), F.col("codes")).alias("adist"),
+            )
+            .where(F.col("vec_id") != F.col("query_id"))
+        )
+    else:
+        # ...then per-query rows: (query_id, adist) for rows inside THAT
+        # query's probe set only
+        lanes = F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    _adist_expr(lut, m).alias("adist"),
+                    F.array(*[F.lit(c) for c in probe]).alias("probe"),
+                )
+                for qid, probe, lut in per_query
+            ]
+        )
+        scored = (
+            scan.select(F.col(meta["id_col"]).alias("vec_id"), "cluster", F.explode(lanes).alias("s"))
+            .where(F.array_contains(F.col("s.probe"), F.col("cluster")))
+            .select("vec_id", F.col("s.query_id").alias("query_id"), F.col("s.adist").alias("adist"))
+            .where(F.col("vec_id") != F.col("query_id"))
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
@@ -227,25 +269,26 @@ def search_ann_index(
         )
 
     # stage 2: exact-cosine rerank of the shortlist against the stored
-    # float embeddings; query vectors fold in as literals with the SAME
-    # left-to-right double arithmetic as cosine_topk
-    qvec = {int(r[0]): [float(x) for x in r[1]] for r in q_rows}
-    cand = vectors.select(
-        F.col(meta["id_col"]).alias("vec_id"),
-        F.col("embedding").cast("array<double>").alias("__e"),
-    ).join(F.broadcast(ranked.select("query_id", "vec_id")), on="vec_id")
-    per_q_cos = F.coalesce(
-        *[
-            F.when(
-                F.col("query_id") == qid,
-                _fold_dot(F.col("__e"), F.array(*[F.lit(x) for x in qv]))
-                / (
-                    F.sqrt(_fold_norm2(F.col("__e")))
-                    * F.sqrt(_fold_norm2(F.array(*[F.lit(x) for x in qv])))
-                ),
-            )
-            for qid, qv in qvec.items()
-        ]
+    # float embeddings. The query vectors ride a BROADCAST relation
+    # joined on query_id (the previous form coalesced one literal-folded
+    # branch per query — the same O(n_queries) plan growth the scoring
+    # lanes route around); zip_with over two columns folds left-to-right
+    # in the SAME IEEE order as the literal form, so rerank == exact
+    # stays bit-for-bit (pinned in tests).
+    qv_df = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows],
+        "query_id int, __q array<double>",
+    )
+    cand = (
+        vectors.select(
+            F.col(meta["id_col"]).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("__e"),
+        )
+        .join(F.broadcast(ranked.select("query_id", "vec_id")), on="vec_id")
+        .join(F.broadcast(qv_df), on="query_id")
+    )
+    per_q_cos = _fold_dot(F.col("__e"), F.col("__q")) / (
+        F.sqrt(_fold_norm2(F.col("__e"))) * F.sqrt(_fold_norm2(F.col("__q")))
     )
     rer = cand.select("query_id", "vec_id", per_q_cos.alias("cosine"))
     w2 = Window.partitionBy("query_id").orderBy(

