@@ -26,6 +26,7 @@ from .dedup import (
     contamination_pairs,
     ensure_min_parallelism,
     exact_dedup,
+    normalize_text,
     shingle_array,
     word_shingles,
     jaccard_pairs,
@@ -72,6 +73,7 @@ __all__ = [
     "repetition_stats",
     "quality_filter_verdict",
     "FILTER_DEFAULTS",
+    "normalize_text",
     "shingle_array",
     "word_shingles",
     "jaccard_pairs",

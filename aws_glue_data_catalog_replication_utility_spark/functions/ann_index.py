@@ -84,17 +84,11 @@ def build_ann_index(
         for j in range(m)
     ]
 
-    vectors = (
-        qz.join(
-            embeddings.select(F.col(id_col), F.col(vec_col).alias("embedding")),
-            on=id_col,
-        )
-        .withColumn("cluster", _int_l2_argmin(cents, "quantized"))
-        .withColumn("codes", F.array(*_pq_code_cols(pq_book, m, sub, k)))
-    )
+    vectors = _index_rows(qz, embeddings, cents, pq_book, m, sub, k, id_col, vec_col)
     vectors.write.mode("overwrite").partitionBy("cluster").parquet(f"{root}/vectors")
 
     meta = {
+        "version": 1,
         "n_clusters": n_clusters,
         "m": m,
         "k": k,
@@ -106,6 +100,88 @@ def build_ann_index(
         "centroids": [[int(x) for x in cv] for _, cv in cents],
         "pq_codebook": [[[int(x) for x in cw] for cw in js] for js in pq_book],
     }
+    with open(f"{root}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _index_rows(
+    qz: DataFrame,
+    embeddings: DataFrame,
+    cents,
+    pq_book,
+    m: int,
+    sub: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The index-row projection shared by build and append: quantized
+    row -> coarse cluster (integer-L2 argmin over the centroid
+    literals) -> PQ codes (argmin over the codebook literals), joined
+    back to the float embedding for the rerank lane. All map-side,
+    zero exchanges."""
+    return (
+        qz.join(
+            embeddings.select(F.col(id_col), F.col(vec_col).alias("embedding")),
+            on=id_col,
+        )
+        .withColumn("cluster", _int_l2_argmin(cents, "quantized"))
+        .withColumn("codes", F.array(*_pq_code_cols(pq_book, m, sub, k)))
+    )
+
+
+def append_to_ann_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    root: str,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally add vectors to a persisted index (VERDICT r05 #4 —
+    a 100 TB corpus doesn't rebuild nightly; the reference's own shape
+    is per-message incremental upsert, GlueUtil.java:397-451): new
+    vectors are assigned against the STORED centroids and PQ codebook
+    (no retraining — the standard IVF maintenance contract: recall
+    degrades only as the data distribution drifts from the training
+    snapshot, at which point you rebuild), appended into the existing
+    cluster directories, and the meta version bumps. Because the
+    stored parameters drive the assignment, append-then-search is
+    BIT-IDENTICAL to rebuild-then-search with the same training rows
+    (pinned in tests).
+
+    Guards: the index must exist, and every new vector must match the
+    indexed dimensionality (one distributed limit-1 probe, no collect
+    of the data)."""
+    if not os.path.exists(f"{root}/meta.json"):
+        raise ValueError(f"no ANN index at {root}; build_ann_index first")
+    meta = load_ann_meta(root)
+    if id_col is None:
+        id_col = meta["id_col"]
+    elif id_col != meta["id_col"]:
+        raise ValueError(
+            f"id_col={id_col!r} does not match the indexed {meta['id_col']!r}"
+        )
+    bad = (
+        embeddings.where(
+            F.size(F.col(vec_col)) != F.lit(int(meta["dim"]))
+        ).limit(1).count()
+    )
+    if bad:
+        raise ValueError(
+            f"appended vectors must have dim={meta['dim']} to match the "
+            f"stored centroids/codebook"
+        )
+    cents = [(i, v) for i, v in enumerate(meta["centroids"])]
+    qz = quantize_embeddings(
+        embeddings, id_col=id_col, vec_col=vec_col, levels=meta["levels"]
+    )
+    rows = _index_rows(
+        qz, embeddings, cents, meta["pq_codebook"], meta["m"], meta["sub"],
+        meta["k"], id_col, vec_col,
+    )
+    rows.write.mode("append").partitionBy("cluster").parquet(f"{root}/vectors")
+    meta["version"] = int(meta.get("version", 1)) + 1
     with open(f"{root}/meta.json", "w") as fh:
         json.dump(meta, fh)
     return meta
