@@ -10,10 +10,11 @@ routing at its partition threshold.
 
 Feature extraction runs as Arrow-batched `mapInPandas` — the pattern for
 any decode/resize/frame-sample stage. The byte-level featurizer below is
-real and oracle-checkable (length / md5 / magic prefix); the actual
-image/audio decoders are STUBS (`decode_image`) because codec libraries
-aren't available here — the Spark-side plumbing (schema, batch shape,
-partitioning) is what this module proves.
+real and oracle-checkable (length / md5 / magic prefix), and
+`decode_image` really decodes the codec-less containers (BMP BI_RGB,
+binary PNM) in pure Python — dimensions + exact integer-sum channel
+means; compressed formats (JPEG/PNG) still need a codec library and
+slot into the same harness body.
 
 Scale: blobs stay columnar (parquet binary); featurization is
 embarrassingly parallel per Arrow batch with no shuffle; inline-vs-path
@@ -98,14 +99,145 @@ def blob_features(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob")
     return df.select(id_col, blob_col).mapInPandas(extract, FEATURE_SCHEMA)
 
 
-def decode_image(df: DataFrame, blob_col: str = "blob") -> DataFrame:
-    """STUB — image decoding needs a codec library not present in this
-    environment. The contract: input rows with a binary `blob`; output
-    adds (width, height, channels) and a decoded array column, computed
-    per Arrow batch exactly like `blob_features`. Deliberately
-    unimplemented rather than faked."""
-    raise NotImplementedError(
-        "image decode requires a codec library (e.g. Pillow); "
-        "use blob_features for the byte-level plumbing, or inject a "
-        "decoder with the same mapInPandas shape"
-    )
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _read_pnm_token(b: bytes, pos: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited token in a PNM header, skipping
+    '#'-comments (the format's spec allows them anywhere in the
+    header)."""
+    n = len(b)
+    while pos < n:
+        if b[pos : pos + 1].isspace():
+            pos += 1
+        elif b[pos : pos + 1] == b"#":
+            while pos < n and b[pos : pos + 1] != b"\n":
+                pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and not b[pos : pos + 1].isspace():
+        pos += 1
+    return b[start:pos], pos
+
+
+def _decode_blob(b: bytes):
+    """Pure-Python decode of an UNCOMPRESSED image container — BMP
+    (BI_RGB 24/32-bit) and binary PNM (P6 RGB / P5 gray, maxval<256).
+    No codec library exists in this environment (VERDICT r05 #8), and
+    these containers need none: the pixels are the bytes. Returns
+    (format, width, height, channels, channel_means, error); means are
+    integer sums divided once, so they are exact and engine-portable.
+    Channel order is R,G,B(,A) for both containers (BMP stores BGR on
+    disk; the means are reported in RGB order)."""
+    import struct
+
+    try:
+        if b[:2] == b"BM" and len(b) >= 54:
+            data_off, = struct.unpack_from("<I", b, 10)
+            hdr_size, = struct.unpack_from("<I", b, 14)
+            if hdr_size < 40:
+                return ("bmp", None, None, None, None, "unsupported BMP header")
+            width, height = struct.unpack_from("<ii", b, 18)
+            bitcount, = struct.unpack_from("<H", b, 28)
+            compression, = struct.unpack_from("<I", b, 30)
+            if compression != 0 or bitcount not in (24, 32):
+                return (
+                    "bmp", None, None, None, None,
+                    f"unsupported BMP variant (bits={bitcount}, "
+                    f"compression={compression})",
+                )
+            top_down = height < 0
+            height = abs(height)
+            nch = bitcount // 8
+            stride = ((bitcount * width + 31) // 32) * 4
+            sums = [0] * nch
+            for row in range(height):
+                base = data_off + row * stride
+                line = b[base : base + width * nch + (stride - width * nch)]
+                if len(line) < width * nch:
+                    return ("bmp", None, None, None, None, "truncated pixel data")
+                for x in range(width):
+                    px = line[x * nch : (x + 1) * nch]
+                    # disk order is B,G,R(,A) -> report R,G,B(,A)
+                    sums[0] += px[2]
+                    sums[1] += px[1]
+                    sums[2] += px[0]
+                    if nch == 4:
+                        sums[3] += px[3]
+            npx = width * height
+            del top_down  # row order doesn't change channel sums
+            return (
+                "bmp", width, height, nch,
+                [s / npx for s in sums] if npx else None,
+                None if npx else "zero-pixel image",
+            )
+        if b[:2] in (b"P5", b"P6"):
+            fmt = "pgm" if b[:2] == b"P5" else "ppm"
+            nch = 1 if fmt == "pgm" else 3
+            pos = 2
+            wtok, pos = _read_pnm_token(b, pos)
+            htok, pos = _read_pnm_token(b, pos)
+            mtok, pos = _read_pnm_token(b, pos)
+            width, height, maxval = int(wtok), int(htok), int(mtok)
+            if maxval >= 256:
+                return (fmt, None, None, None, None, "16-bit PNM unsupported")
+            pos += 1  # exactly one whitespace byte after maxval per spec
+            need = width * height * nch
+            pix = b[pos : pos + need]
+            if len(pix) < need:
+                return (fmt, None, None, None, None, "truncated pixel data")
+            sums = [0] * nch
+            for i in range(0, need, nch):
+                for c in range(nch):
+                    sums[c] += pix[i + c]
+            npx = width * height
+            return (
+                fmt, width, height, nch,
+                [s / npx for s in sums] if npx else None,
+                None if npx else "zero-pixel image",
+            )
+        return (None, None, None, None, None, "unrecognized container")
+    except Exception as e:  # malformed header: keep the row, carry why
+        return (None, None, None, None, None, f"decode failed: {e}")
+
+
+def decode_image(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode uncompressed image blobs (BMP BI_RGB / binary PNM) per
+    Arrow batch — the decode stage of the multimodal pipeline, running
+    in the SAME mapInPandas harness as `blob_features`. Rows whose blob
+    isn't a supported container survive with an `error` instead of
+    failing the job (a 100 TB scrape always contains garbage). For
+    compressed formats (JPEG/PNG) swap `_decode_blob` for a codec-
+    backed body; the Spark-side shape is unchanged."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [_decode_blob(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": [d[0] for d in decoded],
+                    "width": pd.array([d[1] for d in decoded], dtype="Int32"),
+                    "height": pd.array([d[2] for d in decoded], dtype="Int32"),
+                    "channels": pd.array([d[3] for d in decoded], dtype="Int32"),
+                    "channel_means": [d[4] for d in decoded],
+                    "error": [d[5] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(decode, DECODED_SCHEMA)
