@@ -12,6 +12,7 @@ Jobs (mirroring SURVEY.md §3):
   clean    LLM-corpus cleaning: paragraph boilerplate removal ->
            quality-filter verdicts -> exact dedup, with a why-dropped audit
   index    build a persistent IVF-PQ ANN index (cluster-partitioned)
+  index-append  add vectors to an existing index (stored-codebook assign)
   search   ADC top-k over a built index, nprobe directory pruning
 
 All inputs/outputs are parquet directories (the engine's catalog-snapshot
@@ -152,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--codebook", choices=("first", "kmeans"), default="first")
     ix.add_argument("--kmeans-iters", type=int, default=2)
 
+    ia = sub.add_parser(
+        "index-append",
+        help="append vectors to an existing index: assign against the "
+             "STORED centroids/codebook (no retrain), bump meta version",
+    )
+    ia.add_argument("--embeddings", required=True)
+    ia.add_argument("--index-root", required=True)
+
     se = sub.add_parser(
         "search",
         help="ADC top-k search over a built index, reading only the "
@@ -243,6 +252,14 @@ def main(argv: list[str] | None = None) -> int:
             codebook=args.codebook,
             kmeans_iters=args.kmeans_iters,
         )
+
+    elif args.job == "index-append":
+        from .functions.ann_index import append_to_ann_index
+
+        meta = append_to_ann_index(
+            spark, _read(spark, args.embeddings), args.index_root
+        )
+        print(f"index version {meta['version']}", file=sys.stderr)
 
     elif args.job == "search":
         from .functions.ann_index import search_ann_index

@@ -8,6 +8,7 @@ is deterministic so the DuckDB oracle can replicate it.
 
 from .text import (
     dedup_paragraphs,
+    unigram_logprob,
     redact,
     repetition_stats,
     quality_filter_verdict,
@@ -46,6 +47,7 @@ from .similarity import (
     dot_udf_available,
 )
 from .sampling import (
+    cap_per_group,
     hash_bucket,
     pack_sequences,
     stratified_sample,
@@ -53,6 +55,7 @@ from .sampling import (
 from .multimodal import attach_blob, blob_features, decode_image
 
 __all__ = [
+    "cap_per_group",
     "hash_bucket",
     "pack_sequences",
     "stratified_sample",
@@ -72,6 +75,7 @@ __all__ = [
     "dedup_paragraphs",
     "repetition_stats",
     "quality_filter_verdict",
+    "unigram_logprob",
     "FILTER_DEFAULTS",
     "normalize_text",
     "shingle_array",

@@ -134,3 +134,30 @@ def mix_corpora(
     return d.join(F.broadcast(rates), on=source_col).where(
         hash_bucket(id_col, salt) < F.col("rate_pct")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    max_rows: int,
+) -> DataFrame:
+    """Deterministic per-group document cap — the domain-balancing step
+    that stops one source dominating a training mix (the Common Crawl
+    recipe: cap documents per registered domain before mixing): keep at
+    most `max_rows` rows per group, chosen by ascending `id_col` so the
+    kept set is a pure function of the data (re-runs and repartitions
+    keep the same rows; df.limit per group would not). Returns the
+    input columns plus `group_seq` (1-based position within the group).
+
+    One window shuffle on the group key; at 100 TB hot groups are
+    exactly the ones being capped, and the rank short-circuits via
+    WindowGroupLimit pushdown (Spark emits at most max_rows per group
+    from each sort run)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("group_seq", F.row_number().over(w))
+        .where(F.col("group_seq") <= max_rows)
+    )

@@ -375,3 +375,73 @@ def quality_filter_verdict(
     return F.struct(
         (F.size(reasons) == 0).alias("keep"), reasons.alias("reasons")
     )
+
+
+def unigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+):
+    """Corpus-statistics quality scoring — the KenLM-perplexity-filter
+    slot of an LLM data pipeline, with the LM reduced to the corpus's
+    own unigram distribution (no external model exists in this
+    environment, and the plan shape is identical for any order-n model
+    whose table joins on the token key): per document,
+
+        logprob_sum = sum over tokens of ln(term_total / corpus_total)
+        avg_logprob = logprob_sum / n_tokens
+
+    where term_total counts the term's occurrences corpus-wide. Terms
+    whose term_total < min_df score as out-of-vocabulary at
+    ln(1 / corpus_total) and are counted in n_oov. Gibberish scores low
+    (rare terms), boilerplate scores high — threshold avg_logprob to
+    filter, exactly like a perplexity cut.
+
+    Plan at 100 TB: explode tokens -> per-(doc, term) counts (map-side
+    combine) -> term-total aggregation shuffles on the VOCABULARY key,
+    not the corpus -> join back on term (vocab-bounded) -> one per-doc
+    aggregation. corpus_total rides a broadcast one-row relation, never
+    a driver collect. Integer columns (n_tokens, n_oov) are engine-
+    exact; the log columns are IEEE doubles whose cross-engine parity
+    is tolerance-checked in pytest (ln ulps and sum order differ by
+    engine — same reason distinctive_terms stays integer-only for its
+    hash-checked lane).
+
+    Returns (id, n_tokens, n_oov, logprob_sum, avg_logprob)."""
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_total"))
+    total = toks.agg(F.sum(F.lit(1)).alias("corpus_total"))
+    known = F.col("term_total").isNotNull() & (
+        F.col("term_total") >= F.lit(min_df)
+    )
+    scored = (
+        tc.join(vocab.where(F.col("term_total") >= min_df), on="term", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "c",
+            known.alias("__known"),
+            (
+                F.col("c").cast("double")
+                * (
+                    F.log(
+                        F.when(known, F.col("term_total")).otherwise(F.lit(1))
+                        .cast("double")
+                    )
+                    - F.log(F.col("corpus_total").cast("double"))
+                )
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(~F.col("__known"), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_oov"
+        ),
+        F.sum("__lp").alias("logprob_sum"),
+        (F.sum("__lp") / F.sum("c")).alias("avg_logprob"),
+    )

@@ -204,6 +204,24 @@ def main() -> None:
     dedup_paragraphs(docs, max_df=1).write.format("noop").mode("overwrite").save()
     extras["dedup_paragraphs"] = round(time.perf_counter() - t0, 3)
 
+    # r06 pytest-parity lanes: corpus-statistics quality scoring (the
+    # perplexity-filter slot) and the per-source balancing cap
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        cap_per_group,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        unigram_logprob,
+    )
+
+    t0 = time.perf_counter()
+    unigram_logprob(docs, min_df=2).write.format("noop").mode("overwrite").save()
+    extras["unigram_logprob"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    cap_per_group(docs, "source", "doc_id", 100).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    extras["cap_per_group"] = round(time.perf_counter() - t0, 3)
+
     # closing sentinel leg: intra-session drift (start vs end medians)
     sentinel_runs_end = [_sentinel_once() for _ in range(n_runs)]
 

@@ -190,3 +190,42 @@ def test_cli_index_and_search(spark, tmp_path):
     for qid in (0, 1, 2):
         ranks = sorted(r.rank for r in hits if r.query_id == qid)
         assert ranks == [1, 2, 3, 4]
+
+
+def test_cli_index_append(spark, tmp_path):
+    """index-append end to end: build on half the corpus, append the
+    rest through the CLI, and search results equal a one-shot build
+    (stored-codebook assignment makes the split invisible)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        load_ann_meta,
+        search_ann_index,
+    )
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    half = str(tmp_path / "half")
+    rest = str(tmp_path / "rest")
+    emb.where(F.col("vec_id") < 30).write.parquet(half)
+    emb.where(F.col("vec_id") >= 30).write.parquet(rest)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    assert cli_main(["index", "--embeddings", half, "--index-root", inc,
+                     "--n-clusters", "4"]) == 0
+    assert cli_main(["index-append", "--embeddings", rest,
+                     "--index-root", inc]) == 0
+    assert cli_main(["index", "--embeddings", emb_path, "--index-root", full,
+                     "--n-clusters", "4"]) == 0
+    assert load_ann_meta(inc)["version"] == 2
+    assert os.path.exists(f"{inc}/vectors")
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, search_ann_index(spark, inc, queries, k=4, nprobe=2).collect()))
+    b = sorted(map(tuple, search_ann_index(spark, full, queries, k=4, nprobe=2).collect()))
+    assert a == b

@@ -1319,3 +1319,106 @@ def test_normalize_text_matches_duckdb_and_catches_case_variants(spark):
     }
     assert cont(False) == set()
     assert (1, 100) in cont(True) and (2, 100) in cont(True)
+
+
+def test_unigram_logprob_matches_duckdb(spark):
+    """The corpus-statistics quality scorer (the perplexity-filter slot):
+    integer columns engine-exact, log columns tolerance-checked (ln ulps
+    and sum order are engine-specific), OOV handling via min_df."""
+    import math
+
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        unigram_logprob,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+
+    def duck(min_df):
+        return {
+            r[0]: r[1:]
+            for r in con.execute(f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents),
+            tc AS (SELECT doc_id, term, count(*)::BIGINT c FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT term, count(*)::BIGINT term_total FROM toks GROUP BY 1
+                      HAVING count(*) >= {min_df}),
+            total AS (SELECT count(*)::BIGINT corpus_total FROM toks),
+            scored AS (
+              SELECT doc_id, c,
+                     (term_total IS NOT NULL) AS known,
+                     c::DOUBLE * (ln((CASE WHEN term_total IS NOT NULL
+                                      THEN term_total ELSE 1 END)::DOUBLE)
+                                  - ln(corpus_total::DOUBLE)) AS lp
+              FROM tc LEFT JOIN vocab USING (term) CROSS JOIN total)
+            SELECT doc_id, sum(c), sum(CASE WHEN NOT known THEN c ELSE 0 END),
+                   sum(lp), sum(lp) / sum(c)
+            FROM scored GROUP BY doc_id
+            """).fetchall()
+        }
+
+    docs = spark.read.parquet(path)
+    for min_df in (1, 5):
+        got = {
+            r.doc_id: (r.n_tokens, r.n_oov, r.logprob_sum, r.avg_logprob)
+            for r in unigram_logprob(docs, min_df=min_df).collect()
+        }
+        want = duck(min_df)
+        assert set(got) == set(want)
+        for d in got:
+            assert got[d][0] == want[d][0] and got[d][1] == want[d][1]
+            assert math.isclose(got[d][2], want[d][2], rel_tol=1e-9)
+            assert math.isclose(got[d][3], want[d][3], rel_tol=1e-9)
+    # min_df=1 over a corpus-trained model: nothing is OOV
+    assert all(v[1] == 0 for v in duck(1).values())
+    # rarer vocabulary -> lower (more negative) scores, by construction
+    one, five = duck(1), duck(5)
+    assert all(five[d][3] <= one[d][3] + 1e-12 for d in one)
+
+
+def test_cap_per_group_matches_duckdb_and_is_deterministic(spark):
+    """Per-source document cap (domain balancing): kept set equals the
+    DuckDB row_number twin and is invariant to repartitioning."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        cap_per_group,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {
+        (r.source, r.doc_id, r.group_seq)
+        for r in cap_per_group(docs, "source", "doc_id", 3).collect()
+    }
+    got_repart = {
+        (r.source, r.doc_id, r.group_seq)
+        for r in cap_per_group(
+            docs.repartition(13), "source", "doc_id", 3
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(f"""
+        SELECT source, doc_id, seq FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) seq
+          FROM read_parquet('{path}'))
+        WHERE seq <= 3
+        """).fetchall()
+    }
+    assert got == want == got_repart
+    # WindowGroupLimit pushdown: the cap short-circuits inside the sort
+    plan = (
+        cap_per_group(docs, "source", "doc_id", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
