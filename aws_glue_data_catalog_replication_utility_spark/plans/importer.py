@@ -719,10 +719,31 @@ def import_events_fanout(
         parsed = parse_events(
             spark, events, side_channel_path, truncate_lineage=truncate_lineage
         )
-    results = {
-        tid: _apply_parsed(parsed, d, t, p, target_catalog_id=tid, run_id=run_id)
-        for tid, (d, t, p) in targets.items()
+    # the per-target towers are independent plan-building over the ONE
+    # shared parse — mostly Py4J round-trips and JVM-side analysis, both
+    # of which overlap across driver threads (each thread gets its own
+    # gateway connection; the GIL releases on socket waits). Build the
+    # first target on the caller thread and the rest overlapped (r06;
+    # the serial dictcomp was ~40% of q55's warm build time).
+    from ..concurrency import run_overlapped
+
+    items = list(targets.items())
+    tasks = {
+        tid: run_overlapped(
+            lambda d=d, t=t, p=p, tid=tid: _apply_parsed(
+                parsed, d, t, p, target_catalog_id=tid, run_id=run_id
+            )
+        )
+        for tid, (d, t, p) in items[1:]
     }
+    results: dict[str, ImportResult] = {}
+    for tid, (d, t, p) in items[:1]:
+        results[tid] = _apply_parsed(
+            parsed, d, t, p, target_catalog_id=tid, run_id=run_id
+        )
+    for tid, task in tasks.items():
+        results[tid] = task.join()
+    results = {tid: results[tid] for tid, _ in items}  # caller's order
     # every result shares the ONE parsed materialization; release() is
     # idempotent, so releasing any (or all) of them is safe once every
     # target's plans have executed
