@@ -337,3 +337,81 @@ def test_paragraph_dedup_properties(spark, seed):
     )
     got = {r.doc_id: r.text for r in dedup_paragraphs(uniq, max_df=1).collect()}
     assert got == {d: f"only{d}a\nonly{d}b" for d in range(8)}
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_decode_image_roundtrip_properties(spark, seed):
+    """Property: for random dimensions and pixels, encode (BMP 24/32,
+    PPM, PGM) -> decode_image recovers exact dimensions, channel count,
+    and integer-exact channel means; the BMP and PPM encodings of the
+    SAME pixels decode to identical means."""
+    rng = random.Random(seed)
+    from aws_glue_data_catalog_replication_utility_spark.functions.multimodal import (
+        decode_image,
+    )
+    from tests.test_multimodal import _encode_bmp, _encode_pgm, _encode_ppm
+
+    w, h = rng.randint(1, 17), rng.randint(1, 9)
+    rgb = [
+        [(rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+         for _ in range(w)]
+        for _ in range(h)
+    ]
+    gray = [[rng.randint(0, 255) for _ in range(w)] for _ in range(h)]
+    npx = w * h
+    want_rgb = [
+        sum(rgb[y][x][c] for y in range(h) for x in range(w)) / npx
+        for c in range(3)
+    ]
+    want_gray = sum(gray[y][x] for y in range(h) for x in range(w)) / npx
+
+    df = spark.createDataFrame(
+        [
+            (1, _encode_bmp(w, h, rgb)),
+            (2, _encode_ppm(w, h, rgb)),
+            (3, _encode_pgm(w, h, gray)),
+            (4, _encode_bmp(w, h, rgb, bits=32)),
+        ],
+        "doc_id long, blob binary",
+    )
+    rows = {r.doc_id: r for r in decode_image(df).collect()}
+    for d in (1, 2, 3, 4):
+        assert (rows[d].width, rows[d].height, rows[d].error) == (w, h, None)
+    assert list(rows[1].channel_means) == want_rgb
+    assert list(rows[2].channel_means) == want_rgb
+    assert list(rows[3].channel_means) == [want_gray]
+    assert list(rows[4].channel_means) == want_rgb + [255.0]
+
+
+@pytest.mark.parametrize("seed", [5, 29])
+def test_normalize_text_idempotent_and_variant_insensitive(spark, seed):
+    """Properties of the dedup normalization: applying it twice equals
+    applying it once (fixed point), and case/punctuation variants of
+    the same token stream normalize identically."""
+    rng = random.Random(seed)
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        normalize_text,
+    )
+
+    words = ["alpha", "Bravo", "CHARLIE", "d3lta", "echo99", "f-ox"]
+    texts = []
+    for _ in range(20):
+        toks = [rng.choice(words) for _ in range(rng.randint(1, 12))]
+        texts.append(" ".join(toks))
+        # a shouty, punctuated variant of the same stream
+        texts.append("  ".join(t.upper() + rng.choice([",", "!", ""]) for t in toks))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    out = df.select(
+        "i",
+        normalize_text("t").alias("n1"),
+        normalize_text(normalize_text("t")).alias("n2"),
+    ).collect()
+    by_i = {r.i: r for r in out}
+    for r in out:
+        # idempotence up to whitespace (punct->space can widen runs, and
+        # the token consumers split on \s+)
+        assert " ".join(r.n1.split()) == " ".join(r.n2.split())
+    for i in range(0, len(texts), 2):
+        a = " ".join(by_i[i].n1.split())
+        b = " ".join(by_i[i + 1].n1.split())
+        assert a == b, (texts[i], texts[i + 1])
