@@ -16,3 +16,4 @@ from .dedupe import dedupe_events  # noqa: F401
 from .enrich import interval_join  # noqa: F401
 from .rollup import windowed_rollup  # noqa: F401
 from .sessions import session_rollup  # noqa: F401
+from .stateful import user_event_progress  # noqa: F401

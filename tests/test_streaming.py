@@ -674,3 +674,83 @@ def test_scope_predicate_quoting_and_guards(spark):
 
     with pytest.raises(ValueError, match="sync scope exceeds"):
         _scope_predicate(scope, ["database_name", "table_name"], max_tables=1)
+
+
+def test_user_event_progress_stateful_operator(spark, tmp_path):
+    """The applyInPandasWithState operator: per-user running totals and
+    an out-of-order counter across micro-batches. Two files replay as
+    two batches (maxFilesPerTrigger=1): an event in batch 2 older than
+    batch 1's max must count as out-of-order; final totals must equal
+    the batch ground truth; the same data in ONE batch shows ooo=0
+    (order-sensitivity is exactly the cross-batch part)."""
+    from aws_glue_data_catalog_replication_utility_spark.streaming import (
+        user_event_progress,
+    )
+
+    from datetime import datetime
+
+    schema = "user_id long, ts timestamp, value double"
+    t = lambda s_: datetime.fromisoformat(s_)
+    b1 = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:00:00"), 5.0),
+            (1, t("2024-01-01 10:30:00"), 7.0),
+            (2, t("2024-01-01 09:00:00"), 1.0),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:10:00"), 9.0),   # OLDER than u1's 10:30 -> ooo
+            (1, t("2024-01-01 11:00:00"), 2.0),
+            (2, t("2024-01-01 09:45:00"), 3.0),   # in order for u2
+        ],
+        schema,
+    )
+    events_dir = str(tmp_path / "ev")
+    b1.coalesce(1).write.mode("overwrite").json(f"{events_dir}/f=1")
+    b2.coalesce(1).write.mode("overwrite").json(f"{events_dir}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .json(events_dir)
+    )
+    q = (
+        user_event_progress(stream)
+        .writeStream.format("memory")
+        .queryName("progress_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM progress_test").collect()
+    final = {}
+    for r in rows:  # update mode: last row per user (max total) is final
+        if r.user_id not in final or r.total_events > final[r.user_id].total_events:
+            final[r.user_id] = r
+    u1, u2 = final[1], final[2]
+    assert (u1.total_events, u1.ooo_events, u1.max_value) == (4, 1, 9.0)
+    assert str(u1.last_ts) == "2024-01-01 11:00:00"
+    assert (u2.total_events, u2.ooo_events, u2.max_value) == (2, 0, 3.0)
+    # per-batch rows exist too (one per key per micro-batch it appears in)
+    assert sum(1 for r in rows if r.user_id == 1) == 2
+
+    # one-batch replay: same totals, no cross-batch history -> ooo = 0
+    one_dir = str(tmp_path / "one")
+    b1.unionByName(b2).coalesce(1).write.mode("overwrite").json(one_dir)
+    stream1 = spark.readStream.schema(schema).json(one_dir)
+    q2 = (
+        user_event_progress(stream1)
+        .writeStream.format("memory")
+        .queryName("progress_one")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got1 = {r.user_id: r for r in spark.sql("SELECT * FROM progress_one").collect()}
+    assert (got1[1].total_events, got1[1].ooo_events) == (4, 0)
+    assert got1[1].max_value == 9.0 and str(got1[1].last_ts) == "2024-01-01 11:00:00"
