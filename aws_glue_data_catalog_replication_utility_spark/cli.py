@@ -174,6 +174,10 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--rerank-factor", type=int, default=None,
                     help="two-stage search: ADC shortlists k*factor "
                          "candidates, exact cosine reranks them")
+    se.add_argument("--distributed", action="store_true",
+                    help="corpus-scale query sets: keep the queries a "
+                         "DataFrame end to end (no driver collect; "
+                         "rerank unavailable on this lane)")
     se.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)
@@ -262,19 +266,25 @@ def main(argv: list[str] | None = None) -> int:
         print(f"index version {meta['version']}", file=sys.stderr)
 
     elif args.job == "search":
-        from .functions.ann_index import search_ann_index
+        from .functions.ann_index import search_ann_index, search_ann_index_df
 
-        _write(
-            search_ann_index(
+        if args.distributed:
+            if args.rerank_factor is not None:
+                raise SystemExit("--rerank-factor needs the collected lane")
+            hits = search_ann_index_df(
+                spark, args.index_root, _read(spark, args.queries),
+                k=args.k, nprobe=args.nprobe,
+            )
+        else:
+            hits = search_ann_index(
                 spark,
                 args.index_root,
                 _read(spark, args.queries),
                 k=args.k,
                 nprobe=args.nprobe,
                 rerank_factor=args.rerank_factor,
-            ),
-            args.out,
-        )
+            )
+        _write(hits, args.out)
 
     elif args.job == "clean":
         from pyspark.sql import functions as F

@@ -192,6 +192,107 @@ def load_ann_meta(root: str) -> dict:
         return json.load(fh)
 
 
+def _int_l2_lit(vec, lit_vals) -> "F.Column":
+    """Integer squared-L2 between an int-array column and a literal
+    vector — exact long math, the same fold `_int_l2_argmin` and
+    `_pq_code_cols` inline."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(int(x)) for x in lit_vals]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def search_ann_index_df(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully-DISTRIBUTED index search: the query set stays a DataFrame
+    end to end — no driver-side collect at all, so corpus-scale query
+    sets (dedup both ways, batch kNN joins) are first-class. Per query,
+    ONE map-side projection computes (a) its nprobe preferred clusters
+    (array_sort over the centroid-distance structs — integer-exact,
+    ties to the smaller id, identical to the collected lane's python
+    ranking) and (b) its ADC lookup tables (m x k integer L2s against
+    the codebook literals). The plan size is m*k + n_clusters literal
+    folds — CONSTANT in the query count. Probes explode to
+    (query_id, cluster, luts) and equi-join the vectors plane on
+    `cluster`; Catalyst/AQE picks broadcast vs shuffle by the query
+    relation's size, and for selective query sets Spark's dynamic
+    partition pruning keeps unprobed cluster directories unread.
+    Scoring and ranking match `search_ann_index` bit-for-bit (pinned in
+    tests); the exact-cosine rerank stage lives on the collected lane.
+    Returns (query_id, vec_id, adist, rank), self-matches excluded."""
+    meta = load_ann_meta(root)
+    m, sub, levels = meta["m"], meta["sub"], meta["levels"]
+    cents = meta["centroids"]
+    book = meta["pq_codebook"]
+
+    qz = quantize_embeddings(
+        queries, id_col=query_id_col, vec_col=vec_col, levels=levels
+    )
+    qv = F.col("quantized")
+    cent_scores = F.array(
+        *[
+            F.struct(_int_l2_lit(qv, cv).alias("d"), F.lit(cid).alias("c"))
+            for cid, cv in enumerate(cents)
+        ]
+    )
+    probe = F.transform(
+        F.slice(F.array_sort(cent_scores), 1, max(1, nprobe)), lambda s: s["c"]
+    )
+    luts = F.array(
+        *[
+            F.array(
+                *[
+                    _int_l2_lit(F.slice(qv, j * sub + 1, sub), book[j][c])
+                    for c in range(meta["k"])
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    q_rel = qz.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(probe).alias("cluster"),
+        luts.alias("__luts"),
+    )
+    vectors = spark.read.option("basePath", f"{root}/vectors").parquet(
+        f"{root}/vectors"
+    )
+    scored = (
+        vectors.select(F.col(meta["id_col"]).alias("vec_id"), "cluster", "codes")
+        .join(q_rel, on="cluster")
+        .select(
+            "vec_id",
+            "query_id",
+            _lut_adist_col(F.col("__luts"), F.col("codes")).alias("adist"),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            "query_id", "vec_id", "adist", F.col("__rn").cast("int").alias("rank")
+        )
+    )
+
+
 def _quantize_py(vec, levels: int) -> list[int]:
     """Driver-side twin of quantize_embeddings for the (config-sized)
     query set: identical IEEE arithmetic — scale = max |x|,

@@ -1422,3 +1422,40 @@ def test_cap_per_group_matches_duckdb_and_is_deterministic(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_search_ann_index_df_matches_collected_lane(spark, tmp_path):
+    """The collect-free distributed search lane: query set stays a
+    DataFrame (corpus-scale kNN), probes and LUTs computed map-side
+    with plan size constant in the query count — results bit-identical
+    to the collected lanes across nprobe settings."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        search_ann_index,
+        search_ann_index_df,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "idx")
+    build_ann_index(spark, emb, root, n_clusters=4, m=4, k=8)
+
+    # a query set far beyond anything the literal lane should fold
+    queries = emb.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for nprobe in (1, 2, 4):
+        want = sorted(
+            map(
+                tuple,
+                search_ann_index(
+                    spark, root, queries, k=5, nprobe=nprobe, lane="lut",
+                ).collect(),
+            )
+        )
+        got_df = search_ann_index_df(spark, root, queries, k=5, nprobe=nprobe)
+        assert sorted(map(tuple, got_df.collect())) == want, f"nprobe={nprobe}"
+    # the scoring join is an equi-join on cluster (never a cross product)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
