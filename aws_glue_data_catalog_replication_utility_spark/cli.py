@@ -176,8 +176,7 @@ def main(argv: list[str] | None = None) -> int:
                          "candidates, exact cosine reranks them")
     se.add_argument("--distributed", action="store_true",
                     help="corpus-scale query sets: keep the queries a "
-                         "DataFrame end to end (no driver collect; "
-                         "rerank unavailable on this lane)")
+                         "DataFrame end to end (no driver collect)")
     se.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)
@@ -269,11 +268,10 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.ann_index import search_ann_index, search_ann_index_df
 
         if args.distributed:
-            if args.rerank_factor is not None:
-                raise SystemExit("--rerank-factor needs the collected lane")
             hits = search_ann_index_df(
                 spark, args.index_root, _read(spark, args.queries),
                 k=args.k, nprobe=args.nprobe,
+                rerank_factor=args.rerank_factor,
             )
         else:
             hits = search_ann_index(

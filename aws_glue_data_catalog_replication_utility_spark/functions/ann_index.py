@@ -215,6 +215,7 @@ def search_ann_index_df(
     nprobe: int = 1,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    rerank_factor: int | None = None,
 ) -> DataFrame:
     """Fully-DISTRIBUTED index search: the query set stays a DataFrame
     end to end — no driver-side collect at all, so corpus-scale query
@@ -230,8 +231,16 @@ def search_ann_index_df(
     relation's size, and for selective query sets Spark's dynamic
     partition pruning keeps unprobed cluster directories unread.
     Scoring and ranking match `search_ann_index` bit-for-bit (pinned in
-    tests); the exact-cosine rerank stage lives on the collected lane.
-    Returns (query_id, vec_id, adist, rank), self-matches excluded."""
+    tests). Returns (query_id, vec_id, adist, rank), self-matches
+    excluded.
+
+    rerank_factor enables the two-stage search on this lane too: the
+    ADC shortlist (k * factor per query) joins back to the stored float
+    embeddings AND to the query vectors — both relational joins, still
+    no collect — and the exact cosine (the `cosine_topk` fold, same
+    IEEE order) reranks. With full probing and a covering shortlist the
+    result EQUALS brute-force cosine_topk (pinned). Output then is
+    (query_id, vec_id, cosine, rank)."""
     meta = load_ann_meta(root)
     m, sub, levels = meta["m"], meta["sub"], meta["levels"]
     cents = meta["centroids"]
@@ -284,11 +293,40 @@ def search_ann_index_df(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("vec_id").asc()
     )
+    shortlist_k = k if rerank_factor is None else k * max(1, rerank_factor)
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= shortlist_k
+    )
+    if rerank_factor is None:
+        return ranked.select(
+            "query_id", "vec_id", "adist", F.col("__rn").cast("int").alias("rank")
+        )
+    cand = (
+        vectors.select(
+            F.col(meta["id_col"]).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("__e"),
+        )
+        .join(ranked.select("query_id", "vec_id"), on="vec_id")
+        .join(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("__q"),
+            ),
+            on="query_id",
+        )
+    )
+    cosine = _fold_dot(F.col("__e"), F.col("__q")) / (
+        F.sqrt(_fold_norm2(F.col("__e"))) * F.sqrt(_fold_norm2(F.col("__q")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        cand.select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("__rn", F.row_number().over(w2))
         .where(F.col("__rn") <= k)
         .select(
-            "query_id", "vec_id", "adist", F.col("__rn").cast("int").alias("rank")
+            "query_id", "vec_id", "cosine", F.col("__rn").cast("int").alias("rank")
         )
     )
 

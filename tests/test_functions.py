@@ -1459,3 +1459,24 @@ def test_search_ann_index_df_matches_collected_lane(spark, tmp_path):
     # the scoring join is an equi-join on cluster (never a cross product)
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    # two-stage rerank on the distributed lane: full probe + covering
+    # shortlist must EQUAL brute-force cosine_topk (same fold, same ties)
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        cosine_topk,
+    )
+
+    n = emb.count()
+    q3 = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_rr = sorted(
+        map(
+            tuple,
+            search_ann_index_df(
+                spark, root, q3, k=5, nprobe=4, rerank_factor=n
+            ).collect(),
+        )
+    )
+    want_rr = sorted(map(tuple, cosine_topk(emb, q3, k=5).collect()))
+    assert got_rr == want_rr
