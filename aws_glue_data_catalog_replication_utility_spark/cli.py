@@ -13,6 +13,7 @@ Jobs (mirroring SURVEY.md §3):
            quality-filter verdicts -> exact dedup, with a why-dropped audit
   index    build a persistent IVF-PQ ANN index (cluster-partitioned)
   index-append  add vectors to an existing index (stored-codebook assign)
+  index-stats   per-cluster counts + balance factor; --verify integrity gate
   search   ADC top-k over a built index, nprobe directory pruning
 
 All inputs/outputs are parquet directories (the engine's catalog-snapshot
@@ -161,6 +162,15 @@ def main(argv: list[str] | None = None) -> int:
     ia.add_argument("--embeddings", required=True)
     ia.add_argument("--index-root", required=True)
 
+    ist = sub.add_parser(
+        "index-stats",
+        help="index observability: per-cluster counts, balance factor, "
+             "meta version; --verify runs the structural integrity gate",
+    )
+    ist.add_argument("--index-root", required=True)
+    ist.add_argument("--out", default=None, help="optional parquet output")
+    ist.add_argument("--verify", action="store_true")
+
     se = sub.add_parser(
         "search",
         help="ADC top-k search over a built index, reading only the "
@@ -263,6 +273,17 @@ def main(argv: list[str] | None = None) -> int:
             spark, _read(spark, args.embeddings), args.index_root
         )
         print(f"index version {meta['version']}", file=sys.stderr)
+
+    elif args.job == "index-stats":
+        from .functions.ann_index import ann_index_stats, verify_ann_index
+
+        stats = ann_index_stats(spark, args.index_root)
+        if args.out:
+            _write(stats, args.out)
+        else:
+            stats.show(truncate=False)
+        if args.verify:
+            print(verify_ann_index(spark, args.index_root), file=sys.stderr)
 
     elif args.job == "search":
         from .functions.ann_index import search_ann_index, search_ann_index_df

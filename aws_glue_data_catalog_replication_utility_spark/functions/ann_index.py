@@ -514,3 +514,82 @@ def search_ann_index(
         .where(F.col("__rn") <= k)
         .select("query_id", "vec_id", "cosine", F.col("__rn").cast("int").alias("rank"))
     )
+
+
+def ann_index_stats(spark: SparkSession, root: str) -> DataFrame:
+    """Index observability for the maintenance loop: one row per
+    cluster with its vector count plus index-wide columns — meta
+    version, total vectors, and the balance factor
+    (max cluster / mean cluster; 1.0 = perfectly balanced, large
+    values say the coarse quantizer no longer fits the data and it is
+    rebuild time). One groupBy over partition-pruned metadata-narrow
+    columns; the global stats ride a broadcast one-row relation, no
+    driver collect."""
+    meta = load_ann_meta(root)
+    vectors = spark.read.option("basePath", f"{root}/vectors").parquet(
+        f"{root}/vectors"
+    )
+    per = vectors.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    totals = per.agg(
+        F.sum("n_vectors").alias("total_vectors"),
+        (
+            F.max("n_vectors").cast("double")
+            / (F.sum("n_vectors") / F.count(F.lit(1)))
+        ).alias("balance_factor"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "cluster",
+            "n_vectors",
+            "total_vectors",
+            "balance_factor",
+            F.lit(int(meta.get("version", 1))).alias("meta_version"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def verify_ann_index(spark: SparkSession, root: str) -> dict:
+    """Structural integrity check (run after append / before serving):
+    every stored row must carry codes of length m with codewords in
+    [0, k), quantized vectors of the indexed dimension, and a cluster
+    id the meta knows. Returns counters; raises on any violation so a
+    corrupted index never serves. Distributed aggregation — no collect
+    of the data plane."""
+    meta = load_ann_meta(root)
+    vectors = spark.read.option("basePath", f"{root}/vectors").parquet(
+        f"{root}/vectors"
+    )
+    bad = (
+        F.when(F.size("codes") != int(meta["m"]), F.lit("codes_len"))
+        .when(
+            F.exists(
+                "codes",
+                lambda c: (c < 0) | (c >= F.lit(int(meta["k"]))),
+            ),
+            F.lit("codeword_range"),
+        )
+        .when(F.size("quantized") != int(meta["dim"]), F.lit("dim"))
+        .when(
+            (F.col("cluster") < 0)
+            | (F.col("cluster") >= len(meta["centroids"])),
+            F.lit("cluster_range"),
+        )
+    )
+    row = (
+        vectors.select(bad.alias("__bad"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("__bad").alias("violations"),
+        )
+        .collect()[0]
+    )
+    out = {
+        "total": row.total,
+        "violations": row.violations,
+        "meta_version": int(meta.get("version", 1)),
+    }
+    if row.violations:
+        raise ValueError(f"ANN index at {root} failed verification: {out}")
+    return out

@@ -1480,3 +1480,63 @@ def test_search_ann_index_df_matches_collected_lane(spark, tmp_path):
     )
     want_rr = sorted(map(tuple, cosine_topk(emb, q3, k=5).collect()))
     assert got_rr == want_rr
+
+
+def test_ann_index_stats_and_verify(spark, tmp_path):
+    """Maintenance observability: per-cluster counts vs a DuckDB twin
+    over the same parquet plane, balance factor, version tracking
+    through append, and the integrity gate raising on a corrupted
+    index."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        ann_index_stats,
+        append_to_ann_index,
+        build_ann_index,
+        verify_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "idx")
+    build_ann_index(spark, emb.where(F.col("vec_id") < 100), root,
+                    n_clusters=4, m=4, k=8)
+    append_to_ann_index(spark, emb.where(F.col("vec_id") >= 100), root)
+
+    got = {r.cluster: r for r in ann_index_stats(spark, root).collect()}
+    want = {
+        c: n
+        for c, n in duckdb.execute(
+            f"SELECT cluster, count(*) FROM read_parquet('{root}/vectors/*/*.parquet', "
+            f"hive_partitioning=true) GROUP BY cluster"
+        ).fetchall()
+    }
+    assert {c: r.n_vectors for c, r in got.items()} == {int(c): n for c, n in want.items()}
+    n_total = emb.count()
+    any_row = next(iter(got.values()))
+    assert any_row.total_vectors == n_total and any_row.meta_version == 2
+    assert any_row.balance_factor >= 1.0
+
+    assert verify_ann_index(spark, root) == {
+        "total": n_total, "violations": 0, "meta_version": 2,
+    }
+
+    # corrupt one stored file's codes -> the gate must raise
+    import glob
+
+    f = sorted(glob.glob(f"{root}/vectors/cluster=*/*.parquet"))[0]
+    part = spark.read.parquet(f)
+    corrupt_dir = str(tmp_path / "corrupt")
+    (part.withColumn("codes", F.expr("slice(codes, 1, 2)"))
+         .coalesce(1).write.mode("overwrite").parquet(corrupt_dir))
+    import shutil
+
+    shutil.copy(glob.glob(f"{corrupt_dir}/*.parquet")[0], f)
+    import os
+
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):  # hadoop local-FS checksum sidecar
+        os.remove(crc)
+    with pytest.raises(ValueError, match="failed verification"):
+        verify_ann_index(spark, root)
