@@ -140,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="a paragraph in more than this many docs is boilerplate")
     c.add_argument("--keep-singletons-only", action="store_true",
                    help="drop ALL copies of exact duplicates instead of keeping one")
+    c.add_argument("--min-avg-logprob", type=float, default=None,
+                   help="perplexity-style cut: drop docs whose corpus-unigram "
+                        "avg log-prob is below this (gibberish scores low); "
+                        "applied after the heuristic verdicts, audited as "
+                        "'low_unigram_logprob'")
 
     ix = sub.add_parser(
         "index",
@@ -313,6 +318,7 @@ def main(argv: list[str] | None = None) -> int:
             dedup_paragraphs,
             fingerprint,
             quality_filter_verdict,
+            unigram_logprob,
         )
 
         docs = _read(spark, args.documents)
@@ -324,6 +330,37 @@ def main(argv: list[str] | None = None) -> int:
             "doc_id", "text", "n_paragraphs", "n_removed",
             quality_filter_verdict("text").alias("__v"),
         )
+        if args.min_avg_logprob is not None:
+            # 2b. corpus-statistics cut over the SAME boilerplate-free
+            # text the verdicts judged: the unigram model trains on the
+            # whole (post-paragraph-dedup) corpus, then low scorers drop
+            lp = unigram_logprob(depara.select("doc_id", "text"))
+            judged = judged.join(
+                lp.select("doc_id", "avg_logprob"), on="doc_id", how="left"
+            ).select(
+                "doc_id", "text", "n_paragraphs", "n_removed",
+                F.struct(
+                    (
+                        F.col("__v.keep")
+                        & (
+                            F.coalesce(
+                                F.col("avg_logprob")
+                                >= F.lit(args.min_avg_logprob),
+                                F.lit(False),  # empty docs have no score
+                            )
+                        )
+                    ).alias("keep"),
+                    F.when(
+                        F.coalesce(
+                            F.col("avg_logprob") < F.lit(args.min_avg_logprob),
+                            F.lit(True),
+                        ),
+                        F.array_append(
+                            F.col("__v.reasons"), F.lit("low_unigram_logprob")
+                        ),
+                    ).otherwise(F.col("__v.reasons")).alias("reasons"),
+                ).alias("__v"),
+            )
         kept = judged.where(F.col("__v.keep"))
         # 3. exact dedup on the normalized fingerprint (min doc_id wins)
         fp = kept.select("doc_id", fingerprint("text").alias("__fp"))

@@ -153,6 +153,50 @@ def test_cli_clean_pipeline(spark, tmp_path):
     assert audit[0].n_boilerplate_paragraphs == 1
 
 
+def test_cli_clean_with_unigram_cut(spark, tmp_path):
+    """--min-avg-logprob adds the corpus-statistics (perplexity-style)
+    cut: a gibberish doc whose every token is corpus-unique scores far
+    below common-vocabulary docs and is dropped with the named reason;
+    a permissive threshold changes nothing."""
+    common = "the cat sat on the mat and it is a fine day for all of us here"
+    # every paragraph distinct (number{i}) so the paragraph-dedup stage
+    # keeps all docs and the unigram model trains on real text
+    docs = spark.createDataFrame(
+        [(i, common + f" number{i}", "en") for i in range(8)]
+        + [(8, "zqx wvu tpo nml kji hgf edc baz yxw vut srq pon", "en")],
+        "doc_id long, text string, lang string",
+    )
+    in_path = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(in_path)
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    out, audit_out = str(tmp_path / "c1"), str(tmp_path / "a1")
+    assert cli_main([
+        "clean", "--documents", in_path, "--out", out,
+        "--audit-out", audit_out, "--min-avg-logprob", "-3.2",
+    ]) == 0
+    audit = {r.doc_id: r for r in spark.read.parquet(audit_out).collect()}
+    assert audit[8].passed_quality is False
+    assert "low_unigram_logprob" in list(audit[8].reasons)
+    kept_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 8 not in kept_ids and len(kept_ids) >= 1
+
+    out2, audit2 = str(tmp_path / "c2"), str(tmp_path / "a2")
+    assert cli_main([
+        "clean", "--documents", in_path, "--out", out2,
+        "--audit-out", audit2, "--min-avg-logprob", "-1000",
+    ]) == 0
+    base_out, base_audit = str(tmp_path / "c3"), str(tmp_path / "a3")
+    assert cli_main([
+        "clean", "--documents", in_path, "--out", base_out,
+        "--audit-out", base_audit,
+    ]) == 0
+    assert {tuple(r) for r in spark.read.parquet(out2).collect()} == {
+        tuple(r) for r in spark.read.parquet(base_out).collect()
+    }
+
+
 def test_cli_index_and_search(spark, tmp_path):
     """The ANN jobs end to end: build an index from embeddings parquet,
     search it with a query parquet, read ranked neighbors back."""
