@@ -273,3 +273,36 @@ def test_cli_index_append(spark, tmp_path):
     a = sorted(map(tuple, search_ann_index(spark, inc, queries, k=4, nprobe=2).collect()))
     b = sorted(map(tuple, search_ann_index(spark, full, queries, k=4, nprobe=2).collect()))
     assert a == b
+
+
+def test_bench_compare_sentinel_normalization(tmp_path, capsys):
+    """tools/bench_compare: with sentinels on both sides the box drift
+    divides out (a uniform 2x slowdown with a 2x sentinel reads as norm
+    1.0); without one side's sentinel it falls back to raw ratios."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_compare
+
+    a = {"queries": {"q1": 1.0, "q2": 2.0}, "sentinel": 0.25}
+    b = {"queries": {"q1": 2.0, "q2": 4.0}, "sentinel": 0.5}
+    pa, pb = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    with open(pa, "w") as fh:
+        json.dump(a, fh)
+    with open(pb, "w") as fh:
+        json.dump(b, fh)
+    sys.argv = ["bench_compare.py", pa, pb]
+    assert bench_compare.main() == 0
+    out = capsys.readouterr().out
+    assert "box drift x2.00" in out
+    # every normalized column reads 1.00 (the drift fully explains it)
+    for line in out.splitlines():
+        if line.startswith(("q1", "q2", "COMMON")):
+            assert line.rstrip().endswith("1.00"), line
+
+    with open(pb, "w") as fh:
+        json.dump({"queries": b["queries"]}, fh)
+    sys.argv = ["bench_compare.py", pa, pb]
+    assert bench_compare.main() == 0
+    assert "raw ratios only" in capsys.readouterr().out
