@@ -578,18 +578,22 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
         )
     )
     row = (
-        vectors.select(bad.alias("__bad"))
+        vectors.select(F.col(meta["id_col"]).alias("__id"), bad.alias("__bad"))
         .agg(
             F.count(F.lit(1)).alias("total"),
             F.count("__bad").alias("violations"),
+            # duplicate ids: what a careless append of already-indexed
+            # vectors produces — silent double-counting at search time
+            (F.count(F.lit(1)) - F.countDistinct("__id")).alias("dup_ids"),
         )
         .collect()[0]
     )
     out = {
         "total": row.total,
         "violations": row.violations,
+        "dup_ids": row.dup_ids,
         "meta_version": int(meta.get("version", 1)),
     }
-    if row.violations:
+    if row.violations or row.dup_ids:
         raise ValueError(f"ANN index at {root} failed verification: {out}")
     return out

@@ -1519,8 +1519,16 @@ def test_ann_index_stats_and_verify(spark, tmp_path):
     assert any_row.balance_factor >= 1.0
 
     assert verify_ann_index(spark, root) == {
-        "total": n_total, "violations": 0, "meta_version": 2,
+        "total": n_total, "violations": 0, "dup_ids": 0, "meta_version": 2,
     }
+
+    # appending already-indexed ids silently duplicates rows — the gate
+    # must catch it (dup_ids)
+    dup_root = str(tmp_path / "dup")
+    build_ann_index(spark, emb, dup_root, n_clusters=4, m=4, k=8)
+    append_to_ann_index(spark, emb.where(F.col("vec_id") < 5), dup_root)
+    with pytest.raises(ValueError, match="failed verification"):
+        verify_ann_index(spark, dup_root)
 
     # corrupt one stored file's codes -> the gate must raise
     import glob
