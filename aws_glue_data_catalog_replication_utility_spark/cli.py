@@ -321,7 +321,12 @@ def main(argv: list[str] | None = None) -> int:
             unigram_logprob,
         )
 
-        docs = _read(spark, args.documents)
+        from .functions.dedup import ensure_min_parallelism
+
+        # split-guard: a single-file corpus parquet would serialize the
+        # shingle/verdict lanes onto one task (same guard every registry
+        # doc lane uses)
+        docs = ensure_min_parallelism(_read(spark, args.documents), fraction=0.25)
         extra_cols = [c2 for c2 in docs.columns if c2 not in ("doc_id", "text")]
         # 1. corpus-level boilerplate removal (paragraph df cap)
         depara = dedup_paragraphs(docs, max_df=args.paragraph_max_df)

@@ -7,8 +7,6 @@ from __future__ import annotations
 
 import hashlib
 
-import pytest
-
 from aws_glue_data_catalog_replication_utility_spark.functions.multimodal import (
     INLINE_THRESHOLD,
     attach_blob,
