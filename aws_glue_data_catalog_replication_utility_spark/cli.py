@@ -11,6 +11,8 @@ Jobs (mirroring SURVEY.md §3):
   stream   continuous import: readStream events dir -> versioned state
   clean    LLM-corpus cleaning: paragraph boilerplate removal ->
            quality-filter verdicts -> exact dedup, with a why-dropped audit
+  near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
+           connected components -> one keeper per duplicate cluster
   index    build a persistent IVF-PQ ANN index (cluster-partitioned)
   index-append  add vectors to an existing index (stored-codebook assign)
   index-stats   per-cluster counts + balance factor; --verify integrity gate
@@ -146,6 +148,24 @@ def main(argv: list[str] | None = None) -> int:
                         "applied after the heuristic verdicts, audited as "
                         "'low_unigram_logprob'")
 
+    nd = sub.add_parser(
+        "near-dedup",
+        help="fuzzy document dedup: MinHash signatures -> LSH band "
+             "candidates -> exact-Jaccard verify -> connected components "
+             "-> keep the min doc_id per duplicate cluster",
+    )
+    nd.add_argument("--documents", required=True, help="parquet (doc_id, text, ...)")
+    nd.add_argument("--out", required=True, help="surviving docs parquet dir")
+    nd.add_argument("--audit-out", required=True,
+                    help="per-doc cluster audit parquet dir")
+    nd.add_argument("--shingle-n", type=int, default=5)
+    nd.add_argument("--num-hashes", type=int, default=12)
+    nd.add_argument("--bands", type=int, default=4)
+    nd.add_argument("--threshold", type=float, default=0.8,
+                    help="exact-Jaccard cutoff applied to LSH candidates")
+    nd.add_argument("--normalize", action="store_true",
+                    help="casefold/strip-punct/collapse-digits before shingling")
+
     ix = sub.add_parser(
         "index",
         help="build a persistent IVF-PQ ANN index (cluster-partitioned "
@@ -256,6 +276,61 @@ def main(argv: list[str] | None = None) -> int:
             ],
             args.out_root,
         )
+
+    elif args.job == "near-dedup":
+        from pyspark.sql import functions as F
+
+        from .functions.dedup import (
+            connected_components,
+            ensure_min_parallelism,
+            jaccard_pairs,
+            minhash_band_pairs,
+            minhash_signature_arrays,
+            shingle_array,
+            word_shingles,
+        )
+
+        docs = ensure_min_parallelism(_read(spark, args.documents), fraction=0.25)
+        # 1. LSH candidates (band equi-join, never n^2)
+        sig = minhash_signature_arrays(
+            docs, "doc_id", "text", n=args.shingle_n,
+            num_hashes=args.num_hashes, ensure_parallelism=False,
+            normalize=args.normalize,
+        )
+        cand = minhash_band_pairs(sig, "doc_id", args.num_hashes, args.bands)
+        # 2. exact-Jaccard verify of ONLY the candidates: semi-join the
+        # shingle relation down to candidate docs, then the exact lane
+        cand = cand.persist()
+        cand_ids = (
+            cand.select(F.col("id_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+            .dropDuplicates(["doc_id"])
+        )
+        sh = word_shingles(
+            docs.join(cand_ids, on="doc_id", how="left_semi"),
+            "doc_id", "text", n=args.shingle_n, normalize=args.normalize,
+        )
+        verified = (
+            jaccard_pairs(sh, "doc_id", threshold=args.threshold)
+            .join(cand, on=["id_a", "id_b"], how="left_semi")
+            .select("id_a", "id_b")
+        )
+        # 3. duplicate clusters -> keeper = min doc_id per cluster
+        labels = connected_components(
+            verified, docs.select("doc_id"), "doc_id"
+        ).persist()
+        audit = labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            (F.col("id") == F.col("label")).alias("is_keeper"),
+        )
+        survivors = docs.join(
+            audit.where("is_keeper").select("doc_id"), on="doc_id", how="left_semi"
+        )
+        _write(survivors, args.out)
+        _write(audit, args.audit_out)
+        cand.unpersist()
+        labels.unpersist()
 
     elif args.job == "index":
         from .functions.ann_index import build_ann_index

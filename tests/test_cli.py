@@ -306,3 +306,39 @@ def test_bench_compare_sentinel_normalization(tmp_path, capsys):
     sys.argv = ["bench_compare.py", pa, pb]
     assert bench_compare.main() == 0
     assert "raw ratios only" in capsys.readouterr().out
+
+
+def test_cli_near_dedup(spark, tmp_path):
+    """The fuzzy-dedup job end to end: near-identical docs (one-token
+    difference, same under normalize) cluster together and keep the min
+    doc_id; unrelated docs survive as their own keepers; the audit maps
+    every doc to its cluster."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                      # exact dup of 0
+            (2, base.replace("w12", "z")),   # near dup of 0 (most shingles shared)
+            (3, "totally different words q r s t u v x y zz aa bb cc"),
+        ],
+        "doc_id long, text string",
+    )
+    in_path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(in_path)
+    out, audit_out = str(tmp_path / "survivors"), str(tmp_path / "clusters")
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    assert cli_main([
+        "near-dedup",
+        "--documents", in_path,
+        "--out", out,
+        "--audit-out", audit_out,
+        "--threshold", "0.5",
+    ]) == 0
+    audit = {r.doc_id: r for r in spark.read.parquet(audit_out).collect()}
+    assert audit[0].cluster_id == audit[1].cluster_id == audit[2].cluster_id == 0
+    assert audit[3].cluster_id == 3 and audit[3].is_keeper
+    assert audit[0].is_keeper and not audit[1].is_keeper
+    survivors = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert survivors == {0, 3}
