@@ -10,11 +10,14 @@ routing at its partition threshold.
 
 Feature extraction runs as Arrow-batched `mapInPandas` — the pattern for
 any decode/resize/frame-sample stage. The byte-level featurizer below is
-real and oracle-checkable (length / md5 / magic prefix), and
-`decode_image` really decodes the codec-less containers (BMP BI_RGB,
-binary PNM) in pure Python — dimensions + exact integer-sum channel
-means; compressed formats (JPEG/PNG) still need a codec library and
-slot into the same harness body.
+real and oracle-checkable (length / md5 / magic prefix), and the three
+decoders really decode the codec-less containers in pure Python:
+`decode_image` (BMP BI_RGB, binary PNM — dimensions + exact integer-sum
+channel means), `decode_audio` (RIFF/WAVE integer PCM — rate, channels,
+duration, exact per-channel mean-|amplitude|), and `sample_frames`
+(YUV4MPEG2 — every-Nth-frame exact luma means, rows fanning out per
+frame inside the Arrow batch). Compressed formats (JPEG/PNG/MP3/H.264)
+still need a codec library and slot into the same harness bodies.
 
 Scale: blobs stay columnar (parquet binary); featurization is
 embarrassingly parallel per Arrow batch with no shuffle; inline-vs-path
@@ -241,3 +244,217 @@ def decode_image(
             )
 
     return df.select(id_col, blob_col).mapInPandas(decode, DECODED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("channel_mean_abs", T.ArrayType(T.DoubleType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _decode_wav(b: bytes):
+    """Pure-Python decode of a RIFF/WAVE PCM container (8- or 16-bit
+    integer PCM) — like BMP/PNM, the samples ARE the bytes, no codec
+    needed. Walks the chunk list per spec (unknown chunks skipped,
+    odd-sized chunks padded to even), so fmt/data need not be adjacent.
+    Amplitude stats are integer sums divided once: 8-bit PCM is
+    unsigned centered at 128, 16-bit is signed little-endian; mean_abs
+    per channel = sum(|sample - center|) / n_frames, exact and
+    engine-portable. Returns the AUDIO_SCHEMA value columns."""
+    import struct
+
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return (None, None, None, None, None, None, None, "unrecognized container")
+        fmt = data = None
+        pos = 12
+        while pos + 8 <= len(b):
+            cid, size = struct.unpack_from("<4sI", b, pos)
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt " and fmt is None:
+                fmt = body
+            elif cid == b"data" and data is None:
+                if len(body) < size:
+                    return ("wav", None, None, None, None, None, None,
+                            "truncated data chunk")
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return ("wav", None, None, None, None, None, None,
+                    "missing fmt or data chunk")
+        if len(fmt) < 16:
+            return ("wav", None, None, None, None, None, None, "short fmt chunk")
+        audio_fmt, nch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+        if audio_fmt != 1 or bits not in (8, 16) or nch < 1:
+            return ("wav", None, None, None, None, None, None,
+                    f"unsupported WAV variant (format={audio_fmt}, bits={bits})")
+        bytes_per = bits // 8
+        frame_bytes = nch * bytes_per
+        n_frames = len(data) // frame_bytes
+        sums = [0] * nch
+        if bits == 8:
+            for i in range(n_frames * nch):
+                sums[i % nch] += abs(data[i] - 128)
+        else:
+            samples = struct.unpack_from(f"<{n_frames * nch}h", data, 0)
+            for i, s in enumerate(samples):
+                sums[i % nch] += abs(s)
+        return (
+            "wav", rate, nch, bits, n_frames,
+            n_frames / rate if rate else None,
+            [s / n_frames for s in sums] if n_frames else None,
+            None if n_frames else "empty data chunk",
+        )
+    except Exception as e:
+        return (None, None, None, None, None, None, None, f"decode failed: {e}")
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode PCM WAV audio blobs per Arrow batch — the audio leg of the
+    multimodal pipeline, same mapInPandas harness as `decode_image`.
+    Unsupported/garbage rows survive with an `error`. Compressed codecs
+    (MP3/AAC/FLAC) would swap `_decode_wav` for a library-backed body;
+    the Spark-side shape is unchanged."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [_decode_wav(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": [d[0] for d in decoded],
+                    "sample_rate": pd.array([d[1] for d in decoded], dtype="Int32"),
+                    "channels": pd.array([d[2] for d in decoded], dtype="Int32"),
+                    "bits": pd.array([d[3] for d in decoded], dtype="Int32"),
+                    "n_frames": pd.array([d[4] for d in decoded], dtype="Int64"),
+                    "duration_s": [d[5] for d in decoded],
+                    "channel_mean_abs": [d[6] for d in decoded],
+                    "error": [d[7] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(decode, AUDIO_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("y_mean", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+# chroma-plane size per luma pixel for the Y4M colorspaces we decode
+_Y4M_CHROMA_FRACTION = {
+    "C420": 1 / 4, "C420jpeg": 1 / 4, "C420mpeg2": 1 / 4, "C420paldv": 1 / 4,
+    "C422": 1 / 2, "C444": 1, "Cmono": 0,
+}
+
+
+def _sample_y4m(b: bytes, every: int):
+    """Parse a YUV4MPEG2 (Y4M) stream — uncompressed planar YUV with a
+    text header, the one video container that needs no codec — and
+    return ([(frame_index, y_mean)], width, height, n_frames, error).
+    Every frame is WALKED (frame count is exact) but only indices where
+    index % every == 0 compute a luma mean (integer sum / npx, exact);
+    the skip is a pointer bump, which is the point of frame sampling.
+    Frame headers may carry parameters after FRAME; both are handled."""
+    try:
+        eol = b.find(b"\n")
+        if not b.startswith(b"YUV4MPEG2") or eol < 0:
+            return None, None, None, None, "unrecognized container"
+        width = height = None
+        chroma = "C420"  # spec default
+        for tok in b[9:eol].split():
+            t = tok.decode("ascii", "replace")
+            if t[0] == "W":
+                width = int(t[1:])
+            elif t[0] == "H":
+                height = int(t[1:])
+            elif t[0] == "C":
+                chroma = t
+        if not width or not height:
+            return None, None, None, None, "missing W/H in stream header"
+        if chroma not in _Y4M_CHROMA_FRACTION:
+            return None, None, None, None, f"unsupported colorspace {chroma}"
+        npx = width * height
+        frame_size = npx + 2 * int(npx * _Y4M_CHROMA_FRACTION[chroma])
+        pos, idx, means = eol + 1, 0, []
+        while pos < len(b):
+            feol = b.find(b"\n", pos)
+            if feol < 0 or b[pos : pos + 5] != b"FRAME":
+                return None, width, height, None, f"bad frame header at index {idx}"
+            pos = feol + 1
+            if pos + frame_size > len(b):
+                return None, width, height, None, f"truncated frame at index {idx}"
+            if idx % every == 0:
+                means.append((idx, sum(b[pos : pos + npx]) / npx))
+            pos += frame_size
+            idx += 1
+        return means, width, height, idx, None
+    except Exception as e:
+        return None, None, None, None, f"decode failed: {e}"
+
+
+def sample_frames(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob", every: int = 1
+) -> DataFrame:
+    """Frame-sample Y4M video blobs per Arrow batch: one output row per
+    SAMPLED frame (every `every`-th, starting at 0) with its exact luma
+    mean — the frame-extraction stage of a video pipeline, in the same
+    mapInPandas harness as the other decoders. A one-in, many-out
+    mapInPandas is the natural Spark shape for frame extraction (rows
+    fan out inside the Arrow batch, no shuffle). Undecodable blobs
+    yield ONE row with `error` set and frame_index NULL, so every input
+    doc is accounted for downstream."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "frame_index", "width", "height", "n_frames",
+                    "y_mean", "error")}
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                means, w, h, n, err = _sample_y4m(bytes(blob), every)
+                rows = means if means else [(None, None)]
+                for idx, ym in rows:
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(n)
+                    out["y_mean"].append(ym)
+                    out["error"].append(err)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "frame_index": pd.array(out["frame_index"], dtype="Int32"),
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                    "y_mean": out["y_mean"],
+                    "error": out["error"],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(sample, FRAME_SCHEMA)

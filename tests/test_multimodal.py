@@ -11,7 +11,9 @@ from aws_glue_data_catalog_replication_utility_spark.functions.multimodal import
     INLINE_THRESHOLD,
     attach_blob,
     blob_features,
+    decode_audio,
     decode_image,
+    sample_frames,
 )
 
 
@@ -157,3 +159,152 @@ def test_decode_image_bmp_32bit_and_topdown(spark):
     assert rows[1].channels == 4 and rows[1].channel_means[3] == 255.0
     assert rows[1].channel_means[:3] == rows[3].channel_means
     assert rows[2].channel_means == rows[3].channel_means  # row order irrelevant
+
+
+def _encode_wav(rate, channel_samples, bits=16, extra_chunk=False):
+    """Minimal RIFF/WAVE PCM writer; channel_samples[ch][i] is a signed
+    16-bit (or unsigned-centered 8-bit offset) sample value."""
+    import struct
+
+    nch = len(channel_samples)
+    n = len(channel_samples[0])
+    data = bytearray()
+    for i in range(n):
+        for ch in range(nch):
+            v = channel_samples[ch][i]
+            data += (
+                struct.pack("<h", v) if bits == 16
+                else struct.pack("<B", v + 128)
+            )
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, rate, rate * nch * bits // 8, nch * bits // 8, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # LIST/INFO-style chunk decoders must skip; odd size
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + bytes(data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_audio_wav_with_duckdb_twin(spark):
+    """WAV PCM decode in the mapInPandas harness: rate/channels/bits/
+    duration plus exact per-channel mean-|amplitude|, pinned against a
+    DuckDB aggregation over the same samples; chunk walking skips
+    unknown (odd-length) chunks; 8-bit is unsigned-centered; garbage
+    and non-PCM blobs survive with an error."""
+    import duckdb
+    import struct
+
+    left = [100, -200, 300, -400, 0, 32767, -32768, 5]
+    right = [-1, 2, -3, 4, -5, 6, -7, 8]
+    mono8 = [-128, 0, 127, 64]  # stored as unsigned bytes 0,128,255,192
+    blobs = [
+        (1, _encode_wav(8000, [left, right], extra_chunk=True)),
+        (2, _encode_wav(16000, [mono8], bits=8)),
+        (3, b"RIFF\x10\x00\x00\x00AVI LIST"),  # RIFF but not WAVE
+        (4, b"ID3\x03\x00 not pcm"),
+        # float32 WAV: valid container, unsupported codec
+        (5, b"RIFF" + struct.pack("<I", 30) + b"WAVE" + b"fmt "
+            + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+            + b"data" + struct.pack("<I", 0)),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, blob binary")
+    rows = {r.doc_id: r for r in decode_audio(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (doc int, ch int, v int)")
+    for i, (l, r) in enumerate(zip(left, right)):
+        con.execute("INSERT INTO s VALUES (1, 0, ?), (1, 1, ?)", [l, r])
+    for v in mono8:
+        con.execute("INSERT INTO s VALUES (2, 0, ?)", [v])
+    want = {
+        (doc, ch): m
+        for doc, ch, m in con.execute(
+            "SELECT doc, ch, sum(abs(v)) / count(*) FROM s GROUP BY doc, ch"
+        ).fetchall()
+    }
+
+    r1 = rows[1]
+    assert (r1.format, r1.sample_rate, r1.channels, r1.bits, r1.n_frames) == (
+        "wav", 8000, 2, 16, 8,
+    )
+    assert r1.duration_s == 8 / 8000 and r1.error is None
+    assert list(r1.channel_mean_abs) == [want[(1, 0)], want[(1, 1)]]
+    r2 = rows[2]
+    assert (r2.sample_rate, r2.channels, r2.bits, r2.n_frames) == (16000, 1, 8, 4)
+    assert list(r2.channel_mean_abs) == [want[(2, 0)]]
+    assert rows[3].error == "unrecognized container"
+    assert rows[4].error == "unrecognized container"
+    assert "unsupported WAV variant" in rows[5].error
+
+
+def _encode_y4m(width, height, y_planes, chroma="C420", chroma_byte=128):
+    """Minimal YUV4MPEG2 writer: y_planes[f] is a flat list of W*H luma
+    bytes; chroma planes are constant filler sized per the colorspace."""
+    frac = {"C420": 1, "C422": 2, "C444": 4, "Cmono": 0}[chroma] / 4
+    chroma_n = int(width * height * frac)
+    out = bytearray(
+        b"YUV4MPEG2 W%d H%d F30:1 Ip A1:1 %s\n" % (width, height, chroma.encode())
+    )
+    for y in y_planes:
+        out += b"FRAME\n" + bytes(y) + bytes([chroma_byte]) * (2 * chroma_n)
+    return bytes(out)
+
+
+def test_sample_frames_y4m(spark):
+    """Y4M frame sampling: every-Nth-frame luma means are exact (DuckDB
+    twin on the sampled planes), ALL frames are counted, colorspace
+    sets the frame stride (C444 vs C420 decode identically for the same
+    luma), and truncated/garbage streams yield one error row."""
+    import duckdb
+
+    w, h = 6, 4
+    planes = [
+        [(f * 31 + i * 7) % 256 for i in range(w * h)] for f in range(5)
+    ]
+    y4m = _encode_y4m(w, h, planes)
+    y444 = _encode_y4m(w, h, planes, chroma="C444")
+    df = spark.createDataFrame(
+        [
+            (1, y4m),
+            (2, y444),
+            (3, y4m[: len(y4m) - 3]),  # truncated mid-frame
+            (4, b"\x00\x01not video"),
+        ],
+        "doc_id long, blob binary",
+    )
+    out = sample_frames(df, every=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE y (f int, v int)")
+    for f in (0, 2, 4):
+        for v in planes[f]:
+            con.execute("INSERT INTO y VALUES (?, ?)", [f, v])
+    want = dict(con.execute(
+        "SELECT f, sum(v) / count(*) FROM y GROUP BY f"
+    ).fetchall())
+
+    for doc in (1, 2):
+        rows = sorted(by_doc[doc], key=lambda r: r.frame_index)
+        assert [r.frame_index for r in rows] == [0, 2, 4]
+        assert all(
+            (r.width, r.height, r.n_frames, r.error) == (w, h, 5, None)
+            for r in rows
+        )
+        assert [r.y_mean for r in rows] == [want[f] for f in (0, 2, 4)]
+    (r3,) = by_doc[3]
+    assert r3.frame_index is None and "truncated frame" in r3.error
+    (r4,) = by_doc[4]
+    assert r4.error == "unrecognized container"
+
+
+def test_sample_frames_every_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, blob binary")
+    with pytest.raises(ValueError, match="every"):
+        sample_frames(df, every=0)
