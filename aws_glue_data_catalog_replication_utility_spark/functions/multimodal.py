@@ -14,10 +14,12 @@ real and oracle-checkable (length / md5 / magic prefix), and the three
 decoders really decode the codec-less containers in pure Python:
 `decode_image` (BMP BI_RGB, binary PNM — dimensions + exact integer-sum
 channel means), `decode_audio` (RIFF/WAVE integer PCM — rate, channels,
-duration, exact per-channel mean-|amplitude|), and `sample_frames`
+duration, exact per-channel mean-|amplitude|), `sample_frames`
 (YUV4MPEG2 — every-Nth-frame exact luma means, rows fanning out per
-frame inside the Arrow batch). Compressed formats (JPEG/PNG/MP3/H.264)
-still need a codec library and slot into the same harness bodies.
+frame inside the Arrow batch), and `resize_image` (nearest-neighbor to
+a normalized PNM output blob, composing with `decode_image`).
+Compressed formats (JPEG/PNG/MP3/H.264) still need a codec library and
+slot into the same harness bodies.
 
 Scale: blobs stay columnar (parquet binary); featurization is
 embarrassingly parallel per Arrow batch with no shuffle; inline-vs-path
@@ -134,15 +136,15 @@ def _read_pnm_token(b: bytes, pos: int) -> tuple[bytes, int]:
     return b[start:pos], pos
 
 
-def _decode_blob(b: bytes):
+def _decode_pixels(b: bytes):
     """Pure-Python decode of an UNCOMPRESSED image container — BMP
-    (BI_RGB 24/32-bit) and binary PNM (P6 RGB / P5 gray, maxval<256).
-    No codec library exists in this environment (VERDICT r05 #8), and
-    these containers need none: the pixels are the bytes. Returns
-    (format, width, height, channels, channel_means, error); means are
-    integer sums divided once, so they are exact and engine-portable.
-    Channel order is R,G,B(,A) for both containers (BMP stores BGR on
-    disk; the means are reported in RGB order)."""
+    (BI_RGB 24/32-bit) and binary PNM (P6 RGB / P5 gray, maxval<256) —
+    to materialized pixels. No codec library exists in this environment
+    (VERDICT r05 #8), and these containers need none: the pixels are
+    the bytes. Returns (format, width, height, channels, pixels, error)
+    where `pixels` is row-major TOP-TO-BOTTOM bytes in R,G,B(,A) /
+    gray channel order (BMP stores BGR bottom-up on disk; both are
+    normalized here so downstream ops agree across containers)."""
     import struct
 
     try:
@@ -164,27 +166,25 @@ def _decode_blob(b: bytes):
             height = abs(height)
             nch = bitcount // 8
             stride = ((bitcount * width + 31) // 32) * 4
-            sums = [0] * nch
+            out = bytearray(width * height * nch)
             for row in range(height):
                 base = data_off + row * stride
-                line = b[base : base + width * nch + (stride - width * nch)]
+                line = b[base : base + width * nch]
                 if len(line) < width * nch:
                     return ("bmp", None, None, None, None, "truncated pixel data")
+                # disk rows run bottom-up unless height was negative
+                oy = row if top_down else height - 1 - row
+                obase = oy * width * nch
                 for x in range(width):
                     px = line[x * nch : (x + 1) * nch]
-                    # disk order is B,G,R(,A) -> report R,G,B(,A)
-                    sums[0] += px[2]
-                    sums[1] += px[1]
-                    sums[2] += px[0]
+                    o = obase + x * nch
+                    # disk order is B,G,R(,A) -> emit R,G,B(,A)
+                    out[o] = px[2]
+                    out[o + 1] = px[1]
+                    out[o + 2] = px[0]
                     if nch == 4:
-                        sums[3] += px[3]
-            npx = width * height
-            del top_down  # row order doesn't change channel sums
-            return (
-                "bmp", width, height, nch,
-                [s / npx for s in sums] if npx else None,
-                None if npx else "zero-pixel image",
-            )
+                        out[o + 3] = px[3]
+            return ("bmp", width, height, nch, bytes(out), None)
         if b[:2] in (b"P5", b"P6"):
             fmt = "pgm" if b[:2] == b"P5" else "ppm"
             nch = 1 if fmt == "pgm" else 3
@@ -200,19 +200,29 @@ def _decode_blob(b: bytes):
             pix = b[pos : pos + need]
             if len(pix) < need:
                 return (fmt, None, None, None, None, "truncated pixel data")
-            sums = [0] * nch
-            for i in range(0, need, nch):
-                for c in range(nch):
-                    sums[c] += pix[i + c]
-            npx = width * height
-            return (
-                fmt, width, height, nch,
-                [s / npx for s in sums] if npx else None,
-                None if npx else "zero-pixel image",
-            )
+            return (fmt, width, height, nch, pix, None)
         return (None, None, None, None, None, "unrecognized container")
     except Exception as e:  # malformed header: keep the row, carry why
         return (None, None, None, None, None, f"decode failed: {e}")
+
+
+def _decode_blob(b: bytes):
+    """Decode + per-channel stats: (format, width, height, channels,
+    channel_means, error). Means are integer sums divided once, so they
+    are exact and engine-portable; channel order is R,G,B(,A)."""
+    fmt, width, height, nch, pix, err = _decode_pixels(b)
+    if err is not None:
+        return (fmt, None, None, None, None, err)
+    sums = [0] * nch
+    for i in range(0, len(pix), nch):
+        for c in range(nch):
+            sums[c] += pix[i + c]
+    npx = width * height
+    return (
+        fmt, width, height, nch,
+        [s / npx for s in sums] if npx else None,
+        None if npx else "zero-pixel image",
+    )
 
 
 def decode_image(
@@ -458,3 +468,77 @@ def sample_frames(
             )
 
     return df.select(id_col, blob_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _resize_blob(b: bytes, out_w: int, out_h: int):
+    """Nearest-neighbor resize of a decodable blob, re-encoded as binary
+    PNM (P6 for color — alpha dropped — P5 for gray): the container
+    normalization step of an image pipeline. Source pixel for output
+    (x, y) is (x * w // out_w, y * h // out_h) — pure integer map, so
+    the result is deterministic and oracle-checkable, and an identity
+    resize is pixel-for-pixel lossless for PNM inputs."""
+    fmt, w, h, nch, pix, err = _decode_pixels(b)
+    if err is not None:
+        return (fmt, None, None, None, err)
+    if w == 0 or h == 0:
+        return (fmt, None, None, None, "zero-pixel image")
+    out_nch = 1 if nch == 1 else 3
+    out = bytearray(out_w * out_h * out_nch)
+    for y in range(out_h):
+        sy = y * h // out_h
+        srow = sy * w * nch
+        orow = y * out_w * out_nch
+        for x in range(out_w):
+            s = srow + (x * w // out_w) * nch
+            o = orow + x * out_nch
+            out[o : o + out_nch] = pix[s : s + out_nch]
+    magic = b"P5" if out_nch == 1 else b"P6"
+    blob = magic + b"\n%d %d\n255\n" % (out_w, out_h) + bytes(out)
+    return ("pgm" if out_nch == 1 else "ppm", out_w, out_h, blob, None)
+
+
+def resize_image(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Resize image blobs to (out_w, out_h) per Arrow batch — the resize
+    stage of the multimodal pipeline, same mapInPandas harness as the
+    decoders. Output rows carry the resized image as a binary PNM blob
+    (P6/P5), so the stage COMPOSES: `decode_image(resize_image(df, ...))`
+    is the thumbnail-stats pipeline with no intermediate storage.
+    Undecodable rows survive with `error` set and a NULL blob."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("out_w and out_h must be >= 1")
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = [_resize_blob(bytes(b), out_w, out_h) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": [r[0] for r in resized],
+                    "width": pd.array([r[1] for r in resized], dtype="Int32"),
+                    "height": pd.array([r[2] for r in resized], dtype="Int32"),
+                    "blob": [r[3] for r in resized],
+                    "error": [r[4] for r in resized],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(resize, RESIZED_SCHEMA)

@@ -308,3 +308,93 @@ def test_sample_frames_every_validation(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, blob binary")
     with pytest.raises(ValueError, match="every"):
         sample_frames(df, every=0)
+
+
+def test_resize_image_nearest_neighbor_with_duckdb_twin(spark):
+    """Nearest-neighbor resize (src = (x*w//out_w, y*h//out_h)) in the
+    mapInPandas harness: downscaled pixels pinned against a DuckDB
+    query computing the same integer index map over the source pixel
+    relation; BMP and PPM inputs with identical pixels resize to
+    identical PNM blobs (container normalization, 32-bit alpha
+    dropped); garbage rows survive with a NULL blob."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.multimodal import (
+        resize_image,
+    )
+
+    w, h, ow, oh = 6, 4, 3, 2
+    rgb = [
+        [((x * 41 + y * 3) % 256, (y * 67) % 256, (x * 11) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, _encode_ppm(w, h, rgb)),
+            (2, _encode_bmp(w, h, rgb)),
+            (3, _encode_bmp(w, h, rgb, bits=32)),
+            (4, b"not an image at all"),
+        ],
+        "doc_id long, blob binary",
+    )
+    rows = {r.doc_id: r for r in resize_image(df, ow, oh).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE px (y int, x int, ch int, v int)")
+    for y in range(h):
+        for x in range(w):
+            for c, v in enumerate(rgb[y][x]):
+                con.execute("INSERT INTO px VALUES (?, ?, ?, ?)", [y, x, c, v])
+    want = bytes(
+        v for (v,) in con.execute(
+            """
+            SELECT p.v
+            FROM range(?) oy(y), range(?) ox(x), range(3) oc(ch)
+            JOIN px p ON p.y = oy.y * ? // ? AND p.x = ox.x * ? // ?
+                     AND p.ch = oc.ch
+            ORDER BY oy.y, ox.x, oc.ch
+            """,
+            [oh, ow, h, oh, w, ow],
+        ).fetchall()
+    )
+
+    header = b"P6\n%d %d\n255\n" % (ow, oh)
+    for doc in (1, 2, 3):
+        r = rows[doc]
+        assert (r.format, r.width, r.height, r.error) == ("ppm", ow, oh, None)
+        assert bytes(r.blob) == header + want
+    assert rows[4].error == "unrecognized container" and rows[4].blob is None
+
+
+def test_resize_image_composes_with_decode_and_upscale(spark):
+    """resize -> decode composes as the thumbnail-stats pipeline: a 2x
+    integer upscale repeats every pixel in a 2x2 block, so channel
+    means are EXACTLY the original's; identity resize of a PGM is
+    pixel-lossless; out-of-range sizes raise."""
+    import pytest
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.multimodal import (
+        resize_image,
+    )
+
+    w, h = 4, 3
+    rgb = [[(x * 30, y * 50, 7) for x in range(w)] for y in range(h)]
+    gray = [[(x * y * 23) % 256 for x in range(w)] for y in range(h)]
+    df = spark.createDataFrame(
+        [(1, _encode_ppm(w, h, rgb)), (2, _encode_pgm(w, h, gray))],
+        "doc_id long, blob binary",
+    )
+    resized = resize_image(df, 2 * w, 2 * h)
+    stats = {r.doc_id: r for r in decode_image(resized).collect()}
+    base = {r.doc_id: r for r in decode_image(df).collect()}
+    for doc in (1, 2):
+        assert stats[doc].channel_means == base[doc].channel_means
+        assert (stats[doc].width, stats[doc].height) == (2 * w, 2 * h)
+    assert stats[2].format == "pgm" and stats[2].channels == 1
+
+    ident = {r.doc_id: r for r in resize_image(df, w, h).collect()}
+    assert bytes(ident[2].blob) == b"P5\n%d %d\n255\n" % (w, h) + bytes(
+        gray[y][x] for y in range(h) for x in range(w)
+    )
+    with pytest.raises(ValueError, match="out_w"):
+        resize_image(df, 0, 5)
