@@ -153,6 +153,70 @@ def sign_lsh_candidates(
     )
 
 
+def hashed_tf_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    normalize: bool = False,
+    l2_normalize: bool = True,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Text -> vector bridge: signed feature-hashing ("hashing trick")
+    term-frequency embeddings, so a corpus with NO precomputed vectors
+    can run the whole similarity/ANN stack (cosine_topk, sign-LSH,
+    IVF-PQ index) straight from its text column.
+
+    Each token t adds sign(t) to bucket(t): bucket = base md5 hash mod
+    `dim`, sign = ±1 from an independent md5 slice (the signed variant
+    keeps collisions unbiased — E[collision contribution] = 0). The
+    whole embedding is ONE map-side projection: token array ->
+    per-token (bucket, sign) structs -> a dim-long dense array built by
+    `transform(sequence, aggregate(filter(...)))` — no explode, no
+    shuffle, no Python; cost O(dim x tokens) per row inside codegen.
+    (For dim in the thousands, an explode + groupBy(id, bucket) lane
+    shuffles but scales as O(tokens); at the dims the composed ANN
+    stack uses — tens to hundreds — the map-only form wins and keeps
+    the operator embarrassingly parallel at 100 TB.)
+
+    Determinism: bucket sums are integer adds (order-free); the L2
+    norm is the usual left-to-right double fold over bucket order, so
+    a DuckDB twin reproduces every value bit-for-bit (same md5-slice
+    arithmetic as the MinHash family, dedup.py:127).
+
+    normalize=True applies `normalize_text` first (casefold etc.), so
+    case-variant duplicates embed to the identical vector. Returns
+    df rows as (id_col, out_col array<double>)."""
+    from .dedup import _base_hash, _token_expr
+
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    toks = F.filter(_token_expr(text_col, normalize), lambda t: t != F.lit(""))
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.pmod(_base_hash(t), F.lit(dim)).alias("bucket"),
+            (F.lit(1) - F.lit(2) * F.pmod(
+                F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long"), F.lit(2)
+            )).alias("s"),
+        ),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.filter(pairs, lambda p: p["bucket"] == i),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + p["s"],
+        ).cast("double"),
+    )
+    if l2_normalize:
+        norm2 = _fold_norm2(vec)
+        vec = F.when(
+            norm2 > 0, F.transform(vec, lambda x: x / F.sqrt(norm2))
+        ).otherwise(vec)
+    return df.select(F.col(id_col), vec.alias(out_col))
+
+
 def _memo_expr(cache: dict, key, build):
     """Content-keyed memo for literal-folded Column expressions: the
     IVF/PQ lanes fold config-sized codebooks into the projection as

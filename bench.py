@@ -222,6 +222,18 @@ def main() -> None:
     ).save()
     extras["cap_per_group"] = round(time.perf_counter() - t0, 3)
 
+    # r06 text->vector bridge: signed feature-hashing embeddings (the
+    # no-model entry into the ANN stack) — map-only, zero exchanges
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        hashed_tf_embedding,
+    )
+
+    t0 = time.perf_counter()
+    hashed_tf_embedding(docs, dim=64).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    extras["hashed_tf_embedding"] = round(time.perf_counter() - t0, 3)
+
     # closing sentinel leg: intra-session drift (start vs end medians)
     sentinel_runs_end = [_sentinel_once() for _ in range(n_runs)]
 

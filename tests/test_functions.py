@@ -1548,3 +1548,105 @@ def test_ann_index_stats_and_verify(spark, tmp_path):
         os.remove(crc)
     with pytest.raises(ValueError, match="failed verification"):
         verify_ann_index(spark, root)
+
+
+def test_hashed_tf_embedding_matches_duckdb_bit_exactly(spark):
+    """Text -> vector bridge (signed feature hashing): the map-only
+    Spark projection must agree bit-for-bit with a DuckDB twin doing
+    the same md5-slice bucket/sign arithmetic over unnested tokens —
+    integer bucket sums, then the left-to-right double fold for the L2
+    norm reproduced in bucket order. Empty-text docs embed to the zero
+    vector (not NULL, not dropped)."""
+    import duckdb
+    import math
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        hashed_tf_embedding,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    dim = 16
+    docs = spark.read.parquet(path).where("doc_id < 40")
+    got = {
+        r.doc_id: list(r.embedding)
+        for r in hashed_tf_embedding(docs, dim=dim).collect()
+    }
+
+    con = duckdb.connect()
+    sums = con.execute(f"""
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % {dim} AS bucket,
+               SUM(1 - 2 * (('0x' || substr(md5(tok), 9, 8))::BIGINT % 2)) AS s
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM '{path}' WHERE doc_id < 40)
+        WHERE tok <> ''
+        GROUP BY 1, 2
+    """).fetchall()
+    all_ids = [r[0] for r in con.execute(
+        f"SELECT doc_id FROM '{path}' WHERE doc_id < 40"
+    ).fetchall()]
+    raw = {i: [0.0] * dim for i in all_ids}
+    for doc_id, bucket, s in sums:
+        raw[doc_id][bucket] = float(s)
+    want = {}
+    for i, vec in raw.items():
+        acc = 0.0
+        for v in vec:  # same fold order as Spark's aggregate
+            acc = acc + v * v
+        want[i] = [v / math.sqrt(acc) for v in vec] if acc > 0 else vec
+
+    assert set(got) == set(want) and len(got) >= 30
+    for i in want:
+        assert got[i] == want[i], f"doc {i}"
+
+
+def test_hashed_tf_embedding_feeds_the_similarity_stack(spark):
+    """Compose: hashed embeddings make near-duplicate text nearest in
+    cosine space (the no-model similarity-search story), normalize=True
+    embeds case/punctuation variants to the IDENTICAL vector, and the
+    raw (un-normalized L2) lane keeps integer bucket counts."""
+    import pytest
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        cosine_topk,
+        hashed_tf_embedding,
+    )
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " tail"),                 # near-dup of 0
+            (2, "completely unrelated corpus text about spark plans"),
+            (3, base.upper().replace(" ", ", ")),  # case/punct variant of 0
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_tf_embedding(docs, dim=32).persist()
+    q = emb.where("doc_id = 0").select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    top = (
+        cosine_topk(emb.where("doc_id != 0"), q, k=2, id_col="doc_id")
+        .orderBy("rank")
+        .collect()
+    )
+    assert top[0].doc_id == 1 and top[0].cosine > 0.8
+    emb.unpersist()
+
+    norm = {
+        r.doc_id: list(r.embedding)
+        for r in hashed_tf_embedding(docs, dim=32, normalize=True).collect()
+    }
+    assert norm[0] == norm[3] and norm[0] != norm[2]
+
+    raw = {
+        r.doc_id: list(r.embedding)
+        for r in hashed_tf_embedding(docs, dim=32, l2_normalize=False).collect()
+    }
+    assert all(v == int(v) for v in raw[0])  # integer counts pre-normalization
+    assert sum(abs(v) for v in raw[0]) > 0
+
+    with pytest.raises(ValueError, match="dim"):
+        hashed_tf_embedding(docs, dim=0)
