@@ -13,6 +13,8 @@ Jobs (mirroring SURVEY.md §3):
            quality-filter verdicts -> exact dedup, with a why-dropped audit
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
            connected components -> one keeper per duplicate cluster
+  embed    text -> vector: signed feature-hashing embeddings feeding
+           the index job (no model, map-only, deterministic)
   index    build a persistent IVF-PQ ANN index (cluster-partitioned)
   index-append  add vectors to an existing index (stored-codebook assign)
   index-stats   per-cluster counts + balance factor; --verify integrity gate
@@ -165,6 +167,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="exact-Jaccard cutoff applied to LSH candidates")
     nd.add_argument("--normalize", action="store_true",
                     help="casefold/strip-punct/collapse-digits before shingling")
+
+    em = sub.add_parser(
+        "embed",
+        help="signed feature-hashing text embeddings: documents parquet "
+             "-> (vec_id, embedding) parquet ready for the index job "
+             "(no model, map-only, deterministic)",
+    )
+    em.add_argument("--documents", required=True, help="parquet (doc_id, text, ...)")
+    em.add_argument("--out", required=True)
+    em.add_argument("--dim", type=int, default=64)
+    em.add_argument("--normalize", action="store_true",
+                    help="casefold/strip-punct/collapse-digits before hashing")
 
     ix = sub.add_parser(
         "index",
@@ -331,6 +345,18 @@ def main(argv: list[str] | None = None) -> int:
         _write(audit, args.audit_out)
         cand.unpersist()
         labels.unpersist()
+
+    elif args.job == "embed":
+        from pyspark.sql import functions as F
+
+        from .functions.similarity import hashed_tf_embedding
+
+        emb = hashed_tf_embedding(
+            _read(spark, args.documents),
+            dim=args.dim,
+            normalize=args.normalize,
+        ).select(F.col("doc_id").alias("vec_id"), "embedding")
+        _write(emb, args.out)
 
     elif args.job == "index":
         from .functions.ann_index import build_ann_index

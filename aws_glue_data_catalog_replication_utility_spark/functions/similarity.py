@@ -169,20 +169,26 @@ def hashed_tf_embedding(
 
     Each token t adds sign(t) to bucket(t): bucket = base md5 hash mod
     `dim`, sign = ±1 from an independent md5 slice (the signed variant
-    keeps collisions unbiased — E[collision contribution] = 0). The
-    whole embedding is ONE map-side projection: token array ->
-    per-token (bucket, sign) structs -> a dim-long dense array built by
-    `transform(sequence, aggregate(filter(...)))` — no explode, no
-    shuffle, no Python; cost O(dim x tokens) per row inside codegen.
-    (For dim in the thousands, an explode + groupBy(id, bucket) lane
-    shuffles but scales as O(tokens); at the dims the composed ANN
-    stack uses — tens to hundreds — the map-only form wins and keeps
-    the operator embarrassingly parallel at 100 TB.)
+    keeps collisions unbiased — E[collision contribution] = 0).
+
+    Plan shape: explode tokens -> (id, bucket, sign) projection (ONE
+    md5 pair per token, whole-stage codegen) -> groupBy(id, bucket)
+    SUM with map-side partial aggregation -> groupBy(id) map
+    assembly -> dense dim-long array via element_at lookups. Two
+    shuffles whose combined volume is bounded by docs x min(dim,
+    distinct tokens) — the standard TF-pipeline shape, linear in
+    corpus size at 100 TB. (A shuffle-free all-expression variant
+    exists but higher-order lambdas are interpreted WITHOUT common
+    subexpression elimination, so the per-token hashing re-executes
+    once per output bucket — measured ~100x slower at dim=64; the
+    exploded lane keeps every md5 inside codegen, exactly once.)
 
     Determinism: bucket sums are integer adds (order-free); the L2
     norm is the usual left-to-right double fold over bucket order, so
     a DuckDB twin reproduces every value bit-for-bit (same md5-slice
-    arithmetic as the MinHash family, dedup.py:127).
+    arithmetic as the MinHash family, dedup.py:127). Docs with no
+    tokens (empty/NULL text) embed to the ZERO vector, not NULL —
+    explode_outer keeps their row alive through the aggregations.
 
     normalize=True applies `normalize_text` first (casefold etc.), so
     case-variant duplicates embed to the identical vector. Returns
@@ -192,29 +198,51 @@ def hashed_tf_embedding(
     if dim < 1:
         raise ValueError("dim must be >= 1")
     toks = F.filter(_token_expr(text_col, normalize), lambda t: t != F.lit(""))
-    pairs = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.pmod(_base_hash(t), F.lit(dim)).alias("bucket"),
-            (F.lit(1) - F.lit(2) * F.pmod(
-                F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long"), F.lit(2)
-            )).alias("s"),
-        ),
+    tok = F.col("__tok")
+    scored = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("__tok")
+    ).select(
+        id_col,
+        # empty docs ride through as a sentinel bucket no lookup reads
+        F.coalesce(F.pmod(_base_hash(tok), F.lit(dim)), F.lit(-1)).alias("__b"),
+        F.coalesce(
+            F.lit(1) - F.lit(2) * F.pmod(
+                F.conv(F.substring(F.md5(tok), 9, 8), 16, 10).cast("long"),
+                F.lit(2),
+            ),
+            F.lit(0),
+        ).alias("__s"),
     )
-    vec = F.transform(
+    sums = scored.groupBy(id_col, "__b").agg(F.sum("__s").alias("__v"))
+    assembled = sums.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__v")))
+        ).alias("__m")
+    )
+    raw = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.aggregate(
-            F.filter(pairs, lambda p: p["bucket"] == i),
-            F.lit(0).cast("long"),
-            lambda acc, p: acc + p["s"],
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("long")), F.lit(0)
         ).cast("double"),
     )
-    if l2_normalize:
-        norm2 = _fold_norm2(vec)
-        vec = F.when(
-            norm2 > 0, F.transform(vec, lambda x: x / F.sqrt(norm2))
-        ).otherwise(vec)
-    return df.select(F.col(id_col), vec.alias(out_col))
+    out = assembled.select(F.col(id_col), raw.alias("__raw"))
+    if not l2_normalize:
+        return out.select(F.col(id_col), F.col("__raw").alias(out_col))
+    # stacked selects on purpose: "__raw"/"__n" are each referenced more
+    # than once downstream, which stops CollapseProject from inlining
+    # (and so re-evaluating) the expensive array expressions
+    with_norm = out.select(
+        F.col(id_col), "__raw", F.sqrt(_fold_norm2(F.col("__raw"))).alias("__n")
+    )
+    return with_norm.select(
+        F.col(id_col),
+        F.when(
+            F.col("__n") > 0,
+            F.transform(F.col("__raw"), lambda x: x / F.col("__n")),
+        )
+        .otherwise(F.col("__raw"))
+        .alias(out_col),
+    )
 
 
 def _memo_expr(cache: dict, key, build):

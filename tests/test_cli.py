@@ -342,3 +342,60 @@ def test_cli_near_dedup(spark, tmp_path):
     assert audit[0].is_keeper and not audit[1].is_keeper
     survivors = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert survivors == {0, 3}
+
+
+def test_cli_embed_feeds_index_and_search(spark, tmp_path):
+    """The no-model text->similarity pipeline end to end: `embed` hashes
+    documents into (vec_id, embedding) parquet, `index` builds the
+    IVF-PQ index over it, and a full-probe exact-rerank `search` with
+    one doc's embedding as the query returns its near-duplicate as the
+    top foreign neighbor. The embed output is bit-identical to calling
+    hashed_tf_embedding directly."""
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        hashed_tf_embedding,
+    )
+    from pyspark.sql import functions as F
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " phi"),  # near-dup of 0
+            (2, "unrelated words entirely different content here now"),
+            (3, "another separate document about other things entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+
+    emb_path = str(tmp_path / "emb")
+    assert cli_main([
+        "embed", "--documents", docs_path, "--out", emb_path, "--dim", "32",
+    ]) == 0
+    got = {r.vec_id: list(r.embedding)
+           for r in spark.read.parquet(emb_path).collect()}
+    want = {r.doc_id: list(r.embedding)
+            for r in hashed_tf_embedding(docs, dim=32).collect()}
+    assert got == want
+
+    root = str(tmp_path / "idx")
+    assert cli_main([
+        "index", "--embeddings", emb_path, "--index-root", root,
+        "--n-clusters", "2", "--pq-m", "4", "--pq-k", "4",
+    ]) == 0
+
+    q_path = str(tmp_path / "q")
+    (spark.read.parquet(emb_path).where(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .write.mode("overwrite").parquet(q_path))
+    out = str(tmp_path / "hits")
+    assert cli_main([
+        "search", "--index-root", root, "--queries", q_path,
+        "--k", "1", "--nprobe", "2", "--rerank-factor", "4",
+        "--out", out,
+    ]) == 0
+    (top,) = spark.read.parquet(out).collect()
+    assert top.vec_id == 1  # the near-duplicate, not the unrelated docs
