@@ -415,3 +415,56 @@ def test_normalize_text_idempotent_and_variant_insensitive(spark, seed):
         a = " ".join(by_i[i].n1.split())
         b = " ".join(by_i[i + 1].n1.split())
         assert a == b, (texts[i], texts[i + 1])
+
+
+@pytest.mark.parametrize("seed", [7, 31, 59])
+def test_decode_audio_and_sample_frames_roundtrip_properties(spark, seed):
+    """Property: random PCM samples encode (16-bit stereo, 8-bit mono)
+    -> decode_audio recovers frame count, duration, and integer-exact
+    per-channel mean-|amplitude|; random Y4M luma planes sampled at a
+    random stride return exactly the strided indices with exact means
+    and the full frame count."""
+    rng = random.Random(seed)
+    from aws_glue_data_catalog_replication_utility_spark.functions.multimodal import (
+        decode_audio,
+        sample_frames,
+    )
+    from tests.test_multimodal import _encode_wav, _encode_y4m
+
+    n = rng.randint(1, 40)
+    left = [rng.randint(-32768, 32767) for _ in range(n)]
+    right = [rng.randint(-32768, 32767) for _ in range(n)]
+    mono = [rng.randint(-128, 127) for _ in range(n)]
+    rate = rng.choice([8000, 16000, 44100])
+    adf = spark.createDataFrame(
+        [
+            (1, _encode_wav(rate, [left, right])),
+            (2, _encode_wav(rate, [mono], bits=8)),
+        ],
+        "doc_id long, blob binary",
+    )
+    arows = {r.doc_id: r for r in decode_audio(adf).collect()}
+    assert (arows[1].n_frames, arows[1].duration_s) == (n, n / rate)
+    assert list(arows[1].channel_mean_abs) == [
+        sum(abs(v) for v in left) / n,
+        sum(abs(v) for v in right) / n,
+    ]
+    assert list(arows[2].channel_mean_abs) == [sum(abs(v) for v in mono) / n]
+    assert arows[1].error is None and arows[2].error is None
+
+    w, h = rng.randint(1, 12), rng.randint(1, 8)
+    nf = rng.randint(1, 7)
+    every = rng.randint(1, 4)
+    planes = [[rng.randint(0, 255) for _ in range(w * h)] for _ in range(nf)]
+    chroma = rng.choice(["C420", "C422", "C444", "Cmono"])
+    vdf = spark.createDataFrame(
+        [(1, _encode_y4m(w, h, planes, chroma=chroma))],
+        "doc_id long, blob binary",
+    )
+    vrows = sorted(
+        sample_frames(vdf, every=every).collect(), key=lambda r: r.frame_index
+    )
+    assert [r.frame_index for r in vrows] == list(range(0, nf, every))
+    for r in vrows:
+        assert (r.width, r.height, r.n_frames, r.error) == (w, h, nf, None)
+        assert r.y_mean == sum(planes[r.frame_index]) / (w * h)
