@@ -180,7 +180,7 @@ def hashed_tf_embedding(
     corpus size at 100 TB. (A shuffle-free all-expression variant
     exists but higher-order lambdas are interpreted WITHOUT common
     subexpression elimination, so the per-token hashing re-executes
-    once per output bucket — measured ~100x slower at dim=64; the
+    once per output bucket — measured ~200x slower at dim=64; the
     exploded lane keeps every md5 inside codegen, exactly once.)
 
     Determinism: bucket sums are integer adds (order-free); the L2
