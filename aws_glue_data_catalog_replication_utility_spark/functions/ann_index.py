@@ -437,7 +437,10 @@ def search_ann_index(
                 for qid, probe, lut in per_query
                 for c in probe
             ],
-            "query_id int, cluster int, __luts array<array<bigint>>",
+            # bigint: indexed ids are long everywhere else (doc_id); an
+            # int schema here would fail createDataFrame for 64-bit ids
+            # on this lane only (lane-routing-dependent failure)
+            "query_id bigint, cluster int, __luts array<array<bigint>>",
         )
         scored = (
             scan.select(
@@ -492,7 +495,7 @@ def search_ann_index(
     # stays bit-for-bit (pinned in tests).
     qv_df = spark.createDataFrame(
         [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows],
-        "query_id int, __q array<double>",
+        "query_id bigint, __q array<double>",
     )
     cand = (
         vectors.select(

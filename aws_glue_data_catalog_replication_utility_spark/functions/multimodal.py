@@ -58,6 +58,14 @@ INLINE_THRESHOLD = 256 * 1024  # bytes; larger blobs should ride a path
 # (the reference's partition threshold analogue, ExportDatabaseWithTables.java:73)
 
 
+def _opt_bytes(b):
+    """NULL-safe blob coercion: Arrow hands NULL binary cells to pandas
+    as None — bytes(None) would raise and fail the whole task, violating
+    the 'undecodable rows survive with error' contract. Returns None for
+    NULL cells, bytes otherwise."""
+    return None if b is None else bytes(b)
+
+
 def attach_blob(
     df: DataFrame, text_col: str = "text", mime: str = "text/plain"
 ) -> DataFrame:
@@ -89,15 +97,21 @@ def blob_features(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob")
         import pandas as pd
 
         for pdf in batches:
-            blobs = pdf[blob_col]
+            blobs = [_opt_bytes(b) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "byte_length": blobs.map(len).astype("int64"),
-                    "content_md5": blobs.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    "byte_length": pd.array(
+                        [None if b is None else len(b) for b in blobs],
+                        dtype="Int64",
                     ),
-                    "magic_hex": blobs.map(lambda b: bytes(b)[:4].hex().upper()),
+                    "content_md5": [
+                        None if b is None else hashlib.md5(b).hexdigest()
+                        for b in blobs
+                    ],
+                    "magic_hex": [
+                        None if b is None else b[:4].hex().upper() for b in blobs
+                    ],
                 }
             )
 
@@ -240,7 +254,12 @@ def decode_image(
         import pandas as pd
 
         for pdf in batches:
-            decoded = [_decode_blob(bytes(b)) for b in pdf[blob_col]]
+            decoded = [
+                (None, None, None, None, None, "null blob")
+                if (bb := _opt_bytes(b)) is None
+                else _decode_blob(bb)
+                for b in pdf[blob_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -341,7 +360,12 @@ def decode_audio(
         import pandas as pd
 
         for pdf in batches:
-            decoded = [_decode_wav(bytes(b)) for b in pdf[blob_col]]
+            decoded = [
+                (None, None, None, None, None, None, None, "null blob")
+                if (bb := _opt_bytes(b)) is None
+                else _decode_wav(bb)
+                for b in pdf[blob_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -371,10 +395,14 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
-# chroma-plane size per luma pixel for the Y4M colorspaces we decode
-_Y4M_CHROMA_FRACTION = {
-    "C420": 1 / 4, "C420jpeg": 1 / 4, "C420mpeg2": 1 / 4, "C420paldv": 1 / 4,
-    "C422": 1 / 2, "C444": 1, "Cmono": 0,
+# per-dimension chroma subsampling factors (sx, sy) for the Y4M
+# colorspaces we decode; None = no chroma planes. Plane sizes use
+# CEILING division per dimension (ceil(w/sx) * ceil(h/sy)) — odd-sized
+# subsampled frames round their chroma planes UP, per the YUV storage
+# convention, so int(npx * fraction) would under-count them.
+_Y4M_CHROMA_SUBSAMPLE = {
+    "C420": (2, 2), "C420jpeg": (2, 2), "C420mpeg2": (2, 2), "C420paldv": (2, 2),
+    "C422": (2, 1), "C444": (1, 1), "Cmono": None,
 }
 
 
@@ -402,10 +430,15 @@ def _sample_y4m(b: bytes, every: int):
                 chroma = t
         if not width or not height:
             return None, None, None, None, "missing W/H in stream header"
-        if chroma not in _Y4M_CHROMA_FRACTION:
+        if chroma not in _Y4M_CHROMA_SUBSAMPLE:
             return None, None, None, None, f"unsupported colorspace {chroma}"
         npx = width * height
-        frame_size = npx + 2 * int(npx * _Y4M_CHROMA_FRACTION[chroma])
+        sub = _Y4M_CHROMA_SUBSAMPLE[chroma]
+        chroma_plane = (
+            0 if sub is None
+            else -(-width // sub[0]) * (-(-height // sub[1]))
+        )
+        frame_size = npx + 2 * chroma_plane
         pos, idx, means = eol + 1, 0, []
         while pos < len(b):
             feol = b.find(b"\n", pos)
@@ -445,7 +478,12 @@ def sample_frames(
                    ("doc_id", "frame_index", "width", "height", "n_frames",
                     "y_mean", "error")}
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                means, w, h, n, err = _sample_y4m(bytes(blob), every)
+                bb = _opt_bytes(blob)
+                means, w, h, n, err = (
+                    (None, None, None, None, "null blob")
+                    if bb is None
+                    else _sample_y4m(bb, every)
+                )
                 rows = means if means else [(None, None)]
                 for idx, ym in rows:
                     out["doc_id"].append(doc_id)
@@ -529,7 +567,12 @@ def resize_image(
         import pandas as pd
 
         for pdf in batches:
-            resized = [_resize_blob(bytes(b), out_w, out_h) for b in pdf[blob_col]]
+            resized = [
+                (None, None, None, None, "null blob")
+                if (bb := _opt_bytes(b)) is None
+                else _resize_blob(bb, out_w, out_h)
+                for b in pdf[blob_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

@@ -673,7 +673,9 @@ def pq_adc_topk(
         lut_df = embeddings.sparkSession.createDataFrame(
             [(int(qid), [[int(x) for x in row] for row in lut])
              for qid, lut in sorted(luts.items())],
-            "query_id int, __luts array<array<bigint>>",
+            # bigint: ids are long everywhere else; int would fail
+            # createDataFrame for 64-bit query ids on this lane only
+            "query_id bigint, __luts array<array<bigint>>",
         )
         scored = (
             codes.crossJoin(F.broadcast(lut_df))

@@ -1172,6 +1172,60 @@ def test_adc_lut_lane_matches_literal_lane_bit_for_bit(spark, tmp_path):
     assert sorted(map(tuple, auto.collect())) == lit_s
 
 
+def test_search_ann_index_lut_lane_64bit_ids(spark, tmp_path):
+    """64-bit ids must work on EVERY lane (ADVICE r06): the broadcast-LUT
+    probe relation declared query_id as int, so ids above 2^31 failed at
+    createDataFrame on that lane only while the literal lane accepted
+    them. Shift all ids by 2^33 and require lane equality + a working
+    rerank (whose query-vector relation had the same int schema)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+
+    off = 2 ** 33
+    # deterministic seeding wants ids 0..k-1 present; everything else
+    # rides 64-bit ids, and every query id is above 2^31
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") < 8, F.col("vec_id")).otherwise(
+            F.col("vec_id") + F.lit(off)
+        ),
+    )
+    root = str(tmp_path / "idx64")
+    build_ann_index(spark, emb, root, n_clusters=4, m=4, k=8)
+    queries = emb.where(
+        (F.col("vec_id") >= off) & (F.col("vec_id") < off + 14)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    lit_s = sorted(
+        map(
+            tuple,
+            search_ann_index(
+                spark, root, queries, k=5, nprobe=2, lane="literal"
+            ).collect(),
+        )
+    )
+    lut_s = sorted(
+        map(
+            tuple,
+            search_ann_index(
+                spark, root, queries, k=5, nprobe=2, lane="lut"
+            ).collect(),
+        )
+    )
+    assert lut_s == lit_s and len(lut_s) == 6 * 5
+    assert all(r[0] >= off for r in lut_s)
+    rer = search_ann_index(
+        spark, root, queries, k=3, nprobe=4, lane="lut", rerank_factor=3
+    ).collect()
+    assert len(rer) == 6 * 3
+    assert all(r.query_id != r.vec_id for r in rer)
+
+
 def test_ann_index_append_matches_rebuild_bit_for_bit(spark, tmp_path):
     """Incremental maintenance (VERDICT r05 #4): assigning appended
     vectors against the STORED centroids/codebook makes

@@ -241,9 +241,11 @@ def test_decode_audio_wav_with_duckdb_twin(spark):
 
 def _encode_y4m(width, height, y_planes, chroma="C420", chroma_byte=128):
     """Minimal YUV4MPEG2 writer: y_planes[f] is a flat list of W*H luma
-    bytes; chroma planes are constant filler sized per the colorspace."""
-    frac = {"C420": 1, "C422": 2, "C444": 4, "Cmono": 0}[chroma] / 4
-    chroma_n = int(width * height * frac)
+    bytes; chroma planes are constant filler sized per the colorspace —
+    ceil(w/sx)*ceil(h/sy) per plane, the real storage convention for
+    odd-dimension subsampled streams (NOT int(npx*fraction))."""
+    sub = {"C420": (2, 2), "C422": (2, 1), "C444": (1, 1), "Cmono": None}[chroma]
+    chroma_n = 0 if sub is None else -(-width // sub[0]) * (-(-height // sub[1]))
     out = bytearray(
         b"YUV4MPEG2 W%d H%d F30:1 Ip A1:1 %s\n" % (width, height, chroma.encode())
     )
@@ -308,6 +310,60 @@ def test_sample_frames_every_validation(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, blob binary")
     with pytest.raises(ValueError, match="every"):
         sample_frames(df, every=0)
+
+
+def test_sample_frames_odd_dimensions_subsampled(spark):
+    """Odd-dimension subsampled Y4M: chroma planes are ceil(w/2)*ceil(h/2)
+    (C420) / ceil(w/2)*h (C422), NOT int(npx*fraction) — a 5x3 C420
+    stream has 6-byte chroma planes where the truncating formula says 3,
+    which would shift every later frame pointer and read chroma bytes as
+    luma. Multi-frame streams with exact luma means prove the stride."""
+    w, h = 5, 3
+    planes = [[(f * 17 + i * 11) % 256 for i in range(w * h)] for f in range(3)]
+    for chroma in ("C420", "C422"):
+        df = spark.createDataFrame(
+            [(1, _encode_y4m(w, h, planes, chroma=chroma))],
+            "doc_id long, blob binary",
+        )
+        rows = sorted(sample_frames(df, every=1).collect(),
+                      key=lambda r: r.frame_index)
+        assert [r.frame_index for r in rows] == [0, 1, 2], chroma
+        assert all((r.width, r.height, r.n_frames, r.error) == (w, h, 3, None)
+                   for r in rows), chroma
+        assert [r.y_mean for r in rows] == [
+            sum(p) / (w * h) for p in planes
+        ], chroma
+
+
+def test_null_blobs_survive_all_operators(spark):
+    """A NULL blob cell must not fail the task in any of the five
+    mapInPandas bodies — the 'garbage rows survive' contract extends to
+    NULLs (ADVICE r06): featurizer emits NULL features; decoders emit a
+    'null blob' error row."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.multimodal import (
+        blob_features,
+        decode_audio,
+        resize_image,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _encode_ppm(2, 1, [[(10, 20, 30), (40, 50, 60)]])), (2, None)],
+        "doc_id long, blob binary",
+    )
+    feats = {r.doc_id: r for r in blob_features(df).collect()}
+    assert feats[1].byte_length is not None
+    assert (feats[2].byte_length, feats[2].content_md5, feats[2].magic_hex) == (
+        None, None, None,
+    )
+    for op in (
+        decode_image,
+        decode_audio,
+        lambda d: sample_frames(d, every=1),
+        lambda d: resize_image(d, 1, 1),
+    ):
+        rows = {r.doc_id: r for r in op(df).collect()}
+        assert rows[2].error == "null blob", op
+        assert len(rows) == 2, op
 
 
 def test_resize_image_nearest_neighbor_with_duckdb_twin(spark):

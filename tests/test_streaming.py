@@ -754,3 +754,133 @@ def test_user_event_progress_stateful_operator(spark, tmp_path):
     got1 = {r.user_id: r for r in spark.sql("SELECT * FROM progress_one").collect()}
     assert (got1[1].total_events, got1[1].ooo_events) == (4, 0)
     assert got1[1].max_value == 9.0 and str(got1[1].last_ts) == "2024-01-01 11:00:00"
+
+
+def test_user_event_progress_chunk_boundary_independent(spark, tmp_path):
+    """ooo_events must not depend on Arrow chunking: with
+    arrow.maxRecordsPerBatch=2 a 5-event micro-batch spans 3 chunks,
+    and events in later chunks that are newer than the PRIOR batch max
+    but older than an earlier chunk's max must NOT count (the r06
+    defect counted them). Expected ooo: exactly the 1 event older than
+    batch 1's max."""
+    from aws_glue_data_catalog_replication_utility_spark.streaming import (
+        user_event_progress,
+    )
+    from datetime import datetime
+
+    schema = "user_id long, ts timestamp, value double"
+    t = lambda s_: datetime.fromisoformat(s_)
+    b1 = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:00:00"), 1.0),
+            (1, t("2024-01-01 10:30:00"), 2.0),
+            (1, t("2024-01-01 10:50:00"), 3.0),
+        ],
+        schema,
+    )
+    # batch 2: only 10:40 precedes batch 1's max (10:50). 10:58 and
+    # 11:00 follow the 11:30 chunk but are NOT out-of-order.
+    b2 = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:55:00"), 4.0),
+            (1, t("2024-01-01 11:30:00"), 5.0),
+            (1, t("2024-01-01 10:58:00"), 6.0),
+            (1, t("2024-01-01 11:00:00"), 7.0),
+            (1, t("2024-01-01 10:40:00"), 8.0),
+        ],
+        schema,
+    )
+    events_dir = str(tmp_path / "ev")
+    b1.coalesce(1).write.mode("overwrite").json(f"{events_dir}/f=1")
+    b2.coalesce(1).write.mode("overwrite").json(f"{events_dir}/f=2")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .json(events_dir)
+        )
+        q = (
+            user_event_progress(stream)
+            .writeStream.format("memory")
+            .queryName("progress_chunks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    rows = spark.sql("SELECT * FROM progress_chunks").collect()
+    final = max((r for r in rows if r.user_id == 1), key=lambda r: r.total_events)
+    assert (final.total_events, final.ooo_events, final.max_value) == (8, 1, 8.0)
+    assert str(final.last_ts) == "2024-01-01 11:30:00"
+
+
+def test_user_event_progress_state_ttl_eviction(spark, tmp_path):
+    """EventTimeTimeout eviction: a key idle past last_event+ttl is
+    dropped from the state store (numRowsTotal falls), and a
+    re-arriving key restarts from empty state (total resets, no ooo
+    even though its new event is 'old' vs pre-eviction history).
+    Semantics inside the horizon are unchanged (user 1's running
+    totals match the no-TTL operator)."""
+    from aws_glue_data_catalog_replication_utility_spark.streaming import (
+        user_event_progress,
+    )
+    from datetime import datetime
+
+    schema = "user_id long, ts timestamp, value double"
+    t = lambda s_: datetime.fromisoformat(s_)
+    batches = [
+        # b1: both users live
+        [(1, t("2024-01-01 10:00:00"), 1.0), (2, t("2024-01-01 10:00:00"), 9.0)],
+        # b2: only u1 -> watermark after b2 = 11:00; u2 timeout = 10:30
+        [(1, t("2024-01-01 11:00:00"), 2.0)],
+        # b3: wm 11:00 > 10:30 -> u2 evicted during this batch
+        [(1, t("2024-01-01 11:30:00"), 3.0)],
+        # b4: u2 returns with an event OLDER than its evicted history's
+        # future — fresh state: total=1, ooo=0
+        [(2, t("2024-01-01 11:40:00"), 4.0)],
+    ]
+    events_dir = str(tmp_path / "ev")
+    for i, rows_ in enumerate(batches):
+        spark.createDataFrame(rows_, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{events_dir}/f={i}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .json(events_dir)
+    )
+    q = (
+        user_event_progress(stream, state_ttl_ms=30 * 60 * 1000)
+        .writeStream.format("memory")
+        .queryName("progress_ttl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state_counts = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    ]
+    rows = spark.sql("SELECT * FROM progress_ttl").collect()
+    u1 = max((r for r in rows if r.user_id == 1), key=lambda r: r.total_events)
+    assert (u1.total_events, u1.ooo_events, u1.max_value) == (3, 0, 3.0)
+    u2_rows = sorted(
+        (r for r in rows if r.user_id == 2), key=lambda r: str(r.last_ts)
+    )
+    # two appearances: pre-eviction (total 1) and post-restart (total 1,
+    # NOT 2 — history was evicted)
+    assert [r.total_events for r in u2_rows] == [1, 1]
+    assert [r.ooo_events for r in u2_rows] == [0, 0]
+    assert str(u2_rows[-1].last_ts) == "2024-01-01 11:40:00"
+    # the state store shrank when u2 was evicted, then regrew on return
+    assert max(state_counts) == 2 and min(state_counts[1:]) == 1
