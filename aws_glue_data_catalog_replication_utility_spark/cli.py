@@ -17,6 +17,8 @@ Jobs (mirroring SURVEY.md §3):
            the index job (no model, map-only, deterministic)
   index    build a persistent IVF-PQ ANN index (cluster-partitioned)
   index-append  add vectors to an existing index (stored-codebook assign)
+  index-delete  remove vectors by id (rewrites only affected clusters)
+  index-compact re-cluster a drifted index (Lloyd from stored centroids)
   index-stats   per-cluster counts + balance factor; --verify integrity gate
   search   ADC top-k over a built index, nprobe directory pruning
 
@@ -201,6 +203,28 @@ def main(argv: list[str] | None = None) -> int:
     ia.add_argument("--embeddings", required=True)
     ia.add_argument("--index-root", required=True)
 
+    idl = sub.add_parser(
+        "index-delete",
+        help="delete vectors by id: rewrite ONLY the affected cluster "
+             "directories (partition-scoped commit), bump meta version",
+    )
+    idl.add_argument("--index-root", required=True)
+    idl.add_argument("--ids", default=None,
+                     help="comma-separated ids to delete")
+    idl.add_argument("--ids-path", default=None,
+                     help="parquet whose id column names the ids")
+
+    ic = sub.add_parser(
+        "index-compact",
+        help="re-cluster a drifted index: Lloyd from the stored "
+             "centroids, rewrite the layout; full-probe results are "
+             "unchanged by construction",
+    )
+    ic.add_argument("--index-root", required=True)
+    ic.add_argument("--iters", type=int, default=2)
+    ic.add_argument("--min-balance", type=float, default=None,
+                    help="only compact when balance factor exceeds this")
+
     ist = sub.add_parser(
         "index-stats",
         help="index observability: per-cluster counts, balance factor, "
@@ -379,6 +403,35 @@ def main(argv: list[str] | None = None) -> int:
             spark, _read(spark, args.embeddings), args.index_root
         )
         print(f"index version {meta['version']}", file=sys.stderr)
+
+    elif args.job == "index-delete":
+        from .functions.ann_index import delete_from_ann_index
+
+        if (args.ids is None) == (args.ids_path is None):
+            raise SystemExit("index-delete needs exactly one of --ids / --ids-path")
+        ids = (
+            [int(x) for x in args.ids.split(",")]
+            if args.ids is not None
+            else _read(spark, args.ids_path)
+        )
+        res = delete_from_ann_index(spark, args.index_root, ids)
+        print(
+            f"removed {res['removed']} from clusters "
+            f"{res['affected_clusters']}; index version {res['meta_version']}",
+            file=sys.stderr,
+        )
+
+    elif args.job == "index-compact":
+        from .functions.ann_index import compact_ann_index
+
+        res = compact_ann_index(
+            spark, args.index_root, n_iters=args.iters,
+            min_balance=args.min_balance,
+        )
+        print(
+            f"compacted={res['compacted']} index version {res['meta_version']}",
+            file=sys.stderr,
+        )
 
     elif args.job == "index-stats":
         from .functions.ann_index import ann_index_stats, verify_ann_index

@@ -600,3 +600,204 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
     if row.violations or row.dup_ids:
         raise ValueError(f"ANN index at {root} failed verification: {out}")
     return out
+
+
+def delete_from_ann_index(
+    spark: SparkSession,
+    root: str,
+    ids,
+    id_col: str | None = None,
+) -> dict:
+    """Remove vectors from a persisted index by id — the maintenance
+    operation symmetric to `append_to_ann_index` (the reference's own
+    surface is symmetric too: batch partition deletes beside batch
+    creates, GlueUtil.java:489-543). A dedup pipeline that prunes
+    near-duplicate vectors needs exactly this: delete the losers
+    without rebuilding the index.
+
+    Partition-scoped commit: only the cluster directories that actually
+    contain deleted ids are rewritten (dynamic partition overwrite on
+    `cluster`, the same commit discipline as the catalog partition
+    sync); untouched clusters' files are never opened or rewritten, so
+    a delete of k vectors costs O(affected clusters), not O(index).
+    A cluster whose every vector is deleted has its directory removed.
+    Because rows are immutable and assignment is per-row against the
+    STORED centroids/codebook, delete-then-search is bit-identical to
+    rebuild-without-those-ids (pinned in tests).
+
+    `ids`: a list/tuple of ids, or a DataFrame whose `id_col` column
+    names them. Ids not present in the index are ignored (idempotent —
+    re-running a delete is a no-op). Returns {"removed", "affected_clusters",
+    "meta_version"} and bumps the meta version when anything changed."""
+    if not os.path.exists(f"{root}/meta.json"):
+        raise ValueError(f"no ANN index at {root}; build_ann_index first")
+    meta = load_ann_meta(root)
+    if id_col is None:
+        id_col = meta["id_col"]
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(id_col).cast("long").alias(id_col)).dropDuplicates()
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} bigint"
+        ).dropDuplicates()
+
+    vectors = spark.read.option("basePath", f"{root}/vectors").parquet(
+        f"{root}/vectors"
+    )
+    # affected clusters + how many survive in each: one aggregation,
+    # bounded by n_clusters rows (config-sized driver state)
+    hit = vectors.join(ids_df, on=id_col, how="left_semi")
+    per_cluster = {
+        int(r["cluster"]): (int(r["n_del"]))
+        for r in hit.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_del"))
+        .collect()
+    }
+    if not per_cluster:
+        return {
+            "removed": 0,
+            "affected_clusters": [],
+            "meta_version": int(meta.get("version", 1)),
+        }
+    affected = sorted(per_cluster)
+    survivors = (
+        vectors.where(F.col("cluster").isin(affected))
+        .join(ids_df, on=id_col, how="left_anti")
+    )
+    leftover = {
+        int(r["cluster"]): int(r["n"])
+        for r in survivors.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    nonempty = [c for c in affected if leftover.get(c)]
+    if nonempty:
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(mode_key, None)
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            (
+                survivors.where(F.col("cluster").isin(nonempty))
+                .write.mode("overwrite")
+                .partitionBy("cluster")
+                .parquet(f"{root}/vectors")
+            )
+        finally:
+            if old_mode is None:
+                spark.conf.unset(mode_key)
+            else:
+                spark.conf.set(mode_key, old_mode)
+    # fully-emptied cluster directories: dynamic overwrite never sees a
+    # row for them, so remove them explicitly
+    import shutil
+
+    for c in affected:
+        if not leftover.get(c):
+            path = f"{root}/vectors/cluster={c}"
+            if os.path.exists(path):
+                shutil.rmtree(path)
+    meta["version"] = int(meta.get("version", 1)) + 1
+    with open(f"{root}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return {
+        "removed": int(sum(per_cluster.values())),
+        "affected_clusters": affected,
+        "meta_version": meta["version"],
+    }
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    root: str,
+    n_iters: int = 2,
+    min_balance: float | None = None,
+) -> dict:
+    """Re-cluster a drifted index in place: run Lloyd iterations seeded
+    from the STORED centroids over the stored quantized vectors (the
+    same integer-exact update as `kmeans_codebook` — FLOOR over IEEE
+    division of exact longs — but with no id-based seeding, so it works
+    on any surviving id set after deletes), reassign every vector, and
+    rewrite the cluster layout. The PQ codebook is intentionally kept:
+    ADC distances depend only on (codes, codebook), so a full-probe
+    search returns bit-identical results before and after compaction —
+    compaction changes WHERE vectors live (directory pruning quality),
+    never what they score (pinned in tests).
+
+    min_balance: when set, compact only if the current balance factor
+    (max cluster / mean cluster, `ann_index_stats`) exceeds it;
+    otherwise return with {"compacted": False}. Writes to a temp layout
+    and swaps, so a crashed compaction never leaves a half-written
+    index. Bumps the meta version and stores the retrained centroids."""
+    if not os.path.exists(f"{root}/meta.json"):
+        raise ValueError(f"no ANN index at {root}; build_ann_index first")
+    meta = load_ann_meta(root)
+    if min_balance is not None:
+        bal_row = (
+            spark.read.option("basePath", f"{root}/vectors")
+            .parquet(f"{root}/vectors")
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                (
+                    F.max("n").cast("double") / (F.sum("n") / F.count(F.lit(1)))
+                ).alias("balance")
+            )
+            .collect()[0]
+        )
+        if bal_row["balance"] <= min_balance:
+            return {
+                "compacted": False,
+                "balance_factor": float(bal_row["balance"]),
+                "meta_version": int(meta.get("version", 1)),
+            }
+
+    vectors = spark.read.option("basePath", f"{root}/vectors").parquet(
+        f"{root}/vectors"
+    )
+    cents = [(i, list(v)) for i, v in enumerate(meta["centroids"])]
+    for _ in range(n_iters):
+        assigned = vectors.select(
+            _int_l2_argmin(cents, "quantized").alias("__c"), "quantized"
+        ).select("__c", F.posexplode("quantized").alias("pos", "val"))
+        stats = (
+            assigned.groupBy("__c", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in stats:
+            by_cluster.setdefault(int(r["__c"]), {})[int(r["pos"])] = int(
+                math.floor(r["s"] / r["c"])
+            )
+        cents = [
+            (
+                cid,
+                [by_cluster[cid][p] for p in range(len(old))]
+                if cid in by_cluster
+                else old,
+            )
+            for cid, old in cents
+        ]
+
+    recoded = vectors.drop("cluster").withColumn(
+        "cluster", _int_l2_argmin(cents, "quantized")
+    )
+    tmp = f"{root}/vectors__compacting"
+    import shutil
+
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    recoded.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    old_dir = f"{root}/vectors__old"
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
+    os.rename(f"{root}/vectors", old_dir)
+    os.rename(tmp, f"{root}/vectors")
+    shutil.rmtree(old_dir)
+
+    meta["centroids"] = [[int(x) for x in cv] for _, cv in cents]
+    meta["version"] = int(meta.get("version", 1)) + 1
+    meta["codebook_source"] = "compacted"
+    with open(f"{root}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return {"compacted": True, "meta_version": meta["version"]}

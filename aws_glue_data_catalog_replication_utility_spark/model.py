@@ -19,8 +19,11 @@ Design decisions (vs the reference):
 from __future__ import annotations
 
 import datetime as _dt
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import types as T
+
+from .functions._exprcache import register_cache as _register_cache
 
 # ---------------------------------------------------------------------------
 # core structs
@@ -335,6 +338,17 @@ def empty_catalog(spark):
     )
 
 
+def _synthetic_columns(catalog_id: str):
+    """The select-list column sets of `synthetic_catalog`, memoized per
+    catalog_id (n_dbs only parameterizes the spark.range sources, never
+    these Columns): building them costs a few hundred Py4J round trips,
+    which a repeated pipeline benchmark should pay once."""
+    from .functions._exprcache import check_context
+
+    check_context()
+    return _synthetic_columns_cached(catalog_id)
+
+
 def synthetic_catalog(spark, catalog_id: str = "123412341234", n_dbs: int = 24):
     """Spark-native catalog generator: same shape as `sample_catalog`
     (prefix cycle, per-table partition counts (0,3,10,11,31) straddling
@@ -343,6 +357,27 @@ def synthetic_catalog(spark, catalog_id: str = "123412341234", n_dbs: int = 24):
     as distributed as processing one. Used by the pipeline benchmark
     (q34) so the measurement is engine time, not driver materialization.
     """
+    from pyspark.sql import functions as F
+
+    db_cols, tbl_key_cols, tbl_cols, part_key_cols, part_cols = _synthetic_columns(
+        catalog_id
+    )
+
+    # partition counts sized to the data, not the cluster default — a
+    # 24-row relation on 32 tasks is pure scheduling overhead; scales up
+    # with n_dbs for genuinely large generated catalogs
+    par = max(1, n_dbs // 12)
+    dbs = spark.range(0, n_dbs, 1, par).select(*db_cols)
+    tables = spark.range(0, n_dbs * 5, 1, par).select(*tbl_key_cols).select(*tbl_cols)
+    partitions = (
+        tables.where(F.col("__n_parts") > 0)
+        .select(*part_key_cols)
+        .select(*part_cols)
+    )
+    return dbs, tables.drop("__n_parts"), partitions
+
+
+def _synthetic_columns_build(catalog_id: str):
     from pyspark.sql import functions as F
 
     prefixes = F.array(
@@ -378,11 +413,7 @@ def synthetic_catalog(spark, catalog_id: str = "123412341234", n_dbs: int = 24):
             F.lit(False).alias("stored_as_sub_directories"),
         )
 
-    # partition counts sized to the data, not the cluster default — a
-    # 24-row relation on 32 tasks is pure scheduling overhead; scales up
-    # with n_dbs for genuinely large generated catalogs
-    par = max(1, n_dbs // 12)
-    dbs = spark.range(0, n_dbs, 1, par).select(
+    db_cols = (
         F.lit(catalog_id).alias("catalog_id"),
         F.concat(
             F.element_at(prefixes, (F.col("id") % 4 + 1).cast("int")),
@@ -399,10 +430,11 @@ def synthetic_catalog(spark, catalog_id: str = "123412341234", n_dbs: int = 24):
         ts0.alias("create_time"),
     )
 
-    tables = spark.range(0, n_dbs * 5, 1, par).select(
+    tbl_key_cols = (
         (F.col("id") / 5).cast("long").alias("__db"),
         (F.col("id") % 5).cast("int").alias("__j"),
-    ).select(
+    )
+    tbl_cols = (
         F.lit(catalog_id).alias("catalog_id"),
         F.concat(
             F.element_at(prefixes, (F.col("__db") % 4 + 1).cast("int")),
@@ -439,35 +471,36 @@ def synthetic_catalog(spark, catalog_id: str = "123412341234", n_dbs: int = 24):
         F.element_at(parts_per_table, F.col("__j") + 1).alias("__n_parts"),
     )
 
-    partitions = (
-        tables.where(F.col("__n_parts") > 0)
-        .select(
-            "catalog_id",
-            "database_name",
-            F.col("name").alias("table_name"),
-            F.explode(F.sequence(F.lit(1), F.col("__n_parts"))).alias("__p"),
-        )
-        .select(
-            "catalog_id",
-            "database_name",
-            "table_name",
-            F.array(
-                F.lit("2024"), F.lit("01"), F.lpad(F.col("__p").cast("string"), 2, "0")
-            ).alias("values"),
-            ts0.alias("creation_time"),
-            ts0.alias("last_access_time"),
-            sd(
-                F.concat(
-                    F.lit("s3://bucket/"),
-                    F.col("database_name"),
-                    F.lit("/"),
-                    F.col("table_name"),
-                    F.lit("/2024/01/"),
-                    F.lpad(F.col("__p").cast("string"), 2, "0"),
-                    F.lit("/"),
-                )
-            ).alias("storage_descriptor"),
-            F.create_map().cast("map<string,string>").alias("parameters"),
-        )
+    part_key_cols = (
+        F.col("catalog_id"),
+        F.col("database_name"),
+        F.col("name").alias("table_name"),
+        F.explode(F.sequence(F.lit(1), F.col("__n_parts"))).alias("__p"),
     )
-    return dbs, tables.drop("__n_parts"), partitions
+    part_cols = (
+        F.col("catalog_id"),
+        F.col("database_name"),
+        F.col("table_name"),
+        F.array(
+            F.lit("2024"), F.lit("01"), F.lpad(F.col("__p").cast("string"), 2, "0")
+        ).alias("values"),
+        ts0.alias("creation_time"),
+        ts0.alias("last_access_time"),
+        sd(
+            F.concat(
+                F.lit("s3://bucket/"),
+                F.col("database_name"),
+                F.lit("/"),
+                F.col("table_name"),
+                F.lit("/2024/01/"),
+                F.lpad(F.col("__p").cast("string"), 2, "0"),
+                F.lit("/"),
+            )
+        ).alias("storage_descriptor"),
+        F.create_map().cast("map<string,string>").alias("parameters"),
+    )
+    return db_cols, tbl_key_cols, tbl_cols, part_key_cols, part_cols
+
+
+_synthetic_columns_cached = _lru_cache(maxsize=8)(_synthetic_columns_build)
+_register_cache(_synthetic_columns_cached.cache_clear)

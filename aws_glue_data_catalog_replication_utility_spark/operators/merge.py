@@ -90,34 +90,36 @@ def _tagged(df: DataFrame, tag: str) -> DataFrame:
     return df.select(F.lit(True).alias(tag), "*")
 
 
-def merge_outcomes(
-    source: DataFrame,
-    target: DataFrame,
-    keys: Sequence[str],
-    compare_cols: Sequence[str] | None = None,
-) -> DataFrame:
-    """Full-outer join source/target; returns one row per key with
-    `merge_action` ∈ {create, update, skip, keep} plus the source columns
-    (for create/update/skip) or target columns (for keep).
+@lru_cache(maxsize=64)
+def _merge_select(
+    src_schema_json: str,
+    tgt_schema_json: str,
+    keys: tuple[str, ...],
+    compare: tuple[str, ...] | None,
+) -> tuple[Column, ...]:
+    """The full output select list of `merge_outcomes` — keys, payload
+    columns, and the action column — memoized per (schemas, keys,
+    compare set). Every Column here references only the fixed `s.`/`t.`
+    aliases, so the list is plan-independent; building it costs hundreds
+    of Py4J round-trips (the canonical rewrites over storage_descriptor
+    alone are ~200 calls, and this box measures multiple ms per call),
+    which a repeated pipeline (bench runs, fan-out targets, streaming
+    micro-batches) should pay once per process, not per call."""
+    src_schema = T._parse_datatype_json_string(src_schema_json)
+    tgt_schema = T._parse_datatype_json_string(tgt_schema_json)
+    keys_l = list(keys)
+    src_cols = [f.name for f in src_schema.fields if f.name not in keys_l]
+    tgt_cols = [f.name for f in tgt_schema.fields if f.name not in keys_l]
+    compare_cols = (
+        list(compare)
+        if compare is not None
+        else [c for c in src_cols if c in set(tgt_cols)]
+    )
 
-    compare_cols: columns whose inequality means 'update'; defaults to all
-    non-key source columns present on both sides.
-    """
-    keys = list(keys)
-    src_cols = [c for c in source.columns if c not in keys]
-    tgt_cols = [c for c in target.columns if c not in keys]
-    if compare_cols is None:
-        compare_cols = [c for c in src_cols if c in set(tgt_cols)]
-
-    # presence flags must not depend on nullable payload columns: use a
-    # sentinel column per side
-    s = source.withColumn("__src", F.lit(True)).alias("s")
-    t = target.withColumn("__tgt", F.lit(True)).alias("t")
-    joined = s.join(t, on=keys, how="full_outer")
     in_src = F.col("s.__src").isNotNull()
     in_tgt = F.col("t.__tgt").isNotNull()
 
-    src_types = {f.name: f.dataType for f in source.schema.fields}
+    src_types = {f.name: f.dataType for f in src_schema.fields}
     changed = F.lit(False)
     for c in compare_cols:
         # null-safe inequality; map-bearing columns compare via their
@@ -125,7 +127,6 @@ def merge_outcomes(
         dt = src_types[c]
         if _contains_map(dt):
             dj = dt.json()
-            check_context()  # cached Columns die with their SparkContext
             lhs = _canonical_named(f"s.{c}", dj)
             rhs = _canonical_named(f"t.{c}", dj)
         else:
@@ -141,7 +142,7 @@ def merge_outcomes(
 
     # output the surviving row: source wins for create/update/skip,
     # target for keep
-    out_cols = [F.col(k).alias(k) for k in keys]
+    out_cols = [F.col(k).alias(k) for k in keys_l]
     payload_cols = []
     for c in src_cols:
         if c == "__src":
@@ -156,7 +157,36 @@ def merge_outcomes(
         if c != "__tgt" and c not in set(src_cols):
             payload_cols.append(F.col(f"t.{c}").alias(c))
 
-    return joined.select(*out_cols, *payload_cols, action.alias(ACTION_COL))
+    return tuple(out_cols + payload_cols + [action.alias(ACTION_COL)])
+
+
+def merge_outcomes(
+    source: DataFrame,
+    target: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Full-outer join source/target; returns one row per key with
+    `merge_action` ∈ {create, update, skip, keep} plus the source columns
+    (for create/update/skip) or target columns (for keep).
+
+    compare_cols: columns whose inequality means 'update'; defaults to all
+    non-key source columns present on both sides.
+    """
+    check_context()  # cached Columns die with their SparkContext
+    select_list = _merge_select(
+        source.schema.json(),
+        target.schema.json(),
+        tuple(keys),
+        tuple(compare_cols) if compare_cols is not None else None,
+    )
+
+    # presence flags must not depend on nullable payload columns: use a
+    # sentinel column per side
+    s = source.withColumn("__src", F.lit(True)).alias("s")
+    t = target.withColumn("__tgt", F.lit(True)).alias("t")
+    joined = s.join(t, on=list(keys), how="full_outer")
+    return joined.select(*select_list)
 
 
 def apply_merge(
@@ -172,3 +202,4 @@ def apply_merge(
 
 
 register_cache(_canonical_named.cache_clear)
+register_cache(_merge_select.cache_clear)

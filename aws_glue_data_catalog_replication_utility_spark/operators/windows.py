@@ -12,8 +12,34 @@ map-side) over the window sort.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import lru_cache
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions._exprcache import check_context, register_cache
+
+
+@lru_cache(maxsize=256)
+def _rank_col(
+    keys: tuple[str, ...],
+    order_col: str,
+    tiebreak: tuple[str, ...],
+    desc: bool,
+    tiebreak_desc: bool,
+) -> Column:
+    """row_number over the (keys, ordering) window, memoized: the window
+    spec + rank Column reference only column names, so they are
+    plan-independent, and the import pipeline calls latest_by with the
+    same handful of key sets on every batch."""
+    ordering = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
+    ordering += [
+        F.col(c).desc() if tiebreak_desc else F.col(c).asc() for c in tiebreak
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ordering)
+    return F.row_number().over(w)
+
+
+register_cache(_rank_col.cache_clear)
 
 
 def latest_by(
@@ -32,13 +58,10 @@ def latest_by(
     order column; None (default) follows `desc`."""
     if tiebreak_desc is None:
         tiebreak_desc = desc
-    ordering = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
-    ordering += [
-        F.col(c).desc() if tiebreak_desc else F.col(c).asc() for c in tiebreak
-    ]
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ordering)
+    check_context()
+    rn = _rank_col(tuple(keys), order_col, tuple(tiebreak), desc, tiebreak_desc)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__rn", rn)
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )

@@ -18,10 +18,13 @@ execution of one plan.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyspark.sql import types as T
 
+from ..functions._exprcache import check_context, register_cache
 from ..model import STORAGE_DESCRIPTOR
 from ..operators.routing import DEFAULT_PARTITION_THRESHOLD, threshold_route
 from ..sources.ndjson import write_partitions_ndjson
@@ -42,10 +45,13 @@ _INLINE_PARTITION_LIST_TYPE = T.ArrayType(
 )
 
 
+@lru_cache(maxsize=1)
 def _table_struct() -> F.Column:
     """The replicated table projection: TableInput fields
     (GlueUtil.java:175-192 — createdBy / createTime / updateTime are
-    NOT replicated; table-level parameters win, :183-190)."""
+    NOT replicated; table-level parameters win, :183-190). Memoized —
+    plan-independent, consumed by several export towers per call
+    (callers go through export_catalog, which runs check_context)."""
     return F.struct(
         "database_name",  # needed for addressing on the import side
         "name",
@@ -62,9 +68,14 @@ def _table_struct() -> F.Column:
     )
 
 
+@lru_cache(maxsize=1)
 def _partition_struct() -> F.Column:
     """PartitionInput projection + addressing (GlueUtil.java:407-413)."""
     return F.struct("database_name", "table_name", "values", "storage_descriptor")
+
+
+register_cache(_table_struct.cache_clear)
+register_cache(_partition_struct.cache_clear)
 
 
 def export_catalog(
@@ -111,6 +122,7 @@ def export_catalog(
     have executed). Without it the cache entry lives until session end —
     fine for a one-shot batch job, a leak in a long-lived loop (ADVICE
     r04)."""
+    check_context()  # memoized struct Columns die with their SparkContext
     requested = db_messages.select(
         F.get_json_object("payload", "$.name").alias("database_name"),
         F.col("source_catalog_id").alias("catalog_id"),

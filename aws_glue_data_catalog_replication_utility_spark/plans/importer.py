@@ -519,8 +519,13 @@ def parse_events(
         # so a full checkpoint would only buy an extra copy job; and a
         # lazy persist measured WORSE — the first consumer's one-pass
         # plan over the uncached window is costlier than the dedicated
-        # fill job)
-        enriched = enriched.persist()
+        # fill job). coalesce(4) first: the window shuffle leaves
+        # shuffle.partitions-many slices of a metadata-sized relation,
+        # and every downstream consumer then schedules that many tasks
+        # per scan — pure overhead at event-batch size (the streaming /
+        # huge-batch path sizes partitions upstream via the events
+        # relation itself)
+        enriched = enriched.coalesce(4).persist()
         if enriched_fill == "async":
             from ..concurrency import run_overlapped
 
@@ -696,6 +701,8 @@ def import_events_fanout(
     run_id: int = 0,
     truncate_lineage: bool = True,
     parsed: ParsedEvents | None = None,
+    on_error: str = "raise",
+    errors_out: dict | None = None,
 ) -> dict[str, ImportResult]:
     """ONE event set -> N target catalogs in ONE run — the reference's
     core deployment shape (README.md:173-188: every target account
@@ -711,10 +718,32 @@ def import_events_fanout(
     `fanout_db_audit` give the cross-target correlation view of one
     run.
 
+    FAILURE SEMANTICS — per-target independence, the reference's own
+    contract (each target account's import stack consumes the shared
+    topic independently; one account failing never blocks or rolls
+    back another, README.md:173-188). The fan-out builds LAZY plans, so
+    nothing has committed when it returns; a caller that then executes
+    target A's writes before target B's fails has A committed and B not
+    — exactly as N independent import runs would, with each target's
+    audit plane (keyed target_glue_catalog_id) recording which targets
+    committed what. There is deliberately NO all-or-nothing mode across
+    targets: the planes are separate catalogs with separate writers.
+    Within one target, partition-scoped commits give the same batch
+    atomicity as `import_events`.
+
+    on_error: 'raise' (default) re-raises the first per-target
+    plan-build failure at the join barrier (no partial dict escapes);
+    'continue' returns the healthy targets' results and records the
+    failed targets in `errors_out` ({target_id: exception}) — the
+    degraded-fleet shape where one misconfigured target must not stop
+    the other N-1 accounts from replicating.
+
     A caller that already parsed the SAME event set (e.g. to build a
     bootstrap target it now fans out against, q55's shape) passes it as
     `parsed` — the fan-out then reuses that materialization instead of
     re-running the parse towers; `events` is ignored in that case."""
+    if on_error not in ("raise", "continue"):
+        raise ValueError(f"on_error must be 'raise' or 'continue', got {on_error!r}")
     if parsed is None:
         parsed = parse_events(
             spark, events, side_channel_path, truncate_lineage=truncate_lineage
@@ -737,13 +766,35 @@ def import_events_fanout(
         for tid, (d, t, p) in items[1:]
     }
     results: dict[str, ImportResult] = {}
+    errors: dict[str, BaseException] = {}
     for tid, (d, t, p) in items[:1]:
-        results[tid] = _apply_parsed(
-            parsed, d, t, p, target_catalog_id=tid, run_id=run_id
-        )
+        try:
+            results[tid] = _apply_parsed(
+                parsed, d, t, p, target_catalog_id=tid, run_id=run_id
+            )
+        except BaseException as e:
+            if on_error == "raise":
+                # drain the side threads before propagating so no tower
+                # build outlives the call
+                for task in tasks.values():
+                    try:
+                        task.join()
+                    except BaseException:
+                        pass
+                raise
+            errors[tid] = e
     for tid, task in tasks.items():
-        results[tid] = task.join()
-    results = {tid: results[tid] for tid, _ in items}  # caller's order
+        try:
+            results[tid] = task.join()
+        except BaseException as e:
+            if on_error == "raise":
+                raise
+            errors[tid] = e
+    if errors_out is not None:
+        errors_out.update(errors)
+    results = {
+        tid: results[tid] for tid, _ in items if tid in results
+    }  # caller's order
     # every result shares the ONE parsed materialization; release() is
     # idempotent, so releasing any (or all) of them is safe once every
     # target's plans have executed

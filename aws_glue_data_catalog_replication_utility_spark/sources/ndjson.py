@@ -30,9 +30,15 @@ def write_partitions_ndjson(parts: DataFrame, path: str) -> None:
     merge their partition lists. Repartitioned on the dir key first so
     each table writes ONE object — the reference's one-S3-object-per-
     table layout (ExportLargeTable.java:97-104) — instead of one shard
-    per upstream task per table."""
+    per upstream task per table. The partition count is EXPLICIT:
+    a bare repartition(cols) lets AQE coalesce the metadata-sized
+    shuffle into one task, serializing every table's to_json behind a
+    single core (measured 0.8s on the q34 critical path); pinning it to
+    the session default keeps the per-table writes parallel while still
+    hashing each table to exactly one task."""
+    n = max(parts.sparkSession.sparkContext.defaultParallelism, 1)
     (
-        parts.repartition(*[F.col(c) for c in PARTITION_DIR_COLS])
+        parts.repartition(n, *[F.col(c) for c in PARTITION_DIR_COLS])
         .write.mode("overwrite")
         .partitionBy(*PARTITION_DIR_COLS)
         .json(path)

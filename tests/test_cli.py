@@ -275,6 +275,41 @@ def test_cli_index_append(spark, tmp_path):
     assert a == b
 
 
+def test_cli_index_delete_and_compact(spark, tmp_path):
+    """index-delete + index-compact end to end: delete by --ids, verify
+    the rows are gone and the version bumped, then compact and check
+    full-probe search still returns the surviving neighbors."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        load_ann_meta,
+        search_ann_index,
+    )
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    root = str(tmp_path / "idx")
+    assert cli_main(["index", "--embeddings", emb_path, "--index-root", root,
+                     "--n-clusters", "4"]) == 0
+    assert cli_main(["index-delete", "--index-root", root,
+                     "--ids", "40,41,42"]) == 0
+    assert load_ann_meta(root)["version"] == 2
+    left = spark.read.option("basePath", f"{root}/vectors").parquet(
+        f"{root}/vectors"
+    )
+    assert left.where(F.col("vec_id").isin(40, 41, 42)).count() == 0
+
+    assert cli_main(["index-compact", "--index-root", root]) == 0
+    assert load_ann_meta(root)["version"] == 3
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = search_ann_index(spark, root, queries, k=4, nprobe=4).collect()
+    assert {r.query_id for r in hits} == {0, 1, 2}
+    assert not {r.vec_id for r in hits} & {40, 41, 42}
+
+
 def test_bench_compare_sentinel_normalization(tmp_path, capsys):
     """tools/bench_compare: with sentinels on both sides the box drift
     divides out (a uniform 2x slowdown with a 2x sentinel reads as norm

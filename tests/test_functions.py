@@ -1172,6 +1172,145 @@ def test_adc_lut_lane_matches_literal_lane_bit_for_bit(spark, tmp_path):
     assert sorted(map(tuple, auto.collect())) == lit_s
 
 
+def _dir_file_hashes(path):
+    import hashlib, os
+
+    out = {}
+    for base, _, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(base, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, path)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_ann_index_delete_matches_rebuild(spark, tmp_path):
+    """delete_from_ann_index (VERDICT r06 #3): removing ids rewrites
+    ONLY the affected cluster directories (untouched dirs stay
+    byte-identical), search after delete equals search on an index
+    rebuilt without those ids bit-for-bit, verify stays green, the
+    version bumps, and a repeated delete is a no-op."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+        load_ann_meta,
+        search_ann_index,
+        verify_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "idx")
+    build_ann_index(spark, emb, root, n_clusters=4, m=4, k=8)
+
+    vec = spark.read.option("basePath", f"{root}/vectors").parquet(f"{root}/vectors")
+    by_cluster = {
+        int(r["cluster"]): int(r["n"])
+        for r in vec.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # delete ids > 20 from ONE cluster so at least one other cluster is
+    # untouched (seed ids 0..7 must survive for the rebuild twin)
+    target_cluster = max(by_cluster, key=by_cluster.get)
+    doomed = sorted(
+        r[0]
+        for r in vec.where(
+            (F.col("cluster") == target_cluster) & (F.col("vec_id") > 20)
+        )
+        .select("vec_id")
+        .collect()
+    )[:10]
+    assert doomed, "fixture must have deletable ids in the biggest cluster"
+    untouched = [c for c in by_cluster if c != target_cluster]
+    before = {
+        c: _dir_file_hashes(f"{root}/vectors/cluster={c}") for c in untouched
+    }
+
+    res = delete_from_ann_index(spark, root, doomed)
+    assert res["removed"] == len(doomed)
+    assert res["affected_clusters"] == [target_cluster]
+    assert res["meta_version"] == 2
+    verify_ann_index(spark, root)
+    for c in untouched:
+        assert _dir_file_hashes(f"{root}/vectors/cluster={c}") == before[c], c
+
+    # rebuild twin without the deleted ids
+    emb2 = emb.where(~F.col("vec_id").isin(doomed))
+    root2 = str(tmp_path / "idx2")
+    build_ann_index(spark, emb2, root2, n_clusters=4, m=4, k=8)
+    queries = emb2.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(tuple, search_ann_index(spark, root, queries, k=5, nprobe=4).collect())
+    )
+    want = sorted(
+        map(tuple, search_ann_index(spark, root2, queries, k=5, nprobe=4).collect())
+    )
+    assert got == want and len(got) == 6 * 5
+
+    # idempotent: deleting the same ids again removes nothing
+    res2 = delete_from_ann_index(spark, root, doomed)
+    assert res2["removed"] == 0 and res2["meta_version"] == 2
+
+    # empty out a whole cluster -> its directory disappears
+    all_in = [
+        r[0]
+        for r in spark.read.option("basePath", f"{root}/vectors")
+        .parquet(f"{root}/vectors")
+        .where(F.col("cluster") == target_cluster)
+        .select("vec_id")
+        .collect()
+    ]
+    res3 = delete_from_ann_index(spark, root, all_in)
+    assert res3["removed"] == len(all_in)
+    import os
+
+    assert not os.path.exists(f"{root}/vectors/cluster={target_cluster}")
+    verify_ann_index(spark, root)
+
+
+def test_ann_index_compact_preserves_full_probe_search(spark, tmp_path):
+    """compact_ann_index: re-clustering (Lloyd from the stored
+    centroids) changes WHERE vectors live, never what they score —
+    full-probe search is bit-identical before and after; verify stays
+    green; the version bumps; min_balance gates a no-op path."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        compact_ann_index,
+        load_ann_meta,
+        search_ann_index,
+        verify_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "idx")
+    build_ann_index(spark, emb, root, n_clusters=4, m=4, k=8)
+    queries = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = sorted(
+        map(tuple, search_ann_index(spark, root, queries, k=5, nprobe=4).collect())
+    )
+
+    skip = compact_ann_index(spark, root, min_balance=1e9)
+    assert skip["compacted"] is False and skip["meta_version"] == 1
+
+    res = compact_ann_index(spark, root, n_iters=2)
+    assert res["compacted"] is True and res["meta_version"] == 2
+    meta = load_ann_meta(root)
+    assert meta["codebook_source"] == "compacted"
+    verify_ann_index(spark, root)
+    after = sorted(
+        map(tuple, search_ann_index(spark, root, queries, k=5, nprobe=4).collect())
+    )
+    assert after == before
+
+
 def test_search_ann_index_lut_lane_64bit_ids(spark, tmp_path):
     """64-bit ids must work on EVERY lane (ADVICE r06): the broadcast-LUT
     probe relation declared query_id as int, so ids above 2^31 failed at

@@ -727,3 +727,68 @@ def test_multi_target_fanout(spark, tmp_path):
         created = res2.table_import_audit.where(F.col("table_created")).count()
         updated = res2.table_import_audit.where(F.col("table_updated")).count()
         assert created == 0 and updated == 0
+
+
+def test_fanout_target_failure_semantics(spark, tmp_path):
+    """Per-target independence under failure (VERDICT r06 #7): a target
+    whose snapshot cannot build its towers (merge key column missing)
+    (a) on_error='raise' propagates and NO partial result dict escapes,
+    (b) on_error='continue' returns the healthy targets — which then
+    execute and audit normally — and records the broken target in
+    errors_out; the combined audit shows exactly which targets
+    committed (the reference's cross-account contract: one account
+    failing never blocks another, README.md:173-188)."""
+    import pytest
+
+    from aws_glue_data_catalog_replication_utility_spark.plans.importer import (
+        fanout_table_audit,
+        import_events_fanout,
+    )
+
+    side = str(tmp_path / "side")
+    src_dbs, src_tables, src_parts = sample_catalog(spark)
+    msgs, _ = plan_replication(
+        src_dbs, prefix_string="raw_data_,processed_data_", batch_id="b1"
+    )
+    tbl_msgs, _ = export_catalog(
+        spark, msgs, src_tables, src_parts, threshold=10, batch_id="b1",
+        side_channel_path=side,
+    )
+    events = msgs.unionByName(tbl_msgs)
+
+    d_ok, t_ok, p_ok = empty_catalog(spark)
+    d2, t2, p2 = empty_catalog(spark)
+    broken = (d2, t2.drop("name"), p2)  # no merge key -> tower build fails
+
+    with pytest.raises(Exception):
+        import_events_fanout(
+            spark, events,
+            {"111111111111": (d_ok, t_ok, p_ok), "222222222222": broken},
+            side_channel_path=side,
+        )
+
+    errors: dict = {}
+    results = import_events_fanout(
+        spark, events,
+        {"111111111111": (d_ok, t_ok, p_ok), "222222222222": broken},
+        side_channel_path=side, on_error="continue", errors_out=errors,
+    )
+    assert set(results) == {"111111111111"}
+    assert set(errors) == {"222222222222"}
+    expected_tables = src_tables.where(
+        F.col("database_name").isin("raw_data_db0", "processed_data_db1")
+    ).count()
+    # the healthy target applies and audits normally
+    assert results["111111111111"].tables.count() == expected_tables
+    audit = fanout_table_audit(results)
+    per_target = {
+        r.target_glue_catalog_id
+        for r in audit.select("target_glue_catalog_id").distinct().collect()
+    }
+    assert per_target == {"111111111111"}
+    # invalid on_error rejected
+    with pytest.raises(ValueError, match="on_error"):
+        import_events_fanout(
+            spark, events, {"1": (d_ok, t_ok, p_ok)},
+            side_channel_path=side, on_error="rollback",
+        )
