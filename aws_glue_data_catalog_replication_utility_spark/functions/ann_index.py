@@ -43,6 +43,30 @@ from .similarity import (
 )
 
 
+def _quantize_with_embedding(
+    embeddings: DataFrame, id_col: str, vec_col: str, levels: int
+) -> DataFrame:
+    """quantize_embeddings' exact projection PLUS the float embedding
+    column carried through — build/append need both, and carrying the
+    column through one projection beats joining the quantized lane back
+    to its own source (the join was a full self-shuffle of the corpus;
+    this is map-only). The quantization expressions are identical to
+    `quantize_embeddings` (floor, zero-scale guard), so seeds collected
+    here match the oracle-pinned lane bit-for-bit."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x * float(levels) / scale).cast("int"))
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.size(v).alias("n_dims"),
+        scale.alias("scale"),
+        q.alias("quantized"),
+        F.col(vec_col).alias("embedding"),
+    )
+
+
 def build_ann_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -60,7 +84,13 @@ def build_ann_index(
     map-side projections (quantize -> cluster argmin -> PQ codes, all
     literal-folded, zero exchanges) plus the partitioned write's
     shuffle-free fan-out into cluster directories."""
-    qz = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col, levels=levels)
+    from .dedup import ensure_min_parallelism
+
+    # split guard: a single-row-group local parquet file would serialize
+    # the whole quantize+code projection onto one task; no-op on real
+    # multi-file input
+    embeddings = ensure_min_parallelism(embeddings)
+    qz = _quantize_with_embedding(embeddings, id_col, vec_col, levels)
     if codebook == "kmeans":
         cents, _ = kmeans_codebook(
             embeddings, n_clusters=n_clusters, n_iters=kmeans_iters,
@@ -84,7 +114,7 @@ def build_ann_index(
         for j in range(m)
     ]
 
-    vectors = _index_rows(qz, embeddings, cents, pq_book, m, sub, k, id_col, vec_col)
+    vectors = _index_rows(qz, cents, pq_book, m, sub, k)
     vectors.write.mode("overwrite").partitionBy("cluster").parquet(f"{root}/vectors")
 
     meta = {
@@ -107,27 +137,19 @@ def build_ann_index(
 
 def _index_rows(
     qz: DataFrame,
-    embeddings: DataFrame,
     cents,
     pq_book,
     m: int,
     sub: int,
     k: int,
-    id_col: str,
-    vec_col: str,
 ) -> DataFrame:
     """The index-row projection shared by build and append: quantized
-    row -> coarse cluster (integer-L2 argmin over the centroid
-    literals) -> PQ codes (argmin over the codebook literals), joined
-    back to the float embedding for the rerank lane. All map-side,
-    zero exchanges."""
-    return (
-        qz.join(
-            embeddings.select(F.col(id_col), F.col(vec_col).alias("embedding")),
-            on=id_col,
-        )
-        .withColumn("cluster", _int_l2_argmin(cents, "quantized"))
-        .withColumn("codes", F.array(*_pq_code_cols(pq_book, m, sub, k)))
+    row (embedding carried through by `_quantize_with_embedding` — no
+    join back to the source) -> coarse cluster (integer-L2 argmin over
+    the centroid literals) -> PQ codes (argmin over the codebook
+    literals). All map-side, zero exchanges."""
+    return qz.withColumn("cluster", _int_l2_argmin(cents, "quantized")).withColumn(
+        "codes", F.array(*_pq_code_cols(pq_book, m, sub, k))
     )
 
 
@@ -172,13 +194,14 @@ def append_to_ann_index(
             f"appended vectors must have dim={meta['dim']} to match the "
             f"stored centroids/codebook"
         )
+    from .dedup import ensure_min_parallelism
+
     cents = [(i, v) for i, v in enumerate(meta["centroids"])]
-    qz = quantize_embeddings(
-        embeddings, id_col=id_col, vec_col=vec_col, levels=meta["levels"]
+    qz = _quantize_with_embedding(
+        ensure_min_parallelism(embeddings), id_col, vec_col, meta["levels"]
     )
     rows = _index_rows(
-        qz, embeddings, cents, meta["pq_codebook"], meta["m"], meta["sub"],
-        meta["k"], id_col, vec_col,
+        qz, cents, meta["pq_codebook"], meta["m"], meta["sub"], meta["k"]
     )
     rows.write.mode("append").partitionBy("cluster").parquet(f"{root}/vectors")
     meta["version"] = int(meta.get("version", 1)) + 1
@@ -249,26 +272,31 @@ def search_ann_index_df(
     qz = quantize_embeddings(
         queries, id_col=query_id_col, vec_col=vec_col, levels=levels
     )
-    qv = F.col("quantized")
-    cent_scores = F.array(
-        *[
-            F.struct(_int_l2_lit(qv, cv).alias("d"), F.lit(cid).alias("c"))
-            for cid, cv in enumerate(cents)
-        ]
+    # expr-text fast path (same functions as the Column form, parsed
+    # JVM-side in one call — the per-literal build cost seconds per
+    # call for a config-sized codebook)
+    from .similarity import _sql_int_l2
+
+    cent_structs = ",".join(
+        f"named_struct('d', {_sql_int_l2('quantized', cv)}, 'c', {cid})"
+        for cid, cv in enumerate(cents)
     )
+    cent_scores = F.expr(f"array({cent_structs})")
     probe = F.transform(
         F.slice(F.array_sort(cent_scores), 1, max(1, nprobe)), lambda s: s["c"]
     )
-    luts = F.array(
-        *[
-            F.array(
-                *[
-                    _int_l2_lit(F.slice(qv, j * sub + 1, sub), book[j][c])
-                    for c in range(meta["k"])
-                ]
+    luts = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                _sql_int_l2(f"slice(quantized, {j * sub + 1}, {sub})", book[j][c])
+                for c in range(meta["k"])
             )
+            + ")"
             for j in range(m)
-        ]
+        )
+        + ")"
     )
     q_rel = qz.select(
         F.col(query_id_col).alias("query_id"),

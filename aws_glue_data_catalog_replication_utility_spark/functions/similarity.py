@@ -462,30 +462,53 @@ def _pq_code_cols(codebook, m: int, sub: int, n_codewords: int) -> list[Column]:
     )
 
 
+def _sql_int_array(vals) -> str:
+    """SQL literal text for an int array — part of the expr-text fast
+    path below (one JVM parse instead of one Py4J round-trip per
+    literal; the Column-builder equivalent costs seconds for a
+    config-sized codebook on a multi-ms-per-call gateway)."""
+    return "array(" + ",".join(str(int(x)) for x in vals) + ")"
+
+
+def _sql_int_l2(vec_sql: str, lit_vals) -> str:
+    """Integer squared-L2 between a vector expression and a literal
+    array, as SQL text — the same zip_with + BIGINT-accumulator
+    aggregate as the Column form, so results are bit-identical."""
+    return (
+        "aggregate(zip_with("
+        + vec_sql
+        + ", "
+        + _sql_int_array(lit_vals)
+        + ", (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def _sql_neg_l2_struct(vec_sql: str, lit_vals, neg_id: int) -> str:
+    """named_struct('negdist', -<integer L2>, 'negc', -<id>) as SQL text
+    — byte-for-byte the same function calls as the Column form, so the
+    argmin is bit-identical; only the construction path differs."""
+    return (
+        "named_struct('negdist', -"
+        + _sql_int_l2(vec_sql, lit_vals)
+        + ", 'negc', "
+        + str(-int(neg_id))
+        + ")"
+    )
+
+
 def _pq_code_cols_build(codebook, m: int, sub: int, n_codewords: int) -> list[Column]:
-    qv = F.col("quantized")
     code_cols = []
     for j in range(m):
-        cands = F.array(
-            *[
-                F.struct(
-                    (
-                        -F.aggregate(
-                            F.zip_with(
-                                F.slice(qv, j * sub + 1, sub),
-                                F.array(*[F.lit(int(x)) for x in codebook[j][c]]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        )
-                    ).alias("negdist"),
-                    F.lit(-c).alias("negc"),
-                )
-                for c in range(n_codewords)
-            ]
+        structs = ",".join(
+            _sql_neg_l2_struct(
+                f"slice(quantized, {j * sub + 1}, {sub})", codebook[j][c], c
+            )
+            for c in range(n_codewords)
         )
-        code_cols.append((-F.array_max(cands)["negc"]).cast("int"))
+        code_cols.append(
+            F.expr(f"CAST(-(array_max(array({structs})).negc) AS INT)")
+        )
     return code_cols
 
 
@@ -575,21 +598,17 @@ _ADIST_MEMO: dict = register_cache({})
 def _adist_expr(lut, m: int) -> Column:
     """sum_j LUT[j][code_j] over the `codes` column — the ADC distance
     as m literal-array lookups, whole-stage codegen. Content-memoized
-    (see _memo_expr)."""
+    (see _memo_expr); built as ONE SQL text parsed JVM-side (same
+    left-fold of element_at over a BIGINT start as the Column form —
+    integer adds, bit-identical)."""
     key = (tuple(tuple(row) for row in lut), m)
+    terms = " + ".join(
+        f"element_at({_sql_int_array(lut[j])}, codes[{j}] + 1)" for j in range(m)
+    )
     return _memo_expr(
         _ADIST_MEMO,
         key,
-        lambda: sum(
-            (
-                F.element_at(
-                    F.array(*[F.lit(int(x)) for x in lut[j]]),
-                    F.col("codes")[j] + 1,
-                )
-                for j in range(m)
-            ),
-            F.lit(0).cast("long"),
-        ),
+        lambda: F.expr(f"CAST(0 AS BIGINT) + {terms}"),
     )
 
 
@@ -926,9 +945,17 @@ def _int_l2_argmin(cent_rows: list[tuple[int, list[int]]], qcol: Column | str) -
     when qcol is given BY NAME (see _memo_expr)."""
     if isinstance(qcol, str):
         key = (tuple((cid, tuple(cv)) for cid, cv in cent_rows), qcol)
+        # expr-text fast path: the whole centroid set parses JVM-side in
+        # one call (the per-literal Column build costs ~2s for 8x64
+        # centroids on this gateway); same functions, bit-identical
+        structs = ",".join(
+            _sql_neg_l2_struct(f"`{qcol}`", cv, cid) for cid, cv in cent_rows
+        )
         return _memo_expr(
             _ARGMIN_MEMO, key,
-            lambda: _int_l2_argmin(cent_rows, F.col(qcol)),
+            lambda: F.expr(
+                f"CAST(-(array_max(array({structs})).negc) AS BIGINT)"
+            ),
         )
     cands = F.array(
         *[

@@ -234,6 +234,31 @@ def main() -> None:
     ).save()
     extras["hashed_tf_embedding"] = round(time.perf_counter() - t0, 3)
 
+    # r07 persistent-index maintenance loop: build -> delete (partition-
+    # scoped rewrite) -> search the survivors. One number for the whole
+    # index lifecycle so a regression in any stage is visible in the
+    # round-over-round extras diff.
+    import shutil
+    import tempfile
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+        search_ann_index,
+    )
+
+    idx_root = tempfile.mkdtemp(prefix="bench_ann_")
+    try:
+        t0 = time.perf_counter()
+        build_ann_index(spark, emb, idx_root, n_clusters=8, m=4, k=8)
+        delete_from_ann_index(spark, idx_root, list(range(100, 150)))
+        search_ann_index(
+            spark, idx_root, q_set, k=5, nprobe=2
+        ).write.format("noop").mode("overwrite").save()
+        extras["ann_index_lifecycle"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+
     # closing sentinel leg: intra-session drift (start vs end medians)
     sentinel_runs_end = [_sentinel_once() for _ in range(n_runs)]
 
