@@ -9,6 +9,8 @@ Jobs (mirroring SURVEY.md §3):
   import   events + target snapshots -> new target snapshots + audit + dlq
   redrive  dlq + target snapshots -> re-applied import (fixpoint retry)
   stream   continuous import: readStream events dir -> versioned state
+  stream-dedup  incremental near-dedup: micro-batches of docs checked
+           against the persisted keeper signature store (MinHash/LSH)
   clean    LLM-corpus cleaning: paragraph boilerplate removal ->
            quality-filter verdicts -> exact dedup, with a why-dropped audit
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
@@ -131,6 +133,23 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--retain-versions", type=int, default=None,
                    help="keep only the newest N state snapshots; 1 = "
                         "skipArchive semantics (default: archive all)")
+
+    snd = sub.add_parser(
+        "stream-dedup",
+        help="incremental near-dedup: each micro-batch of docs is "
+             "MinHash/LSH-checked against the persisted keeper "
+             "signature store; per-doc verdicts land under "
+             "state-root/decisions",
+    )
+    snd.add_argument("--docs-dir", required=True)
+    snd.add_argument("--state-root", required=True)
+    snd.add_argument("--checkpoint", required=True)
+    snd.add_argument("--threshold", type=float, default=0.7)
+    snd.add_argument("--num-hashes", type=int, default=12)
+    snd.add_argument("--bands", type=int, default=4)
+    snd.add_argument("--normalize", action="store_true")
+    snd.add_argument("--available-now", action="store_true",
+                     help="drain what's present then stop (default: run forever)")
 
     c = sub.add_parser(
         "clean",
@@ -557,6 +576,22 @@ def main(argv: list[str] | None = None) -> int:
             side_channel_path=args.side_channel,
             available_now=args.available_now,
             retain_versions=args.retain_versions,
+        )
+        q.awaitTermination()
+
+    elif args.job == "stream-dedup":
+        from .streaming.neardedup import start_near_dedup_stream
+
+        q = start_near_dedup_stream(
+            spark,
+            docs_path=args.docs_dir,
+            state_root=args.state_root,
+            checkpoint_path=args.checkpoint,
+            threshold=args.threshold,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+            normalize=args.normalize,
+            available_now=args.available_now,
         )
         q.awaitTermination()
 

@@ -16,9 +16,11 @@ at-least-once event plane).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..functions._exprcache import check_context, register_cache
 from ..functions.hive_types import all_column_types_valid
 from ..model import PARTITION, STORAGE_DESCRIPTOR, COLUMN
 from ..operators.joins import missing_anti
@@ -26,6 +28,19 @@ from ..operators.merge import ACTION_COL, merge_outcomes
 from ..operators.sync import full_refresh_sync
 from ..operators.windows import latest_by
 from ..sources.ndjson import read_partitions_ndjson, split_corrupt
+
+
+def _cols(fn):
+    """Memoize a Column-tuple factory. Every projection below references
+    only fixed column names / literals derived from the factory's
+    arguments, so the tuples are plan-independent — and building them
+    is pure Py4J round-trip cost that a repeated pipeline (bench runs,
+    fan-out targets, streaming micro-batches) should pay once per
+    process. Registered with the _exprcache SparkContext guard; callers
+    run check_context() once per parse/apply entry point."""
+    cached = lru_cache(maxsize=128)(fn)
+    register_cache(cached.cache_clear)
+    return cached
 
 # message payload schemas (our wire format — snake_case mirror of the
 # reference's Gson envelopes, TableWithPartitions.java:10-26 /
@@ -87,6 +102,251 @@ VALID_TYPES = ("database", "table", "largeTable")
 # GDCUtil.java:50-52 — description used when auto-creating a missing
 # parent database on the import side
 AUTOCREATE_DESC = "Database Imported from Glue Data Catalog of AWS Account Id: {src}"
+
+
+# ---------------------------------------------------------------------------
+# memoized projection factories (see _cols) — the parse/apply towers
+# re-select these fixed shapes on every batch / target
+# ---------------------------------------------------------------------------
+
+
+@_cols
+def _dlq_cols(schema_type: str | None) -> tuple:
+    """The DLQ row projection; schema_type None = carry the message's
+    own (invalid) type through."""
+    st = (
+        F.col("message_type") if schema_type is None else F.lit(schema_type)
+    ).alias("schema_type")
+    return (
+        F.col("event_id"),
+        st,
+        F.col("payload"),
+        F.col("export_batch_id"),
+        F.col("source_catalog_id").alias("source_glue_catalog_id"),
+    )
+
+
+@_cols
+def _tbl_failure_cols(error: str) -> tuple:
+    return (
+        F.col("event_id"),
+        F.col("msg.table.database_name").alias("database_name"),
+        F.col("msg.table.name").alias("name"),
+        F.col("export_batch_id"),
+        F.col("source_catalog_id"),
+        F.col("payload").alias("table_schema"),
+        F.lit(error).alias("error"),
+    )
+
+
+@_cols
+def _db_failure_cols() -> tuple:
+    return (
+        F.col("event_id"),
+        F.col("db.name").alias("name"),
+        F.col("export_batch_id").alias("__batch"),
+        F.col("source_catalog_id").alias("__src"),
+        F.lit("unparseable database payload").alias("error"),
+    )
+
+
+@_cols
+def _incoming_db_cols() -> tuple:
+    return (
+        F.col("db.name").alias("name"),
+        F.col("db.description").alias("description"),
+        F.col("db.location_uri").alias("location_uri"),
+        F.col("db.parameters").alias("parameters"),
+        F.col("db.create_time").alias("create_time"),
+        F.col("source_catalog_id").alias("__src"),
+        F.col("export_batch_id").alias("__batch"),
+        F.col("event_id"),
+    )
+
+
+@_cols
+def _all_tbl_cols() -> tuple:
+    return (
+        F.col("event_id"),
+        F.col("export_batch_id"),
+        F.col("source_catalog_id"),
+        F.col("msg.table").alias("t"),
+    )
+
+
+@_cols
+def _enriched_cols() -> tuple:
+    return (
+        F.col("t.database_name").alias("database_name"),
+        F.col("t.name").alias("name"),
+        F.col("t.owner").alias("owner"),
+        F.col("t.description").alias("description"),
+        F.col("t.last_access_time").alias("last_access_time"),
+        F.col("t.retention").alias("retention"),
+        F.col("t.table_type").alias("table_type"),
+        F.col("t.view_original_text").alias("view_original_text"),
+        F.col("t.view_expanded_text").alias("view_expanded_text"),
+        F.col("t.parameters").alias("parameters"),
+        F.col("t.partition_keys").alias("partition_keys"),
+        F.col("t.storage_descriptor").alias("storage_descriptor"),
+        F.col("export_batch_id"),
+        F.col("source_catalog_id"),
+        F.to_json(F.col("t")).alias("table_schema"),
+        F.col("event_id"),
+    )
+
+
+@_cols
+def _inline_part_explode_cols() -> tuple:
+    return (
+        F.col("msg.table.database_name").alias("database_name"),
+        F.col("msg.table.name").alias("table_name"),
+        F.col("source_catalog_id").alias("__src"),
+        F.col("export_batch_id").alias("__batch"),
+        F.col("event_id"),
+        F.explode_outer(F.col("msg.partition_list")).alias("p"),
+    )
+
+
+@_cols
+def _inline_part_cols() -> tuple:
+    return (
+        F.col("database_name"),
+        F.col("table_name"),
+        F.col("__src"),
+        F.col("__batch"),
+        F.col("event_id"),
+        F.col("p.values").alias("values"),
+        F.col("p.storage_descriptor").alias("storage_descriptor"),
+    )
+
+
+@_cols
+def _db_audit_cols(run_id: int, target: str) -> tuple:
+    return (
+        F.col("name").alias("db_id"),
+        F.lit(run_id).cast("long").alias("import_run_id"),
+        F.col("__batch").alias("export_batch_id"),
+        F.lit(target).alias("target_glue_catalog_id"),
+        F.col("__src").alias("source_glue_catalog_id"),
+        F.col("__exists").isNull().alias("is_created"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
+@_cols
+def _db_audit_failure_cols(run_id: int, target: str) -> tuple:
+    return (
+        F.coalesce("name", "event_id").alias("db_id"),
+        F.lit(run_id).cast("long").alias("import_run_id"),
+        F.col("__batch").alias("export_batch_id"),
+        F.lit(target).alias("target_glue_catalog_id"),
+        F.col("__src").alias("source_glue_catalog_id"),
+        F.lit(False).alias("is_created"),
+        F.col("error"),
+    )
+
+
+@_cols
+def _autocreate_cols(target: str) -> tuple:
+    return (
+        F.lit(target).alias("catalog_id"),
+        F.col("name"),
+        F.concat(
+            F.lit("Database Imported from Glue Data Catalog of AWS Account Id: "),
+            F.col("source_catalog_id"),
+        ).alias("description"),
+        F.lit(None).cast("string").alias("location_uri"),
+        F.lit(None).cast("map<string,string>").alias("parameters"),
+        F.lit(None).cast("timestamp_ntz").alias("create_time"),
+    )
+
+
+@_cols
+def _exported_part_cols(target: str) -> tuple:
+    return (
+        F.lit(target).alias("catalog_id"),
+        F.col("database_name"),
+        F.col("table_name"),
+        F.col("values"),
+        F.lit(None).cast("timestamp_ntz").alias("creation_time"),
+        F.lit(None).cast("timestamp_ntz").alias("last_access_time"),
+        F.col("storage_descriptor"),
+        F.lit(None).cast("map<string,string>").alias("parameters"),
+    )
+
+
+@_cols
+def _table_audit_cols(run_id: int, target: str) -> tuple:
+    return (
+        F.concat_ws("|", "name", "database_name").alias("table_id"),
+        F.lit(run_id).cast("long").alias("import_run_id"),
+        F.col("export_batch_id"),
+        F.col("name").alias("table_name"),
+        F.col("database_name"),
+        F.col("table_schema"),
+        F.lit(target).alias("target_glue_catalog_id"),
+        F.col("source_catalog_id").alias("source_glue_catalog_id"),
+        (F.col(ACTION_COL) == "create").alias("table_created"),
+        (F.col(ACTION_COL) == "update").alias("table_updated"),
+        F.coalesce(F.col("__n_in") > 0, F.lit(False)).alias(
+            "export_has_partitions"
+        ),
+        # the full-refresh sync ran for every applied table (even the
+        # zero-partition delete-all case counts as an update,
+        # GDCUtil.java:69-79)
+        F.lit(True).alias("partitions_updated"),
+        F.when(
+            F.col("__n_bad") > 0,
+            F.concat(
+                F.col("__n_bad").cast("string"),
+                F.lit(" partition row(s) failed validation"),
+            ),
+        ).alias("error"),
+    )
+
+
+@_cols
+def _table_audit_failure_cols(run_id: int, target: str) -> tuple:
+    return (
+        # the 'name|database' key only when BOTH parts parsed —
+        # concat_ws silently skips NULLs, so a half-parsed identity
+        # would collide across distinct failures; otherwise the
+        # event_id keys the row
+        F.when(
+            F.col("name").isNotNull() & F.col("database_name").isNotNull(),
+            F.concat_ws("|", "name", "database_name"),
+        )
+        .otherwise(F.col("event_id"))
+        .alias("table_id"),
+        F.lit(run_id).cast("long").alias("import_run_id"),
+        F.col("export_batch_id"),
+        F.col("name").alias("table_name"),
+        F.col("database_name"),
+        F.col("table_schema"),
+        F.lit(target).alias("target_glue_catalog_id"),
+        F.col("source_catalog_id").alias("source_glue_catalog_id"),
+        F.lit(False).alias("table_created"),
+        F.lit(False).alias("table_updated"),
+        F.lit(False).alias("export_has_partitions"),
+        F.lit(False).alias("partitions_updated"),
+        F.col("error"),
+    )
+
+
+@_cols
+def _dlq_part_cols() -> tuple:
+    return (
+        F.concat_ws(
+            "|", "__src", "database_name", "table_name", F.to_json(F.col("values"))
+        ).alias("event_id"),
+        F.lit("Partition").alias("schema_type"),
+        F.to_json(
+            F.struct("database_name", "table_name", "values", "storage_descriptor")
+        ).alias("payload"),
+        F.col("__batch").alias("export_batch_id"),
+        F.col("__src").alias("source_glue_catalog_id"),
+    )
 
 
 @dataclass
@@ -211,12 +471,9 @@ def parse_events(
     the import into a larger unexecuted pipeline)."""
 
     # ---- 0. dispatch + malformed-to-DLQ --------------------------------
+    check_context()  # memoized projection tuples die with their SparkContext
     dlq_bad_type = events.where(~F.col("message_type").isin(*VALID_TYPES)).select(
-        "event_id",
-        F.col("message_type").alias("schema_type"),
-        "payload",
-        "export_batch_id",
-        F.col("source_catalog_id").alias("source_glue_catalog_id"),
+        *_dlq_cols(None)
     )
 
     # all three payload shapes parsed in ONE projection (each from_json
@@ -260,28 +517,14 @@ def parse_events(
 
     # unparseable payloads (from_json -> null struct / null required name)
     dlq_bad_db = db_msgs.where(F.col("db.name").isNull()).select(
-        "event_id",
-        F.lit("Database").alias("schema_type"),
-        "payload",
-        "export_batch_id",
-        F.col("source_catalog_id").alias("source_glue_catalog_id"),
+        *_dlq_cols("Database")
     )
     dlq_bad_tbl = (
         tbl_msgs.where(F.col("msg.table.name").isNull())
-        .select(
-            "event_id",
-            F.lit("Table").alias("schema_type"),
-            "payload",
-            "export_batch_id",
-            F.col("source_catalog_id").alias("source_glue_catalog_id"),
-        )
+        .select(*_dlq_cols("Table"))
         .unionByName(
             large_msgs.where(F.col("msg.table.name").isNull()).select(
-                "event_id",
-                F.lit("largeTable").alias("schema_type"),
-                "payload",
-                "export_batch_id",
-                F.col("source_catalog_id").alias("source_glue_catalog_id"),
+                *_dlq_cols("largeTable")
             )
         )
     )
@@ -294,24 +537,12 @@ def parse_events(
         is the RAW received payload — for a failed row that is the
         faithful record (and skips re-serializing the wide struct,
         which costs Catalyst analysis on every failure leg)."""
-        return msgs.select(
-            "event_id",
-            F.col("msg.table.database_name").alias("database_name"),
-            F.col("msg.table.name").alias("name"),
-            "export_batch_id",
-            "source_catalog_id",
-            F.col("payload").alias("table_schema"),
-            F.lit(error).alias("error"),
-        )
+        return msgs.select(*_tbl_failure_cols(error))
 
     # unparseable payloads join the failure-audit lane (identity columns
     # are null — the event_id still keys the row)
     db_failures = db_msgs.where(F.col("db.name").isNull()).select(
-        "event_id",
-        F.col("db.name").alias("name"),
-        F.col("export_batch_id").alias("__batch"),
-        F.col("source_catalog_id").alias("__src"),
-        F.lit("unparseable database payload").alias("error"),
+        *_db_failure_cols()
     )
     tbl_failures = _tbl_failure(
         tbl_msgs.where(F.col("msg.table.name").isNull()), "unparseable table payload"
@@ -341,13 +572,7 @@ def parse_events(
     )
 
     def _type_dlq(msgs: DataFrame, schema_type: str) -> DataFrame:
-        return msgs.select(
-            "event_id",
-            F.lit(schema_type).alias("schema_type"),
-            "payload",
-            "export_batch_id",
-            F.col("source_catalog_id").alias("source_glue_catalog_id"),
-        )
+        return msgs.select(*_dlq_cols(schema_type))
 
     bad_tbl_types = tbl_msgs.where(~types_ok)
     bad_large_types = large_msgs.where(~types_ok)
@@ -378,13 +603,7 @@ def parse_events(
     # table, when the configured side channel has no readable rows for
     # that (catalog_id, database_name, table_name).
     def _park_large(msgs: DataFrame) -> DataFrame:
-        return msgs.select(
-            "event_id",
-            F.lit("largeTable").alias("schema_type"),
-            "payload",
-            "export_batch_id",
-            F.col("source_catalog_id").alias("source_glue_catalog_id"),
-        )
+        return msgs.select(*_dlq_cols("largeTable"))
 
     side_good = None
     if side_channel_path is None:
@@ -449,32 +668,13 @@ def parse_events(
     # catalogs/batches in one event set (ADVICE r01): latest event_id
     # wins — a total order, unlike dropDuplicates' arbitrary row
     incoming_dbs = latest_by(
-        db_msgs.select(
-            F.col("db.name").alias("name"),
-            F.col("db.description").alias("description"),
-            F.col("db.location_uri").alias("location_uri"),
-            F.col("db.parameters").alias("parameters"),
-            F.col("db.create_time").alias("create_time"),
-            F.col("source_catalog_id").alias("__src"),
-            F.col("export_batch_id").alias("__batch"),
-            "event_id",
-        ),
+        db_msgs.select(*_incoming_db_cols()),
         keys=["name"],
         order_col="event_id",
     ).drop("event_id")
 
-    all_tbl = tbl_msgs.select(
-        "event_id",
-        "export_batch_id",
-        "source_catalog_id",
-        F.col("msg.table").alias("t"),
-    ).unionByName(
-        large_msgs.select(
-            "event_id",
-            "export_batch_id",
-            "source_catalog_id",
-            F.col("msg.table").alias("t"),
-        )
+    all_tbl = tbl_msgs.select(*_all_tbl_cols()).unionByName(
+        large_msgs.select(*_all_tbl_cols())
     )
 
     # topological db->table ordering replaces the dbNotFound retry
@@ -490,24 +690,7 @@ def parse_events(
     # reference persists the full schema JSON on every audit row
     # (DDBUtil.java:54-65), hence table_schema here
     enriched = latest_by(
-        all_tbl.select(
-            F.col("t.database_name").alias("database_name"),
-            F.col("t.name").alias("name"),
-            F.col("t.owner").alias("owner"),
-            F.col("t.description").alias("description"),
-            F.col("t.last_access_time").alias("last_access_time"),
-            F.col("t.retention").alias("retention"),
-            F.col("t.table_type").alias("table_type"),
-            F.col("t.view_original_text").alias("view_original_text"),
-            F.col("t.view_expanded_text").alias("view_expanded_text"),
-            F.col("t.parameters").alias("parameters"),
-            F.col("t.partition_keys").alias("partition_keys"),
-            F.col("t.storage_descriptor").alias("storage_descriptor"),
-            "export_batch_id",
-            "source_catalog_id",
-            F.to_json("t").alias("table_schema"),
-            "event_id",
-        ),
+        all_tbl.select(*_enriched_cols()),
         keys=["database_name", "name"],
         order_col="event_id",
     ).drop("event_id")
@@ -556,24 +739,9 @@ def parse_events(
     # idempotent there; in the set-oriented union they must be deduped,
     # with the same event_id winner rule as the table merge
     inline_parts = latest_by(
-        tbl_msgs.select(
-            F.col("msg.table.database_name").alias("database_name"),
-            F.col("msg.table.name").alias("table_name"),
-            F.col("source_catalog_id").alias("__src"),
-            F.col("export_batch_id").alias("__batch"),
-            "event_id",
-            F.explode_outer("msg.partition_list").alias("p"),
-        )
+        tbl_msgs.select(*_inline_part_explode_cols())
         .where(F.col("p").isNotNull())
-        .select(
-            "database_name",
-            "table_name",
-            "__src",
-            "__batch",
-            "event_id",
-            F.col("p.values").alias("values"),
-            F.col("p.storage_descriptor").alias("storage_descriptor"),
-        ),
+        .select(*_inline_part_cols()),
         keys=["database_name", "table_name", "values"],
         order_col="event_id",
     ).drop("event_id")
@@ -614,17 +782,7 @@ def parse_events(
         & (F.size("values") > 0)
         & ~F.exists("values", lambda v: v.isNull()),
     )
-    dlq_parts = incoming_parts.where(~F.col("__ok")).select(
-        F.concat_ws(
-            "|", "__src", "database_name", "table_name", F.to_json("values")
-        ).alias("event_id"),
-        F.lit("Partition").alias("schema_type"),
-        F.to_json(
-            F.struct("database_name", "table_name", "values", "storage_descriptor")
-        ).alias("payload"),
-        F.col("__batch").alias("export_batch_id"),
-        F.col("__src").alias("source_glue_catalog_id"),
-    )
+    dlq_parts = incoming_parts.where(~F.col("__ok")).select(*_dlq_part_cols())
     dlq = dlq.unionByName(dlq_parts)
 
     parts_ok = incoming_parts.where(F.col("__ok")).select(
@@ -835,6 +993,7 @@ def _apply_parsed(
     batch (ParsedEvents — already validated and deduplicated) against
     one target catalog's snapshots, producing that target's new planes,
     audits, and DLQ view."""
+    check_context()  # memoized projection tuples die with their SparkContext
     dlq = parsed.dlq
     db_failures = parsed.db_failures
     tbl_failures = parsed.tbl_failures
@@ -851,27 +1010,11 @@ def _apply_parsed(
             on="name",
             how="left",
         )
-        .select(
-            F.col("name").alias("db_id"),
-            F.lit(run_id).cast("long").alias("import_run_id"),
-            F.col("__batch").alias("export_batch_id"),
-            F.lit(target_catalog_id).alias("target_glue_catalog_id"),
-            F.col("__src").alias("source_glue_catalog_id"),
-            F.col("__exists").isNull().alias("is_created"),
-            F.lit(None).cast("string").alias("error"),
-        )
+        .select(*_db_audit_cols(run_id, target_catalog_id))
         # failure lane: DLQ'd database events audit as is_created=False
         # with the reason (DDBUtil.java:150-157 error-flag analogue)
         .unionByName(
-            db_failures.select(
-                F.coalesce("name", "event_id").alias("db_id"),
-                F.lit(run_id).cast("long").alias("import_run_id"),
-                F.col("__batch").alias("export_batch_id"),
-                F.lit(target_catalog_id).alias("target_glue_catalog_id"),
-                F.col("__src").alias("source_glue_catalog_id"),
-                F.lit(False).alias("is_created"),
-                "error",
-            )
+            db_failures.select(*_db_audit_failure_cols(run_id, target_catalog_id))
         )
     )
 
@@ -883,15 +1026,7 @@ def _apply_parsed(
     # topological db->table ordering replaces the dbNotFound retry
     # (GDCUtil.java:47-57): auto-create any parent db the target lacks
     autocreated = missing_anti(parsed.parent_dbs, dbs_after_create, ["name"]).select(
-        F.lit(target_catalog_id).alias("catalog_id"),
-        "name",
-        F.concat(
-            F.lit("Database Imported from Glue Data Catalog of AWS Account Id: "),
-            F.col("source_catalog_id"),
-        ).alias("description"),
-        F.lit(None).cast("string").alias("location_uri"),
-        F.lit(None).cast("map<string,string>").alias("parameters"),
-        F.lit(None).cast("timestamp_ntz").alias("create_time"),
+        *_autocreate_cols(target_catalog_id)
     )
     new_databases = dbs_after_create.unionByName(autocreated)
 
@@ -911,14 +1046,7 @@ def _apply_parsed(
 
     # ---- 4. partitions: full refresh over the batch's sync scope -------
     exported_parts = parsed.parts_ok.select(
-        F.lit(target_catalog_id).alias("catalog_id"),
-        "database_name",
-        "table_name",
-        "values",
-        F.lit(None).cast("timestamp_ntz").alias("creation_time"),
-        F.lit(None).cast("timestamp_ntz").alias("last_access_time"),
-        "storage_descriptor",
-        F.lit(None).cast("map<string,string>").alias("parameters"),
+        *_exported_part_cols(target_catalog_id)
     )
 
     new_partitions = full_refresh_sync(
@@ -933,57 +1061,10 @@ def _apply_parsed(
         outcomes.where(F.col(ACTION_COL) != "keep")
         .join(parsed.tbl_meta, on=["database_name", "name"], how="left")
         .join(parsed.part_stats, on=["database_name", "name"], how="left")
-        .select(
-            F.concat_ws("|", "name", "database_name").alias("table_id"),
-            F.lit(run_id).cast("long").alias("import_run_id"),
-            F.col("export_batch_id"),
-            F.col("name").alias("table_name"),
-            F.col("database_name"),
-            F.col("table_schema"),
-            F.lit(target_catalog_id).alias("target_glue_catalog_id"),
-            F.col("source_catalog_id").alias("source_glue_catalog_id"),
-            (F.col(ACTION_COL) == "create").alias("table_created"),
-            (F.col(ACTION_COL) == "update").alias("table_updated"),
-            F.coalesce(F.col("__n_in") > 0, F.lit(False)).alias(
-                "export_has_partitions"
-            ),
-            # the full-refresh sync ran for every applied table (even the
-            # zero-partition delete-all case counts as an update,
-            # GDCUtil.java:69-79)
-            F.lit(True).alias("partitions_updated"),
-            F.when(
-                F.col("__n_bad") > 0,
-                F.concat(
-                    F.col("__n_bad").cast("string"),
-                    F.lit(" partition row(s) failed validation"),
-                ),
-            ).alias("error"),
-        )
+        .select(*_table_audit_cols(run_id, target_catalog_id))
         .unionByName(
             tbl_failures.select(
-                # the 'name|database' key only when BOTH parts parsed —
-                # concat_ws silently skips NULLs, so a half-parsed
-                # identity would collide across distinct failures;
-                # otherwise the event_id keys the row
-                F.when(
-                    F.col("name").isNotNull()
-                    & F.col("database_name").isNotNull(),
-                    F.concat_ws("|", "name", "database_name"),
-                )
-                .otherwise(F.col("event_id"))
-                .alias("table_id"),
-                F.lit(run_id).cast("long").alias("import_run_id"),
-                F.col("export_batch_id"),
-                F.col("name").alias("table_name"),
-                F.col("database_name"),
-                F.col("table_schema"),
-                F.lit(target_catalog_id).alias("target_glue_catalog_id"),
-                F.col("source_catalog_id").alias("source_glue_catalog_id"),
-                F.lit(False).alias("table_created"),
-                F.lit(False).alias("table_updated"),
-                F.lit(False).alias("export_has_partitions"),
-                F.lit(False).alias("partitions_updated"),
-                "error",
+                *_table_audit_failure_cols(run_id, target_catalog_id)
             )
         )
     )

@@ -13,9 +13,12 @@ explode -> groupBy(id, bucket) -> groupBy(id) shape is not
 watermark-safe as a streaming aggregation (the doc id is not event
 time, so state would grow per document forever). Inside foreachBatch
 the micro-batch is a plain bounded DataFrame: the batch operator runs
-unchanged, state is zero, and the index append is the only side effect
-— idempotence across micro-batch REPLAYS comes from the checkpointed
-source offsets (a replayed batch re-runs only if it never committed).
+unchanged, state is zero, and the index maintenance is the only side
+effect. Replay safety is delete-before-append: a batch whose append
+landed but whose offset commit did not (crash in between) re-runs on
+restart, and the delete of its own ids turns the second append into an
+in-place replace instead of a duplicate — effectively-once per doc id
+over the at-least-once bus.
 
 Scale: per micro-batch cost is the batch embedding (two bounded
 shuffles) plus a partition-scoped parquet append into the cluster
@@ -54,11 +57,17 @@ def start_embed_stream(
     against the STORED centroids/codebook, and the embedding dimension
     is read from the index meta unless `dim` overrides it (a mismatch
     raises on the first batch rather than silently degrading recall).
-    Each non-empty micro-batch bumps the index version exactly once.
-    Returns the StreamingQuery; callers awaitTermination()."""
+    Each non-empty micro-batch bumps the index version on its append
+    (plus once more for the self-heal delete when a replayed batch's
+    ids were already present). Returns the StreamingQuery; callers
+    awaitTermination()."""
     import os
 
-    from ..functions.ann_index import append_to_ann_index, load_ann_meta
+    from ..functions.ann_index import (
+        append_to_ann_index,
+        delete_from_ann_index,
+        load_ann_meta,
+    )
     from ..functions.similarity import hashed_tf_embedding
 
     if not os.path.exists(f"{index_root}/meta.json"):
@@ -93,6 +102,18 @@ def start_embed_stream(
             # the index names its own id column; align to it
             F.col(id_col).alias(meta["id_col"]),
             "embedding",
+        )
+        # effectively-once over an at-least-once bus: a micro-batch
+        # replayed after a crash-between-append-and-commit would
+        # double-append (verify_ann_index would flag dup_ids). Deleting
+        # the batch's ids first makes the append idempotent PER ID —
+        # a no-op on first delivery (ids absent), a self-heal on replay
+        # — the same delete-then-insert discipline as the partition
+        # full-refresh commit (GDCUtil.java:61-111).
+        delete_from_ann_index(
+            spark,
+            index_root,
+            batch_df.select(F.col(id_col).cast("long").alias(meta["id_col"])),
         )
         append_to_ann_index(spark, emb, index_root)
 

@@ -468,3 +468,48 @@ def test_decode_audio_and_sample_frames_roundtrip_properties(spark, seed):
     for r in vrows:
         assert (r.width, r.height, r.n_frames, r.error) == (w, h, nf, None)
         assert r.y_mean == sum(planes[r.frame_index]) / (w * h)
+
+
+def test_ann_delete_random_subsets_match_rebuild(spark, tmp_path):
+    """Property (seeded): for random delete sets — including ids that
+    were never indexed — delete-then-search equals
+    rebuild-without-those-ids bit-for-bit, verify stays green, and a
+    second identical delete removes nothing (idempotence). Composes
+    with append: delete after an append behaves the same because both
+    assign against the STORED codebook."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+        search_ann_index,
+        verify_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    all_ids = sorted(r[0] for r in emb.select("vec_id").collect())
+    deletable = [i for i in all_ids if i >= 8]  # keep seed ids 0..7
+
+    rng = random.Random(1107)
+    for trial in range(3):
+        doomed = sorted(rng.sample(deletable, rng.randint(1, 12)))
+        ghosts = [max(all_ids) + 100 + trial, -5]  # never indexed
+        root = str(tmp_path / f"idx_{trial}")
+        build_ann_index(spark, emb, root, n_clusters=4, m=4, k=8)
+        res = delete_from_ann_index(spark, root, doomed + ghosts)
+        assert res["removed"] == len(doomed), (trial, doomed)
+        verify_ann_index(spark, root)
+        res2 = delete_from_ann_index(spark, root, doomed)
+        assert res2["removed"] == 0
+
+        twin = str(tmp_path / f"twin_{trial}")
+        build_ann_index(
+            spark, emb.where(~F.col("vec_id").isin(doomed)), twin,
+            n_clusters=4, m=4, k=8,
+        )
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = sorted(map(tuple, search_ann_index(
+            spark, root, queries, k=4, nprobe=4).collect()))
+        want = sorted(map(tuple, search_ann_index(
+            spark, twin, queries, k=4, nprobe=4).collect()))
+        assert got == want, trial

@@ -951,6 +951,32 @@ def test_streaming_embed_feeds_ann_index(spark, tmp_path):
     # the batch-2 near-dup must be the top non-self neighbor
     assert hits[0].vec_id == 200 or {r.vec_id for r in hits} >= {200}
 
+    # replay safety: a FRESH checkpoint re-delivers every file (the
+    # at-least-once worst case); delete-before-append makes the
+    # re-append an in-place replace, so totals/dup_ids/results converge
+    n_before = (
+        spark.read.option("basePath", f"{root}/vectors")
+        .parquet(f"{root}/vectors")
+        .count()
+    )
+    q2 = start_embed_stream(
+        spark,
+        docs_path=docs_dir,
+        index_root=root,
+        checkpoint_path=str(tmp_path / "ckpt_replay"),
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    verify_ann_index(spark, root)  # raises on dup_ids
+    n_after = (
+        spark.read.option("basePath", f"{root}/vectors")
+        .parquet(f"{root}/vectors")
+        .count()
+    )
+    assert n_after == n_before
+    hits2 = search_ann_index(spark, root, queries, k=3, nprobe=4).collect()
+    assert sorted(map(tuple, hits2)) == sorted(map(tuple, hits))
+
     # guard: streaming against a missing index fails fast
     import pytest
 
@@ -959,3 +985,96 @@ def test_streaming_embed_feeds_ann_index(spark, tmp_path):
             spark, docs_path=docs_dir, index_root=str(tmp_path / "nope"),
             checkpoint_path=str(tmp_path / "ckpt2"),
         )
+
+
+def test_streaming_near_dedup_incremental(spark, tmp_path):
+    """Incremental MinHash/LSH near-dedup: a batch-2 doc that
+    near-duplicates a batch-1 keeper is flagged against the signature
+    store; within-batch dups keep the smallest id; only keepers'
+    signatures enter the store; a fresh-checkpoint full replay
+    overwrites per-batch outputs and converges (idempotent); and the
+    stream's dup pairs agree with the batch lane's band pairs on the
+    same corpus."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        minhash_band_pairs,
+        minhash_signature_arrays,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.streaming import (
+        read_dedup_decisions,
+        start_near_dedup_stream,
+    )
+
+    text_x = "the quick brown fox jumps over the lazy dog near the river bank"
+    text_y = "completely different subject matter about catalog replication pipelines here"
+    text_z = "a third unrelated document discussing streaming state stores and watermarks"
+    b1 = [(1, text_x), (2, text_y)]
+    b2 = [(10, text_x), (11, text_z), (12, text_z), (13, "too short")]
+    docs_dir = str(tmp_path / "docs")
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{docs_dir}/f={i}")
+
+    state = str(tmp_path / "state")
+    q = start_near_dedup_stream(
+        spark,
+        docs_path=docs_dir,
+        state_root=state,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    dec = {r.doc_id: r for r in read_dedup_decisions(spark, state).collect()}
+    assert len(dec) == 6
+    assert dec[1].keep and dec[2].keep and dec[11].keep
+    assert dec[13].keep  # too short to shingle -> trivially kept
+    assert not dec[10].keep and dec[10].dup_of == 1 and dec[10].est == 1.0
+    assert not dec[12].keep and dec[12].dup_of == 11 and dec[12].est == 1.0
+
+    store_ids = {
+        r.doc_id
+        for r in spark.read.option("basePath", f"{state}/signatures")
+        .parquet(f"{state}/signatures")
+        .select("doc_id")
+        .dropDuplicates()
+        .collect()
+    }
+    assert store_ids == {1, 2, 11}  # keepers only (13 has no shingles)
+
+    # stream verdicts agree with the batch lane on this corpus
+    all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    sigs = minhash_signature_arrays(all_docs)
+    batch_pairs = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b))
+        for r in minhash_band_pairs(sigs).collect()
+    }
+    stream_pairs = {
+        (r.doc_id, r.dup_of) for r in dec.values() if not r.keep
+    }
+    assert stream_pairs <= batch_pairs and stream_pairs == {(10, 1), (12, 11)}
+
+    # replay: fresh checkpoint re-delivers everything; per-batch
+    # overwrite keeps decisions and the store byte-stable in content
+    q2 = start_near_dedup_stream(
+        spark,
+        docs_path=docs_dir,
+        state_root=state,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    dec2 = {r.doc_id: r for r in read_dedup_decisions(spark, state).collect()}
+    assert len(dec2) == 6
+    assert {k: (v.keep, v.dup_of) for k, v in dec2.items()} == {
+        k: (v.keep, v.dup_of) for k, v in dec.items()
+    }
+    store_ids2 = {
+        r.doc_id
+        for r in spark.read.option("basePath", f"{state}/signatures")
+        .parquet(f"{state}/signatures")
+        .select("doc_id")
+        .dropDuplicates()
+        .collect()
+    }
+    assert store_ids2 == store_ids
