@@ -11,6 +11,8 @@ Jobs (mirroring SURVEY.md §3):
   stream   continuous import: readStream events dir -> versioned state
   stream-dedup  incremental near-dedup: micro-batches of docs checked
            against the persisted keeper signature store (MinHash/LSH)
+  dedup-compact  merge a stopped stream-dedup state's cold signature
+           tail into one partition; coalesce decision-log files
   clean    LLM-corpus cleaning: paragraph boilerplate removal ->
            quality-filter verdicts -> exact dedup, with a why-dropped audit
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
@@ -148,8 +150,23 @@ def main(argv: list[str] | None = None) -> int:
     snd.add_argument("--num-hashes", type=int, default=12)
     snd.add_argument("--bands", type=int, default=4)
     snd.add_argument("--normalize", action="store_true")
+    snd.add_argument("--max-files-per-trigger", type=int, default=None,
+                     help="cap files per micro-batch (bounds batch size "
+                          "and the within-batch self-join)")
     snd.add_argument("--available-now", action="store_true",
                      help="drain what's present then stop (default: run forever)")
+
+    sdc = sub.add_parser(
+        "dedup-compact",
+        help="compact a STOPPED stream-dedup state: merge the cold "
+             "signature-store tail into one partition and coalesce the "
+             "decision logs; verdicts and history are unchanged",
+    )
+    sdc.add_argument("--state-root", required=True)
+    sdc.add_argument("--keep-last", type=int, default=1,
+                     help="newest N batch dirs left untouched (default 1: "
+                          "the only batch a restart can re-deliver)")
+    sdc.add_argument("--rows-per-file", type=int, default=4_000_000)
 
     c = sub.add_parser(
         "clean",
@@ -591,9 +608,23 @@ def main(argv: list[str] | None = None) -> int:
             num_hashes=args.num_hashes,
             bands=args.bands,
             normalize=args.normalize,
+            max_files_per_trigger=args.max_files_per_trigger,
             available_now=args.available_now,
         )
         q.awaitTermination()
+
+    elif args.job == "dedup-compact":
+        import json as _json
+
+        from .streaming.neardedup import compact_dedup_state
+
+        report = compact_dedup_state(
+            spark,
+            state_root=args.state_root,
+            keep_last=args.keep_last,
+            rows_per_file=args.rows_per_file,
+        )
+        print(_json.dumps(report))
 
     return 0
 

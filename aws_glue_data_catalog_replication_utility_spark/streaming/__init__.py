@@ -14,7 +14,11 @@ from .ingest import (  # noqa: F401
 )
 from .dedupe import dedupe_events  # noqa: F401
 from .embed import start_embed_stream  # noqa: F401
-from .neardedup import read_dedup_decisions, start_near_dedup_stream  # noqa: F401
+from .neardedup import (  # noqa: F401
+    compact_dedup_state,
+    read_dedup_decisions,
+    start_near_dedup_stream,
+)
 from .enrich import interval_join  # noqa: F401
 from .rollup import windowed_rollup  # noqa: F401
 from .sessions import session_rollup  # noqa: F401

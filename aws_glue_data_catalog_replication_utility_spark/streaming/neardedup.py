@@ -42,7 +42,12 @@ within-batch band self-join. The store scan is the incremental cost;
 it is append-only, partitioned by batch for retention/compaction, and
 carries only keepers (bands x num_hashes ints per doc). At 100 TB the
 same plan holds because every join is banded; the store read stays
-columnar and the band-key shuffle is the only wide edge.
+columnar and the band-key shuffle is the only wide edge. A long-lived
+stream accretes one directory (x up to shuffle-partitions files) per
+micro-batch; `compact_dedup_state` collapses the cold tail into one
+consolidated store partition (and coalesces the decision logs) without
+changing a single verdict — run it on whatever cadence keeps the store
+listing O(1)-ish.
 """
 
 from __future__ import annotations
@@ -139,6 +144,12 @@ def start_near_dedup_stream(
     `load(spark) -> streaming DataFrame[doc_id, text]`. Returns the
     StreamingQuery; read verdicts with `read_dedup_decisions` and the
     keeper signature store grows under `{state_root}/signatures`."""
+    if os.path.exists(f"{state_root}/{_COMPACT_TMP}/MANIFEST.json"):
+        raise RuntimeError(
+            f"{state_root} has a pending compaction (a prior "
+            "compact_dedup_state crashed mid-swap); run "
+            "compact_dedup_state again to complete it before streaming"
+        )
     if source is not None:
         stream = source.load(spark)
     else:
@@ -252,3 +263,159 @@ def read_dedup_decisions(spark: SparkSession, state_root: str) -> DataFrame:
     batch_id)."""
     root = f"{state_root}/decisions"
     return spark.read.option("basePath", root).parquet(root)
+
+
+# ---------------------------------------------------------------------------
+# state compaction — the store is append-only, one directory (and up to
+# shuffle-partitions files) per micro-batch; a long-lived stream turns
+# the every-batch store scan into a small-files problem
+# ---------------------------------------------------------------------------
+
+_COMPACT_TMP = ".compact_tmp"
+
+
+def _batch_dirs(root: str) -> list[int]:
+    import re
+
+    if not os.path.isdir(root):
+        return []
+    ids = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"batch_id=(\d+)", name)
+        if m and os.path.isdir(os.path.join(root, name)):
+            ids.append(int(m.group(1)))
+    return sorted(ids)
+
+
+def _parquet_files(path: str) -> int:
+    return sum(
+        1
+        for base, _, names in os.walk(path)
+        for f in names
+        if f.endswith(".parquet")
+    )
+
+
+def _complete_compaction(state_root: str, manifest: dict) -> None:
+    """Apply a fully-written compaction manifest. Every step is
+    guarded by existence checks, so this is idempotent and resumable
+    from any crash point: the tmp tree holds ALL compacted data until
+    its directory is renamed into place, and a rename that already
+    happened is detected by the tmp path being gone."""
+    import shutil
+
+    tmp_root = f"{state_root}/{_COMPACT_TMP}"
+    sig = manifest.get("signatures")
+    if sig is not None:
+        tmp_dir = f"{tmp_root}/signatures/batch_id={sig['target']}"
+        dest = f"{state_root}/signatures/batch_id={sig['target']}"
+        if os.path.exists(tmp_dir):
+            for b in sig["sources"]:
+                src = f"{state_root}/signatures/batch_id={b}"
+                if os.path.exists(src):
+                    shutil.rmtree(src)
+            os.rename(tmp_dir, dest)
+        # else: already swapped in a prior (crashed) completion
+    for b in manifest.get("decisions", []):
+        tmp_dir = f"{tmp_root}/decisions/batch_id={b}"
+        dest = f"{state_root}/decisions/batch_id={b}"
+        if os.path.exists(tmp_dir):
+            if os.path.exists(dest):
+                shutil.rmtree(dest)
+            os.rename(tmp_dir, dest)
+    shutil.rmtree(tmp_root)
+
+
+def compact_dedup_state(
+    spark: SparkSession,
+    state_root: str,
+    keep_last: int = 1,
+    rows_per_file: int = 4_000_000,
+) -> dict:
+    """Compact the near-dedup stream's state (run while the stream is
+    STOPPED — the stream refuses to start over a pending compaction).
+
+    - `signatures` (the hot path: re-read by EVERY micro-batch): all
+      batch directories except the newest `keep_last` merge into ONE
+      directory keyed at the newest compacted batch_id. The replay
+      guard (`batch_id < current`) is preserved: every merged row came
+      from a batch <= target, and target is strictly below every kept
+      or future batch id — and `keep_last >= 1` keeps the only batch a
+      foreachBatch restart can ever re-deliver (the last, possibly
+      uncommitted one) out of the merge, so its overwrite-on-replay
+      still targets its own directory.
+    - `decisions` (the output log): per-batch directories are KEPT —
+      their directory batch_id is the per-doc history, and a hive read
+      resolves the partition value over any in-file column — but each
+      compactable directory is coalesced to one file.
+
+    Crash safety: the consolidated tmp tree + a manifest are fully
+    written BEFORE any source directory is touched; the swap
+    (`_complete_compaction`) is idempotent, and a crashed run resumes
+    by calling this function again (it completes the pending manifest
+    first). Returns a report of directory/file counts."""
+    import json
+    import shutil
+
+    tmp_root = f"{state_root}/{_COMPACT_TMP}"
+    manifest_path = f"{tmp_root}/MANIFEST.json"
+    resumed = False
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            _complete_compaction(state_root, json.load(fh))
+        resumed = True
+    elif os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)  # tmp without manifest: harmless debris
+
+    sig_root = f"{state_root}/signatures"
+    dec_root = f"{state_root}/decisions"
+    report = {
+        "resumed_pending": resumed,
+        "signature_dirs_before": len(_batch_dirs(sig_root)),
+        "signature_files_before": _parquet_files(sig_root),
+        "decision_files_before": _parquet_files(dec_root),
+    }
+
+    manifest: dict = {}
+    sig_ids = _batch_dirs(sig_root)
+    sig_comp = sig_ids[: len(sig_ids) - keep_last] if keep_last > 0 else sig_ids
+    if len(sig_comp) >= 2:
+        target = sig_comp[-1]
+        merged = spark.read.parquet(
+            *[f"{sig_root}/batch_id={b}" for b in sig_comp]
+        )
+        n = merged.count()
+        nf = max(1, -(-n // rows_per_file))
+        merged.coalesce(nf).write.mode("overwrite").parquet(
+            f"{tmp_root}/signatures/batch_id={target}"
+        )
+        manifest["signatures"] = {"sources": sig_comp, "target": target}
+
+    dec_ids = _batch_dirs(dec_root)
+    dec_comp = [
+        b
+        for b in (dec_ids[: len(dec_ids) - keep_last] if keep_last > 0 else dec_ids)
+        if _parquet_files(f"{dec_root}/batch_id={b}") > 1
+    ]
+    for b in dec_comp:
+        # read WITHOUT basePath: the in-file batch_id column (written by
+        # dedup_batch) survives, so the rewritten file carries the same
+        # history the directory name asserts
+        spark.read.parquet(f"{dec_root}/batch_id={b}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_root}/decisions/batch_id={b}")
+    if dec_comp:
+        manifest["decisions"] = dec_comp
+
+    if manifest:
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh)
+        _complete_compaction(state_root, manifest)
+
+    report.update(
+        compacted=bool(manifest),
+        signature_dirs_after=len(_batch_dirs(sig_root)),
+        signature_files_after=_parquet_files(sig_root),
+        decision_files_after=_parquet_files(dec_root),
+    )
+    return report

@@ -379,6 +379,51 @@ def test_cli_near_dedup(spark, tmp_path):
     assert survivors == {0, 3}
 
 
+def test_cli_stream_dedup_and_compact(spark, tmp_path):
+    """The incremental near-dedup jobs end to end: `stream-dedup
+    --available-now` drains the docs dir writing per-batch verdicts
+    and the keeper signature store; `dedup-compact` then merges the
+    cold store tail without changing a verdict."""
+    import json
+
+    t1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    t2 = "completely different subject matter about catalog replication pipelines"
+    for i, rows in enumerate(([(1, t1)], [(2, t2)], [(10, t1)])):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").json(str(tmp_path / "docs" / f"f={i}"))
+
+    state = str(tmp_path / "state")
+    assert main([
+        "stream-dedup",
+        "--docs-dir", str(tmp_path / "docs"),
+        "--state-root", state,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--max-files-per-trigger", "1",
+        "--available-now",
+    ]) == 0
+    from aws_glue_data_catalog_replication_utility_spark.streaming import (
+        read_dedup_decisions,
+    )
+
+    dec = {r.doc_id: r for r in read_dedup_decisions(spark, state).collect()}
+    assert dec[1].keep and dec[2].keep
+    assert not dec[10].keep and dec[10].dup_of == 1
+    before = sorted(map(tuple, read_dedup_decisions(spark, state).collect()))
+
+    assert main(["dedup-compact", "--state-root", state]) == 0
+    import os
+
+    sig_dirs = [
+        n for n in os.listdir(f"{state}/signatures") if n.startswith("batch_id=")
+    ]
+    assert len(sig_dirs) == 2  # batches 0+1 merged, keep_last untouched
+    assert sorted(map(tuple, read_dedup_decisions(spark, state).collect())) == before
+    assert json.loads(
+        open(f"{state}/signatures/batch_id=1/_SUCCESS").read() or "{}"
+    ) == {}  # swap completed (consolidated dir committed)
+
+
 def test_cli_embed_feeds_index_and_search(spark, tmp_path):
     """The no-model text->similarity pipeline end to end: `embed` hashes
     documents into (vec_id, embedding) parquet, `index` builds the

@@ -1078,3 +1078,131 @@ def test_streaming_near_dedup_incremental(spark, tmp_path):
         .collect()
     }
     assert store_ids2 == store_ids
+
+
+def test_near_dedup_state_compaction(spark, tmp_path):
+    """compact_dedup_state merges the cold signature tail into one
+    partition and coalesces decision files WITHOUT changing a verdict,
+    a store row, or per-doc batch history; the stream keeps serving
+    (a post-compaction batch still near-dups against a compacted
+    keeper); a crash between tmp-write and swap resumes idempotently;
+    and the stream refuses to start over a pending compaction."""
+    import json
+    import os
+    import shutil
+
+    from aws_glue_data_catalog_replication_utility_spark.streaming.neardedup import (
+        _COMPACT_TMP,
+        compact_dedup_state,
+        read_dedup_decisions,
+        start_near_dedup_stream,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    t2 = "completely different subject matter about catalog replication pipelines here"
+    t3 = "a third unrelated document discussing streaming state stores and watermarks"
+    batches = [[(1, t1)], [(2, t2)], [(3, t3), (4, t3)]]
+    docs_dir = str(tmp_path / "docs")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{docs_dir}/f={i}")
+
+    state = str(tmp_path / "state")
+
+    def run_stream(ckpt):
+        q = start_near_dedup_stream(
+            spark,
+            docs_path=docs_dir,
+            state_root=state,
+            checkpoint_path=str(tmp_path / ckpt),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run_stream("ckpt")
+
+    def store_rows():
+        return sorted(
+            (r.doc_id, r.band, r.band_key, tuple(r.sig), r.batch_id)
+            for r in spark.read.option("basePath", f"{state}/signatures")
+            .parquet(f"{state}/signatures")
+            .collect()
+        )
+
+    def decisions():
+        return sorted(
+            map(tuple, read_dedup_decisions(spark, state).collect())
+        )
+
+    dec_before = decisions()
+    rows_before = store_rows()
+    assert {b for *_, b in rows_before} == {0, 1, 2}
+
+    report = compact_dedup_state(spark, state)
+    assert report["compacted"] and not report["resumed_pending"]
+    # batches 0 and 1 merged into batch_id=1; batch 2 (keep_last) kept
+    assert report["signature_dirs_before"] == 3
+    assert report["signature_dirs_after"] == 2
+    assert report["signature_files_after"] < report["signature_files_before"]
+    assert report["decision_files_after"] <= report["decision_files_before"]
+    # store content identical except the merged rows' partition key
+    remap = lambda b: 1 if b <= 1 else b  # noqa: E731
+    assert store_rows() == sorted(
+        (d, bd, k, s, remap(b)) for d, bd, k, s, b in rows_before
+    )
+    # decision history EXACT — per-doc batch ids survive the rewrite
+    assert decisions() == dec_before
+
+    # idempotent: nothing left to merge below the keep_last horizon
+    report2 = compact_dedup_state(spark, state)
+    assert not report2["compacted"]
+    assert decisions() == dec_before
+
+    # the stream still serves: a new batch near-dupping a COMPACTED
+    # keeper (doc 1, originally batch 0) is flagged against the store
+    spark.createDataFrame([(10, t1)], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{docs_dir}/f=3")
+    run_stream("ckpt")
+    dec = {r.doc_id: r for r in read_dedup_decisions(spark, state).collect()}
+    assert not dec[10].keep and dec[10].dup_of == 1 and dec[10].est == 1.0
+
+    # crash-resume: fabricate the post-tmp pre-swap state by restoring
+    # the sources next to a fully written tmp tree + manifest
+    rows_now = store_rows()
+    dec_now = decisions()
+    ids = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(f"{state}/signatures")
+        if n.startswith("batch_id=")
+    )
+    comp, target = ids[:-1], ids[-2]
+    tmp = f"{state}/{_COMPACT_TMP}"
+    merged = spark.read.parquet(
+        *[f"{state}/signatures/batch_id={b}" for b in comp]
+    )
+    merged.coalesce(1).write.parquet(f"{tmp}/signatures/batch_id={target}")
+    with open(f"{tmp}/MANIFEST.json", "w") as fh:
+        json.dump({"signatures": {"sources": comp, "target": target}}, fh)
+
+    # a pending compaction blocks the stream
+    import pytest
+
+    with pytest.raises(RuntimeError, match="pending compaction"):
+        start_near_dedup_stream(
+            spark,
+            docs_path=docs_dir,
+            state_root=state,
+            checkpoint_path=str(tmp_path / "ckpt_blocked"),
+        )
+
+    report3 = compact_dedup_state(spark, state)
+    assert report3["resumed_pending"]
+    assert not os.path.exists(tmp)
+    remap2 = lambda b: target if b <= target else b  # noqa: E731
+    assert store_rows() == sorted(
+        (d, bd, k, s, remap2(b)) for d, bd, k, s, b in rows_now
+    )
+    assert decisions() == dec_now
+    shutil.rmtree(str(tmp_path / "ckpt_blocked"), ignore_errors=True)
