@@ -43,6 +43,7 @@ from .similarity import (
     cosine_topk_pandas,
     cosine_pairs,
     sign_lsh_candidates,
+    semantic_dedup,
     ivf_assignments,
     dot_udf_available,
 )
@@ -91,6 +92,7 @@ __all__ = [
     "cosine_topk_pandas",
     "cosine_pairs",
     "sign_lsh_candidates",
+    "semantic_dedup",
     "ivf_assignments",
     "dot_udf_available",
     "attach_blob",

@@ -153,6 +153,116 @@ def sign_lsh_candidates(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    n_seeds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    pair_blocks: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then call two docs
+    semantic duplicates when their EXACT cosine clears `threshold`
+    within the same cluster — the cluster pass bounds the quadratic
+    term to intra-cluster pairs instead of corpus².
+
+    Returns one row per input vector:
+    (id, cluster, keep, dup_of, cosine) — greedy min-id keepers (a doc
+    is dropped iff a SMALLER-id doc in its cluster clears the
+    threshold; `dup_of` is its best match: highest cosine, ties to the
+    smallest id), the same keeper rule as every other dedup lane here,
+    and SQL-expressible for the DuckDB twin. Like the incremental
+    stream (streaming/neardedup.py) this is greedy, not transitive
+    closure — feed the pairs into `dedup_clusters` when closure
+    matters. Cross-cluster near-dups are missed by construction; that
+    is SemDeDup's documented recall trade, tuned by n_seeds (fewer
+    clusters -> higher recall, more intra-cluster pairs).
+
+    `assignments` overrides the clustering: any (id, cluster) frame —
+    e.g. `quantized_ivf_assignments` against trained k-means
+    codebooks. Default is `ivf_assignments`' deterministic seed
+    centroids (map-side argmax, zero exchanges), which keeps the whole
+    chain oracle-reproducible.
+
+    Plan shape, built for the giant-cluster case (SemDeDup's real
+    workload is ~corpus/k docs per cluster, pairs ~(corpus/k)²):
+    - vectors are unit-normalized ONCE per row, so each pair costs a
+      single dot fold (cosine == dot of units; a zero vector
+      normalizes to NaNs and NaN >= threshold is false — zero vectors
+      never duplicate anything, same as the raw formula);
+    - the intra-cluster self-join is BLOCKED: each side is replicated
+      `pair_blocks` times onto (cluster, bucket_i, bucket_j) keys, so
+      one cluster's quadratic work lands on pair_blocks² tasks instead
+      of one — the standard triangle-join decomposition. Each
+      unordered pair meets on exactly one key in each orientation and
+      the id inequality keeps exactly one. pair_blocks multiplies
+      shuffle volume and divides per-task work quadratically;
+      pair_blocks=1 degenerates to the plain cluster equi-join
+      (bit-identical results, pinned in tests).
+    No cartesian product; the dot is the same left-to-right double
+    fold the q21 oracle pins bit-exact against DuckDB."""
+    if pair_blocks < 1:
+        raise ValueError("pair_blocks must be >= 1")
+    if assignments is None:
+        assignments = ivf_assignments(
+            embeddings, n_seeds=n_seeds, id_col=id_col, vec_col=vec_col
+        )
+    v = F.col(vec_col).cast("array<double>")
+    unit = F.transform(v, lambda x: x / F.sqrt(_fold_norm2(v)))
+    e = embeddings.select(F.col(id_col), unit.alias("__u")).join(
+        assignments.select(id_col, "cluster"), on=id_col
+    )
+    blocks = F.array(*[F.lit(j) for j in range(pair_blocks)])
+    bucket = F.pmod(F.hash(F.col(id_col)), F.lit(pair_blocks))
+    a = e.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__u").alias("__ua"),
+        "cluster",
+        bucket.alias("__k1"),
+        F.explode(blocks).alias("__k2"),
+    )
+    b = e.select(
+        F.col(id_col).alias("__idb"),
+        F.col("__u").alias("__ub"),
+        "cluster",
+        F.explode(blocks).alias("__k1"),
+        bucket.alias("__k2"),
+    )
+    pairs = (
+        a.join(b, on=["cluster", "__k1", "__k2"])
+        .where(F.col("__ida") > F.col("__idb"))
+        .select(
+            F.col("__ida").alias(id_col),
+            F.col("__idb").alias("dup_of"),
+            _fold_dot(F.col("__ua"), F.col("__ub")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("dup_of").asc()
+    )
+    best = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        e.select(id_col, "cluster")
+        .join(best, on=id_col, how="left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "cosine",
+        )
+    )
+
+
 def hashed_tf_embedding(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -234,6 +234,18 @@ def main() -> None:
     ).save()
     extras["hashed_tf_embedding"] = round(time.perf_counter() - t0, 3)
 
+    # r07 SemDeDup: cluster-scoped exact-cosine semantic dedup — the
+    # intra-cluster self-join is the cost driver; n_seeds bounds it
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    t0 = time.perf_counter()
+    semantic_dedup(emb, threshold=0.3, n_seeds=8).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    extras["semantic_dedup"] = round(time.perf_counter() - t0, 3)
+
     # r07 persistent-index maintenance loop: build -> delete (partition-
     # scoped rewrite) -> search the survivors. One number for the whole
     # index lifecycle so a regression in any stage is visible in the

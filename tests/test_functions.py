@@ -1843,3 +1843,116 @@ def test_hashed_tf_embedding_feeds_the_similarity_stack(spark):
 
     with pytest.raises(ValueError, match="dim"):
         hashed_tf_embedding(docs, dim=0)
+
+
+def test_semantic_dedup_matches_duckdb_exactly(spark):
+    """SemDeDup chain vs a DuckDB reimplementation over the same
+    parquet, bit-for-bit: seed-centroid assignment (argmax cosine, ties
+    to the smaller seed id), intra-cluster exact-cosine pairs, greedy
+    min-id keepers with best-match verdicts. Doubles compare exactly —
+    both engines fold left-to-right (the q21-pinned idiom)."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    got = sorted(
+        map(tuple, semantic_dedup(emb, threshold=0.3, n_seeds=4).collect())
+    )
+    assert len(got) == emb.count()
+    dups = [r for r in got if not r[2]]
+    assert dups, "threshold too high for the fixture — test is vacuous"
+    for vec_id, cluster, keep, dup_of, cosine in got:
+        assert keep == (dup_of is None)
+        if not keep:
+            assert dup_of < vec_id and cosine >= 0.3
+
+    want = sorted(
+        map(
+            tuple,
+            duckdb.connect().execute(f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          list_transform(embedding::DOUBLE[],
+                              x -> x / sqrt(list_inner_product(
+                                       embedding::DOUBLE[],
+                                       embedding::DOUBLE[]))) AS u
+                   FROM '{path}'),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+        sc AS (SELECT e.vec_id, c.cid,
+                      list_inner_product(e.v, c.cv) /
+                      (sqrt(list_inner_product(e.v, e.v)) *
+                       sqrt(list_inner_product(c.cv, c.cv))) AS cos
+               FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY cos DESC, cid ASC) AS rn
+                  FROM sc) WHERE rn = 1),
+        p AS (SELECT a.vec_id AS vec_id, b.vec_id AS dup_of,
+                     list_inner_product(ea.u, eb.u) AS cosine
+              FROM asg a JOIN asg b
+                ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+              JOIN e ea ON ea.vec_id = a.vec_id
+              JOIN e eb ON eb.vec_id = b.vec_id),
+        best AS (SELECT vec_id, dup_of, cosine FROM (
+                   SELECT vec_id, dup_of, cosine,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY cosine DESC, dup_of ASC) AS rn
+                   FROM p WHERE cosine >= 0.3) WHERE rn = 1)
+        SELECT asg.vec_id, asg.cluster, best.dup_of IS NULL AS keep,
+               best.dup_of, best.cosine
+        FROM asg LEFT JOIN best ON asg.vec_id = best.vec_id
+    """).fetchall(),
+        )
+    )
+    assert got == want
+
+    # the blocked triangle join is pure parallelization: pair_blocks=1
+    # (the plain cluster equi-join) is bit-identical
+    plain = sorted(
+        map(
+            tuple,
+            semantic_dedup(emb, threshold=0.3, n_seeds=4, pair_blocks=1).collect(),
+        )
+    )
+    assert plain == got
+
+
+def test_semantic_dedup_single_cluster_equals_global_greedy(spark):
+    """With every vector forced into ONE cluster, semantic_dedup must
+    reproduce the global greedy dedup derivable from the exact
+    `cosine_pairs` baseline — the cluster pass only ever SHRINKS the
+    candidate set, so this pins the verdict logic itself. Also asserts
+    the production plan joins on the cluster key (no cartesian
+    product)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        cosine_pairs,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = emb.select("vec_id", F.lit(0).alias("cluster"))
+    got = {
+        r.vec_id: (r.keep, r.dup_of)
+        for r in semantic_dedup(emb, threshold=0.3, assignments=one).collect()
+    }
+
+    best: dict[int, tuple] = {}
+    for r in cosine_pairs(emb, 0.3).collect():
+        doc, dup_of = max(r.id_a, r.id_b), min(r.id_a, r.id_b)
+        cur = best.get(doc)
+        cand = (-r.cosine, dup_of)
+        if cur is None or cand < cur:
+            best[doc] = cand
+    for vid, (keep, dup_of) in got.items():
+        assert keep == (vid not in best), vid
+        if not keep:
+            assert dup_of == best[vid][1], vid
+
+    plan = semantic_dedup(emb, threshold=0.3, n_seeds=4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
