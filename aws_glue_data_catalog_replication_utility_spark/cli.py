@@ -11,10 +11,16 @@ Jobs (mirroring SURVEY.md §3):
   stream   continuous import: readStream events dir -> versioned state
   stream-dedup  incremental near-dedup: micro-batches of docs checked
            against the persisted keeper signature store (MinHash/LSH)
+  stream-sem-dedup  incremental semantic dedup: embed -> ANN-probe the
+           keeper index -> exact-cosine verdicts -> keepers append
   dedup-compact  merge a stopped stream-dedup state's cold signature
            tail into one partition; coalesce decision-log files
   clean    LLM-corpus cleaning: paragraph boilerplate removal ->
            quality-filter verdicts -> exact dedup, with a why-dropped audit
+  sem-dedup  semantic dedup: embedding clusters -> intra-cluster exact
+           cosine -> greedy min-id keepers (SemDeDup)
+  zorder   re-lay a parquet store along a multi-column Z-curve for
+           footer-based file pruning on every z-ordered column
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
            connected components -> one keeper per duplicate cluster
   embed    text -> vector: signed feature-hashing embeddings feeding
@@ -156,6 +162,26 @@ def main(argv: list[str] | None = None) -> int:
     snd.add_argument("--available-now", action="store_true",
                      help="drain what's present then stop (default: run forever)")
 
+    ssd = sub.add_parser(
+        "stream-sem-dedup",
+        help="incremental semantic dedup: each micro-batch embeds, "
+             "probes the persistent ANN index (the keeper store), and "
+             "exact-cosine-verified duplicates are flagged on arrival; "
+             "keepers append to the index",
+    )
+    ssd.add_argument("--docs-dir", required=True)
+    ssd.add_argument("--index-root", required=True,
+                     help="existing ANN index (build it from the seed corpus)")
+    ssd.add_argument("--state-root", required=True)
+    ssd.add_argument("--checkpoint", required=True)
+    ssd.add_argument("--threshold", type=float, default=0.9)
+    ssd.add_argument("--k", type=int, default=3)
+    ssd.add_argument("--nprobe", type=int, default=2)
+    ssd.add_argument("--normalize", action="store_true")
+    ssd.add_argument("--max-files-per-trigger", type=int, default=None)
+    ssd.add_argument("--available-now", action="store_true",
+                     help="drain what's present then stop (default: run forever)")
+
     sdc = sub.add_parser(
         "dedup-compact",
         help="compact a STOPPED stream-dedup state: merge the cold "
@@ -205,6 +231,38 @@ def main(argv: list[str] | None = None) -> int:
                     help="exact-Jaccard cutoff applied to LSH candidates")
     nd.add_argument("--normalize", action="store_true",
                     help="casefold/strip-punct/collapse-digits before shingling")
+
+    sd = sub.add_parser(
+        "sem-dedup",
+        help="semantic dedup (SemDeDup): cluster the embedding space, "
+             "drop docs whose exact cosine against a smaller-id doc in "
+             "the same cluster clears the threshold",
+    )
+    sd.add_argument("--embeddings", required=True,
+                    help="parquet (vec_id, embedding array)")
+    sd.add_argument("--out", required=True, help="surviving rows parquet dir")
+    sd.add_argument("--audit-out", required=True,
+                    help="per-vector verdict parquet dir "
+                         "(vec_id, cluster, keep, dup_of, cosine)")
+    sd.add_argument("--threshold", type=float, default=0.9)
+    sd.add_argument("--n-seeds", type=int, default=8,
+                    help="cluster count: fewer -> higher recall, more "
+                         "intra-cluster pairs")
+    sd.add_argument("--pair-blocks", type=int, default=8,
+                    help="triangle-join blocking factor for giant clusters")
+
+    zo = sub.add_parser(
+        "zorder",
+        help="re-lay a parquet store along the Z-curve of the given "
+             "columns so range predicates on ANY of them prune files "
+             "(lakehouse OPTIMIZE ZORDER equivalent)",
+    )
+    zo.add_argument("--in", dest="in_path", required=True)
+    zo.add_argument("--out", required=True)
+    zo.add_argument("--cols", required=True,
+                    help="comma-separated numeric columns, e.g. a,b")
+    zo.add_argument("--n-files", type=int, default=64)
+    zo.add_argument("--bits", type=int, default=8)
 
     em = sub.add_parser(
         "embed",
@@ -405,6 +463,34 @@ def main(argv: list[str] | None = None) -> int:
         _write(audit, args.audit_out)
         cand.unpersist()
         labels.unpersist()
+
+    elif args.job == "sem-dedup":
+        from pyspark.sql import functions as F
+
+        from .functions.similarity import semantic_dedup
+
+        emb = _read(spark, args.embeddings)
+        verdicts = semantic_dedup(
+            emb,
+            threshold=args.threshold,
+            n_seeds=args.n_seeds,
+            pair_blocks=args.pair_blocks,
+        )
+        verdicts.write.mode("overwrite").parquet(args.audit_out)
+        keepers = spark.read.parquet(args.audit_out).where(F.col("keep"))
+        emb.join(keepers.select("vec_id"), on="vec_id").write.mode(
+            "overwrite"
+        ).parquet(args.out)
+
+    elif args.job == "zorder":
+        from .functions.layout import zorder_layout
+
+        zorder_layout(
+            _read(spark, args.in_path),
+            [c.strip() for c in args.cols.split(",") if c.strip()],
+            n_files=args.n_files,
+            bits=args.bits,
+        ).write.mode("overwrite").parquet(args.out)
 
     elif args.job == "embed":
         from pyspark.sql import functions as F
@@ -607,6 +693,24 @@ def main(argv: list[str] | None = None) -> int:
             threshold=args.threshold,
             num_hashes=args.num_hashes,
             bands=args.bands,
+            normalize=args.normalize,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+
+    elif args.job == "stream-sem-dedup":
+        from .streaming.semdedup import start_semantic_dedup_stream
+
+        q = start_semantic_dedup_stream(
+            spark,
+            docs_path=args.docs_dir,
+            index_root=args.index_root,
+            state_root=args.state_root,
+            checkpoint_path=args.checkpoint,
+            threshold=args.threshold,
+            k=args.k,
+            nprobe=args.nprobe,
             normalize=args.normalize,
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=args.available_now,

@@ -19,6 +19,10 @@ from .neardedup import (  # noqa: F401
     read_dedup_decisions,
     start_near_dedup_stream,
 )
+from .semdedup import (  # noqa: F401
+    read_semantic_decisions,
+    start_semantic_dedup_stream,
+)
 from .enrich import interval_join  # noqa: F401
 from .rollup import windowed_rollup  # noqa: F401
 from .sessions import session_rollup  # noqa: F401

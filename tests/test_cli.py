@@ -479,3 +479,91 @@ def test_cli_embed_feeds_index_and_search(spark, tmp_path):
     ]) == 0
     (top,) = spark.read.parquet(out).collect()
     assert top.vec_id == 1  # the near-duplicate, not the unrelated docs
+
+
+def test_cli_sem_dedup(spark, tmp_path):
+    """The batch SemDeDup job end to end: identical embeddings dedup to
+    the min id, survivors parquet holds keepers only, the audit maps
+    every vector to its verdict."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # append an exact duplicate of vector 10 under a larger id
+    dup = emb.where(F.col("vec_id") == 10).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    in_path = str(tmp_path / "emb")
+    emb.unionByName(dup).write.mode("overwrite").parquet(in_path)
+    out, audit_out = str(tmp_path / "kept"), str(tmp_path / "verdicts")
+
+    assert main([
+        "sem-dedup",
+        "--embeddings", in_path,
+        "--out", out,
+        "--audit-out", audit_out,
+        "--threshold", "0.99",
+        "--n-seeds", "4",
+    ]) == 0
+    verdicts = {r.vec_id: r for r in spark.read.parquet(audit_out).collect()}
+    assert len(verdicts) == emb.count() + 1
+    assert not verdicts[10_010].keep and verdicts[10_010].dup_of == 10
+    assert verdicts[10].keep
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert 10_010 not in kept and 10 in kept
+    assert kept == {v for v, r in verdicts.items() if r.keep}
+
+
+def test_cli_stream_sem_dedup(spark, tmp_path):
+    """The incremental semantic-dedup job end to end via the CLI:
+    seed index built with the `index` job from embedded seeds, then
+    `stream-sem-dedup --available-now` drains two micro-batches —
+    a paraphrase-free dup of a seed doc is flagged, keepers accrete."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        verify_ann_index,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        hashed_tf_embedding,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.streaming import (
+        read_semantic_decisions,
+    )
+
+    seed_docs = spark.createDataFrame(
+        [(i, f"seed document number {i} about topic_{i} " * 3) for i in range(8)],
+        "doc_id long, text string",
+    )
+    emb_path = str(tmp_path / "seed_emb")
+    hashed_tf_embedding(seed_docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).write.parquet(emb_path)
+    root = str(tmp_path / "idx")
+    assert main([
+        "index",
+        "--embeddings", emb_path,
+        "--index-root", root,
+        "--n-clusters", "4", "--pq-m", "4", "--pq-k", "8",
+    ]) == 0
+
+    seed3 = "seed document number 3 about topic_3 " * 3
+    uniq = "completely different subject matter about replication pipelines"
+    for i, rows in enumerate(([(100, seed3)], [(200, uniq), (201, uniq)])):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").json(str(tmp_path / "docs" / f"f={i}"))
+
+    state = str(tmp_path / "state")
+    assert main([
+        "stream-sem-dedup",
+        "--docs-dir", str(tmp_path / "docs"),
+        "--index-root", root,
+        "--state-root", state,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--threshold", "0.99",
+        "--nprobe", "4",
+        "--max-files-per-trigger", "1",
+        "--available-now",
+    ]) == 0
+
+    dec = {r.doc_id: r for r in read_semantic_decisions(spark, state).collect()}
+    assert not dec[100].keep and dec[100].dup_of == 3
+    assert dec[200].keep
+    assert not dec[201].keep and dec[201].dup_of == 200
+    verify_ann_index(spark, root)

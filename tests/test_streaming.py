@@ -1206,3 +1206,113 @@ def test_near_dedup_state_compaction(spark, tmp_path):
     )
     assert decisions() == dec_now
     shutil.rmtree(str(tmp_path / "ckpt_blocked"), ignore_errors=True)
+
+
+def test_streaming_semantic_dedup_through_index(spark, tmp_path):
+    """The incremental semantic-dedup loop: a batch-1 doc matching a
+    SEED keeper is flagged against the index; a batch-2 doc matching a
+    batch-1 KEEPER proves keepers accrete; within-batch duplicates keep
+    the smallest id; dropped dups never enter the index; a
+    fresh-checkpoint full replay converges (delete-before-anything
+    self-heal); and a missing index fails fast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        verify_ann_index,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        hashed_tf_embedding,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.streaming import (
+        read_semantic_decisions,
+        start_semantic_dedup_stream,
+    )
+
+    seed_docs = spark.createDataFrame(
+        [(i, f"seed document number {i} about topic_{i} " * 3) for i in range(8)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "idx")
+    build_ann_index(
+        spark,
+        hashed_tf_embedding(seed_docs).select("doc_id", "embedding"),
+        root, n_clusters=4, m=4, k=8, id_col="doc_id",
+    )
+
+    seed3 = "seed document number 3 about topic_3 " * 3
+    uniq1 = "completely different subject matter about replication pipelines"
+    uniq2 = "another unrelated batch two document discussing watermarks"
+    b1 = [(100, seed3), (101, uniq1)]
+    b2 = [(200, uniq1), (201, uniq2), (202, uniq2)]
+    docs_dir = str(tmp_path / "docs")
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{docs_dir}/f={i}")
+
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        q = start_semantic_dedup_stream(
+            spark,
+            docs_path=docs_dir,
+            index_root=root,
+            state_root=state,
+            checkpoint_path=str(tmp_path / ckpt),
+            threshold=0.99,
+            k=3,
+            nprobe=4,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt")
+
+    dec = {r.doc_id: r for r in read_semantic_decisions(spark, state).collect()}
+    assert len(dec) == 5
+    # batch 1: 100 duplicates the SEED keeper 3 (exact text -> cosine 1)
+    assert not dec[100].keep and dec[100].dup_of == 3
+    assert dec[100].cosine == pytest.approx(1.0)
+    assert dec[101].keep
+    # batch 2: 200 duplicates the batch-1 KEEPER 101 (accretion);
+    # 202 duplicates 201 WITHIN the batch (min-id keeps)
+    assert not dec[200].keep and dec[200].dup_of == 101
+    assert dec[201].keep
+    assert not dec[202].keep and dec[202].dup_of == 201
+
+    verify_ann_index(spark, root)
+    indexed = {
+        r[0]
+        for r in spark.read.option("basePath", f"{root}/vectors")
+        .parquet(f"{root}/vectors")
+        .select("doc_id")
+        .collect()
+    }
+    assert indexed == set(range(8)) | {101, 201}  # keepers only
+
+    # full replay from a fresh checkpoint converges bit-for-bit
+    before = sorted(map(tuple, read_semantic_decisions(spark, state).collect()))
+    run("ckpt2")
+    verify_ann_index(spark, root)  # no dup_ids from the re-append
+    assert sorted(
+        map(tuple, read_semantic_decisions(spark, state).collect())
+    ) == before
+    indexed2 = {
+        r[0]
+        for r in spark.read.option("basePath", f"{root}/vectors")
+        .parquet(f"{root}/vectors")
+        .select("doc_id")
+        .collect()
+    }
+    assert indexed2 == indexed
+
+    with pytest.raises(ValueError, match="no ANN index"):
+        start_semantic_dedup_stream(
+            spark,
+            docs_path=docs_dir,
+            index_root=str(tmp_path / "nope"),
+            state_root=state,
+            checkpoint_path=str(tmp_path / "ckpt3"),
+        )
