@@ -47,6 +47,11 @@ from .similarity import (
     ivf_assignments,
     dot_udf_available,
 )
+from .layout import (
+    zorder_bucket,
+    zorder_layout,
+    zorder_value,
+)
 from .sampling import (
     cap_per_group,
     hash_bucket,
@@ -94,6 +99,9 @@ __all__ = [
     "sign_lsh_candidates",
     "semantic_dedup",
     "ivf_assignments",
+    "zorder_bucket",
+    "zorder_layout",
+    "zorder_value",
     "dot_udf_available",
     "attach_blob",
     "blob_features",

@@ -1,0 +1,112 @@
+"""Multi-dimensional data layout: Z-order clustering for file pruning.
+
+A 100 TB store is read through its parquet footers first: a filter
+prunes a file when the predicate cannot intersect the file's column
+[min, max]. A single-column sort gives perfect pruning on that column
+and NONE on any other; Z-ORDERING (the lakehouse `OPTIMIZE ZORDER BY`
+maintenance op, same family as our ANN `compact` and dedup-state
+compaction) interleaves the bits of several columns' rank-bucket ids so
+that files end up rectangular in ALL the z-ordered dimensions — every
+z-ordered column gets usable min/max locality, at the price of none of
+them being perfectly sorted.
+
+Recipe (the standard one):
+1. bucket each column into 2^bits quantile buckets — boundaries come
+   from one driver-side `approxQuantile` (bounded: 2^bits-1 doubles per
+   column, never data-sized); rank-bucketing makes the interleave
+   robust to skew and scale differences between columns;
+2. build the z-value by bit-interleaving the bucket ids (pure integer
+   expressions, whole-stage codegen — the bucket lookup is a literal
+   boundary-array fold, ~2^bits adds per row per column);
+3. `repartitionByRange` on the z-value into the target file count and
+   sort within partitions — one range shuffle, then each output file
+   covers one compact z-range.
+
+Everything is deterministic given the boundaries, so the whole chain
+has a DuckDB twin (pinned bit-for-bit in tests), and the pruning claim
+itself is asserted from the written files' parquet footers, not from
+trust: a range predicate on EITHER column intersects a strict subset of
+a z-ordered layout's files, while a single-column sort is all-files on
+the other column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_bucket(col: Column, boundaries: list[float]) -> Column:
+    """Rank-bucket id in [0, len(boundaries)]: the count of boundaries
+    <= value, as one literal array fold (codegen; ~len(boundaries) adds
+    per row). NULLs sort first (bucket 0 — they cluster together, the
+    useful default for pruning IS NULL probes)."""
+    barr = F.array(*[F.lit(float(b)) for b in boundaries])
+    v = col.cast("double")
+    return F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def zorder_value(bucket_cols: list[Column], bits: int) -> Column:
+    """Bit-interleave the bucket ids (each in [0, 2^bits)) into one
+    long: column j contributes its bit i at output position
+    i * n_cols + (n_cols - 1 - j) — the classic Morton / Z-curve,
+    earlier-listed columns in the higher lanes."""
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(bucket_cols):
+        lc = c.cast("long")
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(lc, i).bitwiseAND(F.lit(1)), i * n + (n - 1 - j)
+            )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+    rel_err: float = 0.001,
+    z_col: str | None = None,
+) -> DataFrame:
+    """Return `df` re-laid-out along the Z-curve of `cols` (numeric
+    columns), ready to `.write.parquet(...)` into ~`n_files` files each
+    covering a compact z-range. Pass `z_col` to keep the computed
+    z-value as a named output column (for tests/inspection); default
+    drops it.
+
+    One `approxQuantile` per call (driver-bounded), one range-exchange;
+    the bucket/interleave math is map-side codegen. Quantile boundaries
+    are approximate — that skews BUCKET POPULATIONS, never correctness:
+    any boundary set yields a valid layout, and the written files'
+    footer min/max (what pruning actually reads) reflect the true
+    values."""
+    if not cols:
+        raise ValueError("zorder_layout needs at least one column")
+    if bits < 1 or bits > 16:
+        raise ValueError("bits must be in [1, 16]")
+    for c in cols:
+        if df.schema[c].dataType.simpleString() in ("string", "binary"):
+            raise ValueError(
+                f"zorder column {c!r} must be numeric/temporal; hash "
+                f"string keys to a numeric column first (string z-order "
+                f"clusters by hash and prunes only exact matches)"
+            )
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    cast_df = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    bnds = cast_df.stat.approxQuantile(cols, probs, rel_err)
+    z = zorder_value(
+        [zorder_bucket(F.col(c), sorted(set(b))) for c, b in zip(cols, bnds)],
+        bits,
+    )
+    name = z_col or "__z"
+    out = (
+        df.withColumn(name, z)
+        .repartitionByRange(n_files, F.col(name))
+        .sortWithinPartitions(name)
+    )
+    return out if z_col else out.drop(name)

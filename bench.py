@@ -246,6 +246,21 @@ def main() -> None:
     ).save()
     extras["semantic_dedup"] = round(time.perf_counter() - t0, 3)
 
+    # r07 z-order layout: quantile probe + bucket/interleave + range
+    # exchange + within-partition sort over the widest table
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        zorder_layout,
+    )
+
+    lineitem = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    t0 = time.perf_counter()
+    zorder_layout(
+        lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
+        ["l_orderkey", "l_partkey"],
+        n_files=32,
+    ).write.format("noop").mode("overwrite").save()
+    extras["zorder_layout"] = round(time.perf_counter() - t0, 3)
+
     # r07 persistent-index maintenance loop: build -> delete (partition-
     # scoped rewrite) -> search the survivors. One number for the whole
     # index lifecycle so a regression in any stage is visible in the

@@ -1956,3 +1956,139 @@ def test_semantic_dedup_single_cluster_equals_global_greedy(spark):
 
     plan = semantic_dedup(emb, threshold=0.3, n_seeds=4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_zorder_value_matches_duckdb_exactly(spark):
+    """The z-curve math (literal boundary-array bucket fold + bit
+    interleave) vs a DuckDB reimplementation with the SAME boundary
+    literals, bit-for-bit over real data — integer outputs, so engine
+    agreement is exact."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        zorder_bucket,
+        zorder_value,
+    )
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    li = spark.read.parquet(path)
+    b1 = [5.0, 12.5, 30.0]  # deliberately uneven, incl. non-integers
+    b2 = [900.0, 1500.0, 2100.0]
+    got = sorted(
+        map(
+            tuple,
+            li.select(
+                "l_orderkey",
+                "l_linenumber",
+                zorder_value(
+                    [
+                        zorder_bucket(F.col("l_orderkey"), b1),
+                        zorder_bucket(F.col("l_partkey"), b2),
+                    ],
+                    bits=2,
+                ).alias("z"),
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.connect().execute(f"""
+        WITH src AS (SELECT l_orderkey, l_linenumber,
+            (CASE WHEN l_orderkey::DOUBLE >= 5.0 THEN 1 ELSE 0 END
+           + CASE WHEN l_orderkey::DOUBLE >= 12.5 THEN 1 ELSE 0 END
+           + CASE WHEN l_orderkey::DOUBLE >= 30.0 THEN 1 ELSE 0 END) AS ba,
+            (CASE WHEN l_partkey::DOUBLE >= 900.0 THEN 1 ELSE 0 END
+           + CASE WHEN l_partkey::DOUBLE >= 1500.0 THEN 1 ELSE 0 END
+           + CASE WHEN l_partkey::DOUBLE >= 2100.0 THEN 1 ELSE 0 END) AS bb
+          FROM '{path}')
+        SELECT l_orderkey, l_linenumber,
+               (((ba >> 0) & 1) << 1) + (((ba >> 1) & 1) << 3)
+             + (((bb >> 0) & 1) << 0) + (((bb >> 1) & 1) << 2) AS z
+        FROM src
+    """).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """The pruning claim, asserted from the written parquet FOOTERS: a
+    range predicate on either z-ordered column intersects a strict
+    subset of the z-layout's files, while the single-column-sort
+    baseline is all-files on its unsorted column. Also: the layout is
+    a pure re-ordering (row multiset unchanged)."""
+    import pyarrow.parquet as pq
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        zorder_layout,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n_files = 8
+    zdir = str(tmp_path / "zorder")
+    zorder_layout(li, ["l_orderkey", "l_partkey"], n_files).write.parquet(zdir)
+    sdir = str(tmp_path / "sorted_a")
+    li.repartitionByRange(n_files, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(sdir)
+
+    def ranges(d, col):
+        import os
+
+        out = []
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{d}/{name}").metadata
+            idx = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    def intersecting(rs, lo, hi):
+        return sum(1 for a, b in rs if not (b < lo or a > hi))
+
+    ok_max = li.agg(F.max("l_orderkey")).first()[0]
+    pk_max = li.agg(F.max("l_partkey")).first()[0]
+    # a ~5%-wide range probe on each dimension
+    ok_probe = (int(ok_max * 0.40), int(ok_max * 0.45))
+    pk_probe = (int(pk_max * 0.40), int(pk_max * 0.45))
+
+    z_ok = intersecting(ranges(zdir, "l_orderkey"), *ok_probe)
+    z_pk = intersecting(ranges(zdir, "l_partkey"), *pk_probe)
+    s_ok = intersecting(ranges(sdir, "l_orderkey"), *ok_probe)
+    s_pk = intersecting(ranges(sdir, "l_partkey"), *pk_probe)
+
+    assert s_ok <= 2  # perfect on the sorted column...
+    assert s_pk == n_files  # ...and useless on the other
+    # z-order: REAL pruning on BOTH dimensions. Typical is ~n/2 files;
+    # the bound allows one extra straddling file per side because
+    # repartitionByRange's row-balanced boundaries (equal FILE SIZES —
+    # the operational choice) are sampled, not Morton-cell-aligned.
+    assert z_ok <= n_files - 2, (z_ok, n_files)
+    assert z_pk <= n_files - 2, (z_pk, n_files)
+    assert z_ok + z_pk < 2 * n_files - 2  # strictly better than no layout
+
+    # pure re-ordering: multiset of rows unchanged
+    assert (
+        spark.read.parquet(zdir)
+        .exceptAll(li)
+        .unionByName(li.exceptAll(spark.read.parquet(zdir)))
+        .isEmpty()
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="numeric"):
+        zorder_layout(
+            li.withColumn("s", F.lit("x")), ["l_orderkey", "s"], 4
+        )
+    with pytest.raises(ValueError, match="bits"):
+        zorder_layout(li, ["l_orderkey"], 4, bits=0)
