@@ -16,8 +16,8 @@ Recipe (the standard one):
    column, never data-sized); rank-bucketing makes the interleave
    robust to skew and scale differences between columns;
 2. build the z-value by bit-interleaving the bucket ids (pure integer
-   expressions, whole-stage codegen — the bucket lookup is a literal
-   boundary-array fold, ~2^bits adds per row per column);
+   expressions, whole-stage codegen — the bucket lookup is a balanced
+   nested-CASE binary search, `bits` comparisons per row per column);
 3. `repartitionByRange` on the z-value into the target file count and
    sort within partitions — one range shuffle, then each output file
    covers one compact z-range.
@@ -37,16 +37,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def zorder_bucket(col: Column, boundaries: list[float]) -> Column:
     """Rank-bucket id in [0, len(boundaries)]: the count of boundaries
-    <= value, as one literal array fold (codegen; ~len(boundaries) adds
-    per row). NULLs sort first (bucket 0 — they cluster together, the
-    useful default for pruning IS NULL probes)."""
-    barr = F.array(*[F.lit(float(b)) for b in boundaries])
+    <= value, computed as a BALANCED nested-CASE binary search — log2
+    comparisons per row, whole-stage codegen. (The first cut was a
+    literal-array `aggregate` fold; higher-order functions run
+    interpreted per element, and 2x255 lambda steps per row measured
+    ~19s over sf0.1 lineitem vs well under a second for this tree.)
+    NULLs take every ELSE branch down to bucket 0 — they cluster
+    together, the useful default for pruning IS NULL probes."""
     v = col.cast("double")
-    return F.aggregate(
-        barr,
-        F.lit(0),
-        lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
-    )
+    bnds = [float(b) for b in boundaries]
+
+    def rec(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return F.when(v >= F.lit(bnds[mid - 1]), rec(mid, hi)).otherwise(
+            rec(lo, mid - 1)
+        )
+
+    return rec(0, len(bnds))
 
 
 def zorder_value(bucket_cols: list[Column], bits: int) -> Column:
@@ -70,7 +79,7 @@ def zorder_layout(
     cols: list[str],
     n_files: int,
     bits: int = 8,
-    rel_err: float = 0.001,
+    rel_err: float | None = None,
     z_col: str | None = None,
 ) -> DataFrame:
     """Return `df` re-laid-out along the Z-curve of `cols` (numeric
@@ -97,6 +106,12 @@ def zorder_layout(
                 f"clusters by hash and prunes only exact matches)"
             )
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    if rel_err is None:
+        # must resolve FINER than the bucket spacing 1/2^bits, or
+        # adjacent quantiles collapse to one sketch value and the upper
+        # z bits go dark (measured: rel_err=0.01 at bits=8 halves the
+        # distinct-boundary count and folds 8 cells into 2)
+        rel_err = 1.0 / (4 * (1 << bits))
     cast_df = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
     bnds = cast_df.stat.approxQuantile(cols, probs, rel_err)
     z = zorder_value(
@@ -104,9 +119,19 @@ def zorder_layout(
         bits,
     )
     name = z_col or "__z"
+    # range-partition on the TOP log2(n_files) z bits (the Morton cell
+    # id), not the raw z: the range sampler then places file boundaries
+    # AT cell boundaries, so each file is a clean hyper-rectangle in
+    # bucket space — straddle-free pruning. Rank-bucketing already
+    # equalizes mass across cells, so files stay size-balanced; sorting
+    # within partitions still uses the full z for row-group locality.
+    import math
+
+    k = max(1, math.ceil(math.log2(max(n_files, 2))))
+    shift = max(len(cols) * bits - k, 0)
     out = (
         df.withColumn(name, z)
-        .repartitionByRange(n_files, F.col(name))
+        .repartitionByRange(n_files, F.shiftright(F.col(name), shift))
         .sortWithinPartitions(name)
     )
     return out if z_col else out.drop(name)

@@ -210,7 +210,12 @@ def semantic_dedup(
             embeddings, n_seeds=n_seeds, id_col=id_col, vec_col=vec_col
         )
     v = F.col(vec_col).cast("array<double>")
-    unit = F.transform(v, lambda x: x / F.sqrt(_fold_norm2(v)))
+    # zero vectors (e.g. empty docs through hashed_tf_embedding) unit-
+    # normalize to the zero vector — cosine 0 against everything, never
+    # a duplicate (ANSI mode would raise DIVIDE_BY_ZERO unguarded)
+    raw_norm = F.sqrt(_fold_norm2(v))
+    nrm = F.when(raw_norm == 0, F.lit(1.0)).otherwise(raw_norm)
+    unit = F.transform(v, lambda x: x / nrm)
     e = embeddings.select(F.col(id_col), unit.alias("__u")).join(
         assignments.select(id_col, "cluster"), on=id_col
     )
@@ -399,8 +404,13 @@ def _centroid_literal(seed_rows) -> Column:
 def _argmax_cluster(cents: Column, vec: Column) -> Column:
     """Map-side argmax: per row, score every centroid by cosine inside
     one array expression and take the max struct — zero exchanges. Ties
-    break toward the smaller seed id via max over struct(cos, -sid)."""
-    norm_v = F.sqrt(_fold_norm2(vec))
+    break toward the smaller seed id via max over struct(cos, -sid).
+    A zero vector scores 0 against every centroid (the norm guard —
+    ANSI mode raises DIVIDE_BY_ZERO instead of yielding NaN) and lands
+    in the smallest seed id by the tie rule; nonzero vectors are
+    bit-identical to the unguarded form."""
+    raw_norm = F.sqrt(_fold_norm2(vec))
+    norm_v = F.when(raw_norm == 0, F.lit(1.0)).otherwise(raw_norm)
     scores = F.transform(
         cents,
         lambda c: F.struct(

@@ -120,9 +120,14 @@ def start_semantic_dedup_stream(
 
     dec_root = f"{state_root}/decisions"
 
-    def unit(col: F.Column) -> F.Column:
+    def unit(col):
+        # zero-norm guard: empty docs embed to the zero vector; unit-
+        # normalize it to itself (cosine 0, never a duplicate) instead
+        # of raising DIVIDE_BY_ZERO under ANSI mode
         v = col.cast("array<double>")
-        return F.transform(v, lambda x: x / F.sqrt(_fold_norm2(v)))
+        raw = F.sqrt(_fold_norm2(v))
+        nrm = F.when(raw == 0, F.lit(1.0)).otherwise(raw)
+        return F.transform(v, lambda x: x / nrm)
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

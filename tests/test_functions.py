@@ -2061,20 +2061,21 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     ok_probe = (int(ok_max * 0.40), int(ok_max * 0.45))
     pk_probe = (int(pk_max * 0.40), int(pk_max * 0.45))
 
-    z_ok = intersecting(ranges(zdir, "l_orderkey"), *ok_probe)
+    z_ranges_ok = ranges(zdir, "l_orderkey")
+    z_files = len(z_ranges_ok)  # the cell-id range sampler may merge
+    z_ok = intersecting(z_ranges_ok, *ok_probe)
     z_pk = intersecting(ranges(zdir, "l_partkey"), *pk_probe)
     s_ok = intersecting(ranges(sdir, "l_orderkey"), *ok_probe)
     s_pk = intersecting(ranges(sdir, "l_partkey"), *pk_probe)
 
     assert s_ok <= 2  # perfect on the sorted column...
     assert s_pk == n_files  # ...and useless on the other
-    # z-order: REAL pruning on BOTH dimensions. Typical is ~n/2 files;
-    # the bound allows one extra straddling file per side because
-    # repartitionByRange's row-balanced boundaries (equal FILE SIZES —
-    # the operational choice) are sampled, not Morton-cell-aligned.
-    assert z_ok <= n_files - 2, (z_ok, n_files)
-    assert z_pk <= n_files - 2, (z_pk, n_files)
-    assert z_ok + z_pk < 2 * n_files - 2  # strictly better than no layout
+    # z-order with cell-aligned file boundaries: 8 cells = 4 orderkey
+    # slabs x 2 partkey slabs, so a narrow probe hits <= 2 ok-slabs
+    # (<= 1/2 the files) and <= 1 pk-slab (+1 merged-cell straddle)
+    assert 6 <= z_files <= n_files
+    assert z_ok <= z_files // 2, (z_ok, z_files)
+    assert z_pk <= z_files * 3 // 4, (z_pk, z_files)
 
     # pure re-ordering: multiset of rows unchanged
     assert (

@@ -513,3 +513,120 @@ def test_ann_delete_random_subsets_match_rebuild(spark, tmp_path):
         want = sorted(map(tuple, search_ann_index(
             spark, twin, queries, k=4, nprobe=4).collect()))
         assert got == want, trial
+
+
+def test_semantic_dedup_random_matches_bruteforce(spark):
+    """Property (seeded): on random small vector sets — including exact
+    duplicates, near-duplicates, a zero vector, and negative
+    components — semantic_dedup's verdicts equal a brute-force Python
+    oracle running the same greedy rule over the same cluster
+    assignment; results are invariant to pair_blocks."""
+    import math
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(707)
+    for trial in range(3):
+        dim, n = 8, 24
+        rows = []
+        for i in range(n):
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+            rows.append((i, v))
+        # exact dup, scaled dup (cosine 1 up to fp), zero vector
+        rows.append((100 + trial, list(rows[5][1])))
+        rows.append((200 + trial, [x * 2.0 for x in rows[7][1]]))
+        rows.append((300 + trial, [0.0] * dim))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        th = 0.95
+        got = {
+            r.vec_id: (r.keep, r.dup_of, r.cluster)
+            for r in semantic_dedup(emb, threshold=th, n_seeds=4).collect()
+        }
+        got_pb1 = {
+            r.vec_id: (r.keep, r.dup_of, r.cluster)
+            for r in semantic_dedup(
+                emb, threshold=th, n_seeds=4, pair_blocks=1
+            ).collect()
+        }
+        assert got == got_pb1, trial
+
+        # brute-force oracle over the SAME assignment (read back from
+        # the operator's own cluster column — the pair logic is what
+        # this test pins; the assignment is pinned by the DuckDB twin)
+        def unit(v):
+            nrm = math.sqrt(sum(x * x for x in v))
+            return [x / nrm for x in v] if nrm else None
+
+        vecs = {i: v for i, v in rows}
+        for vid, (keep, dup_of, cluster) in got.items():
+            u = unit(vecs[vid])
+            cands = []
+            if u is not None:
+                for oid, (_, _, ocl) in got.items():
+                    if oid >= vid or ocl != cluster:
+                        continue
+                    ou = unit(vecs[oid])
+                    if ou is None:
+                        continue
+                    # same left-to-right fold as the engine
+                    cos = 0.0
+                    for a, b in zip(u, ou):
+                        cos += a * b
+                    if cos >= th:
+                        cands.append((-cos, oid))
+            if not cands:
+                assert keep and dup_of is None, (trial, vid)
+            else:
+                cands.sort()
+                assert not keep and dup_of == cands[0][1], (trial, vid)
+
+
+def test_zorder_value_random_matches_python_morton(spark):
+    """Property (seeded): for random boundary sets, bit widths, and
+    column counts, the engine's bucket+interleave equals a pure-Python
+    Morton oracle on every row."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        zorder_bucket,
+        zorder_value,
+    )
+
+    rng = random.Random(1107)
+    for trial in range(3):
+        ncols = rng.choice((2, 3))
+        bits = rng.choice((2, 3, 4))
+        nb = (1 << bits) - 1
+        bnds = [
+            sorted(rng.uniform(-100, 100) for _ in range(nb))
+            for _ in range(ncols)
+        ]
+        rows = [
+            tuple([i] + [rng.uniform(-150, 150) for _ in range(ncols)])
+            for i in range(40)
+        ]
+        schema = "rid long, " + ", ".join(f"c{j} double" for j in range(ncols))
+        df = spark.createDataFrame(rows, schema)
+        got = {
+            r.rid: r.z
+            for r in df.select(
+                "rid",
+                zorder_value(
+                    [
+                        zorder_bucket(F.col(f"c{j}"), bnds[j])
+                        for j in range(ncols)
+                    ],
+                    bits,
+                ).alias("z"),
+            ).collect()
+        }
+        for row in rows:
+            rid, vals = row[0], row[1:]
+            z = 0
+            for j, x in enumerate(vals):
+                bucket = sum(1 for b in bnds[j] if x >= b)
+                for i in range(bits):
+                    z += ((bucket >> i) & 1) << (i * ncols + (ncols - 1 - j))
+            assert got[rid] == z, (trial, rid)

@@ -1245,7 +1245,9 @@ def test_streaming_semantic_dedup_through_index(spark, tmp_path):
     uniq1 = "completely different subject matter about replication pipelines"
     uniq2 = "another unrelated batch two document discussing watermarks"
     b1 = [(100, seed3), (101, uniq1)]
-    b2 = [(200, uniq1), (201, uniq2), (202, uniq2)]
+    # 203: EMPTY text -> zero embedding -> cosine 0 vs everything;
+    # must survive (and not crash the unit-normalize under ANSI mode)
+    b2 = [(200, uniq1), (201, uniq2), (202, uniq2), (203, "")]
     docs_dir = str(tmp_path / "docs")
     for i, rows in enumerate((b1, b2)):
         spark.createDataFrame(rows, "doc_id long, text string").coalesce(
@@ -1271,16 +1273,18 @@ def test_streaming_semantic_dedup_through_index(spark, tmp_path):
     run("ckpt")
 
     dec = {r.doc_id: r for r in read_semantic_decisions(spark, state).collect()}
-    assert len(dec) == 5
+    assert len(dec) == 6
     # batch 1: 100 duplicates the SEED keeper 3 (exact text -> cosine 1)
     assert not dec[100].keep and dec[100].dup_of == 3
     assert dec[100].cosine == pytest.approx(1.0)
     assert dec[101].keep
     # batch 2: 200 duplicates the batch-1 KEEPER 101 (accretion);
-    # 202 duplicates 201 WITHIN the batch (min-id keeps)
+    # 202 duplicates 201 WITHIN the batch (min-id keeps); the
+    # zero-vector doc is kept (cosine 0 against everything)
     assert not dec[200].keep and dec[200].dup_of == 101
     assert dec[201].keep
     assert not dec[202].keep and dec[202].dup_of == 201
+    assert dec[203].keep and dec[203].dup_of is None
 
     verify_ann_index(spark, root)
     indexed = {
@@ -1290,7 +1294,7 @@ def test_streaming_semantic_dedup_through_index(spark, tmp_path):
         .select("doc_id")
         .collect()
     }
-    assert indexed == set(range(8)) | {101, 201}  # keepers only
+    assert indexed == set(range(8)) | {101, 201, 203}  # keepers only
 
     # full replay from a fresh checkpoint converges bit-for-bit
     before = sorted(map(tuple, read_semantic_decisions(spark, state).collect()))
