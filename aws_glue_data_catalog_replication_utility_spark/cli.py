@@ -13,6 +13,8 @@ Jobs (mirroring SURVEY.md §3):
            against the persisted keeper signature store (MinHash/LSH)
   stream-sem-dedup  incremental semantic dedup: embed -> ANN-probe the
            keeper index -> exact-cosine verdicts -> keepers append
+  stream-media  streaming multimodal feature extraction over binary
+           blob micro-batches (image/audio/frames/stats lanes)
   dedup-compact  merge a stopped stream-dedup state's cold signature
            tail into one partition; coalesce decision-log files
   clean    LLM-corpus cleaning: paragraph boilerplate removal ->
@@ -181,6 +183,25 @@ def main(argv: list[str] | None = None) -> int:
     ssd.add_argument("--max-files-per-trigger", type=int, default=None)
     ssd.add_argument("--available-now", action="store_true",
                      help="drain what's present then stop (default: run forever)")
+
+    sm = sub.add_parser(
+        "stream-media",
+        help="streaming multimodal feature extraction: micro-batches of "
+             "(doc_id, blob) rows run the Arrow decode lanes "
+             "(image/audio/frames/stats); garbage blobs survive as "
+             "error rows, replays overwrite their own batch dir",
+    )
+    sm.add_argument("--blobs-dir", required=True,
+                    help="streaming parquet dir of (doc_id long, blob binary)")
+    sm.add_argument("--out-root", required=True)
+    sm.add_argument("--checkpoint", required=True)
+    sm.add_argument("--kind", choices=("image", "audio", "frames", "stats"),
+                    default="image")
+    sm.add_argument("--every", type=int, default=2,
+                    help="frame sampling stride (kind=frames)")
+    sm.add_argument("--max-files-per-trigger", type=int, default=None)
+    sm.add_argument("--available-now", action="store_true",
+                    help="drain what's present then stop (default: run forever)")
 
     sdc = sub.add_parser(
         "dedup-compact",
@@ -712,6 +733,21 @@ def main(argv: list[str] | None = None) -> int:
             k=args.k,
             nprobe=args.nprobe,
             normalize=args.normalize,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+
+    elif args.job == "stream-media":
+        from .streaming.media import start_media_stream
+
+        q = start_media_stream(
+            spark,
+            blobs_path=args.blobs_dir,
+            out_root=args.out_root,
+            checkpoint_path=args.checkpoint,
+            kind=args.kind,
+            every=args.every,
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=args.available_now,
         )

@@ -19,6 +19,7 @@ from .neardedup import (  # noqa: F401
     read_dedup_decisions,
     start_near_dedup_stream,
 )
+from .media import read_media_features, start_media_stream  # noqa: F401
 from .semdedup import (  # noqa: F401
     read_semantic_decisions,
     start_semantic_dedup_stream,

@@ -1320,3 +1320,74 @@ def test_streaming_semantic_dedup_through_index(spark, tmp_path):
             state_root=state,
             checkpoint_path=str(tmp_path / "ckpt3"),
         )
+
+
+def test_streaming_media_feature_extraction(spark, tmp_path):
+    """The streaming multimodal loop: two micro-batches of image blobs
+    run the batch decode lane unchanged inside foreachBatch — decoded
+    rows match the batch operator bit-for-bit, a garbage blob survives
+    as an error row (the stream does not die), and a fresh-checkpoint
+    full replay overwrites per-batch outputs and converges."""
+    import pytest
+
+    from tests.test_multimodal import _encode_bmp, _encode_ppm
+    from aws_glue_data_catalog_replication_utility_spark.functions.multimodal import (
+        decode_image,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.streaming import (
+        read_media_features,
+        start_media_stream,
+    )
+
+    red2x1 = _encode_bmp(2, 1, [[(255, 0, 0), (255, 0, 0)]])
+    green1x1 = _encode_ppm(1, 1, [[(0, 255, 0)]])
+    b1 = [(1, bytearray(red2x1)), (2, bytearray(b"not an image at all"))]
+    b2 = [(3, bytearray(green1x1)), (4, None)]
+    blobs_dir = str(tmp_path / "blobs")
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "doc_id long, blob binary").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{blobs_dir}/f={i}")
+
+    out = str(tmp_path / "media")
+
+    def run(ckpt):
+        q = start_media_stream(
+            spark,
+            blobs_path=blobs_dir,
+            out_root=out,
+            checkpoint_path=str(tmp_path / ckpt),
+            kind="image",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt")
+    got = {r.doc_id: r for r in read_media_features(spark, out).collect()}
+    assert len(got) == 4
+    assert {got[1].batch_id, got[3].batch_id} == {0, 1}
+
+    # bit-for-bit the batch operator's output on the union
+    all_blobs = spark.createDataFrame(b1 + b2, "doc_id long, blob binary")
+    want = {r.doc_id: r for r in decode_image(all_blobs).collect()}
+    for did, w in want.items():
+        g = got[did]
+        assert (
+            g.format, g.width, g.height, g.channels, g.channel_means, g.error
+        ) == (
+            w.format, w.width, w.height, w.channels, w.channel_means, w.error
+        ), did
+    assert got[1].error is None and got[1].channel_means == [255.0, 0.0, 0.0]
+    assert got[3].error is None and got[3].channel_means == [0.0, 255.0, 0.0]
+    assert got[2].error is not None and got[4].error == "null blob"
+
+    # replay converges
+    before = sorted(map(tuple, read_media_features(spark, out).collect()))
+    run("ckpt2")
+    assert sorted(map(tuple, read_media_features(spark, out).collect())) == before
+
+    with pytest.raises(ValueError, match="kind"):
+        start_media_stream(
+            spark, blobs_path=blobs_dir, out_root=out,
+            checkpoint_path=str(tmp_path / "ckpt3"), kind="video",
+        )
