@@ -234,6 +234,11 @@ def main(argv: list[str] | None = None) -> int:
                         "avg log-prob is below this (gibberish scores low); "
                         "applied after the heuristic verdicts, audited as "
                         "'low_unigram_logprob'")
+    c.add_argument("--span-dedup-n", type=int, default=None,
+                   help="cross-document substring-span dedup (Lee et al. "
+                        "2022): cut duplicated runs of >= this many tokens "
+                        "(keep-one) from the boilerplate-free text before "
+                        "quality verdicts; audited as n_span_tokens_removed")
 
     nd = sub.add_parser(
         "near-dedup",
@@ -627,9 +632,26 @@ def main(argv: list[str] | None = None) -> int:
         extra_cols = [c2 for c2 in docs.columns if c2 not in ("doc_id", "text")]
         # 1. corpus-level boilerplate removal (paragraph df cap)
         depara = dedup_paragraphs(docs, max_df=args.paragraph_max_df)
+        # 1b. optional cross-document substring-span dedup over the
+        # boilerplate-free text: duplicated >=n-token runs are cut
+        # (keep-one), catching repeats paragraph layout hides
+        if args.span_dedup_n is not None:
+            from .functions.dedup import cut_spans, duplicated_spans
+
+            depara = cut_spans(
+                depara, duplicated_spans(depara, n=args.span_dedup_n)
+            ).select(
+                "doc_id",
+                F.col("text_dedup").alias("text"),
+                "n_paragraphs",
+                "n_removed",
+                F.col("tokens_removed").alias("__span_tok"),
+            )
+        else:
+            depara = depara.withColumn("__span_tok", F.lit(0))
         # 2. quality verdicts over the boilerplate-free text
         judged = depara.select(
-            "doc_id", "text", "n_paragraphs", "n_removed",
+            "doc_id", "text", "n_paragraphs", "n_removed", "__span_tok",
             quality_filter_verdict("text").alias("__v"),
         )
         if args.min_avg_logprob is not None:
@@ -640,7 +662,7 @@ def main(argv: list[str] | None = None) -> int:
             judged = judged.join(
                 lp.select("doc_id", "avg_logprob"), on="doc_id", how="left"
             ).select(
-                "doc_id", "text", "n_paragraphs", "n_removed",
+                "doc_id", "text", "n_paragraphs", "n_removed", "__span_tok",
                 F.struct(
                     (
                         F.col("__v.keep")
@@ -682,6 +704,7 @@ def main(argv: list[str] | None = None) -> int:
             "doc_id",
             "n_paragraphs",
             F.col("n_removed").alias("n_boilerplate_paragraphs"),
+            F.col("__span_tok").alias("n_span_tokens_removed"),
             F.col("__v.keep").alias("passed_quality"),
             F.col("__v.reasons").alias("reasons"),
         )

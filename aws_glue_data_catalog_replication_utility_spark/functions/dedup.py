@@ -676,3 +676,165 @@ def contamination_pairs(
         .where(F.col("containment") >= min_containment)
         .select(id_col, eval_id_col, "overlap", "eval_sz", "containment")
     )
+
+
+def positional_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    normalize: bool = False,
+) -> DataFrame:
+    """Every length-`n` token window of every document, WITH its token
+    position: (id, pos, win_hash) where win_hash = md5 of the window's
+    space-joined tokens (full 128-bit hex — corpus-wide window identity
+    must not collide, unlike the MinHash lanes' 32-bit base hashes
+    whose collisions only perturb a min). One narrow projection builds
+    the hash array in codegen; one posexplode emits a row per token
+    position — the same volume the shingle lanes already shuffle.
+
+    normalize=True hashes `normalize_text` tokens; positions then index
+    the NORMALIZED token stream (cut_spans must be called with the same
+    flag so positions and tokens agree)."""
+    toks = _token_expr(text_col, normalize)
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("__t")) - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i + 1, n))),
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), toks.alias("__t"))
+        .select(F.col(id_col), F.posexplode(hashes).alias("pos", "win_hash"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    normalize: bool = False,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans, the distributed n-gram-anchored
+    form of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    substring of >= n tokens appearing `min_occurrences`+ times in the
+    corpus has ALL its length-n windows duplicated, so merging each
+    document's overlapping flagged windows recovers the full maximal
+    duplicated region — finer-grained than `dedup_paragraphs` (which
+    needs the duplicate to BE a paragraph) and keyed on content, not
+    layout.
+
+    Keep-one semantics: per duplicated window hash, the occurrence with
+    the smallest (id, pos) is the keeper and is never flagged; every
+    other occurrence joins a span. Both decisions are window functions
+    over a single shuffle on win_hash (count + row_number in one
+    Window spec — no join-back); the span merge is one more shuffle on
+    the document id (classic interval merge: running max of span end
+    over preceding rows -> new-span flag -> prefix-sum span ids).
+
+    Scale: the win_hash shuffle moves one 32-hex-char row per corpus
+    token — the same order as the MinHash banding shuffle. A
+    boilerplate window duplicated across millions of docs lands in one
+    hash partition; its per-key sort is linear and AQE skew-join
+    splitting does not apply to windows, so for pathological corpora
+    cap df upstream (drop win_hashes above a document-frequency bound
+    the way `prune_hot_shingles` does — they would merge into
+    full-document spans anyway).
+
+    Returns (id, span_start, span_end, n_windows): token positions
+    [span_start, span_end) duplicated, n_windows flagged windows
+    merged into the span."""
+    from pyspark.sql import Window
+
+    wins = positional_windows(df, id_col, text_col, n=n, normalize=normalize)
+    wh = Window.partitionBy("win_hash")
+    flagged = (
+        wins.select(
+            F.col(id_col),
+            "pos",
+            F.count(F.lit(1)).over(wh).alias("__cnt"),
+            F.row_number()
+            .over(wh.orderBy(F.col(id_col), F.col("pos")))
+            .alias("__rn"),
+        )
+        .where((F.col("__cnt") >= min_occurrences) & (F.col("__rn") > 1))
+        .select(id_col, "pos")
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = (
+        F.max(F.col("pos") + n)
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    spans = (
+        flagged.withColumn(
+            "__new",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+    return spans
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = False,
+) -> DataFrame:
+    """Remove `duplicated_spans` regions from each document's token
+    stream. Adds text_dedup (the surviving tokens re-joined with single
+    spaces; documents with NO spans keep `text_col` byte-identical —
+    whitespace is only normalized where a cut actually happened) and
+    tokens_removed. Pass the SAME normalize flag as the span pass:
+    positions index that token stream, and under normalize=True the cut
+    text is the normalized text (punctuation tokenization differs, so
+    raw positions would not line up).
+
+    Pure higher-order functions per row (spans collected to a per-doc
+    array — bounded by doc length / n): filter over the indexed token
+    array with an exists probe per span. No Python, no UDF; the only
+    shuffles are the per-doc collect_list and the left join back."""
+    spans_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = _token_expr(text_col, normalize)
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+        ),
+    )
+    base = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.join(spans_arr, on=id_col, how="left")
+        .withColumn(
+            "text_dedup",
+            F.when(F.col("__spans").isNull(), base).otherwise(
+                F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+            ),
+        )
+        .withColumn(
+            "tokens_removed",
+            F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+                F.size(toks) - F.size(kept)
+            ),
+        )
+        .drop("__spans")
+    )

@@ -246,6 +246,20 @@ def main() -> None:
     ).save()
     extras["semantic_dedup"] = round(time.perf_counter() - t0, 3)
 
+    # r07 substring-span dedup (Lee et al. 2022): one posexplode to
+    # positional windows, one win_hash window shuffle for keeper flags,
+    # one per-doc interval merge, HOF cut — the token-level dedup lane
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        cut_spans,
+        duplicated_spans,
+    )
+
+    t0 = time.perf_counter()
+    cut_spans(docs, duplicated_spans(docs, n=8)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    extras["span_dedup"] = round(time.perf_counter() - t0, 3)
+
     # r07 z-order layout: quantile probe + bucket/interleave + range
     # exchange + within-partition sort over the widest table
     from aws_glue_data_catalog_replication_utility_spark.functions.layout import (

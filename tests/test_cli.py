@@ -567,3 +567,44 @@ def test_cli_stream_sem_dedup(spark, tmp_path):
     assert dec[200].keep
     assert not dec[201].keep and dec[201].dup_of == 200
     verify_ann_index(spark, root)
+
+
+def test_cli_clean_with_span_dedup(spark, tmp_path):
+    """--span-dedup-n adds the cross-document substring cut: a shared
+    8-token run embedded mid-paragraph in two otherwise-distinct docs
+    (so the paragraph stage cannot see it) is cut from the non-keeper
+    occurrence only, and the audit records the removed token count."""
+    shared = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, f"the cat sat on the mat and it is a fine day {shared} "
+                "for all of us here today", "en"),
+            (1, f"a dog ran over the hill and it was a good time {shared} "
+                "to be out in the sun now", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    in_path = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(in_path)
+    out, audit_out = str(tmp_path / "cleaned"), str(tmp_path / "audit")
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    assert cli_main([
+        "clean",
+        "--documents", in_path,
+        "--out", out,
+        "--audit-out", audit_out,
+        "--span-dedup-n", "6",
+    ]) == 0
+
+    cleaned = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(cleaned) == {0, 1}
+    assert shared in cleaned[0].text  # keeper occurrence untouched
+    assert shared not in cleaned[1].text
+    assert "a dog ran over the hill" in cleaned[1].text
+    assert "to be out in the sun now" in cleaned[1].text
+
+    audit = {r.doc_id: r for r in spark.read.parquet(audit_out).collect()}
+    assert audit[0].n_span_tokens_removed == 0
+    assert audit[1].n_span_tokens_removed == 8
