@@ -634,6 +634,8 @@ def contamination_pairs(
     min_containment: float = 0.5,
     max_df: int | None = None,
     normalize: bool = False,
+    bloom_bits: int | None = None,
+    bloom_k: int = 5,
 ) -> DataFrame:
     """Benchmark-contamination screen — the train/test overlap check an
     LLM data pipeline runs before training (the published recipe:
@@ -664,6 +666,13 @@ def contamination_pairs(
     ).select(
         F.col(eval_id_col), "shingle"
     )
+    if bloom_bits is not None:
+        # map-only pre-filter on the corpus side: a bloom bitset over
+        # the eval shingles (NO false negatives -> results unchanged
+        # bit-for-bit) drops the vast non-overlapping majority BEFORE
+        # the shuffle, at ~10 bits/eval-shingle of broadcast
+        bloom = shingle_bloom(sh_eval, m_bits=bloom_bits, k=bloom_k)
+        sh_docs = bloom_filter_shingles(sh_docs, bloom, m_bits=bloom_bits, k=bloom_k)
     eval_sz = sh_eval.groupBy(eval_id_col).agg(F.count(F.lit(1)).alias("eval_sz"))
     overlap = (
         sh_docs.join(sh_eval, on="shingle")
@@ -838,3 +847,102 @@ def cut_spans(
         )
         .drop("__spans")
     )
+
+
+def shingle_bloom(
+    shingles: DataFrame,
+    m_bits: int,
+    k: int = 5,
+    value_col: str = "shingle",
+) -> DataFrame:
+    """Build a bloom filter over a shingle relation as a ONE-ROW
+    DataFrame holding the packed bitset (`bloom` array<long>, densified
+    to ceil(m_bits/64) words). k hash functions are xxhash64 with
+    literal seed columns — k integer expressions per shingle, all in
+    whole-stage codegen; the bitset assembles via explode -> bit_or
+    groupBy on the word index (map-side combined: at most W distinct
+    keys reach the shuffle regardless of input size).
+
+    Why bloom and not broadcasting the shingles themselves: the bitset
+    is ~10 bits per element vs ~100+ bytes per broadcast-joined shingle
+    string — the membership side stays broadcastable long after the raw
+    relation outgrows the broadcast threshold."""
+    n_words = (m_bits + 63) // 64
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), F.col(value_col)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    bits = shingles.select(F.explode(probes).alias("__bit")).select(
+        (F.col("__bit") / 64).cast("int").alias("word_idx"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("__bit") % 64).cast("int")
+        ).alias("__mask"),
+    )
+    # densify: every word index present even when no bit lands in it,
+    # so the packed array's positions line up with element_at probes
+    zeros = (
+        shingles.sparkSession.range(n_words)
+        .select(F.col("id").cast("int").alias("word_idx"))
+        .withColumn("__mask", F.lit(0).cast("long"))
+    )
+    words = (
+        bits.unionByName(zeros)
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("word"))
+    )
+    return words.agg(
+        F.array_sort(F.collect_list(F.struct("word_idx", "word"))).alias("__s")
+    ).select(F.transform("__s", lambda x: x["word"]).alias("bloom"))
+
+
+def bloom_filter_shingles(
+    shingles: DataFrame,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int = 5,
+    value_col: str = "shingle",
+) -> DataFrame:
+    """Drop shingle rows that are definitely NOT in the bloom filter
+    (`shingle_bloom` output). NO false negatives — every true member
+    survives — so any exact join downstream returns bit-identical
+    results on the filtered relation; false positives only cost the
+    join some extra probe rows.
+
+    The one-row bitset joins in via a broadcast nested-loop join of a
+    single row (the declared-broadcast idiom): each input row then
+    evaluates k element_at/bitwise-AND probes in codegen — no shuffle,
+    no Python, no per-row UDF. At 100 TB this runs as a map-only
+    pre-filter on the scan, cutting the shuffled shingle volume to the
+    (eval-sized) bloom-positive subset."""
+    probed = shingles.crossJoin(F.broadcast(bloom))
+    checks = [
+        (
+            F.element_at(
+                F.col("bloom"),
+                (
+                    F.pmod(F.xxhash64(F.lit(i), F.col(value_col)), F.lit(m_bits))
+                    / 64
+                ).cast("int")
+                + 1,
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (
+                        F.pmod(
+                            F.xxhash64(F.lit(i), F.col(value_col)), F.lit(m_bits)
+                        )
+                        % 64
+                    ).cast("int"),
+                )
+            )
+            != 0
+        )
+        for i in range(k)
+    ]
+    keep = checks[0]
+    for c in checks[1:]:
+        keep = keep & c
+    return probed.where(keep).drop("bloom")

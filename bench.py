@@ -200,6 +200,14 @@ def main() -> None:
         docs, eval_docs, n=5, min_containment=0.3, max_df=20
     ).write.format("noop").mode("overwrite").save()
     extras["contamination_pairs"] = round(time.perf_counter() - t0, 3)
+    # r07 bloom pre-filter lane: same screen with the map-only eval-set
+    # bloom bitset dropping non-overlapping corpus shingles pre-shuffle
+    # (results bit-identical — no false negatives; pinned in pytest)
+    t0 = time.perf_counter()
+    contamination_pairs(
+        docs, eval_docs, n=5, min_containment=0.3, max_df=20, bloom_bits=1 << 20
+    ).write.format("noop").mode("overwrite").save()
+    extras["contamination_bloom"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     dedup_paragraphs(docs, max_df=1).write.format("noop").mode("overwrite").save()
     extras["dedup_paragraphs"] = round(time.perf_counter() - t0, 3)

@@ -2215,3 +2215,77 @@ def test_duplicated_spans_matches_duckdb_exactly(spark):
     # the fixture corpus genuinely contains duplicated passages at n=8,
     # otherwise this twin proves nothing
     assert len(got) > 0
+
+
+def test_bloom_prefilter_no_false_negatives_and_plan(spark):
+    """The bloom pre-filter contract: every true member of the built
+    set survives (no false negatives — bit-identical downstream joins),
+    the corpus side genuinely shrinks (the point of the filter), and
+    the probe adds NO exchange beyond the bitset build (map-only)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        bloom_filter_shingles,
+        shingle_bloom,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    eval_docs = docs.where(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    sh_docs = word_shingles(docs, "doc_id", "text", n=5)
+    sh_eval = word_shingles(eval_docs, "eval_id", "text", n=5)
+    m = 1 << 17
+    bloom = shingle_bloom(sh_eval, m_bits=m, k=5)
+
+    # no false negatives: filtering the member set itself loses nothing
+    n_eval = sh_eval.count()
+    assert bloom_filter_shingles(sh_eval, bloom, m_bits=m, k=5).count() == n_eval
+
+    # effectiveness: the non-member majority is dropped
+    n_docs_all = sh_docs.count()
+    n_docs_kept = bloom_filter_shingles(sh_docs, bloom, m_bits=m, k=5).count()
+    assert n_docs_kept < n_docs_all
+
+    # map-only probe: no SHUFFLE exchange beyond those the bitset build
+    # needs (the probe itself adds exactly one BroadcastExchange of the
+    # one-row bitset, which moves W longs, not data)
+    def exchanges(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return s.count("Exchange") - s.count("BroadcastExchange")
+
+    assert exchanges(
+        bloom_filter_shingles(sh_docs, bloom, m_bits=m, k=5)
+    ) == exchanges(bloom)
+
+
+def test_contamination_bloom_results_bit_identical(spark):
+    """contamination_pairs with the bloom pre-filter returns exactly
+    the rows the exact lane returns (the no-false-negative guarantee
+    composed through the inverted-index join), including at a bitset
+    size small enough to produce real false positives."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        contamination_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    eval_docs = docs.where(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+
+    def run(**kw):
+        return sorted(
+            (r.doc_id, r.eval_id, r.overlap, r.eval_sz, r.containment)
+            for r in contamination_pairs(
+                docs, eval_docs, n=5, min_containment=0.3, **kw
+            ).collect()
+        )
+
+    exact = run()
+    assert run(bloom_bits=1 << 17) == exact
+    # deliberately undersized bitset: false-positive rate is high but
+    # results must STILL be identical (false positives only waste work)
+    assert run(bloom_bits=1 << 8, bloom_k=2) == exact
