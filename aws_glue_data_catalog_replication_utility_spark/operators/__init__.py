@@ -12,7 +12,7 @@ from .range_join import bucketed_range_join
 from .routing import threshold_route
 from .skew import salted_join
 from .windows import latest_by
-from .sync import full_refresh_sync
+from .sync import apply_changeset, full_refresh_sync, snapshot_changeset
 
 __all__ = [
     "asof_join",
@@ -26,4 +26,6 @@ __all__ = [
     "salted_join",
     "latest_by",
     "full_refresh_sync",
+    "snapshot_changeset",
+    "apply_changeset",
 ]

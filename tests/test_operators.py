@@ -339,3 +339,122 @@ def test_run_overlapped_result_error_and_idempotent_join():
         bad.join()
     with pytest.raises(RuntimeError, match="side-channel write failed"):
         bad.join()
+
+
+def test_snapshot_changeset_semantics_and_roundtrip(spark):
+    """CDC diff of two keyed snapshots: one row per changed key only
+    (insert/update/delete; unchanged keys — including a map column
+    whose entry ORDER moved, which canonical equality must ignore —
+    emit nothing), and the round-trip law holds:
+    apply_changeset(old, changeset) == new."""
+    from aws_glue_data_catalog_replication_utility_spark.operators.sync import (
+        apply_changeset,
+        snapshot_changeset,
+    )
+
+    schema = "k long, m map<string,string>, v string"
+    old = spark.createDataFrame(
+        [
+            (1, {"a": "1", "b": "2"}, "one"),
+            (2, {"x": "9"}, "two"),
+            (3, None, "three"),
+            (4, {"q": "7"}, "four"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, {"b": "2", "a": "1"}, "one"),   # map reordered: unchanged
+            (2, {"x": "9"}, "TWO"),             # update (v changed)
+            (4, {"q": "8"}, "four"),            # update (map value changed)
+            (5, {"n": "5"}, "five"),            # insert
+        ],  # 3 deleted
+        schema,
+    )
+    cs = {r.k: r for r in snapshot_changeset(old, new, ["k"]).collect()}
+    assert {k: r.change for k, r in cs.items()} == {
+        2: "update", 3: "delete", 4: "update", 5: "insert"
+    }
+    assert cs[2].v == "TWO" and cs[5].v == "five"  # new payload
+    assert cs[3].v == "three"                      # delete carries old payload
+
+    replayed = sorted(
+        (r.k, None if r.m is None else tuple(sorted(r.m.items())), r.v)
+        for r in apply_changeset(
+            old, snapshot_changeset(old, new, ["k"]), ["k"]
+        ).collect()
+    )
+    want = sorted(
+        (r.k, None if r.m is None else tuple(sorted(r.m.items())), r.v)
+        for r in new.collect()
+    )
+    assert replayed == want
+
+
+def test_snapshot_changeset_matches_duckdb_exactly(spark):
+    """The changeset over a real keyed table agrees bit-for-bit with a
+    DuckDB FULL OUTER JOIN + IS DISTINCT FROM oracle: new snapshot =
+    orders with %13 keys deleted, %7 priorities rewritten, and a
+    shifted-key insert slice."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.operators.sync import (
+        snapshot_changeset,
+    )
+
+    path = "/root/testdata/sf0.01/orders.parquet"
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    old = spark.read.parquet(path).select(*cols)
+    new = (
+        old.where(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("9-REWRITTEN")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .unionByName(
+            old.where(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey", "o_orderstatus", "o_orderpriority",
+            )
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in snapshot_changeset(old, new, ["o_orderkey"])
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+                "change")
+        .collect()
+    )
+    want = duckdb.connect().execute(f"""
+        WITH old AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+          FROM '{path}'),
+        new AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 0 THEN '9-REWRITTEN'
+                      ELSE o_orderpriority END AS o_orderpriority
+          FROM old WHERE o_orderkey % 13 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                 o_orderpriority
+          FROM old WHERE o_orderkey % 17 = 0)
+        SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               COALESCE(n.o_custkey, o.o_custkey) AS o_custkey,
+               COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+               COALESCE(n.o_orderpriority, o.o_orderpriority)
+                   AS o_orderpriority,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change
+        FROM new n FULL OUTER JOIN old o USING (o_orderkey)
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR n.o_custkey IS DISTINCT FROM o.o_custkey
+           OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+           OR n.o_orderpriority IS DISTINCT FROM o.o_orderpriority
+        ORDER BY 1
+    """).fetchall()
+    assert got == sorted(tuple(w) for w in want)
+    assert len(got) > 0

@@ -630,3 +630,49 @@ def test_zorder_value_random_matches_python_morton(spark):
                 for i in range(bits):
                     z += ((bucket >> i) & 1) << (i * ncols + (ncols - 1 - j))
             assert got[rid] == z, (trial, rid)
+
+
+@pytest.mark.parametrize("seed", [5, 19, 61])
+def test_changeset_roundtrip_and_minimality(spark, seed):
+    """Random keyed snapshots: apply_changeset(old, diff) == new exactly
+    (round-trip law), the diff never mentions an unchanged key
+    (minimality), and diffing identical snapshots is empty."""
+    import random
+
+    from aws_glue_data_catalog_replication_utility_spark.operators.sync import (
+        apply_changeset,
+        snapshot_changeset,
+    )
+
+    rng = random.Random(seed)
+    vals = ["a", "b", "c", None]
+    old_rows = [(k, rng.choice(vals), rng.randrange(5)) for k in range(40)]
+    new_rows = []
+    unchanged = set()
+    for k, v, x in old_rows:
+        r = rng.random()
+        if r < 0.25:
+            continue  # delete
+        if r < 0.5:
+            new_rows.append((k, rng.choice(vals), x + 10))  # update
+        else:
+            new_rows.append((k, v, x))
+            unchanged.add(k)
+    new_rows += [(k, rng.choice(vals), 99) for k in range(100, 100 + rng.randrange(8))]
+
+    schema = "k long, v string, x long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    cs = snapshot_changeset(old, new, ["k"]).collect()
+    # minimality: no unchanged key appears (an "update" to the same
+    # payload would violate it)
+    assert all(r.k not in unchanged or (r.k, r.v, r.x) not in old_rows for r in cs)
+    assert {r.k for r in cs}.isdisjoint(unchanged)
+
+    got = sorted(map(tuple, apply_changeset(
+        old, snapshot_changeset(old, new, ["k"]), ["k"]
+    ).collect()))
+    assert got == sorted(new_rows, key=lambda t: (t[0], str(t[1]), t[2]))
+
+    assert snapshot_changeset(new, new, ["k"]).count() == 0
