@@ -23,6 +23,8 @@ Jobs (mirroring SURVEY.md §3):
            cosine -> greedy min-id keepers (SemDeDup)
   zorder   re-lay a parquet store along a multi-column Z-curve for
            footer-based file pruning on every z-ordered column
+  bucket   re-lay a parquet store as a hash-bucketed sorted table so
+           equi-joins on the key never shuffle again
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
            connected components -> one keeper per duplicate cluster
   embed    text -> vector: signed feature-hashing embeddings feeding
@@ -290,6 +292,22 @@ def main(argv: list[str] | None = None) -> int:
     zo.add_argument("--n-files", type=int, default=64)
     zo.add_argument("--bits", type=int, default=8)
 
+    bk = sub.add_parser(
+        "bucket",
+        help="re-lay a parquet store as a hash-bucketed (+ per-bucket "
+             "sorted) table so equi-joins/aggs on the bucket key run "
+             "with zero shuffle exchanges forever after",
+    )
+    bk.add_argument("--in", dest="in_path", required=True)
+    bk.add_argument("--table", required=True, help="catalog table name to create")
+    bk.add_argument("--path", required=True,
+                    help="external location for the bucketed files")
+    bk.add_argument("--cols", required=True, help="comma-separated bucket columns")
+    bk.add_argument("--n-buckets", type=int, default=64)
+    bk.add_argument("--sort-cols", default=None,
+                    help="comma-separated per-bucket sort columns "
+                         "(default: the bucket columns)")
+
     em = sub.add_parser(
         "embed",
         help="signed feature-hashing text embeddings: documents parquet "
@@ -517,6 +535,22 @@ def main(argv: list[str] | None = None) -> int:
             n_files=args.n_files,
             bits=args.bits,
         ).write.mode("overwrite").parquet(args.out)
+
+    elif args.job == "bucket":
+        from .functions.layout import bucketed_layout
+
+        bucketed_layout(
+            _read(spark, args.in_path),
+            args.table,
+            [c.strip() for c in args.cols.split(",") if c.strip()],
+            n_buckets=args.n_buckets,
+            sort_cols=(
+                [c.strip() for c in args.sort_cols.split(",") if c.strip()]
+                if args.sort_cols
+                else None
+            ),
+            path=args.path,
+        )
 
     elif args.job == "embed":
         from pyspark.sql import functions as F

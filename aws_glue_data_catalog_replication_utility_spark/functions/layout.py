@@ -135,3 +135,49 @@ def zorder_layout(
         .sortWithinPartitions(name)
     )
     return out if z_col else out.drop(name)
+
+
+def bucketed_layout(
+    df,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+):
+    """Write `df` as a hash-BUCKETED (and per-bucket sorted) parquet
+    table — the shuffle-once-join-forever layout. Two tables bucketed
+    on the same keys into the same bucket count sort-merge-join with
+    ZERO shuffle exchanges (plan-asserted in tests): the bucket id IS
+    the partitioning both sides already agree on, so a 100 TB fact
+    table pays its join shuffle once at write time and never again
+    across the analytics that join on that key. Equality predicates on
+    the bucket column additionally prune to a single bucket's files at
+    scan time (SelectedBucketsCount in the plan).
+
+    Complements `zorder_layout`: z-order optimizes FILTER pruning
+    across several range dimensions; bucketing optimizes repeated
+    equi-JOINs/aggregations on one key set. path=... makes the table
+    external (data at the given location); the catalog entry is what
+    carries the bucket spec — Spark only trusts bucketing recorded
+    there (metastore-backed in production, the session catalog here).
+
+    Operational caveat (SPARK-32859): with the default
+    autoBucketedScan rule, plans with no bucketing-aware operator read
+    the table UN-bucketed and silently forfeit bucket pruning — set
+    spark.sql.sources.bucketing.autoBucketedScan.enabled=false for
+    filter-only workloads that want the pruning.
+
+    Returns the re-read table DataFrame."""
+    spark = df.sparkSession
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return spark.table(table)

@@ -608,3 +608,30 @@ def test_cli_clean_with_span_dedup(spark, tmp_path):
     audit = {r.doc_id: r for r in spark.read.parquet(audit_out).collect()}
     assert audit[0].n_span_tokens_removed == 0
     assert audit[1].n_span_tokens_removed == 8
+
+
+def test_cli_bucket_job(spark, tmp_path):
+    """The `bucket` job records the bucket spec in the catalog (that
+    entry is what makes later joins shuffle-free) and loses no rows."""
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    assert cli_main([
+        "bucket",
+        "--in", src,
+        "--table", "cli_orders_bkt",
+        "--path", str(tmp_path / "bkt"),
+        "--cols", "o_orderkey",
+        "--n-buckets", "4",
+    ]) == 0
+    try:
+        t = spark.table("cli_orders_bkt")
+        assert t.count() == spark.read.parquet(src).count()
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED cli_orders_bkt").collect()
+        }
+        assert desc.get("Num Buckets") == "4"
+        assert "o_orderkey" in desc.get("Bucket Columns", "")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_orders_bkt")

@@ -2289,3 +2289,67 @@ def test_contamination_bloom_results_bit_identical(spark):
     # deliberately undersized bitset: false-positive rate is high but
     # results must STILL be identical (false positives only waste work)
     assert run(bloom_bits=1 << 8, bloom_k=2) == exact
+
+
+def test_bucketed_layout_shuffle_free_join_and_bucket_pruning(spark, tmp_path):
+    """The bucketed layout's two claims, asserted from plans: (1) two
+    tables bucketed on the join key into the same bucket count
+    sort-merge-join with ZERO shuffle exchanges — the write-once
+    shuffle is the whole point; (2) an equality predicate on the
+    bucket column prunes the scan to 1 of the N buckets. Results are
+    identical to the plain parquet join."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        bucketed_layout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    bo = bucketed_layout(
+        orders, "t_orders_bkt", ["o_orderkey"], 4,
+        path=str(tmp_path / "orders_bkt"),
+    )
+    bl = bucketed_layout(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_bkt", ["o_orderkey"], 4,
+        path=str(tmp_path / "lineitem_bkt"),
+    )
+
+    joined = bo.hint("merge").join(bl, on="o_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # zero shuffles
+
+    want = sorted(
+        map(
+            tuple,
+            orders.join(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                on="o_orderkey",
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, joined.collect())) == want
+
+    # bucket pruning only applies while bucketed READING is on; the
+    # auto-bucketed-scan planner rule turns bucketed reading off for
+    # plans with no bucketing-aware operator (SPARK-32859) and silently
+    # forfeits pruning with it — pin it on for the pruning leg
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        pruned = bo.where(F.col("o_orderkey") == 7)
+        pplan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 4" in pplan
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+
+    spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
