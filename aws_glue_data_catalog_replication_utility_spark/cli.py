@@ -25,6 +25,8 @@ Jobs (mirroring SURVEY.md §3):
            footer-based file pruning on every z-ordered column
   bucket   re-lay a parquet store as a hash-bucketed sorted table so
            equi-joins on the key never shuffle again
+  compact  bin-pack a store's small files to ~target size in place,
+           per hive partition (streaming ingest tail hygiene)
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
            connected components -> one keeper per duplicate cluster
   embed    text -> vector: signed feature-hashing embeddings feeding
@@ -308,6 +310,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated per-bucket sort columns "
                          "(default: the bucket columns)")
 
+    cp = sub.add_parser(
+        "compact",
+        help="bin-pack a parquet store's small files in place to "
+             "~target-sized files (per hive partition; untouched "
+             "partitions stay byte-identical)",
+    )
+    cp.add_argument("--path", required=True, help="parquet store directory")
+    cp.add_argument("--target-mb", type=int, default=128,
+                    help="target output file size in MiB")
+    cp.add_argument("--where", default=None,
+                    help="SQL predicate over partition columns scoping "
+                         "the rewrite (e.g. \"dt = '2026-01-01'\")")
+    cp.add_argument("--sort-cols", default=None,
+                    help="comma-separated columns to re-sort rows "
+                         "within each output file")
+    cp.add_argument("--max-parallel", type=int, default=4)
+
     em = sub.add_parser(
         "embed",
         help="signed feature-hashing text embeddings: documents parquet "
@@ -551,6 +570,25 @@ def main(argv: list[str] | None = None) -> int:
             ),
             path=args.path,
         )
+
+    elif args.job == "compact":
+        import json as _json
+
+        from .functions.layout import compact_small_files
+
+        rep = compact_small_files(
+            spark,
+            args.path,
+            target_file_bytes=args.target_mb << 20,
+            partition_filter=args.where,
+            sort_cols=(
+                [c.strip() for c in args.sort_cols.split(",") if c.strip()]
+                if args.sort_cols
+                else None
+            ),
+            max_parallel=args.max_parallel,
+        )
+        print(_json.dumps(rep))
 
     elif args.job == "embed":
         from pyspark.sql import functions as F

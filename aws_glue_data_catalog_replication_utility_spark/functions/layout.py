@@ -137,6 +137,158 @@ def zorder_layout(
     return out if z_col else out.drop(name)
 
 
+def _list_data_files(d: str) -> list[str]:
+    """Data files directly inside `d` (no recursion): skip dotfiles,
+    `_SUCCESS`-style markers, and Hadoop `.crc` sidecars."""
+    import os
+
+    out = []
+    for n in sorted(os.listdir(d)):
+        p = f"{d}/{n}"
+        if os.path.isfile(p) and not n.startswith((".", "_")):
+            out.append(p)
+    return out
+
+
+def _partition_dirs(root: str) -> list[str]:
+    """Leaf hive-partition dirs (`k=v[/k=v...]`) under `root`, or []
+    when the store is unpartitioned (data files directly at root)."""
+    import os
+
+    leaves: list[str] = []
+
+    def rec(d: str) -> None:
+        subs = [
+            n
+            for n in sorted(os.listdir(d))
+            if os.path.isdir(f"{d}/{n}") and "=" in n and not n.startswith(".")
+        ]
+        if not subs:
+            if d != root:
+                leaves.append(d)
+            return
+        for n in subs:
+            rec(f"{d}/{n}")
+
+    rec(root)
+    return leaves
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_filter: str | None = None,
+    sort_cols: list[str] | None = None,
+    max_parallel: int = 4,
+) -> dict:
+    """Bin-pack a parquet store's small files — the third layout
+    maintenance op (zorder = range-filter pruning, bucket = join
+    co-location, compact = file-count hygiene). Streaming ingest and
+    dynamic partition overwrite leave a long tail of small files; at
+    100 TB that tail dominates scan planning (one task + one open per
+    file) and crushes footer-pruning win rates. Compaction rewrites
+    each affected partition to ceil(bytes / target_file_bytes) files.
+
+    Scale shape: per-partition `coalesce` — a file-merge with ZERO
+    shuffle exchanges (plan-asserted in tests); partitions compact
+    concurrently on driver threads (Spark accepts multi-threaded job
+    submission; bounded by `max_parallel`). A partition already at or
+    below its target file count is SKIPPED untouched — re-running
+    converges to a fixpoint (a pass's compression gains can shrink the
+    byte total enough to justify one further merge) after which runs
+    are no-ops and files stay byte-identical (pinned in tests).
+
+    `partition_filter` (SQL over the hive partition columns) scopes the
+    rewrite; selection uses `input_file_name()` through the reader's
+    own partition pruning, so value formatting/typing in dir names is
+    never re-parsed here. `sort_cols` re-sorts rows within each output
+    file (compose with a prior `zorder_layout` pass to refresh z-range
+    locality). Swap discipline per directory: write to a `__compact_tmp`
+    sibling, then replace — same crash-safety story as
+    `compact_ann_index` (tmp leftovers are ignored by readers: dotfile).
+
+    Local-FS paths here; production would route the listing/moves
+    through the object store's API — the Spark plan is unchanged.
+
+    Returns {"compacted": {dir: (files_before, files_after)},
+             "skipped": [dir, ...]}."""
+    import math
+    import os
+    import shutil
+    import threading
+
+    from ..concurrency import run_overlapped
+
+    if not os.path.isdir(path):
+        raise ValueError(f"not a directory: {path}")
+    root = os.path.abspath(path)
+    pdirs = _partition_dirs(root)
+    targets = pdirs if pdirs else [root]
+
+    if partition_filter is not None:
+        if not pdirs:
+            raise ValueError("partition_filter on an unpartitioned store")
+        sel = (
+            spark.read.parquet(root)
+            .where(partition_filter)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        sel_dirs = {
+            os.path.dirname(unquote(urlparse(r[0]).path)) for r in sel
+        }
+        targets = [d for d in targets if d in sel_dirs]
+
+    compacted: dict[str, tuple[int, int]] = {}
+    skipped: list[str] = []
+    gate = threading.Semaphore(max(1, max_parallel))
+
+    def compact_dir(d: str) -> None:
+        files = _list_data_files(d)
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if len(files) <= n_out:
+            skipped.append(os.path.relpath(d, root))
+            return
+        with gate:
+            tmp = f"{os.path.dirname(d)}/.__compact_tmp_{os.path.basename(d)}"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            out = spark.read.parquet(d).coalesce(n_out)
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            out.write.mode("overwrite").parquet(tmp)
+            for f in files:
+                os.remove(f)
+                crc = f"{os.path.dirname(f)}/.{os.path.basename(f)}.crc"
+                if os.path.exists(crc):
+                    os.remove(crc)
+            moved = 0
+            for n in sorted(os.listdir(tmp)):
+                is_data = not n.startswith((".", "_"))
+                is_sidecar = n.startswith(".part") and n.endswith(".crc")
+                if is_data or is_sidecar:
+                    os.rename(f"{tmp}/{n}", f"{d}/{n}")
+                    moved += is_data
+            shutil.rmtree(tmp)
+            compacted[os.path.relpath(d, root)] = (len(files), moved)
+
+    tasks = [run_overlapped(lambda d=d: compact_dir(d)) for d in targets]
+    errs = []
+    for t in tasks:
+        try:
+            t.join()
+        except Exception as e:  # noqa: BLE001 — re-raised after drain
+            errs.append(e)
+    if errs:
+        raise errs[0]
+    return {"compacted": compacted, "skipped": sorted(skipped)}
+
+
 def bucketed_layout(
     df,
     table: str,

@@ -635,3 +635,21 @@ def test_cli_bucket_job(spark, tmp_path):
         assert "o_orderkey" in desc.get("Bucket Columns", "")
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_orders_bkt")
+
+
+def test_cli_compact_job(spark, tmp_path, capsys):
+    """The `compact` job bin-packs in place and prints its report."""
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    store = str(tmp_path / "li")
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src.repartition(16).write.parquet(store)
+
+    assert cli_main([
+        "compact", "--path", store, "--target-mb", "1024",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["compacted"]["."][0] == 16
+    assert spark.read.parquet(store).count() == src.count()

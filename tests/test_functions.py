@@ -2353,3 +2353,144 @@ def test_bucketed_layout_shuffle_free_join_and_bucket_pruning(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
     spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
+
+
+def test_compact_small_files_unpartitioned(spark, tmp_path):
+    """Compacting an unpartitioned store: file count drops to
+    ceil(bytes/target), rows are identical, the merge plan has ZERO
+    shuffle exchanges (coalesce is a file-merge, not a repartition),
+    and re-running reaches a FIXPOINT: compression gains from a pass
+    can shrink byte totals enough to justify one further merge, after
+    which runs are no-ops that leave files byte-identical."""
+    import math
+    import os
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        _list_data_files,
+        compact_small_files,
+    )
+
+    store = str(tmp_path / "li")
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src.repartition(32).write.parquet(store)
+    before = _list_data_files(store)
+    assert len(before) == 32
+    total = sum(os.path.getsize(f) for f in before)
+    target = total // 3  # expect ceil(3.x) = 4 files
+    want_n = max(1, math.ceil(total / target))
+
+    # the merge Spark runs under the hood is shuffle-free
+    plan = (
+        spark.read.parquet(store).coalesce(want_n)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+    rep = compact_small_files(spark, store, target_file_bytes=target)
+    after = _list_data_files(store)
+    assert rep["compacted"]["."] == (32, len(after))
+    assert len(after) == want_n
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+    for _ in range(3):  # fixpoint within a bounded number of passes
+        if not compact_small_files(spark, store, target_file_bytes=target)[
+            "compacted"
+        ]:
+            break
+    else:
+        raise AssertionError("compaction did not reach a fixpoint")
+    h1 = _dir_file_hashes(store)
+    rep2 = compact_small_files(spark, store, target_file_bytes=target)
+    assert rep2["compacted"] == {} and rep2["skipped"] == ["."]
+    assert _dir_file_hashes(store) == h1
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_compact_small_files_partition_scoped(spark, tmp_path):
+    """partition_filter scopes the rewrite: only the selected hive
+    partition's directory is rewritten (every other partition's files
+    stay byte-identical), partition column values survive, and the
+    full-store read is row-identical before/after."""
+    import os
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        _list_data_files,
+        compact_small_files,
+    )
+
+    store = str(tmp_path / "orders")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    (
+        src.repartition(8)
+        .write.partitionBy("o_orderpriority")
+        .parquet(store)
+    )
+    want_rows = sorted(map(tuple, spark.read.parquet(store).collect()))
+    dirs = sorted(
+        n for n in os.listdir(store) if n.startswith("o_orderpriority=")
+    )
+    assert len(dirs) == 5
+    tgt = dirs[0]
+    tgt_val = tgt.split("=", 1)[1]
+    assert len(_list_data_files(f"{store}/{tgt}")) == 8
+    others_before = {
+        d: _dir_file_hashes(f"{store}/{d}") for d in dirs if d != tgt
+    }
+
+    rep = compact_small_files(
+        spark,
+        store,
+        target_file_bytes=1 << 30,
+        partition_filter=f"o_orderpriority = '{tgt_val}'",
+    )
+    assert list(rep["compacted"]) == [tgt]
+    assert rep["compacted"][tgt] == (8, 1)
+    assert len(_list_data_files(f"{store}/{tgt}")) == 1
+    for d, h in others_before.items():
+        assert _dir_file_hashes(f"{store}/{d}") == h
+
+    assert (
+        sorted(map(tuple, spark.read.parquet(store).collect())) == want_rows
+    )
+
+
+def test_compact_small_files_all_partitions_with_sort(spark, tmp_path):
+    """No filter -> every partition compacts concurrently; sort_cols
+    re-sorts rows within each output file (asserted from the written
+    file's row order)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        _list_data_files,
+        compact_small_files,
+    )
+
+    store = str(tmp_path / "orders")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src.repartition(6).write.partitionBy("o_orderpriority").parquet(store)
+
+    rep = compact_small_files(
+        spark,
+        store,
+        target_file_bytes=1 << 30,
+        sort_cols=["o_orderkey"],
+        max_parallel=2,
+    )
+    assert len(rep["compacted"]) == 5 and rep["skipped"] == []
+    import os
+
+    for d in os.listdir(store):
+        if not d.startswith("o_orderpriority="):
+            continue
+        files = _list_data_files(f"{store}/{d}")
+        assert len(files) == 1
+        keys = [
+            r.o_orderkey
+            for r in spark.read.parquet(files[0]).select("o_orderkey").collect()
+        ]
+        assert keys == sorted(keys)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == sorted(
+        map(tuple, src.collect())
+    )
