@@ -27,6 +27,8 @@ Jobs (mirroring SURVEY.md §3):
            equi-joins on the key never shuffle again
   compact  bin-pack a store's small files to ~target size in place,
            per hive partition (streaming ingest tail hygiene)
+  convert  parquet/orc/csv/json format conversion with schema'd text
+           reads and a poison-row DLQ lane
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
            connected components -> one keeper per duplicate cluster
   embed    text -> vector: signed feature-hashing embeddings feeding
@@ -327,6 +329,30 @@ def main(argv: list[str] | None = None) -> int:
                          "within each output file")
     cp.add_argument("--max-parallel", type=int, default=4)
 
+    cv = sub.add_parser(
+        "convert",
+        help="format conversion front door: parquet/orc/csv/json in, "
+             "parquet/orc/csv/json out; with --schema-ddl and --bad-out "
+             "poison text rows route to a DLQ instead of failing",
+    )
+    cv.add_argument("--in", dest="in_path", required=True)
+    cv.add_argument("--out", required=True)
+    cv.add_argument("--in-format", required=True,
+                    choices=["parquet", "orc", "csv", "json"])
+    cv.add_argument("--out-format", default="parquet",
+                    choices=["parquet", "orc", "csv", "json"])
+    cv.add_argument("--schema-ddl", default=None,
+                    help="explicit input schema (DDL string) — inference "
+                         "is an extra full scan at scale")
+    cv.add_argument("--bad-out", default=None,
+                    help="DLQ parquet dir for unparseable rows "
+                         "(csv/json inputs; requires --schema-ddl)")
+    cv.add_argument("--header", action="store_true",
+                    help="csv input has a header line")
+    cv.add_argument("--partition-by", default=None,
+                    help="comma-separated hive partition columns for "
+                         "the output")
+
     em = sub.add_parser(
         "embed",
         help="signed feature-hashing text embeddings: documents parquet "
@@ -587,6 +613,28 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             max_parallel=args.max_parallel,
+        )
+        print(_json.dumps(rep))
+
+    elif args.job == "convert":
+        import json as _json
+
+        from .sources.formats import convert_table
+
+        rep = convert_table(
+            spark,
+            args.in_path,
+            args.out,
+            args.in_format,
+            args.out_format,
+            schema=args.schema_ddl,
+            bad_out=args.bad_out,
+            in_options={"header": "true"} if args.header else None,
+            partition_by=(
+                [c.strip() for c in args.partition_by.split(",") if c.strip()]
+                if args.partition_by
+                else None
+            ),
         )
         print(_json.dumps(rep))
 

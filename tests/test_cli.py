@@ -653,3 +653,29 @@ def test_cli_compact_job(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["compacted"]["."][0] == 16
     assert spark.read.parquet(store).count() == src.count()
+
+
+def test_cli_convert_job(spark, tmp_path, capsys):
+    """csv -> parquet with the DLQ lane through the CLI."""
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,foo\nbad,bar\n2,baz\n")
+    out = str(tmp_path / "out")
+    dlq = str(tmp_path / "dlq")
+    assert cli_main([
+        "convert",
+        "--in", str(src),
+        "--out", out,
+        "--in-format", "csv",
+        "--schema-ddl", "a int, b string",
+        "--bad-out", dlq,
+        "--header",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"good": 2, "bad": 1}
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
+        (1, "foo"), (2, "baz"),
+    ]
