@@ -29,6 +29,9 @@ Jobs (mirroring SURVEY.md §3):
            per hive partition (streaming ingest tail hygiene)
   convert  parquet/orc/csv/json format conversion with schema'd text
            reads and a poison-row DLQ lane
+  expect   data-quality gate: declarative constraint checks with a
+           violation report + sampled violating rows; nonzero exit
+           on failure (the CI/pipeline contract)
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
            connected components -> one keeper per duplicate cluster
   embed    text -> vector: signed feature-hashing embeddings feeding
@@ -353,6 +356,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated hive partition columns for "
                          "the output")
 
+    ex = sub.add_parser(
+        "expect",
+        help="data-quality gate: run declarative checks (not_null / "
+             "unique / in_range / accepted_values / matches / expr / "
+             "foreign_key) from a JSON spec; exit 1 if any check fails",
+    )
+    ex.add_argument("--in", dest="in_path", required=True)
+    ex.add_argument("--checks", required=True,
+                    help="JSON file: list of check objects, e.g. "
+                         '[{"kind": "not_null", "col": "id"}, '
+                         '{"kind": "unique", "cols": ["id"]}, '
+                         '{"kind": "foreign_key", "col": "fk", '
+                         '"ref": "/path/dim.parquet", "ref_col": "pk"}]')
+    ex.add_argument("--report-out", default=None,
+                    help="write the report DataFrame as parquet here")
+    ex.add_argument("--violations-out", default=None,
+                    help="write sampled violating rows here")
+    ex.add_argument("--limit-per-check", type=int, default=100)
+
     em = sub.add_parser(
         "embed",
         help="signed feature-hashing text embeddings: documents parquet "
@@ -637,6 +659,34 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         print(_json.dumps(rep))
+
+    elif args.job == "expect":
+        import json as _json
+
+        from .functions.expectations import (
+            check_expectations,
+            checks_from_spec,
+            expectation_violations,
+        )
+
+        with open(args.checks) as fh:
+            spec = _json.load(fh)
+        checks = checks_from_spec(spark, spec)
+        df = _read(spark, args.in_path)
+        report = check_expectations(df, checks)
+        rows = report.collect()
+        if args.report_out:
+            report.write.mode("overwrite").parquet(args.report_out)
+        if args.violations_out:
+            expectation_violations(
+                df, checks, limit_per_check=args.limit_per_check
+            ).write.mode("overwrite").parquet(args.violations_out)
+        print(_json.dumps({
+            r.check: {"violations": r.violations, "passed": r.passed}
+            for r in rows
+        }))
+        if any(not r.passed for r in rows):
+            return 1
 
     elif args.job == "embed":
         from pyspark.sql import functions as F

@@ -679,3 +679,54 @@ def test_cli_convert_job(spark, tmp_path, capsys):
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
         (1, "foo"), (2, "baz"),
     ]
+
+
+def test_cli_expect_job(spark, tmp_path, capsys):
+    """The `expect` job runs a JSON check spec, prints the verdicts,
+    writes report + violations, and exits nonzero on failure."""
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    spec = [
+        {"kind": "not_null", "col": "o_custkey"},
+        {"kind": "unique", "cols": ["o_orderkey"]},
+        {"kind": "in_range", "col": "o_totalprice", "lo": 0, "hi": 1,
+         "name": "price_tiny"},  # planted failure
+        {"kind": "foreign_key", "col": "o_custkey",
+         "ref": "/root/testdata/sf0.001/customer.parquet",
+         "ref_col": "c_custkey"},
+    ]
+    cf = tmp_path / "checks.json"
+    cf.write_text(json.dumps(spec))
+    rep_out = str(tmp_path / "report")
+    vio_out = str(tmp_path / "violations")
+
+    rc = cli_main([
+        "expect",
+        "--in", "/root/testdata/sf0.001/orders.parquet",
+        "--checks", str(cf),
+        "--report-out", rep_out,
+        "--violations-out", vio_out,
+        "--limit-per-check", "5",
+    ])
+    assert rc == 1  # the planted range check fails
+    verdicts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert verdicts["not_null(o_custkey)"]["passed"] is True
+    assert verdicts["unique(o_orderkey)"]["passed"] is True
+    assert verdicts["price_tiny"]["passed"] is False
+    assert verdicts["foreign_key(o_custkey)"]["passed"] is True
+
+    rep = {r.check: r.passed for r in spark.read.parquet(rep_out).collect()}
+    assert rep["price_tiny"] is False
+    vio = spark.read.parquet(vio_out)
+    assert vio.where("check = 'price_tiny'").count() == 5  # capped
+    assert all(r.row.o_totalprice > 1 for r in vio.collect())
+
+    # all-green spec exits 0
+    cf.write_text(json.dumps(spec[:2]))
+    assert cli_main([
+        "expect",
+        "--in", "/root/testdata/sf0.001/orders.parquet",
+        "--checks", str(cf),
+    ]) == 0
