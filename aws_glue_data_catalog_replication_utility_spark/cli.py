@@ -27,6 +27,8 @@ Jobs (mirroring SURVEY.md §3):
            equi-joins on the key never shuffle again
   compact  bin-pack a store's small files to ~target size in place,
            per hive partition (streaming ingest tail hygiene)
+  delete   targeted row deletion (GDPR/retention): rewrite only the
+           files containing matching rows, remove fully-matching ones
   convert  parquet/orc/csv/json format conversion with schema'd text
            reads and a poison-row DLQ lane
   expect   data-quality gate: declarative constraint checks with a
@@ -331,6 +333,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns to re-sort rows "
                          "within each output file")
     cp.add_argument("--max-parallel", type=int, default=4)
+
+    dl = sub.add_parser(
+        "delete",
+        help="targeted row deletion from a parquet store (GDPR / "
+             "retention purge): only files containing matching rows "
+             "are rewritten; fully-matching files are removed",
+    )
+    dl.add_argument("--path", required=True, help="parquet store directory")
+    dl.add_argument("--where", required=True,
+                    help="SQL predicate selecting the rows to DELETE")
+    dl.add_argument("--max-parallel", type=int, default=4)
 
     cv = sub.add_parser(
         "convert",
@@ -637,6 +650,15 @@ def main(argv: list[str] | None = None) -> int:
             max_parallel=args.max_parallel,
         )
         print(_json.dumps(rep))
+
+    elif args.job == "delete":
+        import json as _json
+
+        from .functions.layout import delete_rows
+
+        print(_json.dumps(delete_rows(
+            spark, args.path, args.where, max_parallel=args.max_parallel,
+        )))
 
     elif args.job == "convert":
         import json as _json

@@ -289,6 +289,114 @@ def compact_small_files(
     return {"compacted": compacted, "skipped": sorted(skipped)}
 
 
+def delete_rows(
+    spark,
+    path: str,
+    predicate: str,
+    max_parallel: int = 4,
+) -> dict:
+    """Targeted row deletion from a parquet store — the right-to-be-
+    forgotten / retention-purge maintenance op (DELETE FROM for a
+    format with no transaction log). Only the FILES that actually
+    contain matching rows are rewritten; every other file stays
+    byte-identical (pinned in tests) — at 100 TB a delete touching one
+    user's rows rewrites megabytes, not the store.
+
+    Shape: one pruned scan finds the affected files
+    (`input_file_name()` under the predicate — partition pruning and
+    footer min/max skipping both apply, so a predicate on a partition
+    or z-ordered column prunes the search itself); each affected file
+    is rewritten in place as (its rows) MINUS (predicate rows), one
+    file in -> one file out (`coalesce(1)`), concurrent across files on
+    bounded driver threads. A file whose every row matches is removed
+    outright. Re-running is a no-op (no file matches anymore).
+
+    Completes the parquet maintenance suite: `snapshot_changeset`
+    ships diffs, `compact_small_files` heals file counts, `delete_rows`
+    retracts data. Local-FS moves here; production routes them through
+    the object store's API — the Spark plan is unchanged.
+
+    Returns {"files_rewritten": n, "files_removed": m,
+             "rows_deleted": k}."""
+    import os
+    import shutil
+    import threading
+    from urllib.parse import unquote, urlparse
+
+    from ..concurrency import run_overlapped
+
+    root = os.path.abspath(path)
+    store = spark.read.parquet(root)
+    hits = (
+        store.where(predicate)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not hits:
+        return {"files_rewritten": 0, "files_removed": 0, "rows_deleted": 0}
+
+    rewritten, removed, deleted = [], [], []
+    gate = threading.Semaphore(max(1, max_parallel))
+
+    def rewrite(uri: str, n_hit: int) -> None:
+        f = unquote(urlparse(uri).path)
+        with gate:
+            # basePath keeps hive-partition columns visible to the
+            # predicate; they live in the dir name, so drop them again
+            # before writing the replacement file
+            full = spark.read.option("basePath", root).parquet(f)
+            part_cols = [
+                c for c in full.columns
+                if c not in spark.read.parquet(f).columns
+            ]
+            keep = full.where(
+                ~F.coalesce(F.expr(predicate), F.lit(False))
+            ).drop(*part_cols)
+            d = os.path.dirname(f)
+            tmp = f"{d}/.__delete_tmp_{os.path.basename(f)}"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            keep.coalesce(1).write.parquet(tmp)
+            new = [
+                n for n in os.listdir(tmp)
+                if not n.startswith((".", "_"))
+            ]
+            os.remove(f)
+            crc = f"{d}/.{os.path.basename(f)}.crc"
+            if os.path.exists(crc):
+                os.remove(crc)
+            if new:
+                kept_rows = spark.read.parquet(f"{tmp}/{new[0]}").count()
+            else:
+                kept_rows = 0
+            if kept_rows:
+                os.rename(f"{tmp}/{new[0]}", f)
+                ncrc = f"{tmp}/.{new[0]}.crc"
+                if os.path.exists(ncrc):
+                    os.rename(ncrc, crc)
+                rewritten.append(f)
+            else:
+                removed.append(f)
+            shutil.rmtree(tmp)
+            deleted.append(n_hit)
+
+    tasks = [run_overlapped(lambda r=r: rewrite(r["f"], r["n"])) for r in hits]
+    errs = []
+    for t in tasks:
+        try:
+            t.join()
+        except Exception as e:  # noqa: BLE001 — re-raised after drain
+            errs.append(e)
+    if errs:
+        raise errs[0]
+    return {
+        "files_rewritten": len(rewritten),
+        "files_removed": len(removed),
+        "rows_deleted": int(sum(deleted)),
+    }
+
+
 def bucketed_layout(
     df,
     table: str,

@@ -730,3 +730,21 @@ def test_cli_expect_job(spark, tmp_path, capsys):
         "--in", "/root/testdata/sf0.001/orders.parquet",
         "--checks", str(cf),
     ]) == 0
+
+
+def test_cli_delete_job(spark, tmp_path, capsys):
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    store = str(tmp_path / "orders")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src.repartition(4).write.parquet(store)
+    n_del = src.where("o_orderkey % 7 = 0").count()
+
+    assert cli_main([
+        "delete", "--path", store, "--where", "o_orderkey % 7 = 0",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_deleted"] == n_del
+    assert spark.read.parquet(store).count() == src.count() - n_del

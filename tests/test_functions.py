@@ -2494,3 +2494,105 @@ def test_compact_small_files_all_partitions_with_sort(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(store).collect())) == sorted(
         map(tuple, src.collect())
     )
+
+
+def test_delete_rows_rewrites_only_affected_files(spark, tmp_path):
+    """GDPR-style delete: with a range-sorted layout, a range predicate
+    touches ONE file — it alone is rewritten, the rest stay
+    byte-identical; surviving rows are exactly source-minus-predicate;
+    a re-run is a no-op."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        _list_data_files,
+        delete_rows,
+    )
+
+    store = str(tmp_path / "li")
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src.repartitionByRange(8, F.col("l_orderkey")).write.parquet(store)
+    assert len(_list_data_files(store)) == 8
+    lo = src.agg(F.min("l_orderkey")).collect()[0][0]
+    pred = f"l_orderkey <= {lo + 5}"
+    n_del = src.where(pred).count()
+    assert n_del > 0
+    before = _dir_file_hashes(store)
+
+    rep = delete_rows(spark, store, pred)
+    assert rep["files_rewritten"] == 1 and rep["files_removed"] == 0
+    assert rep["rows_deleted"] == n_del
+
+    after = _dir_file_hashes(store)
+    changed = {k for k in before if before[k] != after.get(k)}
+    # exactly one data file (+ its crc sidecar) changed
+    assert len({c for c in changed if not c.endswith(".crc")}) == 1
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == sorted(
+        map(tuple, src.where(f"NOT ({pred})").collect())
+    )
+
+    rep2 = delete_rows(spark, store, pred)
+    assert rep2 == {
+        "files_rewritten": 0, "files_removed": 0, "rows_deleted": 0,
+    }
+    assert _dir_file_hashes(store) == after
+
+
+def test_delete_rows_partition_column_predicate(spark, tmp_path):
+    """A predicate mixing a hive-partition column and a data column
+    rewrites only that partition's files; untouched partitions stay
+    byte-identical and the partition column survives the rewrite."""
+    import os
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        delete_rows,
+    )
+
+    store = str(tmp_path / "orders")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src.repartition(2).write.partitionBy("o_orderpriority").parquet(store)
+    dirs = sorted(
+        n for n in os.listdir(store) if n.startswith("o_orderpriority=")
+    )
+    tgt_val = dirs[0].split("=", 1)[1]
+    pred = f"o_orderpriority = '{tgt_val}' AND o_orderkey % 2 = 0"
+    n_del = src.where(pred).count()
+    assert n_del > 0
+    others_before = {
+        d: _dir_file_hashes(f"{store}/{d}") for d in dirs[1:]
+    }
+
+    rep = delete_rows(spark, store, pred)
+    assert rep["rows_deleted"] == n_del
+    for d, h in others_before.items():
+        assert _dir_file_hashes(f"{store}/{d}") == h
+    got = sorted(
+        map(tuple, spark.read.parquet(store).select(*src.columns).collect())
+    )
+    assert got == sorted(
+        map(tuple, src.where(f"NOT ({pred})").collect())
+    )
+
+
+def test_delete_rows_removes_fully_matching_files(spark, tmp_path):
+    """A file whose every row matches is removed outright, not
+    rewritten empty."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        delete_rows,
+    )
+
+    store = str(tmp_path / "orders")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src.repartition(2).write.partitionBy("o_orderpriority").parquet(store)
+    import os
+
+    dirs = sorted(
+        n for n in os.listdir(store) if n.startswith("o_orderpriority=")
+    )
+    tgt_val = dirs[0].split("=", 1)[1]
+    pred = f"o_orderpriority = '{tgt_val}'"
+    n_del = src.where(pred).count()
+
+    rep = delete_rows(spark, store, pred)
+    assert rep["files_removed"] == 2 and rep["files_rewritten"] == 0
+    assert rep["rows_deleted"] == n_del
+    assert spark.read.parquet(store).count() == src.count() - n_del
