@@ -34,6 +34,8 @@ Jobs (mirroring SURVEY.md §3):
   expect   data-quality gate: declarative constraint checks with a
            violation report + sampled violating rows; nonzero exit
            on failure (the CI/pipeline contract)
+  union    UNION ALL BY NAME across parquet generations: schema merge
+           along the widening lattice, lossy casts refused
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
            connected components -> one keeper per duplicate cluster
   embed    text -> vector: signed feature-hashing embeddings feeding
@@ -344,6 +346,16 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--where", required=True,
                     help="SQL predicate selecting the rows to DELETE")
     dl.add_argument("--max-parallel", type=int, default=4)
+
+    un = sub.add_parser(
+        "union",
+        help="UNION ALL BY NAME across heterogeneous parquet stores: "
+             "merge schemas (widening lattice), pad missing columns "
+             "with NULLs, refuse lossy casts",
+    )
+    un.add_argument("--in", dest="in_paths", required=True,
+                    help="comma-separated parquet store paths")
+    un.add_argument("--out", required=True)
 
     cv = sub.add_parser(
         "convert",
@@ -659,6 +671,14 @@ def main(argv: list[str] | None = None) -> int:
         print(_json.dumps(delete_rows(
             spark, args.path, args.where, max_parallel=args.max_parallel,
         )))
+
+    elif args.job == "union":
+        from .functions.evolve import union_evolved
+
+        union_evolved([
+            _read(spark, p.strip())
+            for p in args.in_paths.split(",") if p.strip()
+        ]).write.mode("overwrite").parquet(args.out)
 
     elif args.job == "convert":
         import json as _json

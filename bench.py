@@ -308,6 +308,54 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
+    # r07 data-quality gate: 8 row-local checks + a 2-col unique + an FK
+    # anti join over lineitem — the one-scan claim's wall-clock record
+    from aws_glue_data_catalog_replication_utility_spark.functions import (
+        expectations as E,
+    )
+
+    orders_dim = load_tables(spark, sf_dir, ["orders"])["orders"]
+    t0 = time.perf_counter()
+    E.check_expectations(
+        lineitem,
+        [
+            E.not_null("l_orderkey"),
+            E.not_null("l_partkey"),
+            E.in_range("l_quantity", 0, 100),
+            E.in_range("l_extendedprice", 0, None),
+            E.in_range("l_discount", 0, 1),
+            E.in_range("l_tax", 0, 1),
+            E.accepted_values("l_returnflag", ["A", "N", "R"]),
+            E.accepted_values("l_linestatus", ["F", "O"]),
+            E.unique(["l_orderkey", "l_linenumber"]),
+            E.foreign_key("l_orderkey", orders_dim, "o_orderkey"),
+        ],
+    ).collect()
+    extras["expectations_gate"] = round(time.perf_counter() - t0, 3)
+
+    # r07 maintenance pair: small-file compaction then targeted delete
+    # on a throwaway copy of orders — file-surgery cost trend
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        compact_small_files,
+        delete_rows,
+    )
+
+    mnt_dir = tempfile.mkdtemp(prefix="bench_mnt_")
+    try:
+        orders_dim.repartition(64).write.mode("overwrite").parquet(
+            f"{mnt_dir}/orders"
+        )
+        t0 = time.perf_counter()
+        compact_small_files(
+            spark, f"{mnt_dir}/orders", target_file_bytes=64 << 20
+        )
+        delete_rows(spark, f"{mnt_dir}/orders", "o_orderkey % 1000 = 0")
+        extras["compact_delete_maintenance"] = round(
+            time.perf_counter() - t0, 3
+        )
+    finally:
+        shutil.rmtree(mnt_dir, ignore_errors=True)
+
     # closing sentinel leg: intra-session drift (start vs end medians)
     sentinel_runs_end = [_sentinel_once() for _ in range(n_runs)]
 

@@ -748,3 +748,19 @@ def test_cli_delete_job(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows_deleted"] == n_del
     assert spark.read.parquet(store).count() == src.count() - n_del
+
+
+def test_cli_union_job(spark, tmp_path):
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    spark.createDataFrame([(1, "x")], "id int, name string").write.parquet(str(a))
+    spark.createDataFrame([(2**40, 1.5)], "id bigint, score double").write.parquet(str(b))
+    out = str(tmp_path / "out")
+    assert cli_main(["union", "--in", f"{a},{b}", "--out", out]) == 0
+    got = spark.read.parquet(out)
+    assert got.schema.simpleString() == (
+        "struct<id:bigint,name:string,score:double>"
+    )
+    assert got.count() == 2
