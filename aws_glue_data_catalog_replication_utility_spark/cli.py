@@ -15,6 +15,8 @@ Jobs (mirroring SURVEY.md §3):
            keeper index -> exact-cosine verdicts -> keepers append
   stream-media  streaming multimodal feature extraction over binary
            blob micro-batches (image/audio/frames/stats lanes)
+  stream-gate  streaming data-quality gate: clean/quarantine split
+           with per-row failed-check lists + per-batch reports
   dedup-compact  merge a stopped stream-dedup state's cold signature
            tail into one partition; coalesce decision-log files
   clean    LLM-corpus cleaning: paragraph boilerplate removal ->
@@ -214,6 +216,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="frame sampling stride (kind=frames)")
     sm.add_argument("--max-files-per-trigger", type=int, default=None)
     sm.add_argument("--available-now", action="store_true",
+                    help="drain what's present then stop (default: run forever)")
+
+    sg = sub.add_parser(
+        "stream-gate",
+        help="streaming data-quality gate: micro-batches split into "
+             "clean/ and quarantine/ (failed_checks per row) with a "
+             "per-batch violation report; row-local checks only",
+    )
+    sg.add_argument("--in", dest="in_path", required=True,
+                    help="streaming parquet input dir")
+    sg.add_argument("--schema-ddl", required=True)
+    sg.add_argument("--checks", required=True,
+                    help="JSON file of row-local check objects "
+                         "(same spec as the expect job)")
+    sg.add_argument("--out-root", required=True)
+    sg.add_argument("--checkpoint", required=True)
+    sg.add_argument("--max-files-per-trigger", type=int, default=None)
+    sg.add_argument("--available-now", action="store_true",
                     help="drain what's present then stop (default: run forever)")
 
     sdc = sub.add_parser(
@@ -983,6 +1003,26 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_path=args.checkpoint,
             kind=args.kind,
             every=args.every,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+
+    elif args.job == "stream-gate":
+        import json as _json
+
+        from .functions.expectations import checks_from_spec
+        from .streaming.quality import start_quality_gate_stream
+
+        with open(args.checks) as fh:
+            spec = _json.load(fh)
+        q = start_quality_gate_stream(
+            spark,
+            in_path=args.in_path,
+            schema=args.schema_ddl,
+            checks=checks_from_spec(spark, spec),
+            out_root=args.out_root,
+            checkpoint_path=args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=args.available_now,
         )

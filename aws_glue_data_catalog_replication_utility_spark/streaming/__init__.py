@@ -20,6 +20,10 @@ from .neardedup import (  # noqa: F401
     start_near_dedup_stream,
 )
 from .media import read_media_features, start_media_stream  # noqa: F401
+from .quality import (  # noqa: F401
+    read_gate_outputs,
+    start_quality_gate_stream,
+)
 from .semdedup import (  # noqa: F401
     read_semantic_decisions,
     start_semantic_dedup_stream,

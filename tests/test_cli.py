@@ -764,3 +764,35 @@ def test_cli_union_job(spark, tmp_path):
         "struct<id:bigint,name:string,score:double>"
     )
     assert got.count() == 2
+
+
+def test_cli_stream_gate_job(spark, tmp_path):
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a"), (2, None)], "id bigint, name string"
+    ).coalesce(1).write.parquet(in_dir)
+    cf = tmp_path / "checks.json"
+    cf.write_text(json.dumps([{"kind": "not_null", "col": "name"}]))
+    out_root = str(tmp_path / "gate")
+
+    assert cli_main([
+        "stream-gate",
+        "--in", in_dir,
+        "--schema-ddl", "id bigint, name string",
+        "--checks", str(cf),
+        "--out-root", out_root,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--available-now",
+    ]) == 0
+    clean = spark.read.option("basePath", f"{out_root}/clean").parquet(
+        f"{out_root}/clean"
+    )
+    quar = spark.read.option("basePath", f"{out_root}/quarantine").parquet(
+        f"{out_root}/quarantine"
+    )
+    assert [r.id for r in clean.collect()] == [1]
+    assert [r.id for r in quar.collect()] == [2]

@@ -1391,3 +1391,80 @@ def test_streaming_media_feature_extraction(spark, tmp_path):
             spark, blobs_path=blobs_dir, out_root=out,
             checkpoint_path=str(tmp_path / "ckpt3"), kind="video",
         )
+
+
+def test_quality_gate_stream_splits_and_reports(spark, tmp_path):
+    """The streaming quality gate: two micro-batches, each split into
+    clean/quarantine with per-row failed_checks lists and a per-batch
+    report whose counts equal the BATCH gate's on the same rows; replay
+    from a fresh checkpoint converges to identical outputs."""
+    from aws_glue_data_catalog_replication_utility_spark.functions import (
+        expectations as E,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.streaming.quality import (
+        read_gate_outputs,
+        start_quality_gate_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    rows1 = [(1, "a", 10.0), (2, None, 5.0), (3, "c", -1.0)]
+    rows2 = [(4, "d", 2.0), (5, None, -9.0)]
+    schema = "id bigint, name string, v double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    checks = [E.not_null("name"), E.in_range("v", 0, None, name="v_pos")]
+    out_root = str(tmp_path / "gate")
+
+    def run(ckpt: str, out: str):
+        q = start_quality_gate_stream(
+            spark,
+            in_path=in_dir,
+            schema=schema,
+            checks=checks,
+            out_root=out,
+            checkpoint_path=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"), out_root)
+    clean, quarantine, report = read_gate_outputs(spark, out_root)
+
+    assert sorted(r.id for r in clean.collect()) == [1, 4]
+    quar = {r.id: sorted(r.failed_checks) for r in quarantine.collect()}
+    assert quar == {
+        2: ["not_null(name)"],
+        3: ["v_pos"],
+        5: ["not_null(name)", "v_pos"],
+    }
+    # report counts == the batch gate run over all rows, summed
+    rep = {}
+    for r in report.collect():
+        rep[r.check] = rep.get(r.check, 0) + r.violations
+    all_rows = spark.createDataFrame(rows1 + rows2, schema)
+    batch_rep = {
+        r.check: r.violations
+        for r in E.check_expectations(all_rows, checks).collect()
+    }
+    assert rep == batch_rep
+    assert report.count() == 2 * len(checks)  # two batches x two checks
+
+    # fresh-checkpoint replay converges to the same outputs
+    out2 = str(tmp_path / "gate2")
+    run(str(tmp_path / "ckpt2"), out2)
+    c2, q2, _ = read_gate_outputs(spark, out2)
+    assert sorted(r.id for r in c2.collect()) == [1, 4]
+    assert {r.id: sorted(r.failed_checks) for r in q2.collect()} == quar
+
+    # non-row-local checks are refused up front
+    import pytest
+
+    with pytest.raises(ValueError, match="row-local checks only"):
+        start_quality_gate_stream(
+            spark, in_path=in_dir, schema=schema,
+            checks=[E.unique("id")], out_root=out_root,
+            checkpoint_path=str(tmp_path / "ckpt3"),
+        )
