@@ -38,6 +38,8 @@ Jobs (mirroring SURVEY.md §3):
            on failure (the CI/pipeline contract)
   union    UNION ALL BY NAME across parquet generations: schema merge
            along the widening lattice, lossy casts refused
+  split    leakage-safe train/eval/test assignment keyed on dedup
+           clusters (near-dups never straddle splits)
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
            connected components -> one keeper per duplicate cluster
   embed    text -> vector: signed feature-hashing embeddings feeding
@@ -367,6 +369,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="SQL predicate selecting the rows to DELETE")
     dl.add_argument("--max-parallel", type=int, default=4)
 
+    sp = sub.add_parser(
+        "split",
+        help="leakage-safe train/eval/test assignment: the split is a "
+             "pure function of the dedup-CLUSTER id, so near-dups "
+             "never straddle train and eval",
+    )
+    sp.add_argument("--in", dest="in_path", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--splits", required=True,
+                    help='name=pct pairs summing to 100, e.g. '
+                         '"train=90,eval=5,test=5"')
+    sp.add_argument("--labels", default=None,
+                    help="parquet of (doc_id, label) cluster labels "
+                         "(e.g. the near-dedup job's clusters output); "
+                         "omitted = every doc is its own cluster")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--salt", default="split:")
+
     un = sub.add_parser(
         "union",
         help="UNION ALL BY NAME across heterogeneous parquet stores: "
@@ -691,6 +711,23 @@ def main(argv: list[str] | None = None) -> int:
         print(_json.dumps(delete_rows(
             spark, args.path, args.where, max_parallel=args.max_parallel,
         )))
+
+    elif args.job == "split":
+        from .functions.sampling import leakage_safe_split
+
+        splits = {}
+        for part in args.splits.split(","):
+            name, pct = part.split("=")
+            splits[name.strip()] = int(pct)
+        leakage_safe_split(
+            _read(spark, args.in_path),
+            splits,
+            labels=(
+                _read(spark, args.labels) if args.labels else None
+            ),
+            id_col=args.id_col,
+            salt=args.salt,
+        ).write.mode("overwrite").partitionBy("split").parquet(args.out)
 
     elif args.job == "union":
         from .functions.evolve import union_evolved

@@ -161,3 +161,60 @@ def cap_per_group(
         df.withColumn("group_seq", F.row_number().over(w))
         .where(F.col("group_seq") <= max_rows)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    splits: dict[str, int],
+    labels: DataFrame | None = None,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    salt: str = "split:",
+) -> DataFrame:
+    """Train/eval/test assignment that CANNOT leak near-duplicates
+    across splits: the split is a pure function of the document's
+    dedup-CLUSTER id, not the document id — two docs the dedup pipeline
+    linked (`connected_components` / `connected_components_star`
+    output as `labels`: (id, label)) land in the SAME split by
+    construction, so a paraphrase of a training doc can never sit in
+    the eval set inflating scores (the contamination mechanism the
+    eval-decontamination screen exists for, applied at split time).
+
+    `splits` maps name -> integer percent (must sum to 100); cumulative
+    ranges over the salted md5 bucket of the cluster key decide
+    membership — deterministic across runs, partitionings, and engines
+    (same `hash_bucket` contract as `stratified_sample`; the DuckDB
+    twin recomputes identical assignments). Docs absent from `labels`
+    (or labels=None) are their own singleton cluster.
+
+    Scale: ONE left equi-join against the label relation (broadcast-
+    able — it is id->label pairs, far smaller than the corpus), then a
+    pure projection; no other shuffle. Returns `df` + (cluster_key,
+    split) columns."""
+    total = sum(splits.values())
+    if total != 100:
+        raise ValueError(f"split percents must sum to 100, got {total}")
+    if any(v < 0 for v in splits.values()):
+        raise ValueError("split percents must be non-negative")
+
+    if labels is not None:
+        lab = labels.select(
+            F.col(id_col), F.col(label_col).alias("__lab")
+        )
+        out = df.join(lab, on=id_col, how="left").withColumn(
+            "cluster_key",
+            F.coalesce(F.col("__lab"), F.col(id_col)).cast("string"),
+        ).drop("__lab")
+    else:
+        out = df.withColumn("cluster_key", F.col(id_col).cast("string"))
+
+    bucket = hash_bucket("cluster_key", salt=salt)
+    assign = None
+    cum = 0
+    for name, pct in splits.items():
+        cum += pct
+        cond = bucket < cum
+        assign = F.when(cond, name) if assign is None else assign.when(
+            cond, name
+        )
+    return out.withColumn("split", assign)

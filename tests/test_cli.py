@@ -796,3 +796,30 @@ def test_cli_stream_gate_job(spark, tmp_path):
     )
     assert [r.id for r in clean.collect()] == [1]
     assert [r.id for r in quar.collect()] == [2]
+
+
+def test_cli_split_job(spark, tmp_path):
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    labels_dir = str(tmp_path / "labels")
+    spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "doc_id bigint, label bigint"
+    ).write.parquet(labels_dir)
+    out = str(tmp_path / "splits")
+    assert cli_main([
+        "split",
+        "--in", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--splits", "train=90,eval=5,test=5",
+        "--labels", labels_dir,
+    ]) == 0
+    got = spark.read.parquet(out)
+    docs_n = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert got.count() == docs_n
+    by_doc = {r.doc_id: r.split for r in got.collect()}
+    assert len({by_doc[i] for i in (0, 1, 2)}) == 1  # one cluster, one split
+    assert set(got.select("split").distinct().toPandas()["split"]) <= {
+        "train", "eval", "test",
+    }

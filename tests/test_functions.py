@@ -2596,3 +2596,92 @@ def test_delete_rows_removes_fully_matching_files(spark, tmp_path):
     assert rep["files_removed"] == 2 and rep["files_rewritten"] == 0
     assert rep["rows_deleted"] == n_del
     assert spark.read.parquet(store).count() == src.count() - n_del
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The anti-leak guarantee: docs linked by the dedup pipeline land
+    in the same split, singletons spread ~per the declared percents,
+    and the whole assignment is pinned bit-exact against a DuckDB twin
+    of the salted-md5 bucket ranges."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        connected_components,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = docs.count()
+    # plant duplicate links chaining doc ids: (0,1),(1,2), (10,11), ...
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (30, 31), (31, 32)],
+        "id_a bigint, id_b bigint",
+    )
+    labels = connected_components(pairs, docs.select("doc_id"))
+    try:
+        lab = labels.withColumnRenamed("id", "doc_id")
+        out = leakage_safe_split(
+            docs,
+            {"train": 90, "eval": 5, "test": 5},
+            labels=lab,
+            id_col="doc_id",
+        )
+        got = {r.doc_id: (r.cluster_key, r.split) for r in out.collect()}
+
+        # every planted cluster is split-homogeneous
+        for cluster in [(0, 1, 2), (10, 11), (20, 21), (30, 31, 32)]:
+            assert len({got[i][1] for i in cluster}) == 1
+
+        # proportions on ~singleton corpus: train gets the bulk
+        from collections import Counter
+
+        frac = Counter(v[1] for v in got.values())
+        assert frac["train"] / n > 0.8
+        assert 0 < frac["eval"] / n < 0.15
+        assert 0 < frac["test"] / n < 0.15
+
+        # DuckDB twin: identical join + salted-md5 bucket + ranges
+        con = duckdb.connect()
+        con.register("labels", lab.toPandas())
+        con.execute(
+            "CREATE VIEW docs AS SELECT doc_id FROM "
+            "'/root/testdata/sf0.01/documents.parquet'"
+        )
+        want = dict(con.execute(
+            """
+            WITH keyed AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(l.label, d.doc_id) AS VARCHAR) AS ck
+              FROM docs d LEFT JOIN labels l USING (doc_id)
+            ), b AS (
+              SELECT doc_id, ck,
+                     ('0x' || substring(md5('split:' || ck), 1, 8))::BIGINT
+                       % 100 AS bk
+              FROM keyed
+            )
+            SELECT doc_id,
+                   CASE WHEN bk < 90 THEN 'train'
+                        WHEN bk < 95 THEN 'eval'
+                        ELSE 'test' END
+            FROM b
+            """
+        ).fetchall())
+        assert {k: v[1] for k, v in got.items()} == want
+    finally:
+        labels.unpersist()
+
+
+def test_leakage_safe_split_validation(spark):
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 100"):
+        leakage_safe_split(df, {"train": 60, "eval": 30})
+    with pytest.raises(ValueError, match="non-negative"):
+        leakage_safe_split(df, {"train": 150, "eval": -50})
