@@ -40,6 +40,8 @@ Jobs (mirroring SURVEY.md §3):
            along the widening lattice, lossy casts refused
   split    leakage-safe train/eval/test assignment keyed on dedup
            clusters (near-dups never straddle splits)
+  stats    distributed parquet-footer observability: totals, size
+           spread, per-column stats coverage, maintenance advice
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
            connected components -> one keeper per duplicate cluster
   embed    text -> vector: signed feature-hashing embeddings feeding
@@ -368,6 +370,20 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--where", required=True,
                     help="SQL predicate selecting the rows to DELETE")
     dl.add_argument("--max-parallel", type=int, default=4)
+
+    stt = sub.add_parser(
+        "stats",
+        help="store observability: distributed parquet-footer stats "
+             "(files/rows/bytes, per-column nulls + min/max coverage) "
+             "with maintenance advice (compact / no_minmax flags)",
+    )
+    stt.add_argument("--path", required=True, help="parquet store directory")
+    stt.add_argument("--target-mb", type=int, default=128,
+                     help="target file size the compaction advice "
+                          "measures against")
+    stt.add_argument("--per-file-out", default=None,
+                     help="also write the per-(file,column) stats "
+                          "DataFrame as parquet here")
 
     sp = sub.add_parser(
         "split",
@@ -710,6 +726,19 @@ def main(argv: list[str] | None = None) -> int:
 
         print(_json.dumps(delete_rows(
             spark, args.path, args.where, max_parallel=args.max_parallel,
+        )))
+
+    elif args.job == "stats":
+        import json as _json
+
+        from .functions.stats import store_stats, store_summary
+
+        if args.per_file_out:
+            store_stats(spark, args.path).write.mode("overwrite").parquet(
+                args.per_file_out
+            )
+        print(_json.dumps(store_summary(
+            spark, args.path, target_file_bytes=args.target_mb << 20,
         )))
 
     elif args.job == "split":

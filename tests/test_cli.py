@@ -823,3 +823,23 @@ def test_cli_split_job(spark, tmp_path):
     assert set(got.select("split").distinct().toPandas()["split"]) <= {
         "train", "eval", "test",
     }
+
+
+def test_cli_stats_job(spark, tmp_path, capsys):
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    store = str(tmp_path / "orders")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src.repartition(8).write.parquet(store)
+    pf = str(tmp_path / "per_file")
+    assert cli_main([
+        "stats", "--path", store, "--target-mb", "64",
+        "--per-file-out", pf,
+    ]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_files"] == 8 and s["total_rows"] == src.count()
+    assert "compact" in s["advice"]
+    per = spark.read.parquet(pf)
+    assert per.select("file").distinct().count() == 8

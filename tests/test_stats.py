@@ -1,0 +1,85 @@
+"""Store observability (`functions/stats.py`): distributed footer
+stats pinned against DuckDB's parquet_metadata(), and the maintenance
+advice rules."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from aws_glue_data_catalog_replication_utility_spark.functions.stats import (
+    store_stats,
+    store_summary,
+)
+
+
+def test_store_stats_matches_duckdb_parquet_metadata(spark, tmp_path):
+    """Per-(file, column) rows/nulls bit-exact vs DuckDB's
+    parquet_metadata() over a multi-file store."""
+    store = str(tmp_path / "orders")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").repartition(
+        4
+    ).write.parquet(store)
+
+    st = store_stats(spark, store)
+    got = {
+        (r.file, r.column): (r.file_rows, r.nulls)
+        for r in st.collect()
+    }
+
+    con = duckdb.connect()
+    want = {}
+    for fn, col, rows, nulls in con.execute(
+        f"""
+        WITH per_file AS (
+          SELECT file_name, sum(row_group_num_rows) AS rows
+          FROM (SELECT DISTINCT file_name, row_group_id,
+                       row_group_num_rows
+                FROM parquet_metadata('{store}/*.parquet'))
+          GROUP BY file_name
+        )
+        SELECT m.file_name, m.path_in_schema, p.rows,
+               sum(m.stats_null_count)
+        FROM parquet_metadata('{store}/*.parquet') m
+        JOIN per_file p USING (file_name)
+        GROUP BY m.file_name, m.path_in_schema, p.rows
+        """
+    ).fetchall():
+        want[(fn, col)] = (int(rows), int(nulls))
+    assert got == want
+
+    # min/max strings present for every column of this clean table
+    assert all(
+        r.min_s is not None and r.max_s is not None for r in st.collect()
+    )
+
+
+def test_store_summary_advice(spark, tmp_path):
+    """The small-file tail triggers 'compact'; a compacted store does
+    not; totals reconcile with the data."""
+    store = str(tmp_path / "li")
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src.repartition(32).write.parquet(store)
+
+    s = store_summary(spark, store, target_file_bytes=16 << 20)
+    assert s["n_files"] == 32
+    assert s["total_rows"] == src.count()
+    assert "compact" in s["advice"]
+    assert s["columns"]["l_orderkey"]["files_with_minmax"] == 32
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        compact_small_files,
+    )
+
+    compact_small_files(spark, store, target_file_bytes=1 << 30)
+    s2 = store_summary(spark, store, target_file_bytes=1 << 20)
+    assert s2["n_files"] == 1
+    assert s2["total_rows"] == src.count()
+    assert "compact" not in s2["advice"]
+
+
+def test_store_stats_empty_store_raises(spark, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(ValueError, match="no data files"):
+        store_stats(spark, str(d))
