@@ -42,6 +42,10 @@ Jobs (mirroring SURVEY.md §3):
            clusters (near-dups never straddle splits)
   stats    distributed parquet-footer observability: totals, size
            spread, per-column stats coverage, maintenance advice
+  corpus-build  the whole pipeline in one command: clean ->
+           near-dedup -> leakage-safe split, with per-stage audits
+  reduce   PCA embedding reduction to the top-k components (MLlib,
+           one distributed pass), unit-renormalized for cosine/ANN
   near-dedup  fuzzy dedup: MinHash/LSH candidates -> exact verify ->
            connected components -> one keeper per duplicate cluster
   embed    text -> vector: signed feature-hashing embeddings feeding
@@ -370,6 +374,39 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--where", required=True,
                     help="SQL predicate selecting the rows to DELETE")
     dl.add_argument("--max-parallel", type=int, default=4)
+
+    rd = sub.add_parser(
+        "reduce",
+        help="PCA embedding reduction: project array<float> vectors "
+             "onto the top-k principal components (unit-renormalized "
+             "for the cosine/ANN lanes); prints explained variance",
+    )
+    rd.add_argument("--in", dest="in_path", required=True,
+                    help="embeddings parquet (vec_id, embedding, ...)")
+    rd.add_argument("--out", required=True)
+    rd.add_argument("--k", type=int, required=True)
+    rd.add_argument("--id-col", default="vec_id")
+    rd.add_argument("--vec-col", default="embedding")
+    rd.add_argument("--no-renormalize", action="store_true")
+
+    cb = sub.add_parser(
+        "corpus-build",
+        help="end-to-end corpus construction in one command: clean "
+             "(boilerplate/quality/exact-dedup) -> near-dedup "
+             "(MinHash/LSH -> verify -> clusters) -> leakage-safe "
+             "train/eval split; intermediates + audits in --work-dir",
+    )
+    cb.add_argument("--documents", required=True)
+    cb.add_argument("--out", required=True,
+                    help="final corpus parquet, hive-partitioned by split")
+    cb.add_argument("--work-dir", required=True,
+                    help="intermediates: cleaned/, deduped/, audits, labels")
+    cb.add_argument("--splits", default="train=95,eval=5")
+    cb.add_argument("--paragraph-max-df", type=int, default=1)
+    cb.add_argument("--min-avg-logprob", type=float, default=None)
+    cb.add_argument("--span-dedup-n", type=int, default=None)
+    cb.add_argument("--threshold", type=float, default=0.8)
+    cb.add_argument("--normalize", action="store_true")
 
     stt = sub.add_parser(
         "stats",
@@ -727,6 +764,86 @@ def main(argv: list[str] | None = None) -> int:
         print(_json.dumps(delete_rows(
             spark, args.path, args.where, max_parallel=args.max_parallel,
         )))
+
+    elif args.job == "reduce":
+        import json as _json
+
+        from .functions.reduction import pca_reduce
+
+        reduced, ratios = pca_reduce(
+            _read(spark, args.in_path),
+            args.k,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            renormalize=not args.no_renormalize,
+        )
+        reduced.write.mode("overwrite").parquet(args.out)
+        print(_json.dumps({
+            "k": args.k,
+            "explained_variance": ratios,
+            "coverage": sum(ratios),
+        }))
+
+    elif args.job == "corpus-build":
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        w = args.work_dir.rstrip("/")
+        clean_argv = [
+            "clean",
+            "--documents", args.documents,
+            "--out", f"{w}/cleaned",
+            "--audit-out", f"{w}/clean_audit",
+            "--paragraph-max-df", str(args.paragraph_max_df),
+        ]
+        if args.min_avg_logprob is not None:
+            clean_argv += ["--min-avg-logprob", str(args.min_avg_logprob)]
+        if args.span_dedup_n is not None:
+            clean_argv += ["--span-dedup-n", str(args.span_dedup_n)]
+        rc = main(clean_argv)
+        if rc:
+            return rc
+        nd_argv = [
+            "near-dedup",
+            "--documents", f"{w}/cleaned",
+            "--out", f"{w}/deduped",
+            "--audit-out", f"{w}/dedup_audit",
+            "--threshold", str(args.threshold),
+        ]
+        if args.normalize:
+            nd_argv.append("--normalize")
+        rc = main(nd_argv)
+        if rc:
+            return rc
+        # near-dup clusters become the split keys, so even sub-keeper
+        # survivors of the same cluster (threshold misses) can never
+        # straddle train/eval
+        spark.read.parquet(f"{w}/dedup_audit").select(
+            "doc_id", F.col("cluster_id").alias("label")
+        ).write.mode("overwrite").parquet(f"{w}/labels")
+        rc = main([
+            "split",
+            "--in", f"{w}/deduped",
+            "--out", args.out,
+            "--splits", args.splits,
+            "--labels", f"{w}/labels",
+        ])
+        if rc:
+            return rc
+        n_in = _read(spark, args.documents).count()
+        n_clean = spark.read.parquet(f"{w}/cleaned").count()
+        final = spark.read.parquet(args.out)
+        per_split = {
+            r.split: r["count"]
+            for r in final.groupBy("split").count().collect()
+        }
+        print(_json.dumps({
+            "input_docs": n_in,
+            "after_clean": n_clean,
+            "after_near_dedup": int(sum(per_split.values())),
+            "splits": per_split,
+        }))
 
     elif args.job == "stats":
         import json as _json

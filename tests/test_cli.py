@@ -843,3 +843,59 @@ def test_cli_stats_job(spark, tmp_path, capsys):
     assert "compact" in s["advice"]
     per = spark.read.parquet(pf)
     assert per.select("file").distinct().count() == 8
+
+
+def test_cli_corpus_build_e2e(spark, tmp_path, capsys):
+    """The one-command pipeline: clean -> near-dedup -> leakage-safe
+    split; stage counts monotone, audits present, final corpus
+    hive-partitioned by split with every doc surviving exactly once."""
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    out = str(tmp_path / "corpus")
+    work = str(tmp_path / "work")
+    assert cli_main([
+        "corpus-build",
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--work-dir", work,
+        "--splits", "train=90,eval=10",
+        "--threshold", "0.7",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input_docs"] >= rep["after_clean"] >= rep["after_near_dedup"]
+    assert rep["after_near_dedup"] > 0
+    assert set(rep["splits"]) <= {"train", "eval"}
+    assert sum(rep["splits"].values()) == rep["after_near_dedup"]
+
+    final = spark.read.parquet(out)
+    assert final.select("doc_id").distinct().count() == final.count()
+    # audits exist per stage
+    assert spark.read.parquet(f"{work}/clean_audit").count() == rep["input_docs"]
+    dedup_audit = spark.read.parquet(f"{work}/dedup_audit")
+    assert dedup_audit.count() == rep["after_clean"]
+    assert dedup_audit.where("is_keeper").count() == rep["after_near_dedup"]
+
+
+def test_cli_reduce_job(spark, tmp_path, capsys):
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    out = str(tmp_path / "reduced")
+    assert cli_main([
+        "reduce",
+        "--in", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", out,
+        "--k", "8",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["explained_variance"]) == 8
+    assert 0 < rep["coverage"] <= 1
+    red = spark.read.parquet(out)
+    src_n = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert red.count() == src_n
+    assert len(red.first().embedding) == 8
