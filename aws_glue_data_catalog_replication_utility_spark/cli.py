@@ -440,6 +440,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--salt", default="split:")
 
+    sh = sub.add_parser(
+        "shuffle",
+        help="seeded global shuffle -> N balanced ordered shard files "
+             "(dataloader prep): the permutation is a pure function of "
+             "the row id, identical across runs and partitionings",
+    )
+    sh.add_argument("--in", dest="in_path", required=True)
+    sh.add_argument("--out", required=True)
+    sh.add_argument("--n-shards", type=int, default=64)
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--salt", default="shuf:")
+
     un = sub.add_parser(
         "union",
         help="UNION ALL BY NAME across heterogeneous parquet stores: "
@@ -874,6 +886,20 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             salt=args.salt,
         ).write.mode("overwrite").partitionBy("split").parquet(args.out)
+
+    elif args.job == "shuffle":
+        import json as _json
+
+        from .functions.sampling import write_shuffled_shards
+
+        print(_json.dumps(write_shuffled_shards(
+            _read(spark, args.in_path),
+            args.out,
+            id_col=args.id_col,
+            n_shards=args.n_shards,
+            salt=args.salt,
+            mode="overwrite",
+        )))
 
     elif args.job == "union":
         from .functions.evolve import union_evolved

@@ -218,3 +218,71 @@ def leakage_safe_split(
             cond, name
         )
     return out.withColumn("split", assign)
+
+
+def shuffle_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuf:",
+) -> DataFrame:
+    """Seeded global shuffle as a PURE FUNCTION of the row id — the
+    dataloader-prep step of a training pipeline: examples must arrive
+    in a reproducible pseudorandom order, split across `n_shards`
+    balanced shard files. Spark's own randomness (df.orderBy(rand()) /
+    df.sample) is per-partition-seeded — the order changes with
+    partitioning and task retries, unusable for an audited corpus.
+    Here shard = salted-md5(id) % n_shards and the within-shard order
+    key is a SECOND salted md5 (independent salt namespace, 's:' vs
+    'o:'), ties broken by id: the permutation is identical across
+    runs, partitionings, and engines (the DuckDB twin recomputes it
+    bit-for-bit).
+
+    Returns the input plus (shard int, shuffle_key long). Narrow — no
+    shuffle; the shuffle happens once, in the writer."""
+    from .dedup import _base_hash
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    sid = F.col(id_col).cast("string")
+    return df.withColumn(
+        "shard",
+        (_base_hash(F.concat(F.lit(salt + "s:"), sid)) % n_shards).cast(
+            "int"
+        ),
+    ).withColumn(
+        "shuffle_key", _base_hash(F.concat(F.lit(salt + "o:"), sid))
+    )
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    out: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuf:",
+    mode: str = "error",
+) -> dict:
+    """Materialize the seeded shuffle: hive-partitioned parquet
+    `out/shard=K/`, each shard ONE file whose row order is the shard's
+    deterministic shuffle order (repartition on the shard key makes a
+    shard's rows land in exactly one task; sortWithinPartitions orders
+    them; the partitionBy writer then splits directories WITHOUT
+    reordering — parquet files preserve write order). A dataloader
+    streams shard files round-robin and gets the same global
+    pseudorandom order every run.
+
+    ONE shuffle total (the repartition); balance is multinomial —
+    shards deviate from n/k by O(sqrt(n/k)), and there is no skew
+    amplification because the shard key is a hash, not a data key.
+    Returns {"shards": ..., "rows": ...}."""
+    a = shuffle_assignment(df, id_col, n_shards, salt)
+    (
+        a.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    n = a.sparkSession.read.parquet(out).count()
+    return {"shards": n_shards, "rows": int(n)}

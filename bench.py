@@ -230,6 +230,21 @@ def main() -> None:
     ).save()
     extras["cap_per_group"] = round(time.perf_counter() - t0, 3)
 
+    # r07 seeded shuffle-and-shard: the dataloader-prep permutation —
+    # ONE shuffle (the shard repartition) + in-task sort; assignment
+    # itself is narrow
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        shuffle_assignment,
+    )
+
+    t0 = time.perf_counter()
+    shuffle_assignment(docs, "doc_id", 64).repartition(
+        64, F.col("shard")
+    ).sortWithinPartitions("shard", "shuffle_key", "doc_id").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    extras["shuffle_shards"] = round(time.perf_counter() - t0, 3)
+
     # r06 text->vector bridge: signed feature-hashing embeddings (the
     # no-model entry into the ANN stack) — map-only, zero exchanges
     from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (

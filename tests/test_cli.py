@@ -899,3 +899,30 @@ def test_cli_reduce_job(spark, tmp_path, capsys):
     ).count()
     assert red.count() == src_n
     assert len(red.first().embedding) == 8
+
+
+def test_cli_shuffle_job(spark, tmp_path):
+    """`shuffle` materializes the seeded permutation: hive-partitioned
+    by shard, assignment identical to the library lane."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        shuffle_assignment,
+    )
+
+    out = str(tmp_path / "shards")
+    assert main([
+        "shuffle",
+        "--in", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--n-shards", "4",
+    ]) == 0
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expect = {
+        r.doc_id: r.shard
+        for r in shuffle_assignment(docs, "doc_id", 4).collect()
+    }
+    got = {
+        r.doc_id: r.shard
+        for r in spark.read.parquet(out).select("doc_id", "shard").collect()
+    }
+    assert got == expect
