@@ -440,6 +440,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--salt", default="split:")
 
+    sk = sub.add_parser(
+        "skip-index",
+        help="build the file-skipping index (typed footer min/max as "
+             "a persisted relation); with --pred, also report/query "
+             "how many files a predicate list keeps",
+    )
+    sk.add_argument("--path", required=True, help="parquet store")
+    sk.add_argument("--out", default=None,
+                    help="write the index relation as parquet here")
+    sk.add_argument("--pred", action="append", default=[],
+                    help="predicate 'col OP value' (OP in < <= = >= >), "
+                         "repeatable, AND semantics")
+    sk.add_argument("--rows-out", default=None,
+                    help="with --pred: write the pruned-scan result here")
+
     sh = sub.add_parser(
         "shuffle",
         help="seeded global shuffle -> N balanced ordered shard files "
@@ -886,6 +901,47 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             salt=args.salt,
         ).write.mode("overwrite").partitionBy("split").parquet(args.out)
+
+    elif args.job == "skip-index":
+        import json as _json
+        import re as _re
+
+        from .functions.skipindex import (
+            build_skip_index,
+            scan_with_skip_index,
+        )
+
+        idx = build_skip_index(spark, args.path)
+        if args.out:
+            idx.write.mode("overwrite").parquet(args.out)
+            idx = spark.read.parquet(args.out)
+        preds = []
+        for p in args.pred:
+            m = _re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*$", p)
+            if not m:
+                raise SystemExit(f"bad --pred {p!r}: want 'col OP value'")
+            col, op, raw = m.groups()
+            try:
+                val: object = int(raw)
+            except ValueError:
+                try:
+                    val = float(raw)
+                except ValueError:
+                    val = raw.strip("'\"")
+            preds.append((col, op, val))
+        summary: dict = {
+            "files": idx.select("file").distinct().count(),
+            "columns": idx.select("column").distinct().count(),
+        }
+        if preds:
+            got, info = scan_with_skip_index(spark, idx, preds)
+            summary.update(info)
+            if args.rows_out:
+                got.write.mode("overwrite").parquet(args.rows_out)
+                summary["rows_out"] = args.rows_out
+            else:
+                summary["rows"] = got.count()
+        print(_json.dumps(summary))
 
     elif args.job == "shuffle":
         import json as _json

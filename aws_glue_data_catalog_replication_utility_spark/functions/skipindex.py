@@ -1,0 +1,304 @@
+"""File-skipping index: prune the FILE LIST before the scan opens a file.
+
+Spark's parquet reader already prunes ROW GROUPS from footer min/max —
+but it still lists, opens, and footer-reads every file of the store on
+every query. At 100 TB / 100k files that is 100k opens to answer a
+predicate that touches three files. The lakehouse answer (Delta/Iceberg
+data-skipping stats, Hudi col-stats index) is to persist the footer
+min/max ONCE as an index relation and intersect predicates against it
+at plan time; this module is that answer for the plain-parquet store:
+
+- `build_skip_index(spark, path)` — one distributed footer pass
+  (pyarrow inside `mapInPandas`, same shape as `functions/stats.py`:
+  the file list is a DataFrame, tasks read their own footers, driver
+  traffic is O(files x columns) index rows, never page data). TYPED
+  min/max: numeric/temporal/bool land in a double lane (ints wider
+  than 2^53 are widened OUTWARD with nextafter so float rounding can
+  only keep extra files, never wrongly drop one), strings in a string
+  lane truncated to a bounded prefix (again: truncation widens the
+  max, keeps extra files, never drops).
+- `prune_files(index, predicates)` — the kept-file relation for an
+  AND-list of (column, op, literal) predicates, op in
+  < <= = >= > . A file is dropped only when the index PROVES no row
+  can match: literal outside [min, max], or the column is all-null in
+  that file (comparisons never match NULL). Missing stats keep the
+  file. Pure DataFrame ops over the index.
+- `scan_with_skip_index(spark, index, predicates, ...)` — reads ONLY
+  the kept files and re-applies the predicates as a residual filter,
+  so the result is bit-identical to full-scan-plus-filter by
+  construction (pruning is an optimization, the filter is the truth).
+
+The kept file list is collected to the driver — O(files) metadata,
+exactly what Spark's own FileIndex materializes on every scan; the
+index turns that from "open every footer" into "one filter on an
+already-built relation".
+
+Reference tie-in: the reference's own read path narrows work by
+catalog partition listing (GDCUtil partition batches); this is the
+same narrowing applied one level lower, at the file/statistics plane.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_INDEX_SCHEMA = (
+    "file string, file_rows long, column string, kind string, "
+    "nulls long, has_minmax boolean, "
+    "min_num double, max_num double, min_str string, max_str string"
+)
+
+_OPS = ("<", "<=", "=", ">=", ">")
+
+# string-lane stats keep a bounded prefix; the max prefix is bumped so
+# truncation can only WIDEN the range (parquet writers do the same)
+_STR_PREFIX = 64
+
+
+def _widen_down(x: float) -> float:
+    return math.nextafter(x, -math.inf)
+
+
+def _widen_up(x: float) -> float:
+    return math.nextafter(x, math.inf)
+
+
+def _num_bounds(mn, mx) -> tuple[float, float]:
+    """Convert typed footer min/max to a double interval that CONTAINS
+    the true values: exact when the double conversion is exact, widened
+    one ulp outward when it cannot be (int > 2^53, Decimal)."""
+    lo, hi = float(mn), float(mx)
+    if not isinstance(mn, float) and mn != lo:
+        lo = _widen_down(lo)
+    if not isinstance(mx, float) and mx != hi:
+        hi = _widen_up(hi)
+    return lo, hi
+
+
+def build_skip_index(spark: SparkSession, path: str) -> DataFrame:
+    """One row per (file, column) with typed pruning stats. Kinds:
+    'num' (ints, floats, decimals, bools, timestamps/dates -> epoch
+    micros/days as double, conservatively widened), 'str' (bounded
+    prefix), 'none' (binary/nested: present for null accounting only).
+    `has_minmax` false = writer wrote no stats = never prune on it."""
+    from .stats import _file_list
+
+    files = _file_list(path)
+    n_slices = min(len(files), spark.sparkContext.defaultParallelism)
+    fdf = spark.createDataFrame(
+        files, "file string, file_bytes long"
+    ).repartition(n_slices)
+
+    def read_footers(batches):
+        import datetime
+        import decimal
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def classify(v):
+            if isinstance(v, bool):
+                return "num", float(v)
+            if isinstance(v, int):
+                return "num", None  # exactness handled via _num_bounds
+            if isinstance(v, float):
+                return "num", v
+            if isinstance(v, decimal.Decimal):
+                return "num", None
+            if isinstance(v, datetime.datetime):
+                return "ts", None
+            if isinstance(v, datetime.date):
+                return "date", None
+            if isinstance(v, str):
+                return "str", None
+            return "none", None
+
+        def to_micros(v: datetime.datetime) -> int:
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            epoch = datetime.datetime(1970, 1, 1)
+            return round((v - epoch).total_seconds() * 1_000_000)
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.read_metadata(f)
+                agg: dict[str, list] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        name = c.path_in_schema
+                        a = agg.setdefault(name, [0, None, None, False])
+                        st = c.statistics
+                        if st is None:
+                            continue
+                        if st.null_count is not None:
+                            a[0] += st.null_count
+                        if st.has_min_max:
+                            a[3] = True
+                            mn, mx = st.min, st.max
+                            a[1] = mn if a[1] is None else min(a[1], mn)
+                            a[2] = mx if a[2] is None else max(a[2], mx)
+                for name, (nulls, mn, mx, has) in agg.items():
+                    kind, _ = classify(mn) if has else ("none", None)
+                    min_num = max_num = min_str = max_str = None
+                    if has and kind == "ts":
+                        kind = "num"
+                        min_num = float(to_micros(mn))
+                        max_num = float(to_micros(mx))
+                    elif has and kind == "date":
+                        kind = "num"
+                        epoch = datetime.date(1970, 1, 1)
+                        min_num = float((mn - epoch).days)
+                        max_num = float((mx - epoch).days)
+                    elif has and kind == "num":
+                        min_num, max_num = _num_bounds(mn, mx)
+                    elif has and kind == "str":
+                        min_str = mn[:_STR_PREFIX]
+                        max_str = mx[:_STR_PREFIX]
+                        if len(mx) > _STR_PREFIX:
+                            # widen: truncated max must stay an upper
+                            # bound -> bump last char
+                            max_str = max_str[:-1] + chr(
+                                ord(max_str[-1]) + 1
+                            )
+                    elif has:
+                        kind = "none"
+                        has = False
+                    rows.append((
+                        f, md.num_rows, name, kind if has else "none",
+                        int(nulls), bool(has),
+                        min_num, max_num, min_str, max_str,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "file_rows", "column", "kind", "nulls",
+                    "has_minmax", "min_num", "max_num", "min_str",
+                    "max_str",
+                ],
+            )
+
+    return fdf.mapInPandas(read_footers, _INDEX_SCHEMA)
+
+
+def _pred_value(op: str, v):
+    import datetime
+
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {_OPS}, got {op!r}")
+    if isinstance(v, bool):
+        return "num", float(v)
+    if isinstance(v, (int, float)):
+        return "num", v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return "num", (v - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6
+    if isinstance(v, datetime.date):
+        return "num", float((v - datetime.date(1970, 1, 1)).days)
+    if isinstance(v, str):
+        return "str", v
+    raise ValueError(f"unsupported predicate literal type: {type(v)}")
+
+
+def prune_files(
+    index: DataFrame, predicates: list[tuple[str, str, object]]
+) -> DataFrame:
+    """Kept-file relation (file, file_rows) for AND-ed predicates.
+    Drop is PROOF-driven per predicate: all-null file (nulls ==
+    file_rows: no comparison matches NULL), or the literal falls
+    outside the file's [min, max] on the matching lane. A predicate
+    over a column with kind mismatch / absent stats / absent column
+    keeps the file (unknown never drops). Pure DataFrame ops; the
+    survivors of every predicate intersect via conjunction."""
+    if not predicates:
+        return index.select("file", "file_rows").distinct()
+    keep = None
+    for col, op, raw in predicates:
+        lane, v = _pred_value(op, raw)
+        is_col = F.col("column") == col
+        all_null = F.col("nulls") == F.col("file_rows")
+        lo = F.col("min_num") if lane == "num" else F.col("min_str")
+        hi = F.col("max_num") if lane == "num" else F.col("max_str")
+        lit = F.lit(v)
+        if op == "=":
+            outside = (lit < lo) | (lit > hi)
+        elif op == "<":
+            outside = lo >= lit
+        elif op == "<=":
+            outside = lo > lit
+        elif op == ">":
+            outside = hi <= lit
+        else:  # >=
+            outside = hi < lit
+        provable = all_null | (
+            F.col("has_minmax")
+            & (F.col("kind") == lane)
+            & lo.isNotNull()
+            & hi.isNotNull()
+            & outside
+        )
+        # a file is dropped iff SOME index row of this column proves it
+        dropped = F.max(F.when(is_col & provable, 1).otherwise(0))
+        surv = (
+            index.groupBy("file")
+            .agg(
+                F.first("file_rows").alias("file_rows"),
+                dropped.alias("__drop"),
+            )
+            .where(F.col("__drop") == 0)
+            .select("file", "file_rows")
+        )
+        keep = surv if keep is None else keep.join(surv, "file").select(
+            keep["file"], keep["file_rows"]
+        )
+    return keep
+
+
+def _residual(predicates: list[tuple[str, str, object]]) -> F.Column | None:
+    cond = None
+    for col, op, v in predicates:
+        c = F.col(col)
+        lit = F.lit(v)
+        e = {
+            "<": c < lit,
+            "<=": c <= lit,
+            "=": c == lit,
+            ">=": c >= lit,
+            ">": c > lit,
+        }[op]
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def scan_with_skip_index(
+    spark: SparkSession,
+    index: DataFrame,
+    predicates: list[tuple[str, str, object]],
+    schema=None,
+) -> tuple[DataFrame, dict]:
+    """Read ONLY the files the index cannot rule out, then re-apply the
+    predicates as a residual filter — bit-identical to full-scan-plus-
+    filter by construction. Returns (df, info) with info = files kept /
+    total. When every file is pruned an empty DataFrame with the
+    store's schema is returned (pass `schema` to skip the one-footer
+    schema read)."""
+    total = index.select("file").distinct().count()
+    kept = [r.file for r in prune_files(index, predicates).collect()]
+    info = {"files_total": int(total), "files_kept": len(kept)}
+    if not kept:
+        if schema is None:
+            any_file = index.select("file").first().file
+            schema = spark.read.parquet(any_file).schema
+        df = spark.createDataFrame([], schema)
+    else:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*kept)
+    cond = _residual(predicates)
+    return (df if cond is None else df.where(cond)), info

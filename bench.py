@@ -371,6 +371,31 @@ def main() -> None:
     finally:
         shutil.rmtree(mnt_dir, ignore_errors=True)
 
+    # r07 file-skipping index: distributed footer pass + proof-driven
+    # pruned scan over a range-laid store — the plan-time metadata cost
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_skip_index,
+        scan_with_skip_index,
+    )
+
+    ski_dir = tempfile.mkdtemp(prefix="bench_ski_")
+    try:
+        orders_dim.repartitionByRange(32, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(f"{ski_dir}/orders")
+        cut = orders_dim.selectExpr(
+            "percentile_approx(o_orderkey, 0.1) v"
+        ).collect()[0].v
+        t0 = time.perf_counter()
+        idx = build_skip_index(spark, f"{ski_dir}/orders")
+        got, _info = scan_with_skip_index(
+            spark, idx, [("o_orderkey", "<=", int(cut))]
+        )
+        got.write.format("noop").mode("overwrite").save()
+        extras["skip_index_scan"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(ski_dir, ignore_errors=True)
+
     # closing sentinel leg: intra-session drift (start vs end medians)
     sentinel_runs_end = [_sentinel_once() for _ in range(n_runs)]
 

@@ -926,3 +926,31 @@ def test_cli_shuffle_job(spark, tmp_path):
         for r in spark.read.parquet(out).select("doc_id", "shard").collect()
     }
     assert got == expect
+
+
+def test_cli_skip_index_job(spark, tmp_path, capsys):
+    """`skip-index` builds the pruning relation and answers a
+    predicate with the kept-file count and pruned-scan rows."""
+    import json
+
+    store = str(tmp_path / "orders")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .repartitionByRange(4, "o_orderkey")
+        .write.parquet(store)
+    )
+    assert main([
+        "skip-index",
+        "--path", store,
+        "--out", str(tmp_path / "idx"),
+        "--pred", "o_orderkey <= 50",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files"] == 4 and rep["files_total"] == 4
+    assert rep["files_kept"] < 4
+    want = (
+        spark.read.parquet(store)
+        .where("o_orderkey <= 50")
+        .count()
+    )
+    assert rep["rows"] == want

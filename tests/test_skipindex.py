@@ -1,0 +1,185 @@
+"""File-skipping index (functions/skipindex.py).
+
+The contract has two halves: pruning must actually drop files on a
+range-laid-out store (the 100 TB point), and the scan result must be
+bit-identical to full-scan-plus-filter regardless of what was pruned
+(the safety point — residual re-filter makes pruning correctness-
+neutral by construction, so the tests attack the pruning DECISIONS:
+boundary literals, all-null files, missing stats, string prefixes).
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+    build_skip_index,
+    prune_files,
+    scan_with_skip_index,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    """orders range-laid on o_orderkey into 8 files: disjoint key
+    ranges per file = the layout pruning exists for."""
+    out = str(tmp_path_factory.mktemp("skip") / "orders")
+    (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .repartitionByRange(8, "o_orderkey")
+        .write.parquet(out)
+    )
+    return out
+
+
+def _rows(df, key="o_orderkey"):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_numeric_pruning_is_exact_and_actually_prunes(spark, store):
+    import duckdb
+
+    idx = build_skip_index(spark, store).cache()
+    try:
+        full = spark.read.parquet(store)
+        n_files = idx.select("file").distinct().count()
+        assert n_files == 8
+
+        # range predicate: keeps a strict subset of files, result
+        # bit-identical to the full filter
+        keys = sorted(r.o_orderkey for r in full.select("o_orderkey").collect())
+        cut = keys[len(keys) // 4]
+        preds = [("o_orderkey", "<=", cut)]
+        got, info = scan_with_skip_index(spark, idx, preds)
+        assert info["files_total"] == 8
+        assert 0 < info["files_kept"] < 8
+        assert _rows(got) == _rows(full.where(F.col("o_orderkey") <= cut))
+
+        # independent engine agrees on the row count
+        want_n = duckdb.connect().execute(
+            f"SELECT count(*) FROM '{store}/*.parquet' "
+            f"WHERE o_orderkey <= {cut}"
+        ).fetchone()[0]
+        assert got.count() == want_n
+
+        # boundary literals: files whose min/max EQUAL the literal
+        # must be kept for '=' and dropped only by strict ops
+        gmin, gmax = keys[0], keys[-1]
+        for op, lit_v in [("=", gmin), ("=", gmax), ("<=", gmin), (">=", gmax)]:
+            g2, _ = scan_with_skip_index(spark, idx, [("o_orderkey", op, lit_v)])
+            expr = {
+                "=": F.col("o_orderkey") == lit_v,
+                "<=": F.col("o_orderkey") <= lit_v,
+                ">=": F.col("o_orderkey") >= lit_v,
+            }[op]
+            assert _rows(g2) == _rows(full.where(expr))
+
+        # equality below the global min: every file provably excluded,
+        # empty result with the store's schema
+        g3, info3 = scan_with_skip_index(
+            spark, idx, [("o_orderkey", "=", gmin - 1)]
+        )
+        assert info3["files_kept"] == 0
+        assert g3.count() == 0
+        assert g3.schema == full.schema
+
+        # conjunction intersects survivors
+        g4, info4 = scan_with_skip_index(
+            spark,
+            idx,
+            [("o_orderkey", ">", cut), ("o_orderkey", "<=", keys[len(keys) // 2])],
+        )
+        assert 0 < info4["files_kept"] < 8
+        assert _rows(g4) == _rows(
+            full.where(
+                (F.col("o_orderkey") > cut)
+                & (F.col("o_orderkey") <= keys[len(keys) // 2])
+            )
+        )
+
+        # no predicates: everything kept
+        assert prune_files(idx, []).count() == 8
+    finally:
+        idx.unpersist()
+
+
+def test_string_lane_and_unknown_columns(spark, tmp_path):
+    out = str(tmp_path / "byprio")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartitionByRange(4, "o_orderpriority").write.parquet(out)
+    idx = build_skip_index(spark, out).cache()
+    try:
+        full = spark.read.parquet(out)
+        got, info = scan_with_skip_index(
+            spark, idx, [("o_orderpriority", "=", "1-URGENT")]
+        )
+        assert info["files_kept"] < info["files_total"]
+        assert _rows(got) == _rows(
+            full.where(F.col("o_orderpriority") == "1-URGENT")
+        )
+
+        # numeric predicate on a string column: lane mismatch never
+        # prunes, residual filter still yields the truth (empty here
+        # via cast semantics == full-scan behavior)
+        g2, info2 = scan_with_skip_index(
+            spark, idx, [("o_orderpriority", ">", "5")]
+        )
+        assert _rows(g2) == _rows(full.where(F.col("o_orderpriority") > "5"))
+    finally:
+        idx.unpersist()
+
+
+def test_all_null_file_is_droppable_and_missing_stats_keep(spark, tmp_path):
+    out = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id bigint, v double"
+    ).coalesce(1).write.parquet(out)
+    spark.createDataFrame(
+        [(3, None), (4, None)], "id bigint, v double"
+    ).coalesce(1).write.mode("append").parquet(out)
+
+    spark_idx = build_skip_index(spark, tmp_path.as_posix() + "/nulls")
+    full = spark.read.parquet(out)
+
+    # v-comparison can never match NULL: the all-null file is dropped
+    got, info = scan_with_skip_index(spark, spark_idx, [("v", ">=", 0.0)])
+    assert info == {"files_total": 2, "files_kept": 1}
+    assert _rows(got, "id") == _rows(full.where(F.col("v") >= 0.0), "id")
+
+    # the all-null column has no min/max: an id predicate keeps both
+    # (id stats exist), a v '=' inside [10,20] keeps only file 1
+    got2, info2 = scan_with_skip_index(spark, spark_idx, [("id", ">=", 1)])
+    assert info2["files_kept"] == 2
+    assert got2.count() == 4
+
+
+def test_index_survives_roundtrip_and_int64_widening(spark, tmp_path):
+    """Persisting/reloading the index changes nothing; > 2^53 ints
+    prune conservatively (kept when the double interval is ambiguous,
+    result still exact via residual)."""
+    big = 2**60
+    out = str(tmp_path / "big")
+    spark.createDataFrame(
+        [(big + i,) for i in range(4)], "k bigint"
+    ).coalesce(1).write.parquet(out)
+    spark.createDataFrame(
+        [(big + 100 + i,) for i in range(4)], "k bigint"
+    ).coalesce(1).write.mode("append").parquet(out)
+
+    idx = build_skip_index(spark, out)
+    ipath = str(tmp_path / "idx")
+    idx.write.parquet(ipath)
+    idx2 = spark.read.parquet(ipath)
+
+    full = spark.read.parquet(out)
+    # widened bounds may keep both files for a literal near the seam,
+    # but never drop a file that contains matches — result stays exact
+    for lit_v in (big, big + 2, big + 100, big + 103):
+        got, _ = scan_with_skip_index(spark, idx2, [("k", "=", lit_v)])
+        assert _rows(got, "k") == _rows(full.where(F.col("k") == lit_v), "k")
+        assert got.count() == 1
