@@ -440,6 +440,33 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--salt", default="split:")
 
+    qt = sub.add_parser(
+        "quality-train",
+        help="train the linear quality classifier (fastText-filter "
+             "slot) on a labeled seed set; writes a JSON model of "
+             "O(dim) weights",
+    )
+    qt.add_argument("--in", dest="in_path", required=True,
+                    help="labeled parquet: (id, text, label 0/1)")
+    qt.add_argument("--model-out", required=True)
+    qt.add_argument("--dim", type=int, default=256)
+    qt.add_argument("--reg", type=float, default=1e-4)
+    qt.add_argument("--id-col", default="doc_id")
+    qt.add_argument("--text-col", default="text")
+    qt.add_argument("--label-col", default="label")
+
+    qs = sub.add_parser(
+        "quality-score",
+        help="score a corpus with a trained quality model (pure "
+             "column expressions; weights ride the plan as literals)",
+    )
+    qs.add_argument("--in", dest="in_path", required=True)
+    qs.add_argument("--model", required=True, help="model JSON path")
+    qs.add_argument("--out", required=True)
+    qs.add_argument("--keep-threshold", type=float, default=None)
+    qs.add_argument("--id-col", default="doc_id")
+    qs.add_argument("--text-col", default="text")
+
     sk = sub.add_parser(
         "skip-index",
         help="build the file-skipping index (typed footer min/max as "
@@ -901,6 +928,43 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             salt=args.salt,
         ).write.mode("overwrite").partitionBy("split").parquet(args.out)
+
+    elif args.job == "quality-train":
+        import json as _json
+
+        from .functions.classifier import train_quality_classifier
+
+        model = train_quality_classifier(
+            _read(spark, args.in_path),
+            id_col=args.id_col,
+            text_col=args.text_col,
+            label_col=args.label_col,
+            dim=args.dim,
+            reg=args.reg,
+        )
+        with open(args.model_out, "w") as fh:
+            _json.dump(model, fh)
+        print(_json.dumps({
+            "auc": model["auc"],
+            "n_pos": model["n_pos"],
+            "n_neg": model["n_neg"],
+            "dim": model["dim"],
+        }))
+
+    elif args.job == "quality-score":
+        import json as _json
+
+        from .functions.classifier import score_quality
+
+        with open(args.model) as fh:
+            model = _json.load(fh)
+        score_quality(
+            _read(spark, args.in_path),
+            model,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            keep_threshold=args.keep_threshold,
+        ).write.mode("overwrite").parquet(args.out)
 
     elif args.job == "skip-index":
         import json as _json

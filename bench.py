@@ -371,6 +371,30 @@ def main() -> None:
     finally:
         shutil.rmtree(mnt_dir, ignore_errors=True)
 
+    # r07 learned quality filter: tiny synthetic seed fit + full-corpus
+    # pure-expression scoring — the inference lane is the trend signal
+    from aws_glue_data_catalog_replication_utility_spark.functions.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    seed_rows = [
+        (i, "the quick brown fox jumps over the lazy dog again", 1)
+        for i in range(64)
+    ] + [
+        (1000 + i, "zxqv qqwz vvxk jjqp zzrw xkcd qpzm wvxx kjzz", 0)
+        for i in range(64)
+    ]
+    seed_df = spark.createDataFrame(
+        seed_rows, "doc_id bigint, text string, label int"
+    )
+    t0 = time.perf_counter()
+    qmodel = train_quality_classifier(seed_df, dim=64, max_iter=20)
+    score_quality(docs, qmodel, keep_threshold=0.5).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    extras["quality_classifier"] = round(time.perf_counter() - t0, 3)
+
     # r07 file-skipping index: distributed footer pass + proof-driven
     # pruned scan over a range-laid store — the plan-time metadata cost
     from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (

@@ -954,3 +954,47 @@ def test_cli_skip_index_job(spark, tmp_path, capsys):
         .count()
     )
     assert rep["rows"] == want
+
+
+def test_cli_quality_train_and_score(spark, tmp_path, capsys):
+    """train -> JSON model -> score: the fastText-filter loop through
+    the job surface; keep flags follow the threshold."""
+    import json
+    import random
+
+    rng = random.Random(7)
+    good = "the quick brown fox jumps over the lazy dog".split()
+    bad = "zxqv qqwz vvxk jjqp zzrw xkcd qpzm wvxx".split()
+    rows = [
+        (i, " ".join(rng.choices(good, k=20)), 1) for i in range(60)
+    ] + [
+        (1000 + i, " ".join(rng.choices(bad, k=20)), 0) for i in range(60)
+    ]
+    labeled = str(tmp_path / "labeled")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, label int"
+    ).write.parquet(labeled)
+
+    model_path = str(tmp_path / "model.json")
+    assert main([
+        "quality-train",
+        "--in", labeled,
+        "--model-out", model_path,
+        "--dim", "64",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["auc"] > 0.9
+
+    out = str(tmp_path / "scored")
+    assert main([
+        "quality-score",
+        "--in", labeled,
+        "--model", model_path,
+        "--out", out,
+        "--keep-threshold", "0.5",
+    ]) == 0
+    scored = spark.read.parquet(out)
+    keep = {r.doc_id: r.quality_keep for r in scored.collect()}
+    good_kept = sum(1 for i in range(60) if keep[i])
+    bad_kept = sum(1 for i in range(60) if keep[1000 + i])
+    assert good_kept > 54 and bad_kept < 6
