@@ -440,6 +440,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--salt", default="split:")
 
+    lb = sub.add_parser(
+        "lm-buckets",
+        help="CCNet-style perplexity bucketing: unigram-LM score + "
+             "exact-quantile head/middle/tail tiers",
+    )
+    lb.add_argument("--in", dest="in_path", required=True)
+    lb.add_argument("--out", required=True)
+    lb.add_argument("--buckets", default="tail=34,middle=33,head=33",
+                    help="name=pct pairs (worst to best) summing to 100")
+    lb.add_argument("--min-df", type=int, default=1)
+    lb.add_argument("--id-col", default="doc_id")
+    lb.add_argument("--text-col", default="text")
+
     qt = sub.add_parser(
         "quality-train",
         help="train the linear quality classifier (fastText-filter "
@@ -928,6 +941,21 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             salt=args.salt,
         ).write.mode("overwrite").partitionBy("split").parquet(args.out)
+
+    elif args.job == "lm-buckets":
+        from .functions.text import lm_buckets
+
+        buckets = {}
+        for part in args.buckets.split(","):
+            name, pct = part.split("=")
+            buckets[name.strip()] = int(pct)
+        lm_buckets(
+            _read(spark, args.in_path),
+            buckets,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            min_df=args.min_df,
+        ).write.mode("overwrite").partitionBy("lm_bucket").parquet(args.out)
 
     elif args.job == "quality-train":
         import json as _json

@@ -445,3 +445,58 @@ def unigram_logprob(
         F.sum("__lp").alias("logprob_sum"),
         (F.sum("__lp") / F.sum("c")).alias("avg_logprob"),
     )
+
+
+def lm_buckets(
+    df,
+    buckets: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+):
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (`unigram_logprob`) and split the corpus into
+    quality tiers by exact score quantiles — the head/middle/tail
+    partition CCNet feeds to different training budgets (head = most
+    fluent, sampled hardest; tail = kept for diversity or dropped).
+
+    `buckets` maps name -> integer percent, ORDERED WORST TO BEST
+    (ascending avg_logprob; default tail/middle/head thirds). Cutoffs
+    are Spark's exact `percentile` (linear interpolation — matches
+    DuckDB quantile_cont up to float tolerance, pinned in tests); a doc
+    lands in the first bucket whose cutoff its score does not exceed,
+    so the assignment is monotone in the score by construction and
+    deterministic for every doc (boundary docs go to the worse tier).
+
+    Plan at 100 TB: the scorer's own shuffles (vocab-keyed), then ONE
+    exact-percentile aggregation over (docs x 1 double) and a one-row
+    broadcast join back — no sort of the corpus, no window over a
+    global order. Returns `unigram_logprob`'s columns + `lm_bucket`."""
+    if buckets is None:
+        buckets = {"tail": 34, "middle": 33, "head": 33}
+    total = sum(buckets.values())
+    if total != 100:
+        raise ValueError(f"bucket percents must sum to 100, got {total}")
+    if any(v <= 0 for v in buckets.values()):
+        raise ValueError("bucket percents must be positive")
+    names = list(buckets)
+    scored = unigram_logprob(df, id_col=id_col, text_col=text_col, min_df=min_df)
+    fracs, cum = [], 0
+    for name in names[:-1]:
+        cum += buckets[name]
+        fracs.append(cum / 100.0)
+    if not fracs:  # single bucket: no cutoffs needed
+        return scored.withColumn("lm_bucket", F.lit(names[0]))
+    cuts = scored.agg(
+        F.percentile(
+            F.col("avg_logprob"), F.array(*[F.lit(f) for f in fracs])
+        ).alias("__cuts")
+    )
+    assign = None
+    for i, name in enumerate(names[:-1]):
+        cond = F.col("avg_logprob") <= F.element_at(F.col("__cuts"), i + 1)
+        assign = F.when(cond, name) if assign is None else assign.when(cond, name)
+    assign = assign.otherwise(names[-1])
+    return scored.crossJoin(F.broadcast(cuts)).withColumn(
+        "lm_bucket", assign
+    ).drop("__cuts")

@@ -371,6 +371,15 @@ def main() -> None:
     finally:
         shutil.rmtree(mnt_dir, ignore_errors=True)
 
+    # r07 CCNet perplexity tiers: LM scorer + exact-percentile cutoffs
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        lm_buckets,
+    )
+
+    t0 = time.perf_counter()
+    lm_buckets(docs).write.format("noop").mode("overwrite").save()
+    extras["lm_buckets"] = round(time.perf_counter() - t0, 3)
+
     # r07 learned quality filter: tiny synthetic seed fit + full-corpus
     # pure-expression scoring — the inference lane is the trend signal
     from aws_glue_data_catalog_replication_utility_spark.functions.classifier import (

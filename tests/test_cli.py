@@ -998,3 +998,22 @@ def test_cli_quality_train_and_score(spark, tmp_path, capsys):
     good_kept = sum(1 for i in range(60) if keep[i])
     bad_kept = sum(1 for i in range(60) if keep[1000 + i])
     assert good_kept > 54 and bad_kept < 6
+
+
+def test_cli_lm_buckets_job(spark, tmp_path):
+    """`lm-buckets` writes the corpus hive-partitioned by tier with
+    the declared proportions."""
+    out = str(tmp_path / "tiers")
+    assert main([
+        "lm-buckets",
+        "--in", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--buckets", "reject=20,keep=80",
+    ]) == 0
+    got = spark.read.parquet(out)
+    n = got.count()
+    n_reject = got.where("lm_bucket = 'reject'").count()
+    assert n == spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert abs(n_reject / n - 0.20) < 0.08
