@@ -440,6 +440,40 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--salt", default="split:")
 
+    mx = sub.add_parser(
+        "mix",
+        help="corpus mixing: --alpha 0 = equal token budgets, 1 = keep "
+             "all, between = temperature-scaled (p ~ tokens^alpha)",
+    )
+    mx.add_argument("--in", dest="in_path", required=True)
+    mx.add_argument("--out", required=True)
+    mx.add_argument("--alpha", type=float, default=0.5)
+    mx.add_argument("--source-col", default="source")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--text-col", default="text")
+
+    bt = sub.add_parser(
+        "bpe-train",
+        help="learn a BPE merge table from the corpus (distributed "
+             "word-frequency fold; the tokenizer-training slot)",
+    )
+    bt.add_argument("--in", dest="in_path", required=True)
+    bt.add_argument("--model-out", required=True, help="model JSON path")
+    bt.add_argument("--n-merges", type=int, default=200)
+    bt.add_argument("--min-pair-count", type=int, default=2)
+    bt.add_argument("--text-col", default="text")
+
+    be = sub.add_parser(
+        "bpe-encode",
+        help="tokenize a corpus with a trained BPE model (Arrow lane): "
+             "(id, bpe_tokens, bpe_token_count) parquet out",
+    )
+    be.add_argument("--in", dest="in_path", required=True)
+    be.add_argument("--model", required=True, help="model JSON path")
+    be.add_argument("--out", required=True)
+    be.add_argument("--id-col", default="doc_id")
+    be.add_argument("--text-col", default="text")
+
     lb = sub.add_parser(
         "lm-buckets",
         help="CCNet-style perplexity bucketing: unigram-LM score + "
@@ -941,6 +975,48 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             salt=args.salt,
         ).write.mode("overwrite").partitionBy("split").parquet(args.out)
+
+    elif args.job == "mix":
+        from pyspark.sql import functions as F
+
+        from .functions.sampling import temperature_mix
+
+        temperature_mix(
+            _read(spark, args.in_path),
+            args.source_col,
+            args.id_col,
+            F.size(F.split(F.trim(F.col(args.text_col)), r"\s+")),
+            alpha=args.alpha,
+        ).write.mode("overwrite").parquet(args.out)
+
+    elif args.job == "bpe-train":
+        import json as _json
+
+        from .functions.bpe import train_bpe
+
+        model = train_bpe(
+            _read(spark, args.in_path),
+            n_merges=args.n_merges,
+            text_col=args.text_col,
+            min_pair_count=args.min_pair_count,
+        )
+        with open(args.model_out, "w") as fh:
+            _json.dump(model, fh)
+        print(_json.dumps({"n_merges": len(model["merges"])}))
+
+    elif args.job == "bpe-encode":
+        import json as _json
+
+        from .functions.bpe import bpe_encode
+
+        with open(args.model) as fh:
+            model = _json.load(fh)
+        bpe_encode(
+            _read(spark, args.in_path),
+            model,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        ).write.mode("overwrite").parquet(args.out)
 
     elif args.job == "lm-buckets":
         from .functions.text import lm_buckets

@@ -286,3 +286,72 @@ def write_shuffled_shards(
     )
     n = a.sparkSession.read.parquet(out).count()
     return {"shards": n_shards, "rows": int(n)}
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count: F.Column,
+    alpha: float = 0.5,
+    salt: str = SALT,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing — the multilingual sampling
+    recipe (mBERT/XLM: keep probability of source s proportional to
+    tokens_s^alpha): alpha=1 keeps everything (natural distribution),
+    alpha=0 is the equal-token-budget mix (`mix_corpora`), values
+    between damp the head sources without starving the tail. The
+    realized budget is the largest achievable WITHOUT upsampling: the
+    source with the highest share-to-size ratio keeps 100% and every
+    other source's integer-percent rate scales down from it.
+
+    Rates are computed on the DRIVER from the exact per-source token
+    totals (O(sources) rows collected — the source list is small by
+    definition) so fractional powers never have to reproduce across
+    engines: the rates become plan literals, and row membership stays
+    the deterministic salted-md5 bucket (`hash_bucket`) shared with
+    every sampler in this module — kept sets are pure functions of
+    the data, bit-reproducible in the DuckDB twin given the same
+    literal rates (the rate math itself is pinned against a Python
+    reference in tests). alpha=0 and alpha=1 short-circuit to exact
+    integer arithmetic.
+
+    Plan: one agg on the source key, one broadcast join of the tiny
+    rate table, one narrow hash filter. Returns kept rows +
+    (n_tokens, rate_pct)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    d = df.withColumn("n_tokens", token_count)
+    totals = {
+        r["src"]: r["toks"]
+        for r in d.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+        if r["toks"] and r["toks"] > 0
+    }
+    if not totals:
+        raise ValueError("no source has a positive token count")
+    if alpha == 1.0:
+        rates = {s: 100 for s in totals}
+    elif alpha == 0.0:
+        m = min(totals.values())
+        rates = {
+            s: max(1, min(100, (100 * m) // t)) for s, t in totals.items()
+        }
+    else:
+        shares = {s: float(t) ** alpha for s, t in totals.items()}
+        z = sum(shares.values())
+        # largest budget with no source oversampled: the binding
+        # source keeps exactly 100%
+        budget = min(t * z / shares[s] for s, t in totals.items())
+        rates = {
+            s: max(1, min(100, int((100.0 * shares[s] * budget / z) // t)))
+            for s, t in totals.items()
+        }
+    rate_rows = [(s, r) for s, r in sorted(rates.items())]
+    rate_df = d.sparkSession.createDataFrame(
+        rate_rows, f"{source_col} string, rate_pct int"
+    )
+    return d.join(F.broadcast(rate_df), on=source_col).where(
+        hash_bucket(id_col, salt) < F.col("rate_pct")
+    )

@@ -371,6 +371,20 @@ def main() -> None:
     finally:
         shutil.rmtree(mnt_dir, ignore_errors=True)
 
+    # r07 BPE tokenizer: 20 distributed merge rounds over the word
+    # relation, then the Arrow-lane encode over the full corpus
+    from aws_glue_data_catalog_replication_utility_spark.functions.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    t0 = time.perf_counter()
+    bpe_model = train_bpe(docs, n_merges=20)
+    bpe_encode(docs, bpe_model).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    extras["bpe_train_encode"] = round(time.perf_counter() - t0, 3)
+
     # r07 CCNet perplexity tiers: LM scorer + exact-percentile cutoffs
     from aws_glue_data_catalog_replication_utility_spark.functions.text import (
         lm_buckets,

@@ -1017,3 +1017,43 @@ def test_cli_lm_buckets_job(spark, tmp_path):
         "/root/testdata/sf0.001/documents.parquet"
     ).count()
     assert abs(n_reject / n - 0.20) < 0.08
+
+
+def test_cli_bpe_train_and_encode(spark, tmp_path, capsys):
+    """bpe-train -> JSON merge table -> bpe-encode parquet with token
+    arrays; encode agrees with the library lane."""
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.bpe import (
+        bpe_encode,
+    )
+
+    model_path = str(tmp_path / "bpe.json")
+    assert main([
+        "bpe-train",
+        "--in", "/root/testdata/sf0.001/documents.parquet",
+        "--model-out", model_path,
+        "--n-merges", "15",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_merges"] == 15
+
+    out = str(tmp_path / "encoded")
+    assert main([
+        "bpe-encode",
+        "--in", "/root/testdata/sf0.001/documents.parquet",
+        "--model", model_path,
+        "--out", out,
+    ]) == 0
+    with open(model_path) as fh:
+        model = json.load(fh)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_encode(docs, model).collect()
+    }
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
