@@ -440,6 +440,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--salt", default="split:")
 
+    rp = sub.add_parser(
+        "report",
+        help="corpus report / dataset card: docs, tokens, dup rate, "
+             "quality profile, composition by source/lang — one JSON",
+    )
+    rp.add_argument("--in", dest="in_path", required=True)
+    rp.add_argument("--out", default=None, help="also write JSON here")
+    rp.add_argument("--axes", default="source,lang",
+                    help="comma-separated composition columns")
+    rp.add_argument("--top-n", type=int, default=20)
+    rp.add_argument("--approx", action="store_true",
+                    help="HLL duplicate count (one fewer shuffle)")
+    rp.add_argument("--id-col", default="doc_id")
+    rp.add_argument("--text-col", default="text")
+
     mx = sub.add_parser(
         "mix",
         help="corpus mixing: --alpha 0 = equal token budgets, 1 = keep "
@@ -975,6 +990,24 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             salt=args.salt,
         ).write.mode("overwrite").partitionBy("split").parquet(args.out)
+
+    elif args.job == "report":
+        import json as _json
+
+        from .functions.report import corpus_report
+
+        card = corpus_report(
+            _read(spark, args.in_path),
+            id_col=args.id_col,
+            text_col=args.text_col,
+            axes=tuple(a.strip() for a in args.axes.split(",") if a.strip()),
+            top_n=args.top_n,
+            approx=args.approx,
+        )
+        if args.out:
+            with open(args.out, "w") as fh:
+                _json.dump(card, fh, indent=2)
+        print(_json.dumps(card))
 
     elif args.job == "mix":
         from pyspark.sql import functions as F

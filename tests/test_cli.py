@@ -1057,3 +1057,34 @@ def test_cli_bpe_train_and_encode(spark, tmp_path, capsys):
         for r in spark.read.parquet(out).collect()
     }
     assert got == want
+
+
+def test_cli_report_and_mix_jobs(spark, tmp_path, capsys):
+    """`report` prints the dataset card; `mix` writes the
+    temperature-scaled corpus."""
+    import json
+
+    assert main([
+        "report",
+        "--in", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "card.json"),
+    ]) == 0
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert card["n_docs"] == n
+    assert card["axes"]["source"]
+    with open(tmp_path / "card.json") as fh:
+        assert json.load(fh) == card
+
+    out = str(tmp_path / "mixed")
+    assert main([
+        "mix",
+        "--in", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--alpha", "0.5",
+    ]) == 0
+    mixed = spark.read.parquet(out)
+    assert 0 < mixed.count() <= n
+    assert "rate_pct" in mixed.columns
