@@ -543,6 +543,9 @@ def main(argv: list[str] | None = None) -> int:
                          "repeatable, AND semantics")
     sk.add_argument("--rows-out", default=None,
                     help="with --pred: write the pruned-scan result here")
+    sk.add_argument("--update", action="store_true",
+                    help="incremental: refresh the existing --out index "
+                         "(footer-read only NEW files, drop deleted)")
 
     sh = sub.add_parser(
         "shuffle",
@@ -1112,10 +1115,28 @@ def main(argv: list[str] | None = None) -> int:
             scan_with_skip_index,
         )
 
-        idx = build_skip_index(spark, args.path)
-        if args.out:
-            idx.write.mode("overwrite").parquet(args.out)
+        upd_info = None
+        if args.update:
+            if not args.out:
+                raise SystemExit("--update requires --out (the index)")
+            from .functions.skipindex import update_skip_index
+
+            idx, upd_info = update_skip_index(
+                spark, args.path, spark.read.parquet(args.out)
+            )
+            # write via temp + swap: the new index reads the old one
+            tmp = args.out.rstrip("/") + ".__tmp__"
+            idx.write.mode("overwrite").parquet(tmp)
+            import shutil as _sh
+
+            _sh.rmtree(args.out)
+            _sh.move(tmp, args.out)
             idx = spark.read.parquet(args.out)
+        else:
+            idx = build_skip_index(spark, args.path)
+            if args.out:
+                idx.write.mode("overwrite").parquet(args.out)
+                idx = spark.read.parquet(args.out)
         preds = []
         for p in args.pred:
             m = _re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*$", p)
@@ -1134,6 +1155,8 @@ def main(argv: list[str] | None = None) -> int:
             "files": idx.select("file").distinct().count(),
             "columns": idx.select("column").distinct().count(),
         }
+        if upd_info is not None:
+            summary["update"] = upd_info
         if preds:
             got, info = scan_with_skip_index(spark, idx, preds)
             summary.update(info)

@@ -85,10 +85,17 @@ def build_skip_index(spark: SparkSession, path: str) -> DataFrame:
     `has_minmax` false = writer wrote no stats = never prune on it."""
     from .stats import _file_list
 
-    files = _file_list(path)
+    return _index_files(spark, [f for f, _ in _file_list(path)])
+
+
+def _index_files(spark: SparkSession, files: list[str]) -> DataFrame:
+    """The distributed footer pass over an explicit file list — shared
+    by full build and incremental update."""
+    if not files:
+        return spark.createDataFrame([], _INDEX_SCHEMA)
     n_slices = min(len(files), spark.sparkContext.defaultParallelism)
     fdf = spark.createDataFrame(
-        files, "file string, file_bytes long"
+        [(f,) for f in files], "file string"
     ).repartition(n_slices)
 
     def read_footers(batches):
@@ -302,3 +309,36 @@ def scan_with_skip_index(
         df = reader.parquet(*kept)
     cond = _residual(predicates)
     return (df if cond is None else df.where(cond)), info
+
+
+def update_skip_index(
+    spark: SparkSession, path: str, index: DataFrame
+) -> tuple[DataFrame, dict]:
+    """Incremental index maintenance: refresh `index` against the
+    store's CURRENT file list — footer-read ONLY the new files, drop
+    rows of deleted files, keep everything else untouched (their
+    footers are immutable once written; parquet files never change in
+    place in this engine's write discipline). Returns (new_index,
+    {"added": n, "removed": n, "kept": n}).
+
+    The file-list diff is O(files) driver metadata — the same listing
+    every build does; the update's footer I/O is O(new files), which
+    is the point: a daily append to a 100k-file store re-reads dozens
+    of footers, not 100k. Result proven bit-identical to a fresh
+    rebuild in tests."""
+    from .stats import _file_list
+
+    now = {f for f, _ in _file_list(path)}
+    have = {r.file for r in index.select("file").distinct().collect()}
+    added = sorted(now - have)
+    removed = sorted(have - now)
+    kept = index
+    if removed:
+        rm = spark.createDataFrame([(f,) for f in removed], "file string")
+        kept = index.join(rm, on="file", how="left_anti")
+    out = kept.unionByName(_index_files(spark, added))
+    return out, {
+        "added": len(added),
+        "removed": len(removed),
+        "kept": len(have) - len(removed),
+    }

@@ -1088,3 +1088,28 @@ def test_cli_report_and_mix_jobs(spark, tmp_path, capsys):
     mixed = spark.read.parquet(out)
     assert 0 < mixed.count() <= n
     assert "rate_pct" in mixed.columns
+
+
+def test_cli_skip_index_update(spark, tmp_path, capsys):
+    """`skip-index --update` refreshes in place: footer pass over new
+    files only, JSON reports the diff."""
+    import json
+
+    store = str(tmp_path / "orders")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.where("o_orderkey % 2 = 0").repartitionByRange(
+        2, "o_orderkey"
+    ).write.parquet(store)
+    idx = str(tmp_path / "idx")
+    assert main(["skip-index", "--path", store, "--out", idx]) == 0
+    capsys.readouterr()
+
+    orders.where("o_orderkey % 2 = 1").repartitionByRange(
+        2, "o_orderkey"
+    ).write.mode("append").parquet(store)
+    assert main([
+        "skip-index", "--path", store, "--out", idx, "--update",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files"] == 4
+    assert rep["update"] == {"added": 2, "removed": 0, "kept": 2}

@@ -183,3 +183,57 @@ def test_index_survives_roundtrip_and_int64_widening(spark, tmp_path):
         got, _ = scan_with_skip_index(spark, idx2, [("k", "=", lit_v)])
         assert _rows(got, "k") == _rows(full.where(F.col("k") == lit_v), "k")
         assert got.count() == 1
+
+
+def test_update_skip_index_incremental_equals_rebuild(spark, tmp_path):
+    """Append files -> update touches only the new footers; delete a
+    file -> its rows drop. Updated index == fresh rebuild bit-for-bit
+    and pruning through it stays exact."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        update_skip_index,
+    )
+
+    out = str(tmp_path / "store")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.where("o_orderkey % 2 = 0").repartitionByRange(
+        4, "o_orderkey"
+    ).write.parquet(out)
+    idx0 = build_skip_index(spark, out).cache()
+    idx0.count()
+
+    # append: 4 more files
+    orders.where("o_orderkey % 2 = 1").repartitionByRange(
+        4, "o_orderkey"
+    ).write.mode("append").parquet(out)
+    idx1, info = update_skip_index(spark, out, idx0)
+    assert info["added"] == 4 and info["removed"] == 0 and info["kept"] == 4
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(idx1) == rows(build_skip_index(spark, out))
+
+    # pruned scan through the updated index stays bit-identical
+    full = spark.read.parquet(out)
+    keys = sorted(r.o_orderkey for r in full.select("o_orderkey").collect())
+    cut = keys[len(keys) // 3]
+    got, info2 = scan_with_skip_index(spark, idx1, [("o_orderkey", "<=", cut)])
+    assert 0 < info2["files_kept"] < info2["files_total"] == 8
+    assert _rows(got) == _rows(full.where(F.col("o_orderkey") <= cut))
+
+    # delete one data file (plus its crc sidecar) -> update drops it
+    import glob as g
+
+    victim = sorted(
+        f for f in g.glob(os.path.join(out, "*.parquet"))
+    )[0]
+    os.remove(victim)
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    idx2, info3 = update_skip_index(spark, out, idx1)
+    assert info3 == {"added": 0, "removed": 1, "kept": 7}
+    assert rows(idx2) == rows(build_skip_index(spark, out))
+    idx0.unpersist()
