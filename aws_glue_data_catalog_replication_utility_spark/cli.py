@@ -440,6 +440,25 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--salt", default="split:")
 
+    vs = sub.add_parser(
+        "vstore",
+        help="transactional versioned parquet store: append/overwrite/"
+             "delete-where in atomic versions, time travel, rollback, "
+             "history, vacuum",
+    )
+    vs.add_argument("--root", required=True)
+    vs.add_argument("--op", required=True,
+                    choices=["append", "overwrite", "delete", "read",
+                             "history", "rollback", "vacuum"])
+    vs.add_argument("--in", dest="in_path", default=None,
+                    help="append/overwrite: input parquet")
+    vs.add_argument("--where", default=None, help="delete: predicate")
+    vs.add_argument("--version", type=int, default=None,
+                    help="read: snapshot version; rollback: target")
+    vs.add_argument("--out", default=None, help="read: write snapshot here")
+    vs.add_argument("--keep-last", type=int, default=1,
+                    help="vacuum: versions whose snapshots stay readable")
+
     rp = sub.add_parser(
         "report",
         help="corpus report / dataset card: docs, tokens, dup rate, "
@@ -993,6 +1012,39 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             salt=args.salt,
         ).write.mode("overwrite").partitionBy("split").parquet(args.out)
+
+    elif args.job == "vstore":
+        import json as _json
+
+        from . import versioned as V
+
+        if args.op in ("append", "overwrite"):
+            if not args.in_path:
+                raise SystemExit(f"--op {args.op} requires --in")
+            fn = V.append if args.op == "append" else V.overwrite
+            v = fn(_read(spark, args.in_path), args.root)
+            print(_json.dumps({"version": v, "action": args.op}))
+        elif args.op == "delete":
+            if not args.where:
+                raise SystemExit("--op delete requires --where")
+            v = V.delete_where(spark, args.root, args.where)
+            print(_json.dumps({"version": v, "action": "delete"}))
+        elif args.op == "read":
+            df = V.read_versioned(spark, args.root, args.version)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                print(_json.dumps({"rows": spark.read.parquet(args.out).count()}))
+            else:
+                print(_json.dumps({"rows": df.count()}))
+        elif args.op == "history":
+            print(_json.dumps(V.history(args.root)))
+        elif args.op == "rollback":
+            if args.version is None:
+                raise SystemExit("--op rollback requires --version")
+            v = V.rollback(spark, args.root, args.version)
+            print(_json.dumps({"version": v, "action": "rollback"}))
+        else:
+            print(_json.dumps(V.vacuum(args.root, keep_last=args.keep_last)))
 
     elif args.job == "report":
         import json as _json

@@ -1,0 +1,278 @@
+"""Transactional versioned parquet store: a minimal Delta-shaped
+commit log, engine-native.
+
+The environment cannot install a lakehouse format (no network — PyPI
+and Maven Central unreachable, adjudicated in round 6), so the engine
+ships its OWN transactional layer over plain parquet, built on the
+two primitives every table format reduces to: immutable data files
+plus an ordered log of atomic manifests.
+
+Layout:
+    root/data/<uuid>-<part>.parquet      immutable, never rewritten
+    root/_txlog/v{N:012d}.json           manifest N (adds/removes)
+    root/.staging/<uuid>/                writer scratch, crash debris
+
+Commit protocol (single-filesystem): data files are fully written
+into staging, MOVED into data/, and only then does the manifest
+appear — via write-tmp + `os.link` to the version name, which is
+atomic AND fails with EEXIST when another writer took the version
+first (`VersionConflict`; POSIX `rename` would silently overwrite).
+A crash at any point leaves either (a) staging/orphan data files a
+`vacuum` sweeps, or (b) a complete committed version — never a
+manifest naming missing files, never a torn table. Readers replay
+manifests `<= version` to reconstruct the live file set (Delta's
+protocol without checkpoints; each manifest is O(changed files), the
+replay is O(versions) driver metadata — checkpoint compaction is the
+documented growth path).
+
+Operations: `append` / `overwrite` (full snapshot swap — the
+reference's GDCUtil.java:61-111 delete-all-then-add as ONE atomic
+version instead of a partition-scoped window of inconsistency),
+`delete_where` (rewrites ONLY files containing matching rows, same
+file-surgery discipline as functions/layout.delete_rows),
+`read_versioned(version=k)` time travel, `rollback` (new version
+whose live set is an old version's — history is never erased),
+`history`, and `vacuum(keep_last=n)` (drops data files referenced
+only by expired versions plus all crash debris).
+
+Every manifest stores the schema (JSON) so an empty snapshot still
+reads with the right columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class VersionConflict(RuntimeError):
+    """Another writer committed this version first — reread and retry."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, "_txlog")
+
+
+def _data_dir(root: str) -> str:
+    return os.path.join(root, "data")
+
+
+def _manifests(root: str) -> list[tuple[int, str]]:
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                out.append((int(n[1:-5]), os.path.join(d, n)))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _replay(root: str, version: int | None) -> tuple[list[str], dict | None]:
+    """Live relative file paths at `version` (latest when None) plus
+    the manifest whose state we landed on."""
+    ms = _manifests(root)
+    if version is not None and (not ms or version > ms[-1][0] or version < 1):
+        raise ValueError(f"version {version} does not exist")
+    live: list[str] = []
+    seen = set()
+    last = None
+    for v, p in ms:
+        if version is not None and v > version:
+            break
+        with open(p) as fh:
+            m = json.load(fh)
+        last = m
+        for f in m.get("removed", []):
+            if f in seen:
+                seen.discard(f)
+        for f in m.get("added", []):
+            seen.add(f)
+    if last is None:
+        if version is not None:
+            raise ValueError(f"version {version} does not exist")
+        return [], None
+    live = sorted(seen)
+    return live, last
+
+
+def _stage_write(df: DataFrame, root: str) -> list[str]:
+    """Write df's data files via staging, move them under data/ with
+    unique names; returns the new RELATIVE paths. No manifest yet —
+    a crash here leaves only orphans for vacuum."""
+    tag = uuid.uuid4().hex[:12]
+    stage = os.path.join(root, ".staging", tag)
+    df.write.parquet(stage)
+    os.makedirs(_data_dir(root), exist_ok=True)
+    rels = []
+    for n in sorted(os.listdir(stage)):
+        if not n.endswith(".parquet") or n.startswith(("_", ".")):
+            continue
+        rel = os.path.join("data", f"{tag}-{n}")
+        shutil.move(os.path.join(stage, n), os.path.join(root, rel))
+        rels.append(rel)
+    shutil.rmtree(os.path.join(root, ".staging", tag), ignore_errors=True)
+    return rels
+
+
+def _commit(root: str, action: str, added: list[str], removed: list[str],
+            schema_json: str) -> int:
+    """Atomically publish the next version; VersionConflict if a
+    concurrent writer took it."""
+    log = _log_dir(root)
+    os.makedirs(log, exist_ok=True)
+    ms = _manifests(root)
+    next_v = (ms[-1][0] + 1) if ms else 1
+    body = {
+        "version": next_v,
+        "action": action,
+        "added": added,
+        "removed": removed,
+        "schema": schema_json,
+    }
+    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(body, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    target = os.path.join(log, f"v{next_v:012d}.json")
+    try:
+        os.link(tmp, target)  # atomic create-if-absent
+    except FileExistsError as e:
+        raise VersionConflict(
+            f"version {next_v} already committed at {root}"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    return next_v
+
+
+def append(df: DataFrame, root: str) -> int:
+    """Add df as new immutable files in one atomic version."""
+    added = _stage_write(df, root)
+    return _commit(root, "append", added, [], df.schema.json())
+
+
+def overwrite(df: DataFrame, root: str) -> int:
+    """Full snapshot swap in one atomic version: readers see the old
+    table until the manifest lands, then the new one — never a
+    half-deleted store (the failure window of delete-all-then-add)."""
+    live, _ = _replay(root, None)
+    added = _stage_write(df, root)
+    return _commit(root, "overwrite", added, live, df.schema.json())
+
+
+def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
+    """DELETE FROM ... WHERE, transactionally: only files containing
+    matching rows are rewritten (their survivors re-staged as new
+    files); untouched files stay in the live set byte-identical. The
+    old files remain on disk for time travel until vacuumed."""
+    from urllib.parse import unquote, urlparse
+
+    live, last = _replay(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    df = read_versioned(spark, root)
+    hits = [
+        unquote(urlparse(r["f"]).path)
+        for r in df.where(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    rootabs = os.path.abspath(root)
+    affected = sorted(os.path.relpath(h, rootabs) for h in hits)
+    if not affected:
+        return last["version"]  # no-op: nothing matched, no new version
+    added: list[str] = []
+    for rel in affected:
+        keep = spark.read.parquet(os.path.join(rootabs, rel)).where(
+            f"NOT ({predicate})"
+        )
+        if keep.limit(1).count():
+            added.extend(_stage_write(keep.coalesce(1), root))
+    return _commit(root, "delete", added, affected, last["schema"])
+
+
+def read_versioned(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the table exactly as of `version` (latest when
+    None). Empty snapshots keep the schema recorded in the log."""
+    live, last = _replay(root, version)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    if not live:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(last["schema"]))
+        )
+    return spark.read.parquet(*[os.path.join(root, f) for f in live])
+
+
+def rollback(spark: SparkSession, root: str, to_version: int) -> int:
+    """Publish a NEW version whose live set equals `to_version`'s —
+    history stays intact (audit > erasure, the reference's audit-table
+    posture)."""
+    old_live, old_last = _replay(root, to_version)
+    cur_live, _ = _replay(root, None)
+    if old_last is None:
+        raise ValueError(f"version {to_version} does not exist")
+    added = [f for f in old_live if f not in set(cur_live)]
+    removed = [f for f in cur_live if f not in set(old_live)]
+    return _commit(root, "rollback", added, removed, old_last["schema"])
+
+
+def history(root: str) -> list[dict]:
+    """The commit log, oldest first: version, action, files +/-."""
+    out = []
+    for _, p in _manifests(root):
+        with open(p) as fh:
+            m = json.load(fh)
+        out.append({
+            "version": m["version"],
+            "action": m["action"],
+            "n_added": len(m.get("added", [])),
+            "n_removed": len(m.get("removed", [])),
+        })
+    return out
+
+
+def vacuum(root: str, keep_last: int = 1) -> dict:
+    """Reclaim space: keep every data file referenced by the last
+    `keep_last` versions' SNAPSHOTS (time travel to them stays exact);
+    delete data files only reachable through older versions, all
+    crash debris in .staging/, and nothing else. Manifests all stay —
+    history remains auditable even where the data is gone."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    ms = _manifests(root)
+    if not ms:
+        return {"data_files_removed": 0, "staging_removed": 0}
+    keep_versions = [v for v, _ in ms][-keep_last:]
+    needed: set[str] = set()
+    for v in keep_versions:
+        live, _ = _replay(root, v)
+        needed.update(live)
+    removed = 0
+    ddir = _data_dir(root)
+    if os.path.isdir(ddir):
+        for n in sorted(os.listdir(ddir)):
+            rel = os.path.join("data", n)
+            if rel not in needed:
+                os.remove(os.path.join(ddir, n))
+                removed += 1
+    st = os.path.join(root, ".staging")
+    staged = 0
+    if os.path.isdir(st):
+        staged = len(os.listdir(st))
+        shutil.rmtree(st, ignore_errors=True)
+    return {"data_files_removed": removed, "staging_removed": staged}

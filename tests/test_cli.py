@@ -1113,3 +1113,34 @@ def test_cli_skip_index_update(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["files"] == 4
     assert rep["update"] == {"added": 2, "removed": 0, "kept": 2}
+
+
+def test_cli_vstore_lifecycle(spark, tmp_path, capsys):
+    """append -> delete -> time-travel read -> rollback -> vacuum
+    through the job surface."""
+    import json
+
+    root = str(tmp_path / "vt")
+    src = "/root/testdata/sf0.001/orders.parquet"
+    n = spark.read.parquet(src).count()
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert run(["vstore", "--root", root, "--op", "append",
+                "--in", src]) == {"version": 1, "action": "append"}
+    rep = run(["vstore", "--root", root, "--op", "delete",
+               "--where", "o_custkey % 5 = 0"])
+    assert rep == {"version": 2, "action": "delete"}
+    n2 = run(["vstore", "--root", root, "--op", "read"])["rows"]
+    assert n2 < n
+    assert run(["vstore", "--root", root, "--op", "read",
+                "--version", "1"])["rows"] == n
+    assert run(["vstore", "--root", root, "--op", "rollback",
+                "--version", "1"]) == {"version": 3, "action": "rollback"}
+    assert run(["vstore", "--root", root, "--op", "read"])["rows"] == n
+    hist = run(["vstore", "--root", root, "--op", "history"])
+    assert [h["action"] for h in hist] == ["append", "delete", "rollback"]
+    run(["vstore", "--root", root, "--op", "vacuum", "--keep-last", "1"])
+    assert run(["vstore", "--root", root, "--op", "read"])["rows"] == n

@@ -1,0 +1,148 @@
+"""Transactional versioned parquet store (versioned.py).
+
+Attack the transaction properties, not just the happy path: snapshot
+isolation across versions (bit-exact time travel), atomic overwrite
+(no delete-all-then-add window), targeted delete rewrites only
+affected files, rollback preserves history, version conflicts are
+detected not overwritten, crash debris never corrupts reads, vacuum
+reclaims exactly the unreferenced files.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark import versioned as V
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.collect())
+
+
+@pytest.fixture()
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def test_append_overwrite_time_travel_and_history(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    a = orders.where("o_orderkey % 3 = 0")
+    b = orders.where("o_orderkey % 3 = 1")
+    c = orders.where("o_orderkey % 3 = 2")
+
+    assert V.append(a, root) == 1
+    assert V.append(b, root) == 2
+    v3 = V.overwrite(c, root)
+    assert v3 == 3
+
+    # snapshots are bit-exact per version
+    assert _ids(V.read_versioned(spark, root, 1)) == _ids(a)
+    assert _ids(V.read_versioned(spark, root, 2)) == sorted(
+        _ids(a) + _ids(b)
+    )
+    assert _ids(V.read_versioned(spark, root)) == _ids(c)
+
+    hist = V.history(root)
+    assert [(h["version"], h["action"]) for h in hist] == [
+        (1, "append"), (2, "append"), (3, "overwrite"),
+    ]
+    with pytest.raises(ValueError, match="does not exist"):
+        V.read_versioned(spark, root, 99)
+
+
+def test_delete_where_rewrites_only_affected_files(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(orders.repartition(4), root)
+    files_v1 = sorted(glob.glob(os.path.join(root, "data", "*.parquet")))
+    assert len(files_v1) == 4
+    stat_v1 = {f: os.path.getsize(f) for f in files_v1}
+
+    victims = _ids(orders.where("o_custkey % 7 = 0").select("o_orderkey"))
+    assert victims
+    v2 = V.delete_where(spark, root, "o_custkey % 7 = 0")
+    assert v2 == 2
+
+    now = V.read_versioned(spark, root)
+    assert _ids(now) == sorted(set(_ids(orders)) - set(victims))
+    # time travel to v1 still has everything
+    assert _ids(V.read_versioned(spark, root, 1)) == _ids(orders)
+    # old data files untouched on disk (immutability)
+    for f, sz in stat_v1.items():
+        assert os.path.getsize(f) == sz
+
+    # delete with no matches: NO new version
+    assert V.delete_where(spark, root, "o_custkey < 0") == 2
+
+
+def test_version_conflict_and_crash_debris(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(orders, root)
+
+    # RACE: our writer reads the log (sees v1, plans v2), then a
+    # competing writer lands v2 first — the commit must fail loudly,
+    # never silently overwrite (POSIX rename would; os.link refuses)
+    log = os.path.join(root, "_txlog")
+    v1 = os.path.join(log, "v000000000001.json")
+    competing = {
+        "version": 2, "action": "append", "added": [], "removed": [],
+        "schema": json.load(open(v1))["schema"],
+    }
+    with open(os.path.join(log, "v000000000002.json"), "w") as fh:
+        json.dump(competing, fh)
+    stale = [(1, v1)]  # the view our writer captured before the race
+    real = V._manifests
+    V._manifests = lambda r: stale if os.path.abspath(r) == os.path.abspath(root) else real(r)
+    try:
+        with pytest.raises(V.VersionConflict):
+            V.append(orders.limit(5), root)
+    finally:
+        V._manifests = real
+
+    # crash debris: orphan data + staging files are invisible to reads
+    open(os.path.join(root, "data", "orphan-000.parquet"), "wb").close()
+    os.makedirs(os.path.join(root, ".staging", "dead"), exist_ok=True)
+    assert _ids(V.read_versioned(spark, root)) == _ids(orders)
+
+    rep = V.vacuum(root, keep_last=2)
+    assert rep["data_files_removed"] >= 1  # the orphan (+ any leaked adds)
+    assert rep["staging_removed"] == 1
+    assert not os.path.isdir(os.path.join(root, ".staging"))
+    assert _ids(V.read_versioned(spark, root)) == _ids(orders)
+
+
+def test_rollback_and_vacuum_expiry(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    a = orders.where("o_orderkey % 2 = 0")
+    b = orders.where("o_orderkey % 2 = 1")
+    V.append(a, root)          # v1
+    V.overwrite(b, root)       # v2
+    v3 = V.rollback(spark, root, 1)
+    assert v3 == 3
+    assert _ids(V.read_versioned(spark, root)) == _ids(a)
+    # rollback added a VERSION, not erased one
+    assert [h["version"] for h in V.history(root)] == [1, 2, 3]
+    assert _ids(V.read_versioned(spark, root, 2)) == _ids(b)
+
+    # vacuum keeping only the latest: v2's exclusive files go away,
+    # latest snapshot still bit-exact
+    rep = V.vacuum(root, keep_last=1)
+    assert rep["data_files_removed"] >= 1
+    assert _ids(V.read_versioned(spark, root)) == _ids(a)
+    # the expired snapshot's data is gone (reads of v2 now fail)
+    with pytest.raises(Exception):
+        V.read_versioned(spark, root, 2).collect()
+
+    # empty overwrite keeps schema
+    empty = orders.where("o_orderkey < 0")
+    V.overwrite(empty, root)
+    got = V.read_versioned(spark, root)
+    assert got.count() == 0
+    assert got.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
