@@ -448,8 +448,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     vs.add_argument("--root", required=True)
     vs.add_argument("--op", required=True,
-                    choices=["append", "overwrite", "delete", "read",
-                             "history", "rollback", "vacuum"])
+                    choices=["append", "overwrite", "merge", "delete",
+                             "read", "history", "rollback", "vacuum"])
+    vs.add_argument("--keys", default=None,
+                    help="merge: comma-separated key columns")
     vs.add_argument("--in", dest="in_path", default=None,
                     help="append/overwrite: input parquet")
     vs.add_argument("--where", default=None, help="delete: predicate")
@@ -1024,6 +1026,14 @@ def main(argv: list[str] | None = None) -> int:
             fn = V.append if args.op == "append" else V.overwrite
             v = fn(_read(spark, args.in_path), args.root)
             print(_json.dumps({"version": v, "action": args.op}))
+        elif args.op == "merge":
+            if not args.in_path or not args.keys:
+                raise SystemExit("--op merge requires --in and --keys")
+            v = V.merge_into(
+                spark, args.root, _read(spark, args.in_path),
+                [k.strip() for k in args.keys.split(",")],
+            )
+            print(_json.dumps({"version": v, "action": "merge"}))
         elif args.op == "delete":
             if not args.where:
                 raise SystemExit("--op delete requires --where")

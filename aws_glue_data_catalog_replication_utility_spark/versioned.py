@@ -123,7 +123,7 @@ def _stage_write(df: DataFrame, root: str) -> list[str]:
 
 
 def _commit(root: str, action: str, added: list[str], removed: list[str],
-            schema_json: str) -> int:
+            schema_json: str, meta: dict | None = None) -> int:
     """Atomically publish the next version; VersionConflict if a
     concurrent writer took it."""
     log = _log_dir(root)
@@ -137,6 +137,8 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
         "removed": removed,
         "schema": schema_json,
     }
+    if meta:
+        body["meta"] = meta
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(body, fh)
@@ -154,10 +156,10 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
     return next_v
 
 
-def append(df: DataFrame, root: str) -> int:
+def append(df: DataFrame, root: str, meta: dict | None = None) -> int:
     """Add df as new immutable files in one atomic version."""
     added = _stage_write(df, root)
-    return _commit(root, "append", added, [], df.schema.json())
+    return _commit(root, "append", added, [], df.schema.json(), meta)
 
 
 def overwrite(df: DataFrame, root: str) -> int:
@@ -276,3 +278,83 @@ def vacuum(root: str, keep_last: int = 1) -> dict:
         staged = len(os.listdir(st))
         shutil.rmtree(st, ignore_errors=True)
     return {"data_files_removed": removed, "staging_removed": staged}
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE INTO — the table-format flagship, as one atomic version:
+    every existing row whose key appears in `updates` is replaced,
+    every other update row is inserted, untouched rows stay in their
+    original files. Only the files that actually CONTAIN matching
+    keys are rewritten (their survivors re-staged); the update rows
+    land as fresh files. The reference's per-message upsert
+    (GlueUtil.java:397-451 create-or-update) is this operation with a
+    one-row `updates` relation — here it is batched, file-surgical,
+    and transactional.
+
+    Scale shape: one inverted probe (snapshot semi-join on the key,
+    broadcast-able when updates are small) finds affected files; the
+    rewrite cost is proportional to files-with-matches, never the
+    table. Multiple update rows per key are all inserted (the caller
+    owns update-side uniqueness, checked nowhere cheaper than the
+    caller's own dedup)."""
+    from urllib.parse import unquote, urlparse
+
+    live, last = _replay(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    snap = read_versioned(spark, root)
+    keys = updates.select(*key_cols).distinct()
+    # input_file_name() must bind BEFORE the join (multi-source
+    # expressions are rejected above it): tag each row with its file,
+    # then probe
+    tagged = snap.select(*key_cols, F.input_file_name().alias("f"))
+    hits = [
+        unquote(urlparse(r["f"]).path)
+        for r in tagged.join(F.broadcast(keys), on=key_cols)
+        .select("f")
+        .distinct()
+        .collect()
+    ]
+    rootabs = os.path.abspath(root)
+    affected = sorted(os.path.relpath(h, rootabs) for h in hits)
+    added: list[str] = []
+    for rel in affected:
+        surv = spark.read.parquet(os.path.join(rootabs, rel)).join(
+            F.broadcast(keys), on=key_cols, how="left_anti"
+        )
+        if surv.limit(1).count():
+            added.extend(_stage_write(surv.coalesce(1), root))
+    added.extend(_stage_write(updates, root))
+    return _commit(
+        root, "merge", added, affected, last["schema"],
+        {"keys": key_cols},
+    )
+
+
+def append_stream_batch(
+    df: DataFrame, batch_id: int, root: str
+) -> int | None:
+    """foreachBatch sink body with EXACTLY-ONCE appends: a replayed
+    micro-batch (same `batch_id` after a crash between sink write and
+    checkpoint commit — Spark's documented at-least-once window) is
+    recognized in the manifest log and skipped, so the version chain
+    carries each batch once. Returns the committed version, or None
+    for a skip/empty batch.
+
+    Usage: `stream.writeStream.foreachBatch(
+        lambda b, i: append_stream_batch(b, i, root))`."""
+    for _, p in _manifests(root):
+        with open(p) as fh:
+            m = json.load(fh)
+        if m.get("meta", {}).get("batch_id") == batch_id:
+            return None  # replay: this batch already committed
+    if not df.limit(1).count():
+        return None
+    return append(df, root, meta={"batch_id": batch_id})

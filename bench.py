@@ -443,6 +443,32 @@ def main() -> None:
     finally:
         shutil.rmtree(ski_dir, ignore_errors=True)
 
+    # r07 versioned store lifecycle: append 32 files -> MERGE 10% of
+    # keys -> delete-where -> latest read. The transactional layer's
+    # end-to-end cost in one trend number.
+    from aws_glue_data_catalog_replication_utility_spark import versioned as V
+
+    vs_dir = tempfile.mkdtemp(prefix="bench_vs_")
+    try:
+        vroot = f"{vs_dir}/t"
+        t0 = time.perf_counter()
+        V.append(orders_dim.repartition(32), vroot)
+        V.merge_into(
+            spark,
+            vroot,
+            orders_dim.where("o_orderkey % 10 = 0").withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            ["o_orderkey"],
+        )
+        V.delete_where(spark, vroot, "o_custkey % 13 = 0")
+        V.read_versioned(spark, vroot).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        extras["vstore_lifecycle"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(vs_dir, ignore_errors=True)
+
     # closing sentinel leg: intra-session drift (start vs end medians)
     sentinel_runs_end = [_sentinel_once() for _ in range(n_runs)]
 

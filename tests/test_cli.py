@@ -1144,3 +1144,25 @@ def test_cli_vstore_lifecycle(spark, tmp_path, capsys):
     assert [h["action"] for h in hist] == ["append", "delete", "rollback"]
     run(["vstore", "--root", root, "--op", "vacuum", "--keep-last", "1"])
     assert run(["vstore", "--root", root, "--op", "read"])["rows"] == n
+
+
+def test_cli_vstore_merge(spark, tmp_path, capsys):
+    import json
+
+    root = str(tmp_path / "vt")
+    src = "/root/testdata/sf0.001/orders.parquet"
+    upd = str(tmp_path / "upd")
+    spark.read.parquet(src).limit(10).withColumn(
+        "o_totalprice", F.lit(1.0)
+    ).write.parquet(upd)
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run(["vstore", "--root", root, "--op", "append", "--in", src])
+    assert run(["vstore", "--root", root, "--op", "merge",
+                "--in", upd, "--keys", "o_orderkey"]) == {
+        "version": 2, "action": "merge"}
+    n = spark.read.parquet(src).count()
+    assert run(["vstore", "--root", root, "--op", "read"])["rows"] == n
