@@ -449,7 +449,8 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--root", required=True)
     vs.add_argument("--op", required=True,
                     choices=["append", "overwrite", "merge", "delete",
-                             "read", "history", "rollback", "vacuum"])
+                             "read", "history", "rollback", "vacuum",
+                             "checkpoint"])
     vs.add_argument("--keys", default=None,
                     help="merge: comma-separated key columns")
     vs.add_argument("--in", dest="in_path", default=None,
@@ -1053,6 +1054,8 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--op rollback requires --version")
             v = V.rollback(spark, args.root, args.version)
             print(_json.dumps({"version": v, "action": "rollback"}))
+        elif args.op == "checkpoint":
+            print(_json.dumps(V.checkpoint(args.root)))
         else:
             print(_json.dumps(V.vacuum(args.root, keep_last=args.keep_last)))
 

@@ -75,16 +75,43 @@ def _manifests(root: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def _checkpoints(root: str) -> list[tuple[int, str]]:
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("c") and n.endswith(".json"):
+            try:
+                out.append((int(n[1:-5]), os.path.join(d, n)))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def _replay(root: str, version: int | None) -> tuple[list[str], dict | None]:
     """Live relative file paths at `version` (latest when None) plus
-    the manifest whose state we landed on."""
+    the manifest whose state we landed on. Replay starts from the
+    newest CHECKPOINT at or below the target version (its `live` list
+    is the full state), then applies the remaining manifests — O(one
+    checkpoint + versions-since-checkpoint), not O(all versions)."""
     ms = _manifests(root)
     if version is not None and (not ms or version > ms[-1][0] or version < 1):
         raise ValueError(f"version {version} does not exist")
-    live: list[str] = []
-    seen = set()
+    seen: set = set()
     last = None
+    start_after = 0
+    for cv, cp in reversed(_checkpoints(root)):
+        if version is None or cv <= version:
+            with open(cp) as fh:
+                c = json.load(fh)
+            seen = set(c["live"])
+            last = c
+            start_after = cv
+            break
     for v, p in ms:
+        if v <= start_after:
+            continue
         if version is not None and v > version:
             break
         with open(p) as fh:
@@ -99,8 +126,7 @@ def _replay(root: str, version: int | None) -> tuple[list[str], dict | None]:
         if version is not None:
             raise ValueError(f"version {version} does not exist")
         return [], None
-    live = sorted(seen)
-    return live, last
+    return sorted(seen), last
 
 
 def _stage_write(df: DataFrame, root: str) -> list[str]:
@@ -129,7 +155,13 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
     log = _log_dir(root)
     os.makedirs(log, exist_ok=True)
     ms = _manifests(root)
-    next_v = (ms[-1][0] + 1) if ms else 1
+    cs = _checkpoints(root)
+    # never fall at-or-below a checkpoint version (possible only if
+    # pre-checkpoint manifests were manually pruned): such a commit
+    # would be invisible to replay
+    next_v = max(
+        ms[-1][0] if ms else 0, cs[-1][0] if cs else 0
+    ) + 1
     body = {
         "version": next_v,
         "action": action,
@@ -358,3 +390,41 @@ def append_stream_batch(
     if not df.limit(1).count():
         return None
     return append(df, root, meta={"batch_id": batch_id})
+
+
+def checkpoint(root: str) -> dict:
+    """Compact the log's READ path (Delta's checkpoint): write
+    `c{N}.json` carrying the FULL live set + schema at the current
+    version. Replay then starts from the newest checkpoint instead of
+    v1, so a table with years of versions opens in O(changes since
+    last checkpoint). Pure addition — every manifest stays, time
+    travel to any version is untouched (older versions replay from an
+    older checkpoint or from scratch). Same tmp+link atomicity as
+    commits; checkpointing an already-checkpointed version is a
+    no-op."""
+    live, last = _replay(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    v = last["version"]
+    log = _log_dir(root)
+    target = os.path.join(log, f"c{v:012d}.json")
+    if os.path.exists(target):
+        return {"version": v, "created": False}
+    body = {
+        "version": v,
+        "action": "checkpoint",
+        "live": live,
+        "schema": last["schema"],
+    }
+    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(body, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        pass  # concurrent checkpoint of the same version: identical body
+    finally:
+        os.unlink(tmp)
+    return {"version": v, "created": True, "n_live": len(live)}

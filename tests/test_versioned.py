@@ -252,3 +252,47 @@ def test_append_stream_batch_through_real_stream(spark, tmp_path):
     got = V.read_versioned(spark, root)
     assert sorted(r.k for r in got.collect()) == list(range(8))
     assert [h["action"] for h in V.history(root)] == ["append", "append"]
+
+
+def test_checkpoint_compacts_replay_and_preserves_time_travel(
+    spark, orders, tmp_path
+):
+    """After a checkpoint, the LATEST read no longer needs the
+    pre-checkpoint manifests (proven by deleting them); time travel
+    before the checkpoint still works while they exist; checkpointing
+    twice is a no-op."""
+    root = str(tmp_path / "t")
+    parts = [orders.where(f"o_orderkey % 5 = {i}") for i in range(5)]
+    for p in parts:
+        V.append(p, root)                      # v1..v5
+    all_ids = _ids(orders)
+
+    rep = V.checkpoint(root)
+    assert rep["version"] == 5 and rep["created"]
+    assert V.checkpoint(root) == {"version": 5, "created": False}
+
+    V.append(
+        spark.createDataFrame(
+            [(999901, 1, 1.0)],
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+        ),
+        root,
+    )                                           # v6
+
+    # snapshots identical with the checkpoint in play
+    assert _ids(V.read_versioned(spark, root)) == sorted(
+        all_ids + [999901]
+    )
+    assert _ids(V.read_versioned(spark, root, 3)) == sorted(
+        _ids(parts[0]) + _ids(parts[1]) + _ids(parts[2])
+    )
+
+    # the PROOF the read path starts at the checkpoint: remove v1..v5
+    # manifests entirely — latest still reads (checkpoint + v6), while
+    # pre-checkpoint time travel is gone as expected
+    log = os.path.join(root, "_txlog")
+    for v in range(1, 6):
+        os.remove(os.path.join(log, f"v{v:012d}.json"))
+    assert _ids(V.read_versioned(spark, root)) == sorted(
+        all_ids + [999901]
+    )
