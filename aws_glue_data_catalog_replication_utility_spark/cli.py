@@ -450,7 +450,11 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--op", required=True,
                     choices=["append", "overwrite", "merge", "delete",
                              "read", "history", "rollback", "vacuum",
-                             "checkpoint"])
+                             "checkpoint", "optimize"])
+    vs.add_argument("--target-mb", type=int, default=128,
+                    help="optimize: target file size")
+    vs.add_argument("--zorder-by", default=None,
+                    help="optimize: comma-separated z-order columns")
     vs.add_argument("--keys", default=None,
                     help="merge: comma-separated key columns")
     vs.add_argument("--in", dest="in_path", default=None,
@@ -1056,6 +1060,16 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps({"version": v, "action": "rollback"}))
         elif args.op == "checkpoint":
             print(_json.dumps(V.checkpoint(args.root)))
+        elif args.op == "optimize":
+            v = V.optimize(
+                spark, args.root,
+                target_file_bytes=args.target_mb << 20,
+                zorder_by=(
+                    [c.strip() for c in args.zorder_by.split(",")]
+                    if args.zorder_by else None
+                ),
+            )
+            print(_json.dumps({"version": v, "action": "optimize"}))
         else:
             print(_json.dumps(V.vacuum(args.root, keep_last=args.keep_last)))
 

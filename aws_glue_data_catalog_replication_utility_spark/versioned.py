@@ -428,3 +428,62 @@ def checkpoint(root: str) -> dict:
     finally:
         os.unlink(tmp)
     return {"version": v, "created": True, "n_live": len(live)}
+
+
+def optimize(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the live snapshot into ~target-size files as
+    one atomic version — the small-file compaction every streaming-
+    append table eventually needs, inside the transaction log instead
+    of around it (functions/layout.compact_small_files is the same
+    surgery for raw directories). With `zorder_by`, rows are re-laid
+    along the Z-curve of those columns first (functions/layout.
+    zorder_layout), so footer min/max — and therefore the skip index —
+    prune multi-column predicates after the rewrite. Data content is
+    IDENTICAL before/after (pinned in tests); only the file layout
+    changes. Time travel to pre-optimize versions keeps reading the
+    old files until vacuum."""
+    import math as _math
+
+    live, last = _replay(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    if not live:
+        return last["version"]  # nothing to lay out
+    total = sum(
+        os.path.getsize(os.path.join(root, f)) for f in live
+    )
+    n_files = max(1, _math.ceil(total / target_file_bytes))
+    snap = read_versioned(spark, root)
+    if zorder_by:
+        from .functions.layout import zorder_layout
+
+        out = zorder_layout(snap, zorder_by, n_files=n_files)
+    else:
+        out = snap.coalesce(n_files)
+    added = _stage_write(out, root)
+    return _commit(
+        root, "optimize", added, live, last["schema"],
+        {"target_file_bytes": target_file_bytes,
+         "zorder_by": zorder_by or []},
+    )
+
+
+def snapshot_skip_index(
+    spark: SparkSession, root: str, version: int | None = None
+):
+    """Build the file-skipping index (functions/skipindex) over a
+    SNAPSHOT's live files — pruned scans against any version of the
+    table, composing the two metadata layers: the txlog answers WHICH
+    files are live, the skip index answers which of those can match a
+    predicate. Pair with `scan_with_skip_index` for the read."""
+    from .functions.skipindex import _index_files
+
+    live, last = _replay(root, version)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    return _index_files(spark, [os.path.join(root, f) for f in live])

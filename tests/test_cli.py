@@ -1166,3 +1166,22 @@ def test_cli_vstore_merge(spark, tmp_path, capsys):
         "version": 2, "action": "merge"}
     n = spark.read.parquet(src).count()
     assert run(["vstore", "--root", root, "--op", "read"])["rows"] == n
+
+
+def test_cli_vstore_optimize_and_checkpoint(spark, tmp_path, capsys):
+    import json
+
+    root = str(tmp_path / "vt")
+    src = "/root/testdata/sf0.001/orders.parquet"
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run(["vstore", "--root", root, "--op", "append", "--in", src])
+    n = run(["vstore", "--root", root, "--op", "read"])["rows"]
+    assert run(["vstore", "--root", root, "--op", "optimize",
+                "--target-mb", "1024"]) == {"version": 2, "action": "optimize"}
+    rep = run(["vstore", "--root", root, "--op", "checkpoint"])
+    assert rep["version"] == 2 and rep["created"]
+    assert run(["vstore", "--root", root, "--op", "read"])["rows"] == n

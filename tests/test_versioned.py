@@ -296,3 +296,52 @@ def test_checkpoint_compacts_replay_and_preserves_time_travel(
     assert _ids(V.read_versioned(spark, root)) == sorted(
         all_ids + [999901]
     )
+
+
+def test_optimize_compacts_and_zorders_content_identical(
+    spark, orders, tmp_path
+):
+    """OPTIMIZE: many small files -> few target-size files as a new
+    version; rows identical; with zorder_by the skip index over the
+    optimized snapshot prunes a 2-col predicate."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        scan_with_skip_index,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.versioned import (
+        optimize,
+        snapshot_skip_index,
+    )
+
+    root = str(tmp_path / "t")
+    V.append(orders.repartition(16), root)     # 16 small files
+    before = sorted(map(tuple, V.read_versioned(spark, root).collect()))
+
+    v2 = optimize(spark, root, target_file_bytes=1 << 30)
+    assert v2 == 2
+    live2, _ = V._replay(root, None)
+    assert len(live2) == 1                      # tiny table -> one file
+    assert sorted(map(tuple, V.read_versioned(spark, root).collect())) == before
+    # pre-optimize version still reads from the 16 old files
+    assert sorted(
+        map(tuple, V.read_versioned(spark, root, 1).collect())
+    ) == before
+
+    v3 = optimize(
+        spark, root, target_file_bytes=8 << 10,
+        zorder_by=["o_orderkey", "o_custkey"],
+    )
+    assert v3 == 3
+    live3, _ = V._replay(root, None)
+    assert len(live3) > 1
+    assert sorted(map(tuple, V.read_versioned(spark, root).collect())) == before
+
+    # the composed metadata read: txlog picks live files, skip index
+    # prunes them, residual filter keeps it exact
+    idx = snapshot_skip_index(spark, root)
+    keys = sorted(t[0] for t in before)
+    cut = keys[len(keys) // 8]
+    got, info = scan_with_skip_index(spark, idx, [("o_orderkey", "<=", cut)])
+    assert info["files_total"] == len(live3)
+    assert info["files_kept"] < info["files_total"]
+    want = [t for t in before if t[0] <= cut]
+    assert sorted(map(tuple, got.collect())) == sorted(want)
