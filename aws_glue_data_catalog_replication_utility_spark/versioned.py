@@ -90,15 +90,26 @@ def _checkpoints(root: str) -> list[tuple[int, str]]:
 
 
 def _replay(root: str, version: int | None) -> tuple[list[str], dict | None]:
-    """Live relative file paths at `version` (latest when None) plus
-    the manifest whose state we landed on. Replay starts from the
-    newest CHECKPOINT at or below the target version (its `live` list
-    is the full state), then applies the remaining manifests — O(one
-    checkpoint + versions-since-checkpoint), not O(all versions)."""
+    live, last, _ = _replay_full(root, version)
+    return live, last
+
+
+def _replay_full(
+    root: str, version: int | None
+) -> tuple[list[str], dict | None, dict[str, str]]:
+    """Live relative file paths at `version` (latest when None), the
+    manifest whose state we landed on, and each live file's ORIGIN
+    schema (the schema of the commit that added it — what the bytes on
+    disk actually carry, needed for mixed-schema snapshot reads after
+    evolved appends). Replay starts from the newest CHECKPOINT at or
+    below the target version (its `live` list is the full state), then
+    applies the remaining manifests — O(one checkpoint +
+    versions-since-checkpoint), not O(all versions)."""
     ms = _manifests(root)
     if version is not None and (not ms or version > ms[-1][0] or version < 1):
         raise ValueError(f"version {version} does not exist")
     seen: set = set()
+    origin: dict[str, str] = {}
     last = None
     start_after = 0
     for cv, cp in reversed(_checkpoints(root)):
@@ -106,6 +117,11 @@ def _replay(root: str, version: int | None) -> tuple[list[str], dict | None]:
             with open(cp) as fh:
                 c = json.load(fh)
             seen = set(c["live"])
+            if "file_schema" in c:
+                sch = c["schemas"]
+                origin = {f: sch[i] for f, i in c["file_schema"].items()}
+            else:
+                origin = {f: c["schema"] for f in seen}
             last = c
             start_after = cv
             break
@@ -120,13 +136,15 @@ def _replay(root: str, version: int | None) -> tuple[list[str], dict | None]:
         for f in m.get("removed", []):
             if f in seen:
                 seen.discard(f)
+                origin.pop(f, None)
         for f in m.get("added", []):
             seen.add(f)
+            origin[f] = m["schema"]
     if last is None:
         if version is not None:
             raise ValueError(f"version {version} does not exist")
-        return [], None
-    return sorted(seen), last
+        return [], None, {}
+    return sorted(seen), last, origin
 
 
 def _stage_write(df: DataFrame, root: str) -> list[str]:
@@ -203,14 +221,47 @@ def overwrite(df: DataFrame, root: str) -> int:
     return _commit(root, "overwrite", added, live, df.schema.json())
 
 
+def _table_lub(origin: dict[str, str], extra=None) -> tuple[object, str]:
+    """The table's least-upper-bound schema across live files' origin
+    schemas (+ an optional extra StructType), as (StructType, json)."""
+    from pyspark.sql.types import StructType
+
+    from .functions.evolve import merge_schemas
+
+    seen: list[str] = []
+    for s in origin.values():
+        if s not in seen:
+            seen.append(s)
+    schemas = [StructType.fromJson(json.loads(s)) for s in seen]
+    if extra is not None:
+        schemas.append(extra)
+    lub = merge_schemas(schemas)
+    return lub, lub.json()
+
+
+def _read_one(spark: SparkSession, root: str, rel: str, origin: dict, lub):
+    """Read one live file under the schema its bytes were written with
+    and widen to the table LUB — rewrites normalize survivors, so the
+    lattice is the only upcast mechanism in play (never the parquet
+    reader's narrower tolerance)."""
+    from pyspark.sql.types import StructType
+
+    from .functions.evolve import evolve_to_schema
+
+    st = StructType.fromJson(json.loads(origin[rel]))
+    df = spark.read.schema(st).parquet(os.path.join(root, rel))
+    return evolve_to_schema(df, lub)
+
+
 def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     """DELETE FROM ... WHERE, transactionally: only files containing
     matching rows are rewritten (their survivors re-staged as new
-    files); untouched files stay in the live set byte-identical. The
-    old files remain on disk for time travel until vacuumed."""
+    files, normalized to the table's LUB schema); untouched files stay
+    in the live set byte-identical. The old files remain on disk for
+    time travel until vacuumed."""
     from urllib.parse import unquote, urlparse
 
-    live, last = _replay(root, None)
+    live, last, origin = _replay_full(root, None)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
     df = read_versioned(spark, root)
@@ -225,31 +276,61 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     affected = sorted(os.path.relpath(h, rootabs) for h in hits)
     if not affected:
         return last["version"]  # no-op: nothing matched, no new version
+    lub, lub_json = _table_lub(origin)
     added: list[str] = []
     for rel in affected:
-        keep = spark.read.parquet(os.path.join(rootabs, rel)).where(
+        keep = _read_one(spark, rootabs, rel, origin, lub).where(
             f"NOT ({predicate})"
         )
         if keep.limit(1).count():
             added.extend(_stage_write(keep.coalesce(1), root))
-    return _commit(root, "delete", added, affected, last["schema"])
+    return _commit(root, "delete", added, affected, lub_json)
 
 
 def read_versioned(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read: the table exactly as of `version` (latest when
-    None). Empty snapshots keep the schema recorded in the log."""
-    live, last = _replay(root, version)
+    None). Empty snapshots keep the schema recorded in the log. When
+    live files carry DIFFERENT origin schemas (evolved appends), each
+    schema group is read with the schema its bytes were written under,
+    widened to the least-upper-bound table schema
+    (functions/evolve.merge_schemas lattice — missing columns NULL-
+    padded, types widened, never narrowed), and unioned by name — the
+    Delta/Iceberg schema-evolution read without rewriting old files."""
+    from pyspark.sql.types import StructType
+
+    live, last, origin = _replay_full(root, version)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
     if not live:
-        from pyspark.sql.types import StructType
-
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(last["schema"]))
         )
-    return spark.read.parquet(*[os.path.join(root, f) for f in live])
+    # group files by the schema their commit wrote (replay order kept:
+    # older groups first, so merged column order is stable)
+    groups: dict[str, list[str]] = {}
+    order: list[str] = []
+    for f in live:
+        s = origin[f]
+        if s not in groups:
+            groups[s] = []
+            order.append(s)
+        groups[s].append(f)
+    if len(groups) == 1:
+        return spark.read.parquet(*[os.path.join(root, f) for f in live])
+    from .functions.evolve import evolve_to_schema, merge_schemas
+
+    schemas = [StructType.fromJson(json.loads(s)) for s in order]
+    target = merge_schemas(schemas)
+    out = None
+    for s, st in zip(order, schemas):
+        part = spark.read.schema(st).parquet(
+            *[os.path.join(root, f) for f in groups[s]]
+        )
+        part = evolve_to_schema(part, target)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def rollback(spark: SparkSession, root: str, to_version: int) -> int:
@@ -336,7 +417,7 @@ def merge_into(
     caller's own dedup)."""
     from urllib.parse import unquote, urlparse
 
-    live, last = _replay(root, None)
+    live, last, origin = _replay_full(root, None)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
     if not key_cols:
@@ -356,16 +437,20 @@ def merge_into(
     ]
     rootabs = os.path.abspath(root)
     affected = sorted(os.path.relpath(h, rootabs) for h in hits)
+    # updates may evolve the table: LUB covers live schemas + theirs
+    lub, lub_json = _table_lub(origin, updates.schema)
+    from .functions.evolve import evolve_to_schema
+
     added: list[str] = []
     for rel in affected:
-        surv = spark.read.parquet(os.path.join(rootabs, rel)).join(
+        surv = _read_one(spark, rootabs, rel, origin, lub).join(
             F.broadcast(keys), on=key_cols, how="left_anti"
         )
         if surv.limit(1).count():
             added.extend(_stage_write(surv.coalesce(1), root))
-    added.extend(_stage_write(updates, root))
+    added.extend(_stage_write(evolve_to_schema(updates, lub), root))
     return _commit(
-        root, "merge", added, affected, last["schema"],
+        root, "merge", added, affected, lub_json,
         {"keys": key_cols},
     )
 
@@ -402,7 +487,7 @@ def checkpoint(root: str) -> dict:
     older checkpoint or from scratch). Same tmp+link atomicity as
     commits; checkpointing an already-checkpointed version is a
     no-op."""
-    live, last = _replay(root, None)
+    live, last, origin = _replay_full(root, None)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
     v = last["version"]
@@ -410,11 +495,22 @@ def checkpoint(root: str) -> dict:
     target = os.path.join(log, f"c{v:012d}.json")
     if os.path.exists(target):
         return {"version": v, "created": False}
+    schemas: list[str] = []
+    sidx: dict[str, int] = {}
+    file_schema: dict[str, int] = {}
+    for f in live:
+        s = origin[f]
+        if s not in sidx:
+            sidx[s] = len(schemas)
+            schemas.append(s)
+        file_schema[f] = sidx[s]
     body = {
         "version": v,
         "action": "checkpoint",
         "live": live,
         "schema": last["schema"],
+        "schemas": schemas,
+        "file_schema": file_schema,
     }
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
@@ -487,3 +583,25 @@ def snapshot_skip_index(
     if last is None:
         raise ValueError(f"no versioned table at {root}")
     return _index_files(spark, [os.path.join(root, f) for f in live])
+
+
+def changes_between(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Change data feed: the minimal keyed diff (insert/update/delete
+    rows, `change` column) between two versions of the table —
+    `operators/sync.snapshot_changeset` pointed at two txlog
+    snapshots, so downstream consumers sync from version k to head by
+    applying a sliver instead of re-reading the table (the same
+    ship-the-sliver contract, now version-addressed)."""
+    from .operators.sync import snapshot_changeset
+
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    old = read_versioned(spark, root, from_version)
+    new = read_versioned(spark, root, to_version)
+    return snapshot_changeset(old, new, keys)

@@ -345,3 +345,96 @@ def test_optimize_compacts_and_zorders_content_identical(
     assert info["files_kept"] < info["files_total"]
     want = [t for t in before if t[0] <= cut]
     assert sorted(map(tuple, got.collect())) == sorted(want)
+
+
+def test_schema_evolution_read_across_versions(spark, tmp_path):
+    """Evolved appends: v1 narrow schema (int, no extra col), v2 wider
+    (long + new column) — the snapshot read widens v1's files to the
+    lattice LUB without rewriting them; NULL-padded where the column
+    did not exist; still exact after a checkpoint (per-file schemas
+    survive compaction) and per-version time travel keeps each era's
+    own schema."""
+    root = str(tmp_path / "t")
+    v1df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "k int, v int"
+    )
+    V.append(v1df, root)
+    v2df = spark.createDataFrame(
+        [(3, 2**40, "x"), (4, 2**41, "y")], "k int, v long, note string"
+    )
+    V.append(v2df, root)
+
+    got = V.read_versioned(spark, root)
+    assert [f.name for f in got.schema.fields] == ["k", "v", "note"]
+    assert dict(got.dtypes)["v"] == "bigint"
+    rows = {r.k: (r.v, r.note) for r in got.collect()}
+    assert rows == {
+        1: (10, None), 2: (20, None),
+        3: (2**40, "x"), 4: (2**41, "y"),
+    }
+
+    # v1 time travel: the old era reads with its own narrow schema
+    old = V.read_versioned(spark, root, 1)
+    assert dict(old.dtypes)["v"] == "int"
+    assert old.columns == ["k", "v"]
+
+    # checkpoint then read again: per-file schemas persisted
+    V.checkpoint(root)
+    got2 = V.read_versioned(spark, root)
+    assert {r.k: (r.v, r.note) for r in got2.collect()} == rows
+
+    # and a post-checkpoint delete keeps the evolved read exact
+    V.delete_where(spark, root, "k = 1")
+    got3 = V.read_versioned(spark, root)
+    assert {r.k: (r.v, r.note) for r in got3.collect()} == {
+        2: (20, None), 3: (2**40, "x"), 4: (2**41, "y"),
+    }
+
+
+def test_merge_into_with_schema_evolution(spark, tmp_path):
+    """An evolved MERGE: updates carry a new column and a wider type —
+    survivors and untouched files widen on read, updates land under
+    the LUB, matched keys replaced."""
+    root = str(tmp_path / "t")
+    V.append(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int"),
+        root,
+    )
+    upd = spark.createDataFrame(
+        [(2, 2**40, "upd"), (9, 99, "new")], "k int, v long, tag string"
+    )
+    V.merge_into(spark, root, upd, ["k"])
+    got = {r.k: (r.v, r.tag) for r in V.read_versioned(spark, root).collect()}
+    assert got == {
+        1: (10, None), 3: (30, None),
+        2: (2**40, "upd"), 9: (99, "new"),
+    }
+    assert dict(V.read_versioned(spark, root).dtypes)["v"] == "bigint"
+
+
+def test_changes_between_versions(spark, orders, tmp_path):
+    """CDF: the version-addressed minimal diff replays a consumer from
+    v1 to head; apply(old, diff) == head snapshot."""
+    from aws_glue_data_catalog_replication_utility_spark.operators.sync import (
+        apply_changeset,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.versioned import (
+        changes_between,
+    )
+
+    root = str(tmp_path / "t")
+    V.append(orders, root)                                    # v1
+    upd = orders.limit(20).withColumn("o_totalprice", F.lit(7.0))
+    V.merge_into(spark, root, upd, ["o_orderkey"])            # v2
+    V.delete_where(spark, root, "o_custkey % 11 = 0")         # v3
+
+    diff = changes_between(spark, root, 1, keys=["o_orderkey"])
+    kinds = {r.change for r in diff.select("change").distinct().collect()}
+    assert kinds <= {"insert", "update", "delete"} and "delete" in kinds
+
+    old = V.read_versioned(spark, root, 1)
+    head = V.read_versioned(spark, root)
+    replayed = apply_changeset(old, diff, ["o_orderkey"])
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, head.collect())
+    )
