@@ -605,3 +605,61 @@ def changes_between(
     old = read_versioned(spark, root, from_version)
     new = read_versioned(spark, root, to_version)
     return snapshot_changeset(old, new, keys)
+
+
+class ConstraintViolation(RuntimeError):
+    """append_checked refused the commit: the batch breaks a declared
+    table constraint. Carries the failing report rows."""
+
+    def __init__(self, report: list[dict]):
+        self.report = report
+        super().__init__(
+            "constraint violations: "
+            + ", ".join(f"{r['check']}({r['violations']})" for r in report)
+        )
+
+
+def append_checked(
+    df: DataFrame, root: str, checks: list[dict],
+    meta: dict | None = None,
+) -> int:
+    """Constraint-gated append (Delta table constraints): the batch is
+    validated by `functions/expectations.check_expectations` BEFORE
+    anything is staged; any failing check raises `ConstraintViolation`
+    (with the per-check violation counts) and the table is untouched —
+    a bad batch can never become a version. One validation scan for
+    all row-local checks, then the normal atomic append."""
+    from .functions.expectations import check_expectations
+
+    report = check_expectations(df, checks)
+    bad = [
+        {"check": r["check"], "kind": r["kind"],
+         "violations": int(r["violations"])}
+        for r in report.collect()
+        if not r["passed"]
+    ]
+    if bad:
+        raise ConstraintViolation(bad)
+    return append(df, root, meta)
+
+
+def append_with_retry(
+    df: DataFrame, root: str, max_retries: int = 5,
+    meta: dict | None = None,
+) -> int:
+    """Append that survives writer races: appends COMMUTE (they touch
+    no existing file), so on `VersionConflict` the already-staged data
+    files are simply re-committed under the next version — no restage,
+    no re-read, bounded retries. Non-commuting ops (merge/delete/
+    overwrite) must NOT auto-retry: their file surgery was computed
+    against a snapshot the competing writer may have invalidated —
+    they re-raise for the caller to re-execute."""
+    added = _stage_write(df, root)
+    schema_json = df.schema.json()
+    err: VersionConflict | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return _commit(root, "append", added, [], schema_json, meta)
+        except VersionConflict as e:
+            err = e
+    raise err

@@ -438,3 +438,75 @@ def test_changes_between_versions(spark, orders, tmp_path):
     assert sorted(map(tuple, replayed.collect())) == sorted(
         map(tuple, head.collect())
     )
+
+
+def test_append_checked_gates_bad_batches(spark, tmp_path):
+    """Table constraints: a violating batch raises with per-check
+    counts and commits NOTHING; a clean batch commits normally."""
+    from aws_glue_data_catalog_replication_utility_spark.functions import (
+        expectations as E,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.versioned import (
+        ConstraintViolation,
+        append_checked,
+    )
+
+    root = str(tmp_path / "t")
+    checks = [E.not_null("k"), E.in_range("v", 0, 100)]
+    good = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    assert append_checked(good, root, checks) == 1
+
+    bad = spark.createDataFrame(
+        [(None, 10), (3, 999), (4, 50)], "k int, v int"
+    )
+    with pytest.raises(ConstraintViolation) as ei:
+        append_checked(bad, root, checks)
+    got = {r["check"]: r["violations"] for r in ei.value.report}
+    assert got == {"not_null(k)": 1, "in_range(v,0,100)": 1}
+    # nothing committed, nothing staged left behind as live data
+    assert len(V.history(root)) == 1
+    assert V.read_versioned(spark, root).count() == 2
+
+
+def test_append_with_retry_survives_writer_race(spark, orders, tmp_path):
+    """A conflicted append re-commits its staged files under the next
+    version — both writers' rows land, no duplicates, no restage."""
+    from aws_glue_data_catalog_replication_utility_spark.versioned import (
+        append_with_retry,
+    )
+
+    root = str(tmp_path / "t")
+    V.append(orders.limit(10), root)
+
+    # simulate the race exactly as the conflict test does: our writer
+    # plans v2 from a stale log view while v2 already exists
+    log = os.path.join(root, "_txlog")
+    v1 = os.path.join(log, "v000000000001.json")
+    competing = {
+        "version": 2, "action": "append",
+        "added": [], "removed": [],
+        "schema": json.load(open(v1))["schema"],
+    }
+    with open(os.path.join(log, "v000000000002.json"), "w") as fh:
+        json.dump(competing, fh)
+
+    calls = {"n": 0}
+    real = V._manifests
+
+    def flaky(r):
+        calls["n"] += 1
+        # first _commit consult sees the stale view; later ones real
+        if calls["n"] <= 1:
+            return [(1, v1)]
+        return real(r)
+
+    V._manifests = flaky
+    try:
+        v = append_with_retry(
+            orders.where("o_orderkey % 2 = 1").limit(5), root
+        )
+    finally:
+        V._manifests = real
+    assert v == 3
+    assert V.read_versioned(spark, root).count() == 15
+    assert [h["version"] for h in V.history(root)] == [1, 2, 3]
