@@ -1,0 +1,105 @@
+"""Model-based property test for the versioned store: a random
+sequence of append/overwrite/merge/delete/rollback/checkpoint ops is
+applied both to the real txlog table and to a trivial in-memory model
+(a dict of key->row per version); after every op the live snapshot
+must equal the model, and a random historical version must replay
+exactly. This is the test shape transaction logs earn trust with —
+the unit tests pin scenarios, this pins the ALGEBRA.
+"""
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from aws_glue_data_catalog_replication_utility_spark import versioned as V
+
+KEYS = list(range(12))
+
+
+def _op_strategy():
+    row = st.tuples(
+        st.sampled_from(KEYS), st.integers(min_value=0, max_value=99)
+    )
+    rows = st.lists(row, min_size=1, max_size=6)
+    return st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), rows),
+            st.tuples(st.just("overwrite"), rows),
+            st.tuples(st.just("merge"), rows),
+            st.tuples(st.just("delete_mod"), st.integers(2, 5)),
+            st.tuples(st.just("rollback"), st.integers(0, 100)),
+            st.tuples(st.just("checkpoint"), st.just(0)),
+        ),
+        min_size=3,
+        max_size=10,
+    )
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_op_strategy())
+def test_versioned_store_matches_model(spark, tmp_path_factory, ops):
+    root = str(tmp_path_factory.mktemp("prop") / "t")
+
+    def mk(rows):
+        # duplicate keys inside one batch are allowed for append but
+        # would make merge nondeterministic — dedup keeping the last
+        return spark.createDataFrame(rows, "k int, v int")
+
+    def snap_of(df):
+        return sorted((r.k, r.v) for r in df.collect())
+
+    model_versions: list[list[tuple[int, int]]] = []  # version -> rows
+    cur: list[tuple[int, int]] = []
+    started = False
+
+    for kind, arg in ops:
+        if not started and kind in (
+            "merge", "delete_mod", "rollback", "checkpoint"
+        ):
+            continue  # table doesn't exist yet
+        if kind == "append":
+            V.append(mk(arg), root)
+            cur = cur + list(arg)
+        elif kind == "overwrite":
+            V.overwrite(mk(arg), root)
+            cur = list(arg)
+        elif kind == "merge":
+            dedup = list({k: (k, v) for k, v in arg}.values())
+            V.merge_into(spark, root, mk(dedup), ["k"])
+            keys = {k for k, _ in dedup}
+            cur = [r for r in cur if r[0] not in keys] + dedup
+        elif kind == "delete_mod":
+            v = V.delete_where(spark, root, f"k % {arg} = 0")
+            cur = [r for r in cur if r[0] % arg != 0]
+            # a no-match delete adds no version
+            if [r for r in model_versions[-1] if r[0] % arg == 0] == []:
+                assert v == len(model_versions)
+                started = True
+                assert snap_of(V.read_versioned(spark, root)) == sorted(cur)
+                continue
+        elif kind == "rollback":
+            to = (arg % len(model_versions)) + 1
+            V.rollback(spark, root, to)
+            cur = list(model_versions[to - 1])
+        elif kind == "checkpoint":
+            V.checkpoint(root)
+            assert snap_of(V.read_versioned(spark, root)) == sorted(cur)
+            continue  # no new version
+        started = True
+        model_versions.append(list(cur))
+        assert snap_of(V.read_versioned(spark, root)) == sorted(cur)
+
+    if not model_versions:
+        return
+    # replay a mid-history version exactly
+    probe = (len(model_versions) + 1) // 2
+    assert snap_of(V.read_versioned(spark, root, probe)) == sorted(
+        model_versions[probe - 1]
+    )
+    # history length == number of committed versions
+    assert len(V.history(root)) == len(model_versions)
