@@ -407,6 +407,13 @@ def main(argv: list[str] | None = None) -> int:
     cb.add_argument("--span-dedup-n", type=int, default=None)
     cb.add_argument("--threshold", type=float, default=0.8)
     cb.add_argument("--normalize", action="store_true")
+    cb.add_argument("--mix-alpha", type=float, default=None,
+                    help="also temperature-mix the TRAIN split by "
+                         "source (p ~ tokens^alpha) before sharding")
+    cb.add_argument("--shuffle-shards", type=int, default=None,
+                    help="also write the train split as N seeded "
+                         "shuffle shards (dataloader prep) under "
+                         "<out>_shards")
 
     stt = sub.add_parser(
         "stats",
@@ -983,12 +990,35 @@ def main(argv: list[str] | None = None) -> int:
             r.split: r["count"]
             for r in final.groupBy("split").count().collect()
         }
-        print(_json.dumps({
+        summary = {
             "input_docs": n_in,
             "after_clean": n_clean,
             "after_near_dedup": int(sum(per_split.values())),
             "splits": per_split,
-        }))
+        }
+
+        # optional tail stages, both over the TRAIN split only (eval/
+        # test must keep their natural distribution and stay unsharded)
+        train = final.where(F.col("split") == "train")
+        if args.mix_alpha is not None and "source" in train.columns:
+            from .functions.sampling import temperature_mix
+
+            train = temperature_mix(
+                train, "source", "doc_id",
+                F.size(F.split(F.trim(F.col("text")), r"\s+")),
+                alpha=args.mix_alpha,
+            )
+            train.write.mode("overwrite").parquet(f"{w}/mixed")
+            train = spark.read.parquet(f"{w}/mixed")
+            summary["after_mix"] = train.count()
+        if args.shuffle_shards is not None:
+            from .functions.sampling import write_shuffled_shards
+
+            summary["shards"] = write_shuffled_shards(
+                train, f"{args.out.rstrip('/')}_shards", "doc_id",
+                n_shards=args.shuffle_shards, mode="overwrite",
+            )
+        print(_json.dumps(summary))
 
     elif args.job == "stats":
         import json as _json

@@ -1185,3 +1185,34 @@ def test_cli_vstore_optimize_and_checkpoint(spark, tmp_path, capsys):
     rep = run(["vstore", "--root", root, "--op", "checkpoint"])
     assert rep["version"] == 2 and rep["created"]
     assert run(["vstore", "--root", root, "--op", "read"])["rows"] == n
+
+
+def test_cli_corpus_build_with_mix_and_shards(spark, tmp_path, capsys):
+    """The full training-corpus construction: clean -> near-dedup ->
+    split -> temperature-mix (train only) -> seeded shuffle shards;
+    eval split untouched by mix/shard stages."""
+    import glob as g
+    import json
+
+    out = str(tmp_path / "corpus")
+    work = str(tmp_path / "work")
+    assert main([
+        "corpus-build",
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--work-dir", work,
+        "--splits", "train=90,eval=10",
+        "--threshold", "0.7",
+        "--mix-alpha", "0.5",
+        "--shuffle-shards", "4",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < rep["after_mix"] <= rep["splits"]["train"]
+    assert rep["shards"] == {"shards": 4, "rows": rep["after_mix"]}
+
+    shards = spark.read.parquet(out + "_shards")
+    assert shards.count() == rep["after_mix"]
+    assert len(g.glob(out + "_shards/shard=*")) == 4
+    # eval split stays in the un-mixed corpus output
+    final = spark.read.parquet(out)
+    assert final.where("split = 'eval'").count() == rep["splits"]["eval"]
