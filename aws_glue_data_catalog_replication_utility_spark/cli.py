@@ -522,6 +522,21 @@ def main(argv: list[str] | None = None) -> int:
     be.add_argument("--id-col", default="doc_id")
     be.add_argument("--text-col", default="text")
 
+    pe = sub.add_parser(
+        "prepare-examples",
+        help="the last mile: BPE-tokenize the corpus, lay docs in the "
+             "seeded shuffle order, pack into fixed-length training "
+             "examples hive-partitioned by shard",
+    )
+    pe.add_argument("--in", dest="in_path", required=True)
+    pe.add_argument("--model", required=True, help="bpe-train model JSON")
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--window", type=int, default=2048)
+    pe.add_argument("--n-shards", type=int, default=64)
+    pe.add_argument("--drop-last", action="store_true")
+    pe.add_argument("--id-col", default="doc_id")
+    pe.add_argument("--text-col", default="text")
+
     lb = sub.add_parser(
         "lm-buckets",
         help="CCNet-style perplexity bucketing: unigram-LM score + "
@@ -1162,6 +1177,32 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             text_col=args.text_col,
         ).write.mode("overwrite").parquet(args.out)
+
+    elif args.job == "prepare-examples":
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from .functions.bpe import bpe_encode
+        from .functions.sampling import pack_examples, shuffle_assignment
+
+        with open(args.model) as fh:
+            model = _json.load(fh)
+        tok = bpe_encode(
+            _read(spark, args.in_path), model,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        # docs are laid head-to-tail in the seeded shuffle order
+        # (shuffle_key, id) — reproducible across runs/partitionings
+        laid = shuffle_assignment(
+            tok, args.id_col, args.n_shards
+        ).withColumn(
+            "__ord", F.struct(F.col("shuffle_key"), F.col(args.id_col))
+        )
+        pack_examples(
+            laid, "bpe_tokens", "shard", "__ord",
+            window_tokens=args.window, drop_last=args.drop_last,
+        ).write.mode("overwrite").partitionBy("shard").parquet(args.out)
 
     elif args.job == "lm-buckets":
         from .functions.text import lm_buckets

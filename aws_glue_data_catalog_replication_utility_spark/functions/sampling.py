@@ -355,3 +355,74 @@ def temperature_mix(
     return d.join(F.broadcast(rate_df), on=source_col).where(
         hash_bucket(id_col, salt) < F.col("rate_pct")
     )
+
+
+def pack_examples(
+    df: DataFrame,
+    tokens_col: str,
+    shard_col: str,
+    order_col: str,
+    window_tokens: int = 2048,
+    drop_last: bool = False,
+) -> DataFrame:
+    """The last mile of the training pipeline: token arrays in,
+    FIXED-LENGTH training examples out. Documents are first binned by
+    the greedy concat-and-chunk rule (`pack_sequences` — one window
+    shuffle per shard, no global order), then each (shard, bin)'s
+    documents are laid head-to-tail in `order_col` order and cut into
+    `window_tokens`-sized examples. Bins are bounded by construction
+    (~window + one document), so the per-bin concat array that the
+    cutting HOF walks is small no matter the corpus size — the packing
+    never builds a shard-wide array.
+
+    Semantics (pinned against a Python reference in tests): windows
+    never cross BIN boundaries (a document's tokens can span examples
+    WITHIN its bin — the standard causal-LM packing — but the final
+    short window of each bin is emitted as-is, or dropped with
+    `drop_last=True`). Lossless with drop_last=False: concatenating
+    every example of a bin reproduces the bin's token stream exactly.
+
+    Returns (shard_col, bin, example_idx, tokens array, n_tokens).
+    Plan: pack_sequences' window shuffle + ONE groupBy(shard, bin)
+    with sort_array+flatten (map-side combined), then a posexplode —
+    all codegen, no Python."""
+    packed = pack_sequences(
+        df.select(shard_col, order_col, tokens_col),
+        shard_col,
+        order_col,
+        F.size(F.col(tokens_col)),
+        window_tokens,
+    )
+    binned = packed.groupBy(shard_col, "bin").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col(order_col).alias("o"),
+                                 F.col(tokens_col).alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            )
+        ).alias("__stream")
+    )
+    n_win = F.ceil(F.size("__stream") / F.lit(window_tokens)).cast("int")
+    # sequence(0, -1) is DESCENDING, not empty (the train_bpe lesson):
+    # an all-empty bin must yield no examples
+    idx = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idx,
+        lambda i: F.slice(
+            F.col("__stream"), i * window_tokens + 1, window_tokens
+        ),
+    )
+    out = binned.select(
+        shard_col,
+        "bin",
+        F.posexplode(chunks).alias("example_idx", "tokens"),
+    ).withColumn("n_tokens", F.size("tokens"))
+    if drop_last:
+        out = out.where(F.col("n_tokens") == window_tokens)
+    return out

@@ -1216,3 +1216,44 @@ def test_cli_corpus_build_with_mix_and_shards(spark, tmp_path, capsys):
     # eval split stays in the un-mixed corpus output
     final = spark.read.parquet(out)
     assert final.where("split = 'eval'").count() == rep["splits"]["eval"]
+
+
+def test_cli_prepare_examples(spark, tmp_path, capsys):
+    """bpe-train -> prepare-examples: fixed-length token examples,
+    lossless token count, hive-partitioned by shard."""
+    import json
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    model_path = str(tmp_path / "bpe.json")
+    assert main([
+        "bpe-train", "--in", src, "--model-out", model_path,
+        "--n-merges", "8",
+    ]) == 0
+    capsys.readouterr()
+
+    out = str(tmp_path / "examples")
+    assert main([
+        "prepare-examples",
+        "--in", src,
+        "--model", model_path,
+        "--out", out,
+        "--window", "128",
+        "--n-shards", "4",
+    ]) == 0
+    ex = spark.read.parquet(out)
+    assert ex.where("n_tokens > 128").count() == 0
+    assert ex.where("n_tokens = 128").count() > 0
+
+    # lossless: total packed tokens == total encoded tokens
+    from aws_glue_data_catalog_replication_utility_spark.functions.bpe import (
+        bpe_encode,
+    )
+
+    with open(model_path) as fh:
+        model = json.load(fh)
+    total = (
+        bpe_encode(spark.read.parquet(src), model)
+        .agg(F.sum("bpe_token_count"))
+        .collect()[0][0]
+    )
+    assert ex.agg(F.sum("n_tokens")).collect()[0][0] == total
