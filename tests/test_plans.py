@@ -109,3 +109,48 @@ def test_dedup_paragraphs_plan_broadcasts_hot_set(spark):
     assert "BroadcastHashJoin LeftAnti" in plan or (
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     )
+
+
+def test_r07_operators_plan_shapes(spark):
+    """Shuffle-count gates for the round-7 operators: the shuffle
+    assignment is NARROW (no Exchange — the one shuffle lives in the
+    writer), classifier scoring adds NO exchange beyond the embedding
+    pipeline's own two, and lm_buckets' cutoff join is a broadcast,
+    never a shuffle of the corpus."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.classifier import (
+        score_quality,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        shuffle_assignment,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        hashed_tf_embedding,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.text import (
+        lm_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def n_exchanges(df):
+        p = plan(df)
+        return sum(
+            line.lstrip("+-: *(1234567890)").startswith("Exchange")
+            for line in p.splitlines()
+        )
+
+    assert n_exchanges(shuffle_assignment(docs, "doc_id", 64)) == 0
+
+    base = n_exchanges(hashed_tf_embedding(docs, dim=32))
+    model = {
+        "dim": 32, "normalize": False,
+        "weights": [0.1] * 32, "bias": 0.0,
+    }
+    assert n_exchanges(score_quality(docs, model)) == base
+
+    p = plan(lm_buckets(docs))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
