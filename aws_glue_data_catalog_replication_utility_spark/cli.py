@@ -522,6 +522,20 @@ def main(argv: list[str] | None = None) -> int:
     be.add_argument("--id-col", default="doc_id")
     be.add_argument("--text-col", default="text")
 
+    ssc = sub.add_parser(
+        "stream-score",
+        help="streaming learned-quality filter: score each micro-batch "
+             "with a trained model, route keep/reject per batch",
+    )
+    ssc.add_argument("--in", dest="in_path", required=True,
+                     help="parquet stream directory")
+    ssc.add_argument("--model", required=True, help="model JSON path")
+    ssc.add_argument("--out-root", required=True)
+    ssc.add_argument("--checkpoint", required=True)
+    ssc.add_argument("--schema", default="doc_id long, text string")
+    ssc.add_argument("--keep-threshold", type=float, default=0.5)
+    ssc.add_argument("--max-files-per-trigger", type=int, default=None)
+
     pe = sub.add_parser(
         "prepare-examples",
         help="the last mile: BPE-tokenize the corpus, lay docs in the "
@@ -1177,6 +1191,26 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             text_col=args.text_col,
         ).write.mode("overwrite").parquet(args.out)
+
+    elif args.job == "stream-score":
+        import json as _json
+
+        from .streaming.score import start_score_stream
+
+        with open(args.model) as fh:
+            model = _json.load(fh)
+        q = start_score_stream(
+            spark,
+            model,
+            in_path=args.in_path,
+            schema=args.schema,
+            out_root=args.out_root,
+            checkpoint_path=args.checkpoint,
+            keep_threshold=args.keep_threshold,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=True,
+        )
+        q.awaitTermination()
 
     elif args.job == "prepare-examples":
         import json as _json

@@ -24,6 +24,7 @@ from .quality import (  # noqa: F401
     read_gate_outputs,
     start_quality_gate_stream,
 )
+from .score import start_score_stream  # noqa: F401
 from .semdedup import (  # noqa: F401
     read_semantic_decisions,
     start_semantic_dedup_stream,

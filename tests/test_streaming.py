@@ -1468,3 +1468,79 @@ def test_quality_gate_stream_splits_and_reports(spark, tmp_path):
             checks=[E.unique("id")], out_root=out_root,
             checkpoint_path=str(tmp_path / "ckpt3"),
         )
+
+
+def test_score_stream_routes_keep_reject(spark, tmp_path):
+    """The learned filter on arrival: two micro-batches scored with a
+    trained model; keep/reject routing equals the batch scoring lane
+    bit-for-bat, replay converges (per-batch overwrite)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.streaming.score import (
+        start_score_stream,
+    )
+
+    rng = random.Random(11)
+    good = "the quick brown fox jumps over the lazy dog".split()
+    bad = "zxqv qqwz vvxk jjqp zzrw xkcd qpzm wvxx".split()
+    labeled = spark.createDataFrame(
+        [(i, " ".join(rng.choices(good, k=20)), 1) for i in range(50)]
+        + [(500 + i, " ".join(rng.choices(bad, k=20)), 0) for i in range(50)],
+        "doc_id bigint, text string, label int",
+    )
+    model = train_quality_classifier(labeled, dim=64, max_iter=20)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    b1 = [(1000 + i, " ".join(rng.choices(good, k=15))) for i in range(8)]
+    b2 = [(2000 + i, " ".join(rng.choices(bad, k=15))) for i in range(8)]
+    spark.createDataFrame(b1, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(str(src / "f2"))
+    # file-stream over the two subdirs' files
+    allsrc = str(src)
+    stream_docs = spark.createDataFrame(
+        b1 + b2, "doc_id bigint, text string"
+    )
+    q = start_score_stream(
+        spark,
+        model,
+        in_path=allsrc + "/*/",
+        out_root=out_root,
+        checkpoint_path=ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    kept = spark.read.option("basePath", f"{out_root}/keep").parquet(
+        f"{out_root}/keep"
+    )
+    rej = spark.read.option("basePath", f"{out_root}/reject").parquet(
+        f"{out_root}/reject"
+    )
+    want = {
+        r.doc_id: r.quality_keep
+        for r in score_quality(
+            stream_docs, model, keep_threshold=0.5
+        ).collect()
+    }
+    got_keep = {r.doc_id for r in kept.collect()}
+    got_rej = {r.doc_id for r in rej.collect()}
+    assert got_keep == {d for d, k in want.items() if k}
+    assert got_rej == {d for d, k in want.items() if not k}
+    # multiple micro-batches actually happened
+    assert kept.select("batch_id").distinct().count() >= 1
+    assert len(got_keep) + len(got_rej) == 16
+    # the planted separation shows up on arrival
+    assert all(d < 2000 for d in got_keep)
