@@ -342,3 +342,83 @@ def update_skip_index(
         "removed": len(removed),
         "kept": len(have) - len(removed),
     }
+
+
+def count_with_skip_index(
+    spark: SparkSession,
+    index: DataFrame,
+    predicates: list[tuple[str, str, object]],
+) -> tuple[int, dict]:
+    """COUNT(*) WHERE ... answered mostly from METADATA: a kept file
+    whose footer stats PROVE every row matches every predicate (bounds
+    entirely inside the predicate range, zero nulls in each predicate
+    column) contributes its `file_rows` without being opened; only the
+    boundary files — kept but not fully-proven — are scanned with the
+    residual filter. The widened bounds stay conservative in BOTH
+    directions: widening can only demote a file from 'all match' to
+    'scan it' (for '=', min_num==max_num==lit sandwiches the true
+    values exactly), never fabricate a proof.
+
+    At 100 TB this is the difference between a count that reads three
+    boundary files and one that reads a thousand interior ones.
+    Returns (count, {"files_total", "files_kept", "files_counted",
+    "files_scanned"})."""
+    total = index.select("file").distinct().count()
+    kept = prune_files(index, predicates)
+    if not predicates:
+        n = kept.agg(F.sum("file_rows")).collect()[0][0]
+        return int(n or 0), {
+            "files_total": int(total),
+            "files_kept": int(kept.count()),
+            "files_counted": int(kept.count()),
+            "files_scanned": 0,
+        }
+    # per predicate: does this index row PROVE all rows match?
+    proofs = []
+    for col, op, raw in predicates:
+        lane, v = _pred_value(op, raw)
+        lo = F.col("min_num") if lane == "num" else F.col("min_str")
+        hi = F.col("max_num") if lane == "num" else F.col("max_str")
+        lit = F.lit(v)
+        inside = {
+            "=": (lo == lit) & (hi == lit),
+            "<": hi < lit,
+            "<=": hi <= lit,
+            ">": lo > lit,
+            ">=": lo >= lit,
+        }[op]
+        proofs.append(
+            F.max(
+                F.when(
+                    (F.col("column") == col)
+                    & F.col("has_minmax")
+                    & (F.col("kind") == lane)
+                    & (F.col("nulls") == 0)
+                    & inside,
+                    1,
+                ).otherwise(0)
+            ).alias(f"__p{len(proofs)}")
+        )
+    proven = (
+        index.join(kept.select("file"), "file")
+        .groupBy("file")
+        .agg(F.first("file_rows").alias("file_rows"), *proofs)
+    )
+    all_proven = None
+    for i in range(len(predicates)):
+        c = F.col(f"__p{i}") == 1
+        all_proven = c if all_proven is None else all_proven & c
+    counted = proven.where(all_proven)
+    to_scan = [r.file for r in proven.where(~all_proven).collect()]
+    meta_n = counted.agg(F.sum("file_rows")).collect()[0][0] or 0
+    n_counted = counted.count()
+    scan_n = 0
+    if to_scan:
+        cond = _residual(predicates)
+        scan_n = spark.read.parquet(*to_scan).where(cond).count()
+    return int(meta_n) + int(scan_n), {
+        "files_total": int(total),
+        "files_kept": int(n_counted) + len(to_scan),
+        "files_counted": int(n_counted),
+        "files_scanned": len(to_scan),
+    }

@@ -237,3 +237,66 @@ def test_update_skip_index_incremental_equals_rebuild(spark, tmp_path):
     assert info3 == {"added": 0, "removed": 1, "kept": 7}
     assert rows(idx2) == rows(build_skip_index(spark, out))
     idx0.unpersist()
+
+
+def test_count_with_skip_index_metadata_fast_path(spark, store):
+    """COUNT from footers: interior files counted without being
+    opened, boundary files scanned, result exact vs the full filter;
+    boundary-equality and all-null cases stay conservative."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        count_with_skip_index,
+    )
+
+    idx = build_skip_index(spark, store).cache()
+    try:
+        full = spark.read.parquet(store)
+        keys = sorted(r.o_orderkey for r in full.select("o_orderkey").collect())
+        cut = keys[int(len(keys) * 0.6)]
+
+        n, info = count_with_skip_index(spark, idx, [("o_orderkey", "<=", cut)])
+        assert n == full.where(F.col("o_orderkey") <= cut).count()
+        # interior files proved from metadata; at most the one
+        # boundary file scanned
+        assert info["files_counted"] >= 1
+        assert info["files_scanned"] <= 2
+        assert info["files_counted"] + info["files_scanned"] == info["files_kept"]
+
+        # equality on an existing key: exact everywhere
+        n2, info2 = count_with_skip_index(
+            spark, idx, [("o_orderkey", "=", keys[0])]
+        )
+        assert n2 == full.where(F.col("o_orderkey") == keys[0]).count()
+
+        # no predicates: pure metadata, zero scans
+        n3, info3 = count_with_skip_index(spark, idx, [])
+        assert n3 == full.count() and info3["files_scanned"] == 0
+
+        # conjunction: band count exact
+        lo, hi = keys[len(keys) // 4], keys[len(keys) // 2]
+        n4, _ = count_with_skip_index(
+            spark, idx,
+            [("o_orderkey", ">", lo), ("o_orderkey", "<=", hi)],
+        )
+        assert n4 == full.where(
+            (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+        ).count()
+    finally:
+        idx.unpersist()
+
+
+def test_count_with_skip_index_null_columns_stay_exact(spark, tmp_path):
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        count_with_skip_index,
+    )
+
+    out = str(tmp_path / "n")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id bigint, v double"
+    ).coalesce(1).write.parquet(out)
+    idx = build_skip_index(spark, out)
+    full = spark.read.parquet(out)
+    # v has a null: the all-match proof must fail, the file scans, and
+    # the count excludes the null row
+    n, info = count_with_skip_index(spark, idx, [("v", ">=", 0.0)])
+    assert n == 2 == full.where("v >= 0.0").count()
+    assert info["files_scanned"] == 1 and info["files_counted"] == 0
