@@ -110,6 +110,28 @@ def _write_all(outputs, root):
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def _parse_preds(specs: list[str]) -> list[tuple[str, str, object]]:
+    """'col OP value' strings -> skipindex predicate triples (OP in
+    < <= = >= >); values coerced int -> float -> quoted-string."""
+    import re as _re
+
+    preds: list[tuple[str, str, object]] = []
+    for p in specs:
+        m = _re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*$", p)
+        if not m:
+            raise SystemExit(f"bad --pred {p!r}: want 'col OP value'")
+        col, op, raw = m.groups()
+        try:
+            val: object = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                val = raw.strip("'\"")
+        preds.append((col, op, val))
+    return preds
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gdc-replication")
     sub = ap.add_subparsers(dest="job", required=True)
@@ -472,6 +494,10 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--out", default=None, help="read: write snapshot here")
     vs.add_argument("--keep-last", type=int, default=1,
                     help="vacuum: versions whose snapshots stay readable")
+    vs.add_argument("--pred", action="append", default=[],
+                    help="read: 'col OP value' predicates (repeatable, "
+                         "AND) served through the snapshot skip index "
+                         "— prunes live files before opening any")
 
     rp = sub.add_parser(
         "report",
@@ -1104,12 +1130,24 @@ def main(argv: list[str] | None = None) -> int:
             v = V.delete_where(spark, args.root, args.where)
             print(_json.dumps({"version": v, "action": "delete"}))
         elif args.op == "read":
-            df = V.read_versioned(spark, args.root, args.version)
+            info = None
+            if args.pred:
+                from .functions.skipindex import scan_with_skip_index
+
+                idx = V.snapshot_skip_index(spark, args.root, args.version)
+                df, info = scan_with_skip_index(
+                    spark, idx, _parse_preds(args.pred)
+                )
+            else:
+                df = V.read_versioned(spark, args.root, args.version)
             if args.out:
                 df.write.mode("overwrite").parquet(args.out)
-                print(_json.dumps({"rows": spark.read.parquet(args.out).count()}))
+                rep = {"rows": spark.read.parquet(args.out).count()}
             else:
-                print(_json.dumps({"rows": df.count()}))
+                rep = {"rows": df.count()}
+            if info is not None:
+                rep.update(info)
+            print(_json.dumps(rep))
         elif args.op == "history":
             print(_json.dumps(V.history(args.root)))
         elif args.op == "rollback":
@@ -1292,7 +1330,6 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.job == "skip-index":
         import json as _json
-        import re as _re
 
         from .functions.skipindex import (
             build_skip_index,
@@ -1321,20 +1358,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.out:
                 idx.write.mode("overwrite").parquet(args.out)
                 idx = spark.read.parquet(args.out)
-        preds = []
-        for p in args.pred:
-            m = _re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*$", p)
-            if not m:
-                raise SystemExit(f"bad --pred {p!r}: want 'col OP value'")
-            col, op, raw = m.groups()
-            try:
-                val: object = int(raw)
-            except ValueError:
-                try:
-                    val = float(raw)
-                except ValueError:
-                    val = raw.strip("'\"")
-            preds.append((col, op, val))
+        preds = _parse_preds(args.pred)
         summary: dict = {
             "files": idx.select("file").distinct().count(),
             "columns": idx.select("column").distinct().count(),

@@ -1257,3 +1257,26 @@ def test_cli_prepare_examples(spark, tmp_path, capsys):
         .collect()[0][0]
     )
     assert ex.agg(F.sum("n_tokens")).collect()[0][0] == total
+
+
+def test_cli_vstore_read_with_pred_prunes(spark, tmp_path, capsys):
+    """`vstore --op read --pred`: the snapshot skip index prunes live
+    files before the scan; rows equal the plain filtered read."""
+    import json
+
+    root = str(tmp_path / "vt")
+    src = str(tmp_path / "src")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.repartitionByRange(4, "o_orderkey").write.parquet(src)
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run(["vstore", "--root", root, "--op", "append", "--in", src])
+    keys = sorted(r.o_orderkey for r in orders.select("o_orderkey").collect())
+    cut = keys[len(keys) // 4]
+    rep = run(["vstore", "--root", root, "--op", "read",
+               "--pred", f"o_orderkey <= {cut}"])
+    assert rep["rows"] == orders.where(f"o_orderkey <= {cut}").count()
+    assert 0 < rep["files_kept"] < rep["files_total"] == 4
