@@ -1135,8 +1135,14 @@ def main(argv: list[str] | None = None) -> int:
                 from .functions.skipindex import scan_with_skip_index
 
                 idx = V.snapshot_skip_index(spark, args.root, args.version)
+                # evolved tables carry mixed-schema live files: scan
+                # under the snapshot's LUB schema so pruned reads see
+                # every column (missing ones NULL) at the widest type
+                snap_schema = V.read_versioned(
+                    spark, args.root, args.version
+                ).schema
                 df, info = scan_with_skip_index(
-                    spark, idx, _parse_preds(args.pred)
+                    spark, idx, _parse_preds(args.pred), schema=snap_schema
                 )
             else:
                 df = V.read_versioned(spark, args.root, args.version)
