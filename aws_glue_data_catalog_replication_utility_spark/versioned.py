@@ -466,12 +466,21 @@ def append_stream_batch(
     for a skip/empty batch.
 
     Usage: `stream.writeStream.foreachBatch(
-        lambda b, i: append_stream_batch(b, i, root))`."""
-    for _, p in _manifests(root):
+        lambda b, i: append_stream_batch(b, i, root))`.
+
+    The replay check walks the log NEWEST-FIRST and stops at the
+    first stream commit with a SMALLER batch id — batch ids are
+    monotonic, so nothing older can carry this one. A replayed batch
+    (always the most recent) is found in O(1) manifests; the
+    per-batch cost never grows with table history."""
+    for _, p in reversed(_manifests(root)):
         with open(p) as fh:
             m = json.load(fh)
-        if m.get("meta", {}).get("batch_id") == batch_id:
+        bid = m.get("meta", {}).get("batch_id")
+        if bid == batch_id:
             return None  # replay: this batch already committed
+        if bid is not None and bid < batch_id:
+            break
     if not df.limit(1).count():
         return None
     return append(df, root, meta={"batch_id": batch_id})
