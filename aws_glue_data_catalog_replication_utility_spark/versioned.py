@@ -25,18 +25,27 @@ protocol without checkpoints; each manifest is O(changed files), the
 replay is O(versions) driver metadata — checkpoint compaction is the
 documented growth path).
 
-Operations: `append` / `overwrite` (full snapshot swap — the
-reference's GDCUtil.java:61-111 delete-all-then-add as ONE atomic
-version instead of a partition-scoped window of inconsistency),
-`delete_where` (rewrites ONLY files containing matching rows, same
-file-surgery discipline as functions/layout.delete_rows),
-`read_versioned(version=k)` time travel, `rollback` (new version
-whose live set is an old version's — history is never erased),
-`history`, and `vacuum(keep_last=n)` (drops data files referenced
-only by expired versions plus all crash debris).
+Operations: `append` (+ `append_checked` table constraints,
+`append_with_retry` for racing writers, `append_stream_batch`
+exactly-once foreachBatch sink) / `overwrite` (full snapshot swap —
+the reference's GDCUtil.java:61-111 delete-all-then-add as ONE atomic
+version instead of a partition-scoped window of inconsistency) /
+`merge_into` (MERGE: matched keys replaced + inserts, only files
+containing matches rewritten) / `delete_where` (rewrites ONLY files
+containing matching rows, same file-surgery discipline as
+functions/layout.delete_rows) / `read_versioned(version=k)` time
+travel / `rollback` (new version whose live set is an old version's —
+history is never erased) / `history` / `changes_between`
+(version-addressed CDF) / `checkpoint` (replay compaction) /
+`optimize` (target-size rewrite, optional Z-order) /
+`snapshot_skip_index` (file pruning over any snapshot) /
+`vacuum(keep_last=n)` (drops data files referenced only by expired
+versions plus all crash debris).
 
-Every manifest stores the schema (JSON) so an empty snapshot still
-reads with the right columns.
+Every manifest stores the schema its bytes were written under, so an
+empty snapshot still reads with the right columns and mixed-schema
+snapshots (evolved appends) read per-origin-schema groups widened to
+the evolve-lattice least upper bound.
 """
 
 from __future__ import annotations
@@ -239,18 +248,40 @@ def _table_lub(origin: dict[str, str], extra=None) -> tuple[object, str]:
     return lub, lub.json()
 
 
-def _read_one(spark: SparkSession, root: str, rel: str, origin: dict, lub):
-    """Read one live file under the schema its bytes were written with
-    and widen to the table LUB — rewrites normalize survivors, so the
-    lattice is the only upcast mechanism in play (never the parquet
-    reader's narrower tolerance)."""
+def _rewrite_survivors(
+    spark: SparkSession,
+    root: str,
+    affected: list[str],
+    origin: dict[str, str],
+    lub,
+    keep_fn,
+) -> list[str]:
+    """Re-stage the surviving rows of the affected files: ONE Spark
+    job per origin-SCHEMA group (bounded by the number of schema
+    generations, never the number of files — a delete touching 100k
+    files is a handful of jobs, not 100k driver-serial rewrites), each
+    group read under the schema its bytes were written with, widened
+    to the table LUB (the lattice, never the parquet reader's narrower
+    upcast tolerance, is the widening mechanism), filtered by
+    `keep_fn`, and written as ~half as many files as it read."""
     from pyspark.sql.types import StructType
 
     from .functions.evolve import evolve_to_schema
 
-    st = StructType.fromJson(json.loads(origin[rel]))
-    df = spark.read.schema(st).parquet(os.path.join(root, rel))
-    return evolve_to_schema(df, lub)
+    groups: dict[str, list[str]] = {}
+    for rel in affected:
+        groups.setdefault(origin[rel], []).append(rel)
+    added: list[str] = []
+    for s, rels in groups.items():
+        st = StructType.fromJson(json.loads(s))
+        df = spark.read.schema(st).parquet(
+            *[os.path.join(root, r) for r in rels]
+        )
+        surv = keep_fn(evolve_to_schema(df, lub))
+        n_out = max(1, len(rels) // 2)
+        if surv.limit(1).count():
+            added.extend(_stage_write(surv.coalesce(n_out), root))
+    return added
 
 
 def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
@@ -277,13 +308,10 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     if not affected:
         return last["version"]  # no-op: nothing matched, no new version
     lub, lub_json = _table_lub(origin)
-    added: list[str] = []
-    for rel in affected:
-        keep = _read_one(spark, rootabs, rel, origin, lub).where(
-            f"NOT ({predicate})"
-        )
-        if keep.limit(1).count():
-            added.extend(_stage_write(keep.coalesce(1), root))
+    added = _rewrite_survivors(
+        spark, rootabs, affected, origin, lub,
+        lambda df: df.where(f"NOT ({predicate})"),
+    )
     return _commit(root, "delete", added, affected, lub_json)
 
 
@@ -441,13 +469,10 @@ def merge_into(
     lub, lub_json = _table_lub(origin, updates.schema)
     from .functions.evolve import evolve_to_schema
 
-    added: list[str] = []
-    for rel in affected:
-        surv = _read_one(spark, rootabs, rel, origin, lub).join(
-            F.broadcast(keys), on=key_cols, how="left_anti"
-        )
-        if surv.limit(1).count():
-            added.extend(_stage_write(surv.coalesce(1), root))
+    added = _rewrite_survivors(
+        spark, rootabs, affected, origin, lub,
+        lambda df: df.join(F.broadcast(keys), on=key_cols, how="left_anti"),
+    )
     added.extend(_stage_write(evolve_to_schema(updates, lub), root))
     return _commit(
         root, "merge", added, affected, lub_json,
