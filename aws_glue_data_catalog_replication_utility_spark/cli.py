@@ -548,6 +548,19 @@ def main(argv: list[str] | None = None) -> int:
     be.add_argument("--id-col", default="doc_id")
     be.add_argument("--text-col", default="text")
 
+    vst = sub.add_parser(
+        "vstore-stream",
+        help="stream into the transactional store: each micro-batch "
+             "becomes one atomic version, replays recognized in the "
+             "log (exactly-once appends)",
+    )
+    vst.add_argument("--in", dest="in_path", required=True,
+                     help="parquet stream directory")
+    vst.add_argument("--root", required=True, help="versioned store root")
+    vst.add_argument("--checkpoint", required=True)
+    vst.add_argument("--schema", required=True, help="input DDL schema")
+    vst.add_argument("--max-files-per-trigger", type=int, default=None)
+
     ssc = sub.add_parser(
         "stream-score",
         help="streaming learned-quality filter: score each micro-batch "
@@ -1235,6 +1248,21 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             text_col=args.text_col,
         ).write.mode("overwrite").parquet(args.out)
+
+    elif args.job == "vstore-stream":
+        from . import versioned as V
+
+        reader = spark.readStream.schema(args.schema)
+        if args.max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(args.max_files_per_trigger)
+            )
+        q = reader.parquet(args.in_path).writeStream.option(
+            "checkpointLocation", args.checkpoint
+        ).foreachBatch(
+            lambda b, i: V.append_stream_batch(b, i, args.root)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
 
     elif args.job == "stream-score":
         import json as _json

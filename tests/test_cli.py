@@ -1280,3 +1280,44 @@ def test_cli_vstore_read_with_pred_prunes(spark, tmp_path, capsys):
                "--pred", f"o_orderkey <= {cut}"])
     assert rep["rows"] == orders.where(f"o_orderkey <= {cut}").count()
     assert 0 < rep["files_kept"] < rep["files_total"] == 4
+
+
+def test_cli_vstore_stream(spark, tmp_path, capsys):
+    """`vstore-stream`: two source files -> two atomic versions;
+    re-running with the same checkpoint appends nothing new."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    root = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(i, f"a{i}") for i in range(5)], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(5 + i, f"b{i}") for i in range(3)], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    argv = [
+        "vstore-stream",
+        "--in", str(src) + "/*/",
+        "--root", root,
+        "--checkpoint", ckpt,
+        "--schema", "k long, v string",
+        "--max-files-per-trigger", "1",
+    ]
+    assert main(argv) == 0
+    capsys.readouterr()
+
+    def run(a):
+        assert main(a) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert run(["vstore", "--root", root, "--op", "read"])["rows"] == 8
+    hist = run(["vstore", "--root", root, "--op", "history"])
+    assert [h["action"] for h in hist] == ["append", "append"]
+
+    # replay: same checkpoint, no new input -> no new versions
+    assert main(argv) == 0
+    capsys.readouterr()
+    assert len(run(["vstore", "--root", root, "--op", "history"])) == 2
