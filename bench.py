@@ -443,6 +443,42 @@ def main() -> None:
     finally:
         shutil.rmtree(ski_dir, ignore_errors=True)
 
+    # r07 corpus-construction tail trio: dataset card (two shuffle
+    # rounds), temperature mix (agg + broadcast + narrow filter), and
+    # fixed-length example packing over whitespace tokens
+    from aws_glue_data_catalog_replication_utility_spark.functions.report import (
+        corpus_report,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        pack_examples,
+        temperature_mix,
+    )
+
+    t0 = time.perf_counter()
+    corpus_report(docs)
+    extras["corpus_report"] = round(time.perf_counter() - t0, 3)
+
+    tok_expr = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    t0 = time.perf_counter()
+    temperature_mix(docs, "source", "doc_id", tok_expr, alpha=0.5).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    extras["temperature_mix"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pack_examples(
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 64).cast("int").alias("shard"),
+            F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+        ),
+        "toks",
+        "shard",
+        "doc_id",
+        window_tokens=2048,
+    ).write.format("noop").mode("overwrite").save()
+    extras["pack_examples"] = round(time.perf_counter() - t0, 3)
+
     # r07 versioned store lifecycle: append 32 files -> MERGE 10% of
     # keys -> delete-where -> latest read. The transactional layer's
     # end-to-end cost in one trend number.
