@@ -82,10 +82,37 @@ def build_skip_index(spark: SparkSession, path: str) -> DataFrame:
     'num' (ints, floats, decimals, bools, timestamps/dates -> epoch
     micros/days as double, conservatively widened), 'str' (bounded
     prefix), 'none' (binary/nested: present for null accounting only).
-    `has_minmax` false = writer wrote no stats = never prune on it."""
+    `has_minmax` false = writer wrote no stats = never prune on it.
+
+    The returned index is MATERIALIZED (localCheckpoint) — a VALUE,
+    not a recompute recipe: later storage mutations (a file deleted
+    after this build) can never invalidate it mid-action. The footer
+    pass runs exactly once, at build time, which is what an index
+    build means anyway."""
     from .stats import _file_list
 
-    return _index_files(spark, [f for f, _ in _file_list(path)])
+    return _materialize(_index_files(spark, [f for f, _ in _file_list(path)]))
+
+
+def _materialize(index: DataFrame) -> DataFrame:
+    """Pin an index relation as a value: the footer-pass leg must never
+    re-execute on a later action (the files it read may be gone by
+    then). localCheckpoint(eager) computes it NOW and leaves a
+    LogicalRDD leaf that carries real size stats (joins against it
+    still broadcast on Spark 4)."""
+    return index.localCheckpoint(eager=True)
+
+
+def _widen_str_upper(s: str) -> str | None:
+    """A string strictly greater than every string with prefix `s`:
+    bump the last bump-able char, drop the tail (parquet writers'
+    truncate-and-increment). None when every char is U+10FFFF — no
+    finite upper bound exists at this prefix length."""
+    for i in range(len(s) - 1, -1, -1):
+        c = ord(s[i])
+        if c < 0x10FFFF:
+            return s[:i] + chr(c + 1)
+    return None
 
 
 def _index_files(spark: SparkSession, files: list[str]) -> DataFrame:
@@ -168,10 +195,17 @@ def _index_files(spark: SparkSession, files: list[str]) -> DataFrame:
                         max_str = mx[:_STR_PREFIX]
                         if len(mx) > _STR_PREFIX:
                             # widen: truncated max must stay an upper
-                            # bound -> bump last char
-                            max_str = max_str[:-1] + chr(
-                                ord(max_str[-1]) + 1
-                            )
+                            # bound -> bump the last bump-able char and
+                            # drop the tail; if EVERY prefix char is
+                            # U+10FFFF no finite bound exists — record
+                            # no min/max (nulls stay) instead of failing
+                            # the whole build on adversarial data
+                            widened = _widen_str_upper(max_str)
+                            if widened is None:
+                                kind, has = "none", False
+                                min_str = max_str = None
+                            else:
+                                max_str = widened
                     elif has:
                         kind = "none"
                         has = False
@@ -325,7 +359,15 @@ def update_skip_index(
     every build does; the update's footer I/O is O(new files), which
     is the point: a daily append to a 100k-file store re-reads dozens
     of footers, not 100k. Result proven bit-identical to a fresh
-    rebuild in tests."""
+    rebuild in tests.
+
+    The returned index is MATERIALIZED (localCheckpoint, eager): the
+    new files' footers are read exactly once, HERE, and the result is
+    a value. Returning the lazy union instead was a real defect — the
+    footer-pass leg re-executed on every downstream action, so a file
+    deleted later (the exact lifecycle this function maintains)
+    crashed any action on a PREVIOUSLY returned index, including the
+    next update's own file-list collect."""
     from .stats import _file_list
 
     now = {f for f, _ in _file_list(path)}
@@ -336,7 +378,7 @@ def update_skip_index(
     if removed:
         rm = spark.createDataFrame([(f,) for f in removed], "file string")
         kept = index.join(rm, on="file", how="left_anti")
-    out = kept.unionByName(_index_files(spark, added))
+    out = _materialize(kept.unionByName(_index_files(spark, added)))
     return out, {
         "added": len(added),
         "removed": len(removed),

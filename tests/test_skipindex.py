@@ -185,10 +185,29 @@ def test_index_survives_roundtrip_and_int64_widening(spark, tmp_path):
         assert got.count() == 1
 
 
+def _delete_file(path):
+    os.remove(path)
+    crc = os.path.join(
+        os.path.dirname(path), "." + os.path.basename(path) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
 def test_update_skip_index_incremental_equals_rebuild(spark, tmp_path):
-    """Append files -> update touches only the new footers; delete a
-    file -> its rows drop. Updated index == fresh rebuild bit-for-bit
-    and pruning through it stays exact."""
+    """Append files -> update touches only the new footers; delete
+    files -> their rows drop. Updated index == fresh rebuild
+    bit-for-bit and pruning through it stays exact.
+
+    The deletes REMOVE ONE FILE FROM EACH WRITE BATCH on purpose: the
+    r07 defect only fired when the deleted file belonged to a batch
+    the previous update had indexed lazily, so a single victim made
+    the test ~50/50 flaky-green. Both batches deleting pins the
+    materialization contract deterministically; the second
+    update-after-delete cycle pins that the RETURNED index is a value
+    (no action on it may re-read dead paths)."""
+    import glob as g
+
     from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
         update_skip_index,
     )
@@ -198,13 +217,15 @@ def test_update_skip_index_incremental_equals_rebuild(spark, tmp_path):
     orders.where("o_orderkey % 2 = 0").repartitionByRange(
         4, "o_orderkey"
     ).write.parquet(out)
-    idx0 = build_skip_index(spark, out).cache()
-    idx0.count()
+    batch0 = set(g.glob(os.path.join(out, "*.parquet")))
+    idx0 = build_skip_index(spark, out)
 
     # append: 4 more files
     orders.where("o_orderkey % 2 = 1").repartitionByRange(
         4, "o_orderkey"
     ).write.mode("append").parquet(out)
+    batch1 = set(g.glob(os.path.join(out, "*.parquet"))) - batch0
+    assert len(batch0) == len(batch1) == 4
     idx1, info = update_skip_index(spark, out, idx0)
     assert info["added"] == 4 and info["removed"] == 0 and info["kept"] == 4
 
@@ -221,22 +242,76 @@ def test_update_skip_index_incremental_equals_rebuild(spark, tmp_path):
     assert 0 < info2["files_kept"] < info2["files_total"] == 8
     assert _rows(got) == _rows(full.where(F.col("o_orderkey") <= cut))
 
-    # delete one data file (plus its crc sidecar) -> update drops it
-    import glob as g
-
-    victim = sorted(
-        f for f in g.glob(os.path.join(out, "*.parquet"))
-    )[0]
-    os.remove(victim)
-    crc = os.path.join(
-        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
-    )
-    if os.path.exists(crc):
-        os.remove(crc)
+    # delete one data file from EACH batch -> update drops both
+    _delete_file(sorted(batch0)[0])
+    _delete_file(sorted(batch1)[0])
     idx2, info3 = update_skip_index(spark, out, idx1)
-    assert info3 == {"added": 0, "removed": 1, "kept": 7}
+    assert info3 == {"added": 0, "removed": 2, "kept": 6}
     assert rows(idx2) == rows(build_skip_index(spark, out))
-    idx0.unpersist()
+
+    # second lifecycle: append -> update -> delete FROM THE NEW BATCH
+    # -> update. Every previously returned index must stay actionable
+    # (it is a value, not a recompute over mutated storage).
+    before = set(g.glob(os.path.join(out, "*.parquet")))
+    orders.where("o_orderkey % 10 = 3").coalesce(2).write.mode(
+        "append"
+    ).parquet(out)
+    batch2 = set(g.glob(os.path.join(out, "*.parquet"))) - before
+    idx3, info4 = update_skip_index(spark, out, idx2)
+    assert info4 == {"added": len(batch2), "removed": 0, "kept": 6}
+    _delete_file(sorted(batch2)[0])
+    idx4, info5 = update_skip_index(spark, out, idx3)
+    assert info5 == {"added": 0, "removed": 1, "kept": 6 + len(batch2) - 1}
+    assert rows(idx4) == rows(build_skip_index(spark, out))
+    # every older returned index still ACTS after the mutations above:
+    # a value cannot re-read dead paths
+    assert idx1.select("file").distinct().count() == 8
+    assert idx2.select("file").distinct().count() == 6
+    assert idx3.select("file").distinct().count() == 6 + len(batch2)
+
+
+def test_string_max_widen_overflow_falls_back_not_raises(spark, tmp_path):
+    """A string column whose truncated max ends in U+10FFFF chars must
+    not fail the build: bump-able char found -> widened bound still
+    prunes safely; ALL chars maximal -> that column records no min/max
+    (never prunes) and every other column still does."""
+    top = chr(0x10FFFF)
+    out = str(tmp_path / "adv")
+    rows_ = [
+        (1, "aaa" + top * 70),          # truncation, bump-able 'a'
+        (2, top * 70),                   # truncation, NO bump-able char
+        (3, "zzz"),
+    ]
+    spark.createDataFrame(rows_, "id bigint, s string").coalesce(
+        1
+    ).write.parquet(out)
+    idx = build_skip_index(spark, out)
+    got = {(r.column, r.kind, r.has_minmax) for r in idx.collect()}
+    # the file's max is top*70 -> unwidenable -> s falls back to none
+    assert ("s", "none", False) in got
+    assert ("id", "num", True) in got
+    full = spark.read.parquet(out)
+    # pruning on s keeps the file (unknown never drops); result exact
+    g1, info = scan_with_skip_index(spark, idx, [("s", ">=", "b")])
+    assert info["files_kept"] == 1
+    assert sorted(r.id for r in g1.collect()) == [2, 3]
+    # a second store where the max HAS a bump-able char: widened bound
+    # stays a true upper bound (file kept for literals under it)
+    out2 = str(tmp_path / "adv2")
+    spark.createDataFrame(
+        [(1, "aaa" + top * 70)], "id bigint, s string"
+    ).coalesce(1).write.parquet(out2)
+    idx2 = build_skip_index(spark, out2)
+    r = [x for x in idx2.collect() if x.column == "s"][0]
+    assert r.has_minmax and r.kind == "str"
+    assert r.max_str == "aab"  # bumped, tail dropped
+    g2, info2 = scan_with_skip_index(
+        spark, idx2, [("s", "=", "aaa" + top * 70)]
+    )
+    assert info2["files_kept"] == 1 and g2.count() == 1
+    # and a literal ABOVE the widened bound is provably excluded
+    g3, info3 = scan_with_skip_index(spark, idx2, [("s", ">=", "ab")])
+    assert info3["files_kept"] == 0 and g3.count() == 0
 
 
 def test_count_with_skip_index_metadata_fast_path(spark, store):
