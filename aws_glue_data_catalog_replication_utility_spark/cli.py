@@ -494,6 +494,10 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--out", default=None, help="read: write snapshot here")
     vs.add_argument("--keep-last", type=int, default=1,
                     help="vacuum: versions whose snapshots stay readable")
+    vs.add_argument("--retention-seconds", type=float, default=600.0,
+                    help="vacuum: never delete unreferenced files younger "
+                         "than this (concurrent-writer guard); 0 only "
+                         "when no writer can be running")
     vs.add_argument("--pred", action="append", default=[],
                     help="read: 'col OP value' predicates (repeatable, "
                          "AND) served through the snapshot skip index "
@@ -1187,7 +1191,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(_json.dumps({"version": v, "action": "optimize"}))
         else:
-            print(_json.dumps(V.vacuum(args.root, keep_last=args.keep_last)))
+            print(_json.dumps(V.vacuum(
+                args.root, keep_last=args.keep_last,
+                retention_seconds=args.retention_seconds,
+            )))
 
     elif args.job == "report":
         import json as _json
@@ -1260,7 +1267,12 @@ def main(argv: list[str] | None = None) -> int:
         q = reader.parquet(args.in_path).writeStream.option(
             "checkpointLocation", args.checkpoint
         ).foreachBatch(
-            lambda b, i: V.append_stream_batch(b, i, args.root)
+            # the checkpoint location IS the stream's identity: batch
+            # ids are per-checkpoint, so the replay guard must scope
+            # to it when several streams share one store
+            lambda b, i: V.append_stream_batch(
+                b, i, args.root, query_id=args.checkpoint
+            )
         ).trigger(availableNow=True).start()
         q.awaitTermination()
 

@@ -702,13 +702,19 @@ def parse_events(
         # so a full checkpoint would only buy an extra copy job; and a
         # lazy persist measured WORSE — the first consumer's one-pass
         # plan over the uncached window is costlier than the dedicated
-        # fill job). coalesce(4) first: the window shuffle leaves
+        # fill job). Coalesce first: the window shuffle leaves
         # shuffle.partitions-many slices of a metadata-sized relation,
         # and every downstream consumer then schedules that many tasks
-        # per scan — pure overhead at event-batch size (the streaming /
-        # huge-batch path sizes partitions upstream via the events
-        # relation itself)
-        enriched = enriched.coalesce(4).persist()
+        # per scan — pure overhead at event-batch size. The slice
+        # count scales with the EVENT RELATION's own input splits
+        # (floor 4) instead of a constant: a million-table catalog's
+        # event batch arrives as many splits and keeps proportional
+        # parallelism through the winner relation, while the common
+        # metadata-sized batch stays at 4. parsed is the eager
+        # localCheckpoint above, so its JVM-side partition count is
+        # free (no job, no Python serialization pipeline).
+        n_slices = max(4, parsed._jdf.rdd().getNumPartitions() // 8)
+        enriched = enriched.coalesce(n_slices).persist()
         if enriched_fill == "async":
             from ..concurrency import run_overlapped
 

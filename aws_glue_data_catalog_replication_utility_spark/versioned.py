@@ -62,6 +62,67 @@ class VersionConflict(RuntimeError):
     """Another writer committed this version first — reread and retry."""
 
 
+class PosixLinkLogStore:
+    """Default publish backend: `os.link` is atomic create-if-absent
+    on every POSIX filesystem — exactly the mutual-exclusion the
+    commit needs, with no extra service. Not available on object
+    stores (S3/GCS have no hard link); see ConditionalPutLogStore."""
+
+    def publish(self, tmp: str, target: str) -> bool:
+        """Atomically publish the fully-written local file `tmp` as
+        `target` iff `target` does not exist. True = this writer won;
+        False = the key was already taken (lose the race loudly).
+        `tmp` may or may not be consumed — callers clean it up."""
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+
+
+class ConditionalPutLogStore:
+    """Object-store-shaped publish backend: emulates a conditional PUT
+    (S3 `If-None-Match: *` / GCS `ifGenerationMatch=0`) — an existence
+    check plus an atomic move under a per-log mutex. On a real object
+    store the mutex role is played by the store's own conditional-write
+    API or an external lock service (delta-spark's S3 LogStore uses
+    DynamoDB conditional writes; the reference's side channel relies on
+    the same primitive, DDBUtil.java:227-244 conditional put-item).
+    This impl coordinates through `fcntl.flock` on a sidecar lock file
+    so the protocol above it is exercised end-to-end without POSIX
+    hard-link semantics."""
+
+    def publish(self, tmp: str, target: str) -> bool:
+        import fcntl
+
+        lock_path = os.path.join(os.path.dirname(target), ".commit.lock")
+        with open(lock_path, "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(target):
+                    return False
+                os.rename(tmp, target)
+                return True
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+_LOG_STORE = PosixLinkLogStore()
+
+
+def set_log_store(store) -> object:
+    """Swap the atomic-publish backend (anything with
+    `publish(tmp, target) -> bool`); returns the previous one. The
+    ENTIRE commit protocol — manifests and checkpoints — routes its
+    one storage-dependent primitive through here, so porting the store
+    to S3/GCS means implementing one method, not re-auditing the
+    protocol."""
+    global _LOG_STORE
+    prev = _LOG_STORE
+    _LOG_STORE = store
+    return prev
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, "_txlog")
 
@@ -108,12 +169,15 @@ def _replay_full(
 ) -> tuple[list[str], dict | None, dict[str, str]]:
     """Live relative file paths at `version` (latest when None), the
     manifest whose state we landed on, and each live file's ORIGIN
-    schema (the schema of the commit that added it — what the bytes on
-    disk actually carry, needed for mixed-schema snapshot reads after
-    evolved appends). Replay starts from the newest CHECKPOINT at or
-    below the target version (its `live` list is the full state), then
-    applies the remaining manifests — O(one checkpoint +
-    versions-since-checkpoint), not O(all versions)."""
+    schema (the schema the bytes on disk actually carry, needed for
+    mixed-schema snapshot reads after evolved appends). A manifest's
+    added files default to its `schema`; manifests that re-add files
+    written under OLDER schemas (rollback) carry a per-file
+    `schemas`/`file_schema` map, same encoding as checkpoints. Replay
+    starts from the newest CHECKPOINT at or below the target version
+    (its `live` list is the full state), then applies the remaining
+    manifests — O(one checkpoint + versions-since-checkpoint), not
+    O(all versions)."""
     ms = _manifests(root)
     if version is not None and (not ms or version > ms[-1][0] or version < 1):
         raise ValueError(f"version {version} does not exist")
@@ -146,9 +210,13 @@ def _replay_full(
             if f in seen:
                 seen.discard(f)
                 origin.pop(f, None)
+        m_schemas = m.get("schemas") or []
+        m_fschema = m.get("file_schema") or {}
         for f in m.get("added", []):
             seen.add(f)
-            origin[f] = m["schema"]
+            origin[f] = (
+                m_schemas[m_fschema[f]] if f in m_fschema else m["schema"]
+            )
     if last is None:
         if version is not None:
             raise ValueError(f"version {version} does not exist")
@@ -176,9 +244,14 @@ def _stage_write(df: DataFrame, root: str) -> list[str]:
 
 
 def _commit(root: str, action: str, added: list[str], removed: list[str],
-            schema_json: str, meta: dict | None = None) -> int:
+            schema_json: str, meta: dict | None = None,
+            file_schema: dict[str, str] | None = None) -> int:
     """Atomically publish the next version; VersionConflict if a
-    concurrent writer took it."""
+    concurrent writer took it. `file_schema` (rel path -> schema json)
+    records per-file origin schemas for added files whose bytes were
+    written under a schema OTHER than `schema_json` (rollback re-adds
+    old-era files); encoded as a deduped `schemas` list + index map,
+    same as checkpoints."""
     log = _log_dir(root)
     os.makedirs(log, exist_ok=True)
     ms = _manifests(root)
@@ -196,6 +269,20 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
         "removed": removed,
         "schema": schema_json,
     }
+    if file_schema:
+        schemas: list[str] = []
+        sidx: dict[str, int] = {}
+        fmap: dict[str, int] = {}
+        for f, s in file_schema.items():
+            if s == schema_json:
+                continue  # default origin, no entry needed
+            if s not in sidx:
+                sidx[s] = len(schemas)
+                schemas.append(s)
+            fmap[f] = sidx[s]
+        if fmap:
+            body["schemas"] = schemas
+            body["file_schema"] = fmap
     if meta:
         body["meta"] = meta
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
@@ -205,13 +292,13 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
         os.fsync(fh.fileno())
     target = os.path.join(log, f"v{next_v:012d}.json")
     try:
-        os.link(tmp, target)  # atomic create-if-absent
-    except FileExistsError as e:
-        raise VersionConflict(
-            f"version {next_v} already committed at {root}"
-        ) from e
+        if not _LOG_STORE.publish(tmp, target):
+            raise VersionConflict(
+                f"version {next_v} already committed at {root}"
+            )
     finally:
-        os.unlink(tmp)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return next_v
 
 
@@ -308,9 +395,12 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     if not affected:
         return last["version"]  # no-op: nothing matched, no new version
     lub, lub_json = _table_lub(origin)
+    # survivors are rows where the predicate is NOT TRUE: a NULL
+    # predicate (e.g. NULL column values sharing a file with matches)
+    # must KEEP the row — `NOT (pred)` would evaluate NULL and drop it
     added = _rewrite_survivors(
         spark, rootabs, affected, origin, lub,
-        lambda df: df.where(f"NOT ({predicate})"),
+        lambda df: df.where(~F.coalesce(F.expr(predicate), F.lit(False))),
     )
     return _commit(root, "delete", added, affected, lub_json)
 
@@ -364,14 +454,27 @@ def read_versioned(
 def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     """Publish a NEW version whose live set equals `to_version`'s —
     history stays intact (audit > erasure, the reference's audit-table
-    posture)."""
-    old_live, old_last = _replay(root, to_version)
+    posture). Re-added files keep their PER-FILE origin schemas from
+    the target version (recorded in the manifest's file_schema map):
+    stamping them all with the target's table schema would make later
+    mixed-schema reads open old-era bytes under the wrong schema."""
+    old_live, old_last, old_origin = _replay_full(root, to_version)
     cur_live, _ = _replay(root, None)
     if old_last is None:
         raise ValueError(f"version {to_version} does not exist")
-    added = [f for f in old_live if f not in set(cur_live)]
-    removed = [f for f in cur_live if f not in set(old_live)]
-    return _commit(root, "rollback", added, removed, old_last["schema"])
+    cur_set = set(cur_live)
+    old_set = set(old_live)
+    added = [f for f in old_live if f not in cur_set]
+    removed = [f for f in cur_live if f not in old_set]
+    # the rolled-back TABLE schema is the LUB across the target
+    # snapshot's origin schemas (empty snapshot: its manifest schema)
+    schema_json = (
+        _table_lub(old_origin)[1] if old_origin else old_last["schema"]
+    )
+    return _commit(
+        root, "rollback", added, removed, schema_json,
+        file_schema={f: old_origin[f] for f in added},
+    )
 
 
 def history(root: str) -> list[dict]:
@@ -389,12 +492,25 @@ def history(root: str) -> list[dict]:
     return out
 
 
-def vacuum(root: str, keep_last: int = 1) -> dict:
+def vacuum(
+    root: str, keep_last: int = 1, retention_seconds: float = 600.0
+) -> dict:
     """Reclaim space: keep every data file referenced by the last
     `keep_last` versions' SNAPSHOTS (time travel to them stays exact);
-    delete data files only reachable through older versions, all
-    crash debris in .staging/, and nothing else. Manifests all stay —
-    history remains auditable even where the data is gone."""
+    delete data files only reachable through older versions, crash
+    debris in .staging/, and nothing else. Manifests all stay —
+    history remains auditable even where the data is gone.
+
+    `retention_seconds` is the concurrent-writer guard (Delta's vacuum
+    retention): a live writer stages files and MOVES them into data/
+    BEFORE its manifest commits, so an unreferenced file younger than
+    the window may be a commit in flight, not debris — deleting it
+    would let the writer publish a manifest naming missing files.
+    Anything older than the window that is still unreferenced is
+    genuinely dead (no commit takes 10 minutes between move and
+    publish). Pass 0 only when no writer can be running."""
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     ms = _manifests(root)
@@ -405,19 +521,26 @@ def vacuum(root: str, keep_last: int = 1) -> dict:
     for v in keep_versions:
         live, _ = _replay(root, v)
         needed.update(live)
+    cutoff = time.time() - retention_seconds
     removed = 0
     ddir = _data_dir(root)
     if os.path.isdir(ddir):
         for n in sorted(os.listdir(ddir)):
             rel = os.path.join("data", n)
-            if rel not in needed:
-                os.remove(os.path.join(ddir, n))
+            full = os.path.join(ddir, n)
+            if rel not in needed and os.path.getmtime(full) <= cutoff:
+                os.remove(full)
                 removed += 1
     st = os.path.join(root, ".staging")
     staged = 0
     if os.path.isdir(st):
-        staged = len(os.listdir(st))
-        shutil.rmtree(st, ignore_errors=True)
+        for n in sorted(os.listdir(st)):
+            d = os.path.join(st, n)
+            if os.path.getmtime(d) <= cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+                staged += 1
+        if not os.listdir(st):
+            os.rmdir(st)
     return {"data_files_removed": removed, "staging_removed": staged}
 
 
@@ -481,7 +604,7 @@ def merge_into(
 
 
 def append_stream_batch(
-    df: DataFrame, batch_id: int, root: str
+    df: DataFrame, batch_id: int, root: str, query_id: str | None = None
 ) -> int | None:
     """foreachBatch sink body with EXACTLY-ONCE appends: a replayed
     micro-batch (same `batch_id` after a crash between sink write and
@@ -491,24 +614,42 @@ def append_stream_batch(
     for a skip/empty batch.
 
     Usage: `stream.writeStream.foreachBatch(
-        lambda b, i: append_stream_batch(b, i, root))`.
+        lambda b, i: append_stream_batch(b, i, root, query_id=ckpt))`.
 
-    The replay check walks the log NEWEST-FIRST and stops at the
-    first stream commit with a SMALLER batch id — batch ids are
-    monotonic, so nothing older can carry this one. A replayed batch
-    (always the most recent) is found in O(1) manifests; the
-    per-batch cost never grows with table history."""
+    `query_id` identifies the STREAM (any string stable across
+    restarts — the checkpoint location is the natural choice). Batch
+    ids are per-checkpoint, so when several streaming queries append
+    to one store their id ranges interleave; the replay check must
+    only match/stop on manifests from the SAME query or a replayed
+    batch of one stream could be masked (or falsely skipped) by
+    another's commits. With `query_id=None` the check spans all stream
+    commits — correct only under a one-stream-per-store discipline.
+
+    The replay check walks the log NEWEST-FIRST and stops at the first
+    same-query commit with a SMALLER batch id — batch ids are
+    monotonic per query, so nothing older can carry this one. A
+    replayed batch (always the query's most recent) is found in
+    O(other-queries'-interleaved-commits) manifests; the per-batch
+    cost never grows with table history."""
     for _, p in reversed(_manifests(root)):
         with open(p) as fh:
             m = json.load(fh)
-        bid = m.get("meta", {}).get("batch_id")
+        meta = m.get("meta", {})
+        bid = meta.get("batch_id")
+        if bid is None:
+            continue
+        if query_id is not None and meta.get("query_id") != query_id:
+            continue
         if bid == batch_id:
             return None  # replay: this batch already committed
-        if bid is not None and bid < batch_id:
+        if bid < batch_id:
             break
     if not df.limit(1).count():
         return None
-    return append(df, root, meta={"batch_id": batch_id})
+    meta_out: dict = {"batch_id": batch_id}
+    if query_id is not None:
+        meta_out["query_id"] = query_id
+    return append(df, root, meta=meta_out)
 
 
 def checkpoint(root: str) -> dict:
@@ -552,11 +693,12 @@ def checkpoint(root: str) -> dict:
         fh.flush()
         os.fsync(fh.fileno())
     try:
-        os.link(tmp, target)
-    except FileExistsError:
-        pass  # concurrent checkpoint of the same version: identical body
+        # losing the publish race is fine: a concurrent checkpoint of
+        # the same version wrote an identical body
+        _LOG_STORE.publish(tmp, target)
     finally:
-        os.unlink(tmp)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return {"version": v, "created": True, "n_live": len(live)}
 
 
@@ -579,7 +721,7 @@ def optimize(
     old files until vacuum."""
     import math as _math
 
-    live, last = _replay(root, None)
+    live, last, origin = _replay_full(root, None)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
     if not live:
@@ -596,8 +738,15 @@ def optimize(
     else:
         out = snap.coalesce(n_files)
     added = _stage_write(out, root)
+    # the rewritten bytes carry the snapshot LUB (read_versioned
+    # widens mixed-schema groups before the rewrite) — commit THAT,
+    # not last["schema"]: when live files span schema generations, or
+    # the widest append was not the latest, the latest manifest's
+    # schema is narrower than what was just written and later reads
+    # would open the new files under the wrong schema
+    _, lub_json = _table_lub(origin)
     return _commit(
-        root, "optimize", added, live, last["schema"],
+        root, "optimize", added, live, lub_json,
         {"target_file_bytes": target_file_bytes,
          "zorder_by": zorder_by or []},
     )

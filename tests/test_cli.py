@@ -1142,7 +1142,8 @@ def test_cli_vstore_lifecycle(spark, tmp_path, capsys):
     assert run(["vstore", "--root", root, "--op", "read"])["rows"] == n
     hist = run(["vstore", "--root", root, "--op", "history"])
     assert [h["action"] for h in hist] == ["append", "delete", "rollback"]
-    run(["vstore", "--root", root, "--op", "vacuum", "--keep-last", "1"])
+    run(["vstore", "--root", root, "--op", "vacuum", "--keep-last", "1",
+         "--retention-seconds", "0"])
     assert run(["vstore", "--root", root, "--op", "read"])["rows"] == n
 
 

@@ -792,3 +792,57 @@ def test_fanout_target_failure_semantics(spark, tmp_path):
             spark, events, {"1": (d_ok, t_ok, p_ok)},
             side_channel_path=side, on_error="rollback",
         )
+
+
+def test_winner_relation_parallelism_scales_with_input_slices(spark):
+    """The enriched winner relation's slice count derives from the
+    event relation's own input splits (floor 4), not a constant: a
+    metadata-sized batch funnels to 4 slices; a batch arriving as many
+    splits (the million-table-catalog shape) keeps proportional
+    parallelism through every downstream consumer."""
+    from aws_glue_data_catalog_replication_utility_spark.plans.importer import (
+        parse_events,
+    )
+
+    payload = (
+        '{"table": {"database_name": "d1", "name": "t%d", "owner": "o", '
+        '"retention": 0, "table_type": "EXTERNAL_TABLE", "parameters": {}, '
+        '"partition_keys": [], '
+        '"storage_descriptor": {"location": "s3://x"}}, "partition_list": []}'
+    )
+    schema = (
+        "event_id string, message_type string, source_catalog_id string, "
+        "export_batch_id string, payload string, bucket_name string, "
+        "region_name string"
+    )
+    rows = [
+        (f"e{i}", "table", "111", "b1", payload % i, None, None)
+        for i in range(64)
+    ]
+
+    # the derived slice count is applied via coalesce (never a second
+    # shuffle), so it is additionally capped by shuffle.partitions —
+    # raise it past the derived counts for the duration so the scaling
+    # itself is observable (any real deployment runs with far more)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        small = parse_events(
+            spark, spark.createDataFrame(rows, schema).coalesce(2)
+        )
+        try:
+            assert small.incoming_tables.rdd.getNumPartitions() == 4
+        finally:
+            for m in small.materialized:
+                m.unpersist()
+
+        wide = parse_events(
+            spark, spark.createDataFrame(rows, schema).repartition(64)
+        )
+        try:
+            assert wide.incoming_tables.rdd.getNumPartitions() == 8
+        finally:
+            for m in wide.materialized:
+                m.unpersist()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

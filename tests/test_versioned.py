@@ -32,6 +32,21 @@ def orders(spark):
     )
 
 
+@pytest.fixture(params=["posix-link", "conditional-put"])
+def log_store(request):
+    """Run commit-protocol tests against BOTH publish backends: the
+    POSIX hard-link default and the object-store-shaped conditional
+    put — the protocol above the seam must not care which."""
+    store = (
+        V.PosixLinkLogStore()
+        if request.param == "posix-link"
+        else V.ConditionalPutLogStore()
+    )
+    prev = V.set_log_store(store)
+    yield request.param
+    V.set_log_store(prev)
+
+
 def test_append_overwrite_time_travel_and_history(spark, orders, tmp_path):
     root = str(tmp_path / "t")
     a = orders.where("o_orderkey % 3 = 0")
@@ -82,7 +97,7 @@ def test_delete_where_rewrites_only_affected_files(spark, orders, tmp_path):
     assert V.delete_where(spark, root, "o_custkey < 0") == 2
 
 
-def test_version_conflict_and_crash_debris(spark, orders, tmp_path):
+def test_version_conflict_and_crash_debris(spark, orders, tmp_path, log_store):
     root = str(tmp_path / "t")
     V.append(orders, root)
 
@@ -111,7 +126,7 @@ def test_version_conflict_and_crash_debris(spark, orders, tmp_path):
     os.makedirs(os.path.join(root, ".staging", "dead"), exist_ok=True)
     assert _ids(V.read_versioned(spark, root)) == _ids(orders)
 
-    rep = V.vacuum(root, keep_last=2)
+    rep = V.vacuum(root, keep_last=2, retention_seconds=0.0)
     assert rep["data_files_removed"] >= 1  # the orphan (+ any leaked adds)
     assert rep["staging_removed"] == 1
     assert not os.path.isdir(os.path.join(root, ".staging"))
@@ -133,7 +148,7 @@ def test_rollback_and_vacuum_expiry(spark, orders, tmp_path):
 
     # vacuum keeping only the latest: v2's exclusive files go away,
     # latest snapshot still bit-exact
-    rep = V.vacuum(root, keep_last=1)
+    rep = V.vacuum(root, keep_last=1, retention_seconds=0.0)
     assert rep["data_files_removed"] >= 1
     assert _ids(V.read_versioned(spark, root)) == _ids(a)
     # the expired snapshot's data is gone (reads of v2 now fail)
@@ -468,7 +483,9 @@ def test_append_checked_gates_bad_batches(spark, tmp_path):
     assert V.read_versioned(spark, root).count() == 2
 
 
-def test_append_with_retry_survives_writer_race(spark, orders, tmp_path):
+def test_append_with_retry_survives_writer_race(
+    spark, orders, tmp_path, log_store
+):
     """A conflicted append re-commits its staged files under the next
     version — both writers' rows land, no duplicates, no restage."""
     from aws_glue_data_catalog_replication_utility_spark.versioned import (
@@ -510,3 +527,128 @@ def test_append_with_retry_survives_writer_race(spark, orders, tmp_path):
     assert v == 3
     assert V.read_versioned(spark, root).count() == 15
     assert [h["version"] for h in V.history(root)] == [1, 2, 3]
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """DELETE only removes rows where the predicate is TRUE: rows
+    where it evaluates NULL (NULL column values sharing a file with
+    real matches) must SURVIVE the rewrite — `NOT (pred)` would
+    silently drop them."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 50)],
+        "k int, v int",
+    )
+    V.append(df.coalesce(1), root)  # one file: NULLs share it
+    v2 = V.delete_where(spark, root, "v > 20")
+    assert v2 == 2
+    got = {(r.k, r.v) for r in V.read_versioned(spark, root).collect()}
+    # 3 and 5 deleted (TRUE); 1 (FALSE), 2 and 4 (NULL) kept
+    assert got == {(1, 10), (2, None), (4, None)}
+
+
+def test_rollback_preserves_per_file_origin_schemas(spark, tmp_path):
+    """Rollback across schema generations: the re-added old-era files
+    must be read under THEIR schemas, not the target version's table
+    schema — otherwise mixed-schema reads silently drop/misread the
+    evolved columns."""
+    root = str(tmp_path / "t")
+    V.append(spark.createDataFrame([(1, 10)], "k int, v int"), root)   # v1
+    V.append(
+        spark.createDataFrame([(2, 2**40, "x")], "k int, v long, note string"),
+        root,
+    )                                                                  # v2
+    V.overwrite(spark.createDataFrame([(9, 9)], "k int, v int"), root)  # v3
+    V.rollback(spark, root, 2)                                         # v4
+
+    got = V.read_versioned(spark, root)
+    assert [f.name for f in got.schema.fields] == ["k", "v", "note"]
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert {r.k: (r.v, r.note) for r in got.collect()} == {
+        1: (10, None), 2: (2**40, "x"),
+    }
+    # the manifest records per-file origins, not one blanket schema
+    m = json.load(open(os.path.join(root, "_txlog", "v000000000004.json")))
+    assert m["action"] == "rollback" and m.get("file_schema")
+    # a checkpoint after the rollback keeps the same read
+    V.checkpoint(root)
+    got2 = V.read_versioned(spark, root)
+    assert {r.k: (r.v, r.note) for r in got2.collect()} == {
+        1: (10, None), 2: (2**40, "x"),
+    }
+
+
+def test_optimize_commits_snapshot_lub_not_latest_schema(spark, tmp_path):
+    """OPTIMIZE writes the LUB-widened snapshot; when the WIDEST append
+    is not the LATEST, committing the latest manifest's schema would
+    tag the rewritten bytes too narrow and later reads would misread
+    them. The commit must carry the snapshot LUB."""
+    root = str(tmp_path / "t")
+    V.append(
+        spark.createDataFrame([(1, 2**40, "x")], "k int, v long, note string"),
+        root,
+    )                                                                  # wide v1
+    V.append(spark.createDataFrame([(2, 20)], "k int, v int"), root)   # narrow v2
+    before = {r.k: (r.v, r["note"]) for r in V.read_versioned(spark, root).collect()}
+    v3 = V.optimize(spark, root, target_file_bytes=1 << 30)
+    assert v3 == 3
+    m = json.load(open(os.path.join(root, "_txlog", "v000000000003.json")))
+    fields = {f["name"]: f["type"] for f in json.loads(m["schema"])["fields"]}
+    assert fields == {"k": "integer", "v": "long", "note": "string"}
+    got = V.read_versioned(spark, root)
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert {r.k: (r.v, r.note) for r in got.collect()} == before
+    # ... and an evolved append AFTER the optimize still mixes cleanly
+    V.append(spark.createDataFrame([(3, 30)], "k int, v int"), root)
+    got2 = V.read_versioned(spark, root)
+    assert {r.k for r in got2.collect()} == {1, 2, 3}
+
+
+def test_vacuum_retention_protects_inflight_writer_files(spark, tmp_path):
+    """The concurrent-writer guard: an unreferenced data file YOUNGER
+    than the retention window is a possible commit-in-flight and must
+    survive vacuum; once aged past the window it is debris and goes."""
+    root = str(tmp_path / "t")
+    V.append(spark.createDataFrame([(1,)], "k int"), root)
+    # a writer mid-commit: file moved into data/, manifest not yet up
+    inflight = os.path.join(root, "data", "zz-inflight-0.parquet")
+    open(inflight, "wb").close()
+    stage = os.path.join(root, ".staging", "live-writer")
+    os.makedirs(stage)
+
+    rep = V.vacuum(root, keep_last=1)  # default retention window
+    assert rep == {"data_files_removed": 0, "staging_removed": 0}
+    assert os.path.exists(inflight) and os.path.isdir(stage)
+
+    # age both past the window -> genuinely dead, reclaimed
+    old = 1.0
+    os.utime(inflight, (old, old))
+    os.utime(stage, (old, old))
+    rep2 = V.vacuum(root, keep_last=1)
+    assert rep2 == {"data_files_removed": 1, "staging_removed": 1}
+    assert not os.path.exists(inflight) and not os.path.isdir(stage)
+    assert V.read_versioned(spark, root).count() == 1
+
+
+def test_append_stream_batch_two_queries_one_store(spark, orders, tmp_path):
+    """Two streaming queries (independent checkpoints, interleaved
+    batch-id ranges) appending to ONE store: each query's replay guard
+    scopes to its own commits — another query's higher/lower batch ids
+    neither mask a replay nor falsely skip a first-time batch."""
+    root = str(tmp_path / "t")
+    b = [orders.where(f"o_orderkey % 4 = {i}").limit(3) for i in range(4)]
+
+    assert V.append_stream_batch(b[0], 0, root, query_id="qA") == 1
+    assert V.append_stream_batch(b[1], 5, root, query_id="qB") == 2
+    # qA batch 0 replay: qB's bid=5 > 0 must not break the walk early
+    assert V.append_stream_batch(b[0], 0, root, query_id="qA") is None
+    # qA batch 1 first time: qB's bid=5 must not mask it... and a
+    # LOWER other-query bid must not stop the scan either
+    assert V.append_stream_batch(b[2], 1, root, query_id="qA") == 3
+    assert V.append_stream_batch(b[3], 6, root, query_id="qB") == 4
+    # replays of both queries' latest batches are recognized
+    assert V.append_stream_batch(b[2], 1, root, query_id="qA") is None
+    assert V.append_stream_batch(b[3], 6, root, query_id="qB") is None
+    assert len(V.history(root)) == 4
+    n = sum(x.count() for x in b)
+    assert V.read_versioned(spark, root).count() == n

@@ -36,14 +36,28 @@ def _op_strategy():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("backend", ["posix-link", "conditional-put"])
 @settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_op_strategy())
-def test_versioned_store_matches_model(spark, tmp_path_factory, ops):
+def test_versioned_store_matches_model(spark, tmp_path_factory, backend, ops):
     root = str(tmp_path_factory.mktemp("prop") / "t")
+    store = (
+        V.PosixLinkLogStore()
+        if backend == "posix-link"
+        else V.ConditionalPutLogStore()
+    )
+    prev = V.set_log_store(store)
+    try:
+        _run_model(spark, root, ops)
+    finally:
+        V.set_log_store(prev)
+
+
+def _run_model(spark, root, ops):
 
     def mk(rows):
         # duplicate keys inside one batch are allowed for append but
