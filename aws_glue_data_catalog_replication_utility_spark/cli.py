@@ -278,6 +278,30 @@ def main(argv: list[str] | None = None) -> int:
                           "the only batch a restart can re-deliver)")
     sdc.add_argument("--rows-per-file", type=int, default=4_000_000)
 
+    ncl = sub.add_parser(
+        "dedup-close",
+        help="transitive closure over a STOPPED stream-dedup state: "
+             "connected components across every accumulated signature "
+             "(keepers + dropped docs) so greedy chains A~B~C converge "
+             "to one keeper; rewrites only the affected decision and "
+             "signature directories",
+    )
+    ncl.add_argument("--state-root", required=True)
+    ncl.add_argument("--threshold", type=float, default=0.7)
+    ncl.add_argument("--num-hashes", type=int, default=12)
+
+    scl = sub.add_parser(
+        "semdedup-close",
+        help="transitive closure over a STOPPED stream-sem-dedup "
+             "state: connected components across every accumulated "
+             "embedding (index keepers + dropped docs' cold vectors); "
+             "demoted keepers leave the ANN index, promoted ones join",
+    )
+    scl.add_argument("--state-root", required=True)
+    scl.add_argument("--index-root", required=True)
+    scl.add_argument("--threshold", type=float, default=0.9)
+    scl.add_argument("--pair-blocks", type=int, default=8)
+
     c = sub.add_parser(
         "clean",
         help="LLM-corpus cleaning: boilerplate paragraph removal -> "
@@ -1781,6 +1805,33 @@ def main(argv: list[str] | None = None) -> int:
             state_root=args.state_root,
             keep_last=args.keep_last,
             rows_per_file=args.rows_per_file,
+        )
+        print(_json.dumps(report))
+
+    elif args.job == "dedup-close":
+        import json as _json
+
+        from .streaming.close import close_near_dedup_state
+
+        report = close_near_dedup_state(
+            spark,
+            state_root=args.state_root,
+            num_hashes=args.num_hashes,
+            threshold=args.threshold,
+        )
+        print(_json.dumps(report))
+
+    elif args.job == "semdedup-close":
+        import json as _json
+
+        from .streaming.close import close_semantic_dedup_state
+
+        report = close_semantic_dedup_state(
+            spark,
+            state_root=args.state_root,
+            index_root=args.index_root,
+            threshold=args.threshold,
+            pair_blocks=args.pair_blocks,
         )
         print(_json.dumps(report))
 

@@ -130,7 +130,18 @@ def jaccard_pairs(
 # (pairwise-independent family), ~k/1 cheaper than k salted md5 calls.
 # P = 2^61-1 (Mersenne); a_i < 2^28 keeps a*h < 2^60: no int64 overflow,
 # so DuckDB's BIGINT arithmetic reproduces every value bit-exactly.
-MINHASH_P = (1 << 61) - 1
+# Mersenne modulus for the MinHash permutation family. MUST be small
+# enough that a_i*h + b_i actually WRAPS: with the 2^61-1 modulus this
+# family originally used, a <= ~2e8 and h < 2^32 gave a*h + b < P
+# ALWAYS, so every "permutation" was monotone in h, all num_hashes
+# components shared one argmin shingle, and the Jaccard estimator
+# degenerated to {0, 1} ("do the docs share the globally-min-md5
+# shingle") — exact-dup pairs and the DuckDB twins still agreed (both
+# sides computed the same degenerate value), which is how it survived
+# seven rounds. With 2^31-1 the products (~8.6e17) wrap ~4e8 times
+# while staying far inside int64 (and DuckDB BIGINT), restoring a real
+# min-wise family with est granularity 1/num_hashes.
+MINHASH_P = (1 << 31) - 1
 MINHASH_AB: tuple[tuple[int, int], ...] = (
     (87178291, 40014), (143906717, 2531011), (16807, 9999999),
     (48271, 1013904223), (69621, 1655692), (181081, 97531),

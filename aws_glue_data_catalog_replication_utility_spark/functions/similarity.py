@@ -153,6 +153,58 @@ def sign_lsh_candidates(
     )
 
 
+def _semantic_pair_plan(
+    embeddings: DataFrame,
+    threshold: float,
+    assignments: DataFrame,
+    pair_blocks: int,
+    id_col: str,
+    vec_col: str,
+):
+    """The shared pair-generation plan of semantic_dedup and the
+    streaming closure pass: unit-normalize once per row, blocked
+    intra-cluster triangle join, exact cosine filter. Returns
+    (assigned-unit-vector relation `e`, pair relation
+    (id_col > dup_of, cosine >= threshold))."""
+    v = F.col(vec_col).cast("array<double>")
+    # zero vectors (e.g. empty docs through hashed_tf_embedding) unit-
+    # normalize to the zero vector — cosine 0 against everything, never
+    # a duplicate (ANSI mode would raise DIVIDE_BY_ZERO unguarded)
+    raw_norm = F.sqrt(_fold_norm2(v))
+    nrm = F.when(raw_norm == 0, F.lit(1.0)).otherwise(raw_norm)
+    unit = F.transform(v, lambda x: x / nrm)
+    e = embeddings.select(F.col(id_col), unit.alias("__u")).join(
+        assignments.select(id_col, "cluster"), on=id_col
+    )
+    blocks = F.array(*[F.lit(j) for j in range(pair_blocks)])
+    bucket = F.pmod(F.hash(F.col(id_col)), F.lit(pair_blocks))
+    a = e.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__u").alias("__ua"),
+        "cluster",
+        bucket.alias("__k1"),
+        F.explode(blocks).alias("__k2"),
+    )
+    b = e.select(
+        F.col(id_col).alias("__idb"),
+        F.col("__u").alias("__ub"),
+        "cluster",
+        F.explode(blocks).alias("__k1"),
+        bucket.alias("__k2"),
+    )
+    pairs = (
+        a.join(b, on=["cluster", "__k1", "__k2"])
+        .where(F.col("__ida") > F.col("__idb"))
+        .select(
+            F.col("__ida").alias(id_col),
+            F.col("__idb").alias("dup_of"),
+            _fold_dot(F.col("__ua"), F.col("__ub")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return e, pairs
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float,
@@ -209,41 +261,8 @@ def semantic_dedup(
         assignments = ivf_assignments(
             embeddings, n_seeds=n_seeds, id_col=id_col, vec_col=vec_col
         )
-    v = F.col(vec_col).cast("array<double>")
-    # zero vectors (e.g. empty docs through hashed_tf_embedding) unit-
-    # normalize to the zero vector — cosine 0 against everything, never
-    # a duplicate (ANSI mode would raise DIVIDE_BY_ZERO unguarded)
-    raw_norm = F.sqrt(_fold_norm2(v))
-    nrm = F.when(raw_norm == 0, F.lit(1.0)).otherwise(raw_norm)
-    unit = F.transform(v, lambda x: x / nrm)
-    e = embeddings.select(F.col(id_col), unit.alias("__u")).join(
-        assignments.select(id_col, "cluster"), on=id_col
-    )
-    blocks = F.array(*[F.lit(j) for j in range(pair_blocks)])
-    bucket = F.pmod(F.hash(F.col(id_col)), F.lit(pair_blocks))
-    a = e.select(
-        F.col(id_col).alias("__ida"),
-        F.col("__u").alias("__ua"),
-        "cluster",
-        bucket.alias("__k1"),
-        F.explode(blocks).alias("__k2"),
-    )
-    b = e.select(
-        F.col(id_col).alias("__idb"),
-        F.col("__u").alias("__ub"),
-        "cluster",
-        F.explode(blocks).alias("__k1"),
-        bucket.alias("__k2"),
-    )
-    pairs = (
-        a.join(b, on=["cluster", "__k1", "__k2"])
-        .where(F.col("__ida") > F.col("__idb"))
-        .select(
-            F.col("__ida").alias(id_col),
-            F.col("__idb").alias("dup_of"),
-            _fold_dot(F.col("__ua"), F.col("__ub")).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    e, pairs = _semantic_pair_plan(
+        embeddings, threshold, assignments, pair_blocks, id_col, vec_col
     )
     from pyspark.sql import Window
 

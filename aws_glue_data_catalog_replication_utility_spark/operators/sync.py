@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_SYNC_KEYS = ("database_name", "table_name")
 
@@ -33,6 +33,7 @@ def full_refresh_sync(
     exported_tables: DataFrame,
     target_parts: DataFrame,
     keys: Sequence[str] = DEFAULT_SYNC_KEYS,
+    broadcast_scope: bool = True,
 ) -> DataFrame:
     """New target partition state.
 
@@ -40,9 +41,28 @@ def full_refresh_sync(
     delete-all case even when the table's exported partition set is
     empty — presence of the TABLE in the export, not of partitions, is
     what triggers the wipe, GDCUtil.java:69-79).
-    """
+
+    broadcast_scope=True (default) pins the anti-join strategy: the
+    scope is ONE ROW PER EXPORTED TABLE — metadata-sized by
+    construction — so broadcasting it means the partition relation (the
+    big, skew-prone side: one table can hold millions of partitions)
+    NEVER shuffles on the sync key at all; a hot (db, table) key cannot
+    hurt a join whose big side never exchanges. Pass False only for a
+    catalog so large the table list itself breaks broadcast (millions
+    of exported tables); that path shuffles both sides and relies on
+    AQE's skew-join to split the hot key (pinned in tests)."""
     keys = list(keys)
     scope = exported_tables.select(*keys).dropDuplicates(keys)
+    if broadcast_scope:
+        scope = F.broadcast(scope)
+    else:
+        # cut the dedup aggregate out of the join's right child: AQE's
+        # skew-join only splits an SMJ whose children are sorts
+        # DIRECTLY over shuffle stages — with the aggregate in between,
+        # the rule can't match and the hot (db, table) key's partition
+        # would run as one straggler task. The scope is metadata-sized
+        # (one row per exported table), so materializing it is cheap.
+        scope = scope.localCheckpoint(eager=True)
     kept = target_parts.join(scope, on=keys, how="left_anti")
     return kept.unionByName(exported_parts, allowMissingColumns=False)
 

@@ -492,34 +492,100 @@ def q11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 12. scalar string/date functions (#16 object-key generation)
+# 12. transactional versioned store lifecycle (r08 registry rotation: the
+# object-key string scalars that held this slot ride q34's export path and
+# its e2e suite; the txlog store — the round's largest component — gets the
+# driver-oracle row instead. The DuckDB twin reconstructs every version's
+# snapshot with pure set ops, so append/MERGE/DELETE/time-travel are all
+# value-checked, not just row-counted.)
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "q12_object_keys",
+    "q12_vstore_lifecycle",
     oracle="""
-    SELECT o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') || '_' || CAST(o_orderkey AS VARCHAR)
-             || '_' || lower(o_orderpriority) || '.txt' AS object_key
-    FROM orders WHERE o_orderstatus = 'O'
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL SELECT -1, -1, 42.0
+    ),
+    v1 AS (SELECT * FROM base),
+    v2 AS (
+      SELECT * FROM v1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+    ),
+    v3 AS (SELECT * FROM v2 WHERE o_custkey % 7 <> 0)
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(CASE WHEN o_orderkey < 0 THEN 1 END) AS n_inserted
+    FROM v1
+    UNION ALL
+    SELECT 2, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+           COUNT(CASE WHEN o_orderkey < 0 THEN 1 END)
+    FROM v2
+    UNION ALL
+    SELECT 3, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+           COUNT(CASE WHEN o_orderkey < 0 THEN 1 END)
+    FROM v3
     """,
 )
-def q12_object_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Side-channel object-key generation
-    (yyyy-MM-dd_<id>_<...>.txt, ExportLargeTable.java:97-101)."""
+def q12_vstore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-store lifecycle (versioned.py — the engine's owned
+    table format, standing in for the reference's replicate-then-serve
+    target tables): append a base snapshot, MERGE an update batch
+    (matched keys replaced + one insert), DELETE by predicate, then
+    read EVERY version back by time travel and aggregate each — the
+    returned relation is one row per version, value-checked against a
+    DuckDB reconstruction of the same lifecycle."""
+    import tempfile
+
+    from . import versioned as V
+
     (orders,) = _t(spark, sf_dir, "orders")
-    return orders.where(F.col("o_orderstatus") == "O").select(
-        "o_orderkey",
-        F.concat(
-            F.date_format("o_orderdate", "yyyy-MM-dd"),
-            F.lit("_"),
-            F.col("o_orderkey").cast("string"),
-            F.lit("_"),
-            F.lower("o_orderpriority"),
-            F.lit(".txt"),
-        ).alias("object_key"),
+    base = orders.where("o_orderkey % 5 = 0").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
+    # the driver may collect the returned frame long after this call:
+    # the store directory must outlive the function (tmp, driver-owned)
+    root = tempfile.mkdtemp(prefix="q12_vstore_") + "/t"
+    V.append(base, root)  # v1
+    upd = (
+        orders.where("o_orderkey % 10 = 0")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.sparkSession.createDataFrame(
+                [(-1, -1, 42.0)],
+                "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+            )
+        )
+    )
+    V.merge_into(spark, root, upd, ["o_orderkey"])  # v2
+    V.delete_where(spark, root, "o_custkey % 7 = 0")  # v3
+
+    out = None
+    for v in (1, 2, 3):
+        snap = V.read_versioned(spark, root, v)
+        agg = snap.agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.when(F.col("o_orderkey") < 0, 1)).alias("n_inserted"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,35 @@ class FileEventSource:
         return reader.json(self.path)
 
 
+@dataclass
+class FileStreamSource:
+    """Generic TYPED directory file-stream source — the doc/blob/record
+    plane's analogue of FileEventSource (which is pinned to the import
+    MESSAGE envelope): any schema, any format Spark's readStream
+    supports. Every streaming loop (embed, near-dedup, sem-dedup,
+    media, quality gate, score) takes one of these via `source=`, so
+    swapping the sandbox's file bus for Kafka is ONE constructor change
+    per deployment, not an edit per loop — the same bus-agnostic
+    dispatch shape the reference gets from SNS fan-out
+    (ExportDatabaseWithTables.java:140-142)."""
+
+    path: str
+    schema: str
+    format: str = "json"
+    max_files_per_trigger: int | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.readStream.schema(self.schema)
+        if self.max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.max_files_per_trigger)
+            )
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        return reader.format(self.format).load(self.path)
+
+
 def decode_kafka_events(raw: DataFrame) -> DataFrame:
     """Kafka records -> MESSAGE envelope. `raw` has the connector's
     schema (key binary, value binary, topic, partition, offset, ...).

@@ -247,6 +247,16 @@ def start_near_dedup_stream(
             keepers.write.mode("overwrite").parquet(
                 f"{sig_root}/batch_id={batch_id}"
             )
+            # --- 5. dropped docs' signatures land in the COLD log —
+            # never probed by the stream, but the closure pass
+            # (streaming/close.close_near_dedup_state) needs them: a
+            # chain A~B~C where B was dropped is only discoverable if
+            # B's signatures survive somewhere. Same overwrite-on-
+            # replay discipline as the store.
+            banded.join(dups.select("doc_id"), on="doc_id", how="left_semi")\
+                .write.mode("overwrite").parquet(
+                    f"{state_root}/dup_signatures/batch_id={batch_id}"
+                )
         finally:
             banded.unpersist()
 
@@ -305,17 +315,18 @@ def _complete_compaction(state_root: str, manifest: dict) -> None:
     import shutil
 
     tmp_root = f"{state_root}/{_COMPACT_TMP}"
-    sig = manifest.get("signatures")
-    if sig is not None:
-        tmp_dir = f"{tmp_root}/signatures/batch_id={sig['target']}"
-        dest = f"{state_root}/signatures/batch_id={sig['target']}"
-        if os.path.exists(tmp_dir):
-            for b in sig["sources"]:
-                src = f"{state_root}/signatures/batch_id={b}"
-                if os.path.exists(src):
-                    shutil.rmtree(src)
-            os.rename(tmp_dir, dest)
-        # else: already swapped in a prior (crashed) completion
+    for plane in ("signatures", "dup_signatures"):
+        sig = manifest.get(plane)
+        if sig is not None:
+            tmp_dir = f"{tmp_root}/{plane}/batch_id={sig['target']}"
+            dest = f"{state_root}/{plane}/batch_id={sig['target']}"
+            if os.path.exists(tmp_dir):
+                for b in sig["sources"]:
+                    src = f"{state_root}/{plane}/batch_id={b}"
+                    if os.path.exists(src):
+                        shutil.rmtree(src)
+                os.rename(tmp_dir, dest)
+            # else: already swapped in a prior (crashed) completion
     for b in manifest.get("decisions", []):
         tmp_dir = f"{tmp_root}/decisions/batch_id={b}"
         dest = f"{state_root}/decisions/batch_id={b}"
@@ -377,19 +388,27 @@ def compact_dedup_state(
     }
 
     manifest: dict = {}
-    sig_ids = _batch_dirs(sig_root)
-    sig_comp = sig_ids[: len(sig_ids) - keep_last] if keep_last > 0 else sig_ids
-    if len(sig_comp) >= 2:
-        target = sig_comp[-1]
-        merged = spark.read.parquet(
-            *[f"{sig_root}/batch_id={b}" for b in sig_comp]
+    # both signature planes compact the same way: the stream's hot
+    # probe store and the closure pass's cold dropped-doc log (never
+    # probed per batch, but a long-lived stream accretes its dirs at
+    # the same rate)
+    for plane in ("signatures", "dup_signatures"):
+        plane_root = f"{state_root}/{plane}"
+        sig_ids = _batch_dirs(plane_root)
+        sig_comp = (
+            sig_ids[: len(sig_ids) - keep_last] if keep_last > 0 else sig_ids
         )
-        n = merged.count()
-        nf = max(1, -(-n // rows_per_file))
-        merged.coalesce(nf).write.mode("overwrite").parquet(
-            f"{tmp_root}/signatures/batch_id={target}"
-        )
-        manifest["signatures"] = {"sources": sig_comp, "target": target}
+        if len(sig_comp) >= 2:
+            target = sig_comp[-1]
+            merged = spark.read.parquet(
+                *[f"{plane_root}/batch_id={b}" for b in sig_comp]
+            )
+            n = merged.count()
+            nf = max(1, -(-n // rows_per_file))
+            merged.coalesce(nf).write.mode("overwrite").parquet(
+                f"{tmp_root}/{plane}/batch_id={target}"
+            )
+            manifest[plane] = {"sources": sig_comp, "target": target}
 
     dec_ids = _batch_dirs(dec_root)
     dec_comp = [

@@ -216,6 +216,16 @@ def start_semantic_dedup_stream(
                 dups.select(F.col("doc_id").alias(id_col)), on=id_col, how="left_anti"
             ).select(F.col(id_col).alias(vec_id), "embedding")
             append_to_ann_index(spark, keepers, index_root)
+            # --- 5. dropped docs' embeddings land in the COLD log for
+            # the closure pass (streaming/close): transitive chains
+            # through dropped docs are only discoverable if their
+            # vectors survive. Overwrite-on-replay, same as decisions.
+            emb.join(
+                dups.select(F.col("doc_id").alias(id_col)), on=id_col,
+                how="left_semi",
+            ).select(F.col(id_col).alias(vec_id), "embedding").write.mode(
+                "overwrite"
+            ).parquet(f"{state_root}/dup_vectors/batch_id={batch_id}")
         finally:
             emb.unpersist()
 

@@ -1,0 +1,235 @@
+"""Transitive-closure maintenance for the streaming dedup loops
+(streaming/close.py).
+
+The attack surface is the greedy-vs-closure gap: a chain A~B~C whose
+members never co-batch (and whose ends don't match each other) leaves
+the stream with TWO keepers; the close pass must fold it to one,
+rewrite only what changed, keep the stream serviceable afterwards, and
+converge under repeated passes (the documented contract for arrivals
+that matched a demoted member).
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark.streaming.close import (
+    close_near_dedup_state,
+    close_semantic_dedup_state,
+)
+
+TX = "the quick brown fox jumps over the lazy dog near the river bank today"
+TZ = (
+    "streaming state stores maintain watermark progress across micro "
+    "batch executions during failures"
+)
+
+
+def _write_batch(spark, docs_dir: str, name: str, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{docs_dir}/f={name}")
+
+
+def _store_ids(spark, root: str) -> set:
+    if not os.path.isdir(root):
+        return set()
+    return {
+        r.doc_id
+        for r in spark.read.option("basePath", root)
+        .parquet(root)
+        .select("doc_id")
+        .dropDuplicates()
+        .collect()
+    }
+
+
+def test_near_dedup_close_folds_chain_and_keeps_stream_consistent(
+    spark, tmp_path
+):
+    """A~B~C across three single-doc batches (A,C never co-batched,
+    est(A,C)=0): the stream greedily keeps A and C; dedup-close folds
+    the component to ONE keeper, moves signatures so the store holds
+    exactly the closed keepers, is idempotent, keeps leakage_safe_split
+    chain-homogeneous, and a later smaller-id exact dup PROMOTES into
+    keeperhood on the next pass (demoting the old keeper)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.sampling import (
+        leakage_safe_split,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.streaming.neardedup import (
+        read_dedup_decisions,
+        start_near_dedup_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    _write_batch(spark, docs_dir, "0", [(5, TX)])
+    _write_batch(spark, docs_dir, "1", [(6, TX + " " + TZ)])
+    _write_batch(spark, docs_dir, "2", [(7, TZ)])
+
+    def run(ckpt="ckpt"):
+        q = start_near_dedup_stream(
+            spark,
+            docs_path=docs_dir,
+            state_root=state,
+            checkpoint_path=str(tmp_path / ckpt),
+            num_hashes=12,
+            bands=12,  # rows=1: any equal component is a candidate
+            threshold=0.4,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run()
+    dec = {r.doc_id: r for r in read_dedup_decisions(spark, state).collect()}
+    # greedy stream: 6 dups 5 (est 0.5 >= 0.4); 7 never compared to the
+    # dropped 6, est(5,7)=0 -> TWO keepers, the chain is split
+    assert dec[5].keep and not dec[6].keep and dec[6].dup_of == 5
+    assert dec[7].keep
+    assert _store_ids(spark, f"{state}/signatures") == {5, 7}
+    assert _store_ids(spark, f"{state}/dup_signatures") == {6}
+
+    rep = close_near_dedup_state(spark, state, threshold=0.4)
+    assert rep["changed_verdicts"] == 1 and rep["docs"] == 3
+    dec = {r.doc_id: r for r in read_dedup_decisions(spark, state).collect()}
+    assert dec[5].keep
+    assert not dec[6].keep and dec[6].dup_of == 5 and dec[6].est == pytest.approx(0.5)
+    # the transitive member: linked through 6, no direct pair -> NULL est
+    assert not dec[7].keep and dec[7].dup_of == 5 and dec[7].est is None
+    # keeper state moved: store = closed keepers only
+    assert _store_ids(spark, f"{state}/signatures") == {5}
+    assert _store_ids(spark, f"{state}/dup_signatures") == {6, 7}
+
+    # idempotent: a second pass changes nothing
+    rep2 = close_near_dedup_state(spark, state, threshold=0.4)
+    assert rep2["changed_verdicts"] == 0
+    assert rep2["decision_dirs_rewritten"] == 0
+
+    # split-homogeneity over the closed clusters
+    labels = read_dedup_decisions(spark, state).select(
+        "doc_id", F.coalesce("dup_of", "doc_id").alias("label")
+    )
+    docs = spark.createDataFrame([(5,), (6,), (7,)], "doc_id long")
+    out = leakage_safe_split(docs, {"train": 50, "eval": 50}, labels=labels)
+    assert out.select("split").distinct().count() == 1
+
+    # the stream keeps serving over the closed state: a smaller-id
+    # exact dup of the keeper arrives, is flagged against the store...
+    _write_batch(spark, docs_dir, "3", [(1, TX)])
+    run()
+    dec = {r.doc_id: r for r in read_dedup_decisions(spark, state).collect()}
+    assert not dec[1].keep and dec[1].dup_of == 5 and dec[1].est == pytest.approx(1.0)
+
+    # ... and the next close PROMOTES it (min id of the component),
+    # demoting the old keeper; every member repoints at 1
+    rep3 = close_near_dedup_state(spark, state, threshold=0.4)
+    assert rep3["changed_verdicts"] == 4
+    dec = {r.doc_id: r for r in read_dedup_decisions(spark, state).collect()}
+    assert dec[1].keep and dec[1].dup_of is None
+    assert not dec[5].keep and dec[5].dup_of == 1 and dec[5].est == pytest.approx(1.0)
+    assert not dec[6].keep and dec[6].dup_of == 1 and dec[6].est == pytest.approx(0.5)
+    assert not dec[7].keep and dec[7].dup_of == 1 and dec[7].est is None
+    assert _store_ids(spark, f"{state}/signatures") == {1}
+    assert _store_ids(spark, f"{state}/dup_signatures") == {5, 6, 7}
+
+
+def test_semantic_dedup_close_folds_chain_through_ann_index(spark, tmp_path):
+    """The semantic twin: a paraphrase chain across three single-doc
+    batches folds to one keeper; demoted keepers LEAVE the ANN index
+    (their vectors move to the cold log), the index stays verifiable,
+    and an arrival matching a demoted member converges on the NEXT
+    pass — the documented repeated-pass contract."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.ann_index import (
+        build_ann_index,
+        verify_ann_index,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        hashed_tf_embedding,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.streaming.semdedup import (
+        read_semantic_decisions,
+        start_semantic_dedup_stream,
+    )
+
+    seed_docs = spark.createDataFrame(
+        [(i, f"seed document number {i} about topic_{i} " * 3) for i in range(8)],
+        "doc_id long, text string",
+    )
+    index_root = str(tmp_path / "idx")
+    # n_clusters=1: the close pass's intra-cluster pair plan sees every
+    # accumulated vector in one cluster (deterministic rediscovery)
+    build_ann_index(
+        spark,
+        hashed_tf_embedding(seed_docs).select("doc_id", "embedding"),
+        index_root, n_clusters=1, m=4, k=8, id_col="doc_id",
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    _write_batch(spark, docs_dir, "0", [(105, TX)])
+    _write_batch(spark, docs_dir, "1", [(106, TX + " " + TZ)])
+    _write_batch(spark, docs_dir, "2", [(107, TZ)])
+
+    def run(ckpt="ckpt"):
+        q = start_semantic_dedup_stream(
+            spark,
+            docs_path=docs_dir,
+            index_root=index_root,
+            state_root=state,
+            checkpoint_path=str(tmp_path / ckpt),
+            threshold=0.5,
+            k=3,
+            nprobe=1,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    run()
+    dec = {r.doc_id: r for r in read_semantic_decisions(spark, state).collect()}
+    # greedy: 6 dups 5 (cos ~0.85), 107 kept (cos(105,107)=0; 106 not indexed)
+    assert dec[105].keep
+    assert not dec[106].keep and dec[106].dup_of == 105 and dec[106].cosine > 0.5
+    assert dec[107].keep
+    indexed = _store_ids(spark, f"{index_root}/vectors")
+    assert {105, 107} <= indexed and 106 not in indexed
+    assert _store_ids(spark, f"{state}/dup_vectors") == {106}
+
+    rep = close_semantic_dedup_state(
+        spark, state, index_root, threshold=0.5, pair_blocks=2
+    )
+    assert rep["changed_verdicts"] == 1
+    assert rep["index_deleted"] == 1 and rep["index_appended"] == 0
+    dec = {r.doc_id: r for r in read_semantic_decisions(spark, state).collect()}
+    assert dec[105].keep
+    assert not dec[106].keep and dec[106].dup_of == 105
+    assert not dec[107].keep and dec[107].dup_of == 105 and dec[107].cosine is None
+    indexed = _store_ids(spark, f"{index_root}/vectors")
+    assert 105 in indexed and not {106, 107} & indexed
+    assert _store_ids(spark, f"{state}/dup_vectors") == {106, 107}
+    assert verify_ann_index(spark, index_root)["violations"] == 0
+
+    # idempotent
+    rep2 = close_semantic_dedup_state(
+        spark, state, index_root, threshold=0.5, pair_blocks=2
+    )
+    assert rep2["changed_verdicts"] == 0
+
+    # an exact dup of the DEMOTED 7 arrives: the stream misses it (7 is
+    # not in the index — the documented hot-path recall gap)...
+    _write_batch(spark, docs_dir, "3", [(108, TZ)])
+    run()
+    dec = {r.doc_id: r for r in read_semantic_decisions(spark, state).collect()}
+    assert dec[108].keep
+
+    # ... and the next close folds it in through the cold log
+    rep3 = close_semantic_dedup_state(
+        spark, state, index_root, threshold=0.5, pair_blocks=2
+    )
+    assert rep3["changed_verdicts"] == 1
+    dec = {r.doc_id: r for r in read_semantic_decisions(spark, state).collect()}
+    assert not dec[108].keep and dec[108].dup_of == 105
+    indexed = _store_ids(spark, f"{index_root}/vectors")
+    assert 105 in indexed and not {106, 107, 108} & indexed
+    assert verify_ann_index(spark, index_root)["violations"] == 0

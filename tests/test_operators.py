@@ -458,3 +458,112 @@ def test_snapshot_changeset_matches_duckdb_exactly(spark):
     """).fetchall()
     assert got == sorted(tuple(w) for w in want)
     assert len(got) > 0
+
+
+def test_partition_sync_skew_plan_shapes(spark):
+    """SURVEY 4.3(d): the (database_name, table_name) sync key skews —
+    the reference fixture's single table carries 4.79M records / 744
+    objects, so ONE table holding ~95% of partitions is the realistic
+    shape. Two plan-level guarantees, both asserted here:
+
+    1. The normal path NEVER shuffles the partition relation on the
+       skewed key at all: the table scope is one row per table
+       (metadata-sized), so the anti-join broadcasts it — skew cannot
+       hurt a join whose big side never exchanges.
+    2. When broadcast is impossible (a million-table catalog pushes the
+       scope past the threshold), AQE's skew-join splits the hot
+       partition at runtime (`skew=true` on the SMJ) — asserted by
+       forcing SMJ and lowering the skew thresholds to fixture scale.
+    Results are bit-identical on both paths.
+    """
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.operators.sync import (
+        full_refresh_sync,
+    )
+
+    def _loc():
+        # incompressible payload: shuffle sizes are measured COMPRESSED,
+        # and a constant location string would deflate the hot partition
+        # below any realistic skew threshold
+        return F.concat(
+            F.lit("s3://bucket/"), F.md5(F.col("id").cast("string")),
+            F.lit("/"), F.md5((F.col("id") + 1).cast("string")),
+        )
+
+    # ONE hot table with 95% of target partitions + 100 cold tables
+    hot_n, cold_tables, cold_n = 60_000, 100, 30
+    target = (
+        spark.range(hot_n)
+        .select(
+            F.lit("db").alias("database_name"),
+            F.lit("hot_table").alias("table_name"),
+            _loc().alias("location"),
+        )
+        .unionByName(
+            spark.range(cold_tables * cold_n).select(
+                F.lit("db").alias("database_name"),
+                F.concat(F.lit("t"), (F.col("id") % cold_tables)).alias(
+                    "table_name"
+                ),
+                _loc().alias("location"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    # export refreshes the hot table and 10 cold ones
+    exported_tables = spark.createDataFrame(
+        [("db", "hot_table")] + [("db", f"t{i}") for i in range(10)],
+        "database_name string, table_name string",
+    )
+    exported_parts = spark.createDataFrame(
+        [("db", "hot_table", "p=new0"), ("db", "t0", "p=new1")],
+        "database_name string, table_name string, location string",
+    )
+
+    out = full_refresh_sync(exported_parts, exported_tables, target)
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    # path 1 (default): the scope broadcasts by HINT (not by stats), so
+    # the 60k-row partition relation never exchanges on the skewed key
+    assert "BroadcastHashJoin" in physical and "LeftAnti" in physical
+    # exactly ONE hash exchange: the scope's own dedup (metadata-sized,
+    # one row per exported table); the partition relation reaches the
+    # join without shuffling
+    assert physical.count("Exchange hashpartitioning") == 1
+    n_bcast = out.count()
+    want = (
+        cold_tables * cold_n - 10 * cold_n  # 10 cold tables wiped
+        + 2  # new partitions
+    )
+    assert n_bcast == want
+
+    # path 2 (broadcast_scope=False, million-table-catalog shape):
+    # shuffled anti-join + fixture-scale skew thresholds -> AQE splits
+    # the hot key's partition at runtime (skew=true on the SMJ)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        out2 = full_refresh_sync(
+            exported_parts, exported_tables, target, broadcast_scope=False
+        )
+        # collect() drives THIS DataFrame's own QueryExecution, so the
+        # adaptive plan below is the FINAL one (count() would build and
+        # finalize a different plan tree)
+        assert len(out2.collect()) == want  # same answer on the SMJ path
+        executed = out2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in executed and "LeftAnti" in executed
+        assert "skew=true" in executed  # AQE split the hot key's partition
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
