@@ -208,6 +208,9 @@ def main(argv: list[str] | None = None) -> int:
                           "and the within-batch self-join)")
     snd.add_argument("--available-now", action="store_true",
                      help="drain what's present then stop (default: run forever)")
+    snd.add_argument("--close-every", type=int, default=None,
+                     help="run the transitive-closure pass inline after "
+                          "every Nth micro-batch (see dedup-close)")
 
     ssd = sub.add_parser(
         "stream-sem-dedup",
@@ -228,6 +231,9 @@ def main(argv: list[str] | None = None) -> int:
     ssd.add_argument("--max-files-per-trigger", type=int, default=None)
     ssd.add_argument("--available-now", action="store_true",
                      help="drain what's present then stop (default: run forever)")
+    ssd.add_argument("--close-every", type=int, default=None,
+                     help="run the transitive-closure pass inline after "
+                          "every Nth micro-batch (see semdedup-close)")
 
     sm = sub.add_parser(
         "stream-media",
@@ -1739,6 +1745,7 @@ def main(argv: list[str] | None = None) -> int:
             normalize=args.normalize,
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=args.available_now,
+            close_every=args.close_every,
         )
         q.awaitTermination()
 
@@ -1757,6 +1764,7 @@ def main(argv: list[str] | None = None) -> int:
             normalize=args.normalize,
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=args.available_now,
+            close_every=args.close_every,
         )
         q.awaitTermination()
 

@@ -29,6 +29,10 @@ from .semdedup import (  # noqa: F401
     read_semantic_decisions,
     start_semantic_dedup_stream,
 )
+from .close import (  # noqa: F401
+    close_near_dedup_state,
+    close_semantic_dedup_state,
+)
 from .enrich import interval_join  # noqa: F401
 from .rollup import windowed_rollup  # noqa: F401
 from .sessions import session_rollup  # noqa: F401

@@ -137,13 +137,22 @@ def start_near_dedup_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     source=None,
+    close_every: int | None = None,
 ):
     """Start the incremental near-dedup stream over a documents
     directory (ndjson {doc_id, text} files; one file = one micro-batch
     under max_files_per_trigger=1) or any adapter with
     `load(spark) -> streaming DataFrame[doc_id, text]`. Returns the
     StreamingQuery; read verdicts with `read_dedup_decisions` and the
-    keeper signature store grows under `{state_root}/signatures`."""
+    keeper signature store grows under `{state_root}/signatures`.
+
+    close_every=N runs the transitive-closure pass
+    (streaming/close.close_near_dedup_state) inline after every Nth
+    micro-batch — foreachBatch is serial, so the stream is effectively
+    stopped while it runs, which is exactly the close pass's contract.
+    Stream-only users converge to the batch clusters without a
+    maintenance scheduler; leave None to run `dedup-close` on your own
+    cadence."""
     if os.path.exists(f"{state_root}/{_COMPACT_TMP}/MANIFEST.json"):
         raise RuntimeError(
             f"{state_root} has a pending compaction (a prior "
@@ -259,6 +268,12 @@ def start_near_dedup_stream(
                 )
         finally:
             banded.unpersist()
+        if close_every and (batch_id + 1) % close_every == 0:
+            from .close import close_near_dedup_state
+
+            close_near_dedup_state(
+                spark, state_root, num_hashes=num_hashes, threshold=threshold
+            )
 
     writer = stream.writeStream.foreachBatch(dedup_batch).option(
         "checkpointLocation", checkpoint_path

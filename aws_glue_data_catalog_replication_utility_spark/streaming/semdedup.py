@@ -79,12 +79,18 @@ def start_semantic_dedup_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     source=None,
+    close_every: int | None = None,
 ):
     """Start the incremental semantic-dedup stream. The ANN index at
     `index_root` MUST already exist (seed it from the initial corpus
     via `build_ann_index` / the `index` CLI job) — it doubles as the
     keeper store. Returns the StreamingQuery; read verdicts with
-    `read_semantic_decisions`."""
+    `read_semantic_decisions`.
+
+    close_every=N runs the transitive-closure pass
+    (streaming/close.close_semantic_dedup_state) inline after every
+    Nth micro-batch — foreachBatch is serial, so the stream is
+    effectively stopped while it runs (the close pass's contract)."""
     from ..functions.ann_index import (
         append_to_ann_index,
         delete_from_ann_index,
@@ -228,6 +234,13 @@ def start_semantic_dedup_stream(
             ).parquet(f"{state_root}/dup_vectors/batch_id={batch_id}")
         finally:
             emb.unpersist()
+        if close_every and (batch_id + 1) % close_every == 0:
+            from .close import close_semantic_dedup_state
+
+            close_semantic_dedup_state(
+                spark, state_root, index_root,
+                threshold=threshold, pair_blocks=pair_blocks,
+            )
 
     writer = stream.writeStream.foreachBatch(dedup_batch).option(
         "checkpointLocation", checkpoint_path

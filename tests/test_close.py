@@ -233,3 +233,136 @@ def test_semantic_dedup_close_folds_chain_through_ann_index(spark, tmp_path):
     indexed = _store_ids(spark, f"{index_root}/vectors")
     assert 105 in indexed and not {106, 107, 108} & indexed
     assert verify_ann_index(spark, index_root)["violations"] == 0
+
+
+def test_close_every_hook_converges_stream_only(spark, tmp_path):
+    """close_every=N: the closure pass runs INLINE after every Nth
+    micro-batch (foreachBatch is serial, so the stream is effectively
+    stopped while it runs) — a stream-only user converges to the batch
+    clusters with no maintenance scheduler. The A~B~C chain drains in
+    one availableNow run of 3 single-file batches and comes out
+    CLOSED."""
+    from aws_glue_data_catalog_replication_utility_spark.streaming.neardedup import (
+        read_dedup_decisions,
+        start_near_dedup_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    _write_batch(spark, docs_dir, "0", [(5, TX)])
+    _write_batch(spark, docs_dir, "1", [(6, TX + " " + TZ)])
+    _write_batch(spark, docs_dir, "2", [(7, TZ)])
+
+    q = start_near_dedup_stream(
+        spark,
+        docs_path=docs_dir,
+        state_root=state,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        num_hashes=12,
+        bands=12,
+        threshold=0.4,
+        max_files_per_trigger=1,
+        close_every=3,
+    )
+    q.awaitTermination(180)
+
+    dec = {r.doc_id: r for r in read_dedup_decisions(spark, state).collect()}
+    assert dec[5].keep
+    assert not dec[6].keep and dec[6].dup_of == 5
+    assert not dec[7].keep and dec[7].dup_of == 5  # closed inline
+    assert _store_ids(spark, f"{state}/signatures") == {5}
+    assert _store_ids(spark, f"{state}/dup_signatures") == {6, 7}
+
+
+def test_closure_labels_match_duckdb_recursive_cc(spark, tmp_path):
+    """Oracle-grade twin for the closure semantics: DuckDB computes the
+    connected components of the SAME pair graph with a recursive CTE
+    (label = MIN reachable vertex over undirected edges) and the closed
+    verdicts' keeper mapping must equal it exactly — the cross-engine
+    check the extras convention uses when a component can't hold a
+    registry slot."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.streaming.neardedup import (
+        read_dedup_decisions,
+        start_near_dedup_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    # two independent chains + a singleton, spread over 3 batches
+    _write_batch(spark, docs_dir, "0", [(5, TX), (20, "alpha beta gamma delta epsilon zeta eta theta")])
+    _write_batch(spark, docs_dir, "1", [(6, TX + " " + TZ), (21, "alpha beta gamma delta epsilon zeta eta theta iota")])
+    _write_batch(spark, docs_dir, "2", [(7, TZ), (30, "wholly unrelated singleton document content here words enough")])
+
+    q = start_near_dedup_stream(
+        spark,
+        docs_path=docs_dir,
+        state_root=state,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        num_hashes=12,
+        bands=12,
+        threshold=0.4,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    rep = close_near_dedup_state(spark, state, threshold=0.4)
+    dec = {r.doc_id: r for r in read_dedup_decisions(spark, state).collect()}
+    got = {d: (r.dup_of if r.dup_of is not None else d) for d, r in dec.items()}
+
+    # rebuild the SAME pair graph the close pass used: every >=threshold
+    # signature pair across store + cold log
+    from aws_glue_data_catalog_replication_utility_spark.streaming.neardedup import (
+        _est_col,
+    )
+    from pyspark.sql import functions as F2
+
+    store = spark.read.option("basePath", f"{state}/signatures").parquet(
+        f"{state}/signatures"
+    )
+    cold = spark.read.option("basePath", f"{state}/dup_signatures").parquet(
+        f"{state}/dup_signatures"
+    )
+    sigs = store.unionByName(cold).select("doc_id", "band", "band_key", "sig")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = (
+        a.join(b, on=["band", "band_key"])
+        .where(F2.col("a.doc_id") > F2.col("b.doc_id"))
+        .select(
+            F2.col("a.doc_id").alias("ida"),
+            F2.col("b.doc_id").alias("idb"),
+            _est_col("a.sig", "b.sig", 12),
+        )
+        .dropDuplicates(["ida", "idb"])
+        .where(F2.col("est") >= 0.4)
+        .select("ida", "idb")
+        .collect()
+    )
+    edge_rows = [(r.ida, r.idb) for r in pairs] or [(-1, -1)]
+    vertex_rows = [(d,) for d in dec]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", edge_rows)
+    con.execute("CREATE TABLE vertices(id BIGINT)")
+    con.executemany("INSERT INTO vertices VALUES (?)", vertex_rows)
+    want = dict(
+        con.execute(
+            """
+            WITH RECURSIVE und AS (
+              SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ),
+            walk(id, label) AS (
+              SELECT id, id FROM vertices
+              UNION
+              SELECT u.a, w.label FROM und u JOIN walk w ON w.id = u.b
+            )
+            SELECT id, MIN(label) FROM walk
+            WHERE id IN (SELECT id FROM vertices)
+            GROUP BY id
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert rep["docs"] == 6
