@@ -681,6 +681,15 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--update", action="store_true",
                     help="incremental: refresh the existing --out index "
                          "(footer-read only NEW files, drop deleted)")
+    sk.add_argument("--bloom-cols", default=None,
+                    help="comma-separated columns to ALSO build a bloom "
+                         "file index over (equality skipping for "
+                         "scattered columns min/max can't prune)")
+    sk.add_argument("--bloom-out", default=None,
+                    help="write/read the bloom index relation here; "
+                         "with --pred, '=' predicates prune through it")
+    sk.add_argument("--bloom-bits", type=int, default=1 << 16)
+    sk.add_argument("--bloom-k", type=int, default=4)
 
     sh = sub.add_parser(
         "shuffle",
@@ -1434,15 +1443,31 @@ def main(argv: list[str] | None = None) -> int:
             if args.out:
                 idx.write.mode("overwrite").parquet(args.out)
                 idx = spark.read.parquet(args.out)
+        bloom = None
+        if args.bloom_cols:
+            from .functions.skipindex import build_bloom_index
+
+            bloom = build_bloom_index(
+                spark, args.path,
+                [c.strip() for c in args.bloom_cols.split(",")],
+                m_bits=args.bloom_bits, k=args.bloom_k,
+            )
+            if args.bloom_out:
+                bloom.write.mode("overwrite").parquet(args.bloom_out)
+                bloom = spark.read.parquet(args.bloom_out)
+        elif args.bloom_out:
+            bloom = spark.read.parquet(args.bloom_out)
         preds = _parse_preds(args.pred)
         summary: dict = {
             "files": idx.select("file").distinct().count(),
             "columns": idx.select("column").distinct().count(),
         }
+        if bloom is not None:
+            summary["bloom_entries"] = bloom.count()
         if upd_info is not None:
             summary["update"] = upd_info
         if preds:
-            got, info = scan_with_skip_index(spark, idx, preds)
+            got, info = scan_with_skip_index(spark, idx, preds, bloom=bloom)
             summary.update(info)
             if args.rows_out:
                 got.write.mode("overwrite").parquet(args.rows_out)

@@ -321,15 +321,27 @@ def scan_with_skip_index(
     index: DataFrame,
     predicates: list[tuple[str, str, object]],
     schema=None,
+    bloom: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Read ONLY the files the index cannot rule out, then re-apply the
     predicates as a residual filter — bit-identical to full-scan-plus-
     filter by construction. Returns (df, info) with info = files kept /
     total. When every file is pruned an empty DataFrame with the
     store's schema is returned (pass `schema` to skip the one-footer
-    schema read)."""
+    schema read).
+
+    `bloom` (a build_bloom_index relation) additionally prunes on the
+    `=` predicates' VALUES — the lane for scattered high-cardinality
+    columns whose min/max prove nothing; both layers intersect."""
     total = index.select("file").distinct().count()
-    kept = [r.file for r in prune_files(index, predicates).collect()]
+    kept_rel = prune_files(index, predicates)
+    if bloom is not None:
+        eqs = [(c, v) for (c, op, v) in predicates if op == "="]
+        if eqs:
+            kept_rel = kept_rel.join(
+                bloom_dropped_files(bloom, eqs), on="file", how="left_anti"
+            )
+    kept = [r.file for r in kept_rel.collect()]
     info = {"files_total": int(total), "files_kept": len(kept)}
     if not kept:
         if schema is None:
@@ -384,6 +396,153 @@ def update_skip_index(
         "removed": len(removed),
         "kept": len(have) - len(removed),
     }
+
+
+# ---------------------------------------------------------------------------
+# Bloom file index: equality skipping for SCATTERED columns. Footer
+# min/max prunes range-laid data; a high-cardinality column whose values
+# spray across every file (user ids, hashes) has min/max spanning the
+# whole domain in every file — the index above can prove nothing. A
+# per-(file, column) Bloom filter answers "is value v definitely absent
+# from this file" for `=` predicates: the Iceberg/Hudi bloom-index idea
+# for the plain-parquet store. Build cost reads the indexed COLUMNS
+# (column-pruned pyarrow reads, not whole rows) once; ~m_bits/8 bytes
+# per (file, column) of index. False positives only ever KEEP a file —
+# the residual filter keeps results exact by construction.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SCHEMA = (
+    "file string, column string, m_bits int, k int, n_values long, "
+    "bits array<long>"
+)
+
+
+def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
+    """k bit positions via double hashing over the md5 of the value's
+    canonical utf-8 repr. The SAME Python runs at build (executors) and
+    probe (driver), so cross-engine hash reproducibility never enters
+    the contract."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(h[:8], "big")
+    h2 = int.from_bytes(h[8:16], "big") | 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """One Bloom filter per (file, column): distributed column-pruned
+    reads (each task pyarrow-reads ONLY the indexed columns of its own
+    files), bitset packed into int64 words. Columns absent from a file
+    produce no row (unknown never prunes). NULLs are skipped (a NULL
+    never matches `=`). Materialized like the min/max index — a value,
+    not a recompute recipe."""
+    from .stats import _file_list
+
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    files = [f for f, _ in _file_list(path)]
+    if not files:
+        return spark.createDataFrame([], _BLOOM_SCHEMA)
+    cols = list(columns)
+    mb, kk = int(m_bits), int(k)
+    n_slices = min(len(files), spark.sparkContext.defaultParallelism)
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(n_slices)
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def positions(v):
+            h = hashlib.md5(str(v).encode("utf-8")).digest()
+            h1 = int.from_bytes(h[:8], "big")
+            h2 = int.from_bytes(h[8:16], "big") | 1
+            return [(h1 + i * h2) % mb for i in range(kk)]
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                schema_names = set(pq.read_schema(f).names)
+                want = [c for c in cols if c in schema_names]
+                if not want:
+                    continue
+                t = pq.read_table(f, columns=want)
+                for c in want:
+                    vals = {
+                        v for v in t.column(c).to_pylist() if v is not None
+                    }
+                    words = [0] * (mb // 64)
+                    for v in vals:
+                        for p in positions(v):
+                            words[p // 64] |= 1 << (p % 64)
+                    signed = [
+                        w - (1 << 64) if w >= (1 << 63) else w for w in words
+                    ]
+                    rows.append((f, c, mb, kk, len(vals), signed))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "column", "m_bits", "k", "n_values", "bits",
+                ],
+            )
+
+    return _materialize(fdf.mapInPandas(build, _BLOOM_SCHEMA))
+
+
+def bloom_dropped_files(
+    bloom: DataFrame, eq_predicates: list[tuple[str, object]]
+) -> DataFrame:
+    """Files the bloom index PROVES cannot satisfy some `col = value`
+    predicate (at least one of the value's k probe bits is unset in
+    that file's filter). Pure DataFrame ops: the probe positions are
+    computed driver-side with the build's own hash, the bit tests are
+    codegen'd shift-and-mask expressions. Files without a bloom row
+    for the column are never returned (unknown keeps). Returns a
+    (file) relation to anti-join against."""
+    if not eq_predicates:
+        raise ValueError("eq_predicates must be non-empty")
+    configs = [
+        (r.m_bits, r.k)
+        for r in bloom.select("m_bits", "k").distinct().collect()
+    ]
+    dropped = None
+    for col, v in eq_predicates:
+        cond = None
+        for mb, kk in configs:
+            present = None
+            for p in _bloom_positions(v, mb, kk):
+                bit = (
+                    F.shiftright(
+                        F.element_at(F.col("bits"), p // 64 + 1), p % 64
+                    ).bitwiseAND(F.lit(1))
+                    == 1
+                )
+                present = bit if present is None else present & bit
+            c = (
+                (F.col("m_bits") == mb)
+                & (F.col("k") == kk)
+                & (F.col("column") == col)
+                & ~present
+            )
+            cond = c if cond is None else cond | c
+        per_pred = bloom.where(cond).select("file").distinct()
+        # AND-ed predicates: ANY single provably-absent value drops
+        dropped = (
+            per_pred if dropped is None else dropped.unionByName(per_pred)
+        )
+    return dropped.distinct()
 
 
 def count_with_skip_index(

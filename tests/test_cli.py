@@ -956,6 +956,63 @@ def test_cli_skip_index_job(spark, tmp_path, capsys):
     assert rep["rows"] == want
 
 
+def test_cli_skip_index_bloom(spark, tmp_path, capsys):
+    """`skip-index --bloom-cols`: the bloom layer prunes an equality
+    probe on a SCATTERED column (min/max alone keeps every file) and
+    the pruned-scan row count matches the full filter."""
+    import json
+
+    store = str(tmp_path / "orders")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .repartitionByRange(4, "o_orderkey")
+        .write.parquet(store)
+    )
+    # the probe key must not span every file or there is nothing to
+    # prune: take the custkey with the smallest file spread (sf0.001's
+    # customers each have ~10 orders, so most keys hit all 4 files)
+    spread = (
+        spark.read.parquet(store)
+        .select("o_custkey", F.input_file_name().alias("f"))
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .orderBy("nf", "o_custkey")
+        .first()
+    )
+    probe, n_files_with_key = spread.o_custkey, spread.nf
+    assert n_files_with_key < 4, "fixture regression: every key everywhere"
+    assert main([
+        "skip-index",
+        "--path", store,
+        "--out", str(tmp_path / "idx"),
+        "--bloom-cols", "o_custkey",
+        "--bloom-out", str(tmp_path / "bloom"),
+        "--pred", f"o_custkey = {probe}",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["bloom_entries"] == 4
+    # bloom keeps exactly the files holding the key (FP ~0 at 2^16
+    # bits over ~140 values); min/max alone would keep all 4
+    assert rep["files_kept"] == n_files_with_key < 4
+    want = (
+        spark.read.parquet(store)
+        .where(f"o_custkey = {probe}")
+        .count()
+    )
+    assert rep["rows"] == want
+    # second invocation READS the persisted bloom (no --bloom-cols)
+    assert main([
+        "skip-index",
+        "--path", store,
+        "--out", str(tmp_path / "idx2"),
+        "--bloom-out", str(tmp_path / "bloom"),
+        "--pred", "o_custkey = -1",
+    ]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["files_kept"] == 0 and rep2["rows"] == 0
+
+
 def test_cli_quality_train_and_score(spark, tmp_path, capsys):
     """train -> JSON model -> score: the fastText-filter loop through
     the job surface; keep flags follow the threshold."""

@@ -375,3 +375,89 @@ def test_count_with_skip_index_null_columns_stay_exact(spark, tmp_path):
     n, info = count_with_skip_index(spark, idx, [("v", ">=", 0.0)])
     assert n == 2 == full.where("v >= 0.0").count()
     assert info["files_scanned"] == 1 and info["files_counted"] == 0
+
+
+def test_bloom_index_prunes_scattered_equality(spark, tmp_path):
+    """The min/max index proves NOTHING about a scattered column (every
+    file's [min, max] spans the domain); the bloom index prunes `=`
+    probes to the files that actually contain the value, results stay
+    bit-identical via the residual filter, and a planted-absent value
+    prunes everything."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        bloom_dropped_files,
+        build_bloom_index,
+    )
+
+    out = str(tmp_path / "store")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    # range-lay by ORDERKEY: custkeys scatter across every file
+    orders.repartitionByRange(8, "o_orderkey").write.parquet(out)
+    full = spark.read.parquet(out)
+    idx = build_skip_index(spark, out)
+    bloom = build_bloom_index(
+        spark, out, ["o_custkey", "o_orderpriority"], m_bits=1 << 14
+    )
+    assert bloom.select("file").distinct().count() == 8
+
+    probe = full.select("o_custkey").first().o_custkey
+    # min/max alone keeps everything (scattered column)...
+    got_mm, info_mm = scan_with_skip_index(
+        spark, idx, [("o_custkey", "=", probe)]
+    )
+    assert info_mm["files_kept"] == 8
+    # ... the bloom layer prunes to a strict subset, result exact
+    got, info = scan_with_skip_index(
+        spark, idx, [("o_custkey", "=", probe)], bloom=bloom
+    )
+    truly_in = (
+        full.where(F.col("o_custkey") == probe)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert truly_in <= info["files_kept"] < 8
+    assert _rows(got) == _rows(full.where(F.col("o_custkey") == probe))
+
+    # planted-absent value: every file provably excluded
+    g2, info2 = scan_with_skip_index(
+        spark, idx, [("o_custkey", "=", -12345)], bloom=bloom
+    )
+    assert info2["files_kept"] == 0
+    assert g2.count() == 0 and g2.schema == full.schema
+
+    # string column: low cardinality -> present everywhere (kept), and
+    # an absent string prunes all
+    g3, info3 = scan_with_skip_index(
+        spark, idx, [("o_orderpriority", "=", "1-URGENT")], bloom=bloom
+    )
+    assert _rows(g3) == _rows(full.where(F.col("o_orderpriority") == "1-URGENT"))
+    assert bloom_dropped_files(
+        bloom, [("o_orderpriority", "no-such-priority")]
+    ).count() == 8
+
+    # conjunction with a range predicate: layers intersect
+    keys = sorted(r.o_orderkey for r in full.select("o_orderkey").collect())
+    cut = keys[len(keys) // 2]
+    g4, info4 = scan_with_skip_index(
+        spark,
+        idx,
+        [("o_orderkey", "<=", cut), ("o_custkey", "=", probe)],
+        bloom=bloom,
+    )
+    assert info4["files_kept"] <= info["files_kept"]
+    assert _rows(g4) == _rows(
+        full.where((F.col("o_orderkey") <= cut) & (F.col("o_custkey") == probe))
+    )
+
+    # an UNDERSIZED bloom may keep extra files but never changes results
+    tiny = build_bloom_index(spark, out, ["o_custkey"], m_bits=64, k=2)
+    g5, _ = scan_with_skip_index(
+        spark, idx, [("o_custkey", "=", probe)], bloom=tiny
+    )
+    assert _rows(g5) == _rows(full.where(F.col("o_custkey") == probe))
+
+    # unknown column in the bloom relation: never prunes
+    g6, info6 = scan_with_skip_index(
+        spark, idx, [("o_orderkey", "=", keys[0])], bloom=bloom
+    )
+    assert _rows(g6) == _rows(full.where(F.col("o_orderkey") == keys[0]))

@@ -652,3 +652,30 @@ def test_append_stream_batch_two_queries_one_store(spark, orders, tmp_path):
     assert len(V.history(root)) == 4
     n = sum(x.count() for x in b)
     assert V.read_versioned(spark, root).count() == n
+
+
+def test_concurrent_appends_race_all_land_once(spark, orders, tmp_path, log_store):
+    """REAL contention, not an injected stale view: four threads append
+    through append_with_retry simultaneously — every batch must land in
+    exactly one version, no version skipped or double-assigned, and the
+    final snapshot is the union. Runs against both publish backends via
+    the log_store fixture (the conditional-put emulation must provide
+    the same mutual exclusion os.link gives for free)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aws_glue_data_catalog_replication_utility_spark.versioned import (
+        append_with_retry,
+    )
+
+    root = str(tmp_path / "t")
+    V.append(orders.limit(5), root)  # v1
+    batches = [
+        orders.where(f"o_orderkey % 4 = {i}").limit(10) for i in range(4)
+    ]
+    counts = [b.count() for b in batches]
+    with ThreadPoolExecutor(4) as ex:
+        versions = list(ex.map(lambda df: append_with_retry(df, root), batches))
+    assert sorted(versions) == [2, 3, 4, 5]
+    hist = V.history(root)
+    assert [h["version"] for h in hist] == [1, 2, 3, 4, 5]
+    assert V.read_versioned(spark, root).count() == 5 + sum(counts)
