@@ -1444,7 +1444,25 @@ def main(argv: list[str] | None = None) -> int:
                 idx.write.mode("overwrite").parquet(args.out)
                 idx = spark.read.parquet(args.out)
         bloom = None
-        if args.bloom_cols:
+        bloom_upd = None
+        if args.update and args.bloom_out and not args.bloom_cols:
+            # refresh the persisted bloom alongside the min/max index
+            import os as _os
+
+            if _os.path.isdir(args.bloom_out):
+                from .functions.skipindex import update_bloom_index
+
+                bloom, bloom_upd = update_bloom_index(
+                    spark, args.path, spark.read.parquet(args.bloom_out)
+                )
+                btmp = args.bloom_out.rstrip("/") + ".__tmp__"
+                bloom.write.mode("overwrite").parquet(btmp)
+                import shutil as _sh2
+
+                _sh2.rmtree(args.bloom_out)
+                _sh2.move(btmp, args.bloom_out)
+                bloom = spark.read.parquet(args.bloom_out)
+        elif args.bloom_cols:
             from .functions.skipindex import build_bloom_index
 
             bloom = build_bloom_index(
@@ -1466,6 +1484,8 @@ def main(argv: list[str] | None = None) -> int:
             summary["bloom_entries"] = bloom.count()
         if upd_info is not None:
             summary["update"] = upd_info
+        if bloom_upd is not None:
+            summary["bloom_update"] = bloom_upd
         if preds:
             got, info = scan_with_skip_index(spark, idx, preds, bloom=bloom)
             summary.update(info)

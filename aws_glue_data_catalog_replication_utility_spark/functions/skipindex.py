@@ -450,6 +450,18 @@ def build_bloom_index(
     if k < 1:
         raise ValueError("k must be >= 1")
     files = [f for f, _ in _file_list(path)]
+    return _materialize(_bloom_files(spark, files, columns, m_bits, k))
+
+
+def _bloom_files(
+    spark: SparkSession,
+    files: list[str],
+    columns: list[str],
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """The distributed hash pass over an explicit file list — shared by
+    full build and incremental update."""
     if not files:
         return spark.createDataFrame([], _BLOOM_SCHEMA)
     cols = list(columns)
@@ -498,7 +510,51 @@ def build_bloom_index(
                 ],
             )
 
-    return _materialize(fdf.mapInPandas(build, _BLOOM_SCHEMA))
+    return fdf.mapInPandas(build, _BLOOM_SCHEMA)
+
+
+def update_bloom_index(
+    spark: SparkSession, path: str, bloom: DataFrame
+) -> tuple[DataFrame, dict]:
+    """Incremental bloom maintenance, mirroring `update_skip_index`:
+    hash ONLY the new files' columns (under the existing relation's own
+    m_bits/k/column config — mixed configs would silently weaken
+    probes), drop deleted files' rows, keep the rest untouched.
+    Returns (new_bloom, {"added", "removed", "kept"}); result proven
+    bit-identical to a fresh rebuild in tests. The returned relation is
+    a materialized VALUE (same discipline as the min/max index)."""
+    from .stats import _file_list
+
+    cfgs = bloom.select("m_bits", "k").distinct().collect()
+    if len(cfgs) != 1:
+        raise ValueError(
+            f"bloom relation carries {len(cfgs)} (m_bits, k) configs; "
+            "incremental update requires exactly one"
+        )
+    m_bits, k = int(cfgs[0].m_bits), int(cfgs[0].k)
+    columns = sorted(
+        r.column for r in bloom.select("column").distinct().collect()
+    )
+    now = {f for f, _ in _file_list(path)}
+    have = {r.file for r in bloom.select("file").distinct().collect()}
+    added = sorted(now - have)
+    removed = sorted(have - now)
+    kept = bloom
+    if removed:
+        rm = spark.createDataFrame([(f,) for f in removed], "file string")
+        kept = bloom.join(rm, on="file", how="left_anti")
+    if added:
+        # build over the added files only: point build_bloom_index at
+        # them via a throwaway relation of explicit paths
+        fresh = _bloom_files(spark, added, columns, m_bits, k)
+        out = kept.unionByName(fresh)
+    else:
+        out = kept
+    return _materialize(out), {
+        "added": len(added),
+        "removed": len(removed),
+        "kept": len(have) - len(removed),
+    }
 
 
 def bloom_dropped_files(

@@ -440,6 +440,22 @@ def main() -> None:
         )
         got.write.format("noop").mode("overwrite").save()
         extras["skip_index_scan"] = round(time.perf_counter() - t0, 3)
+
+        # r08 bloom layer: equality probe on the SCATTERED o_custkey
+        # (min/max spans the domain in every range-laid file) — build
+        # reads only the indexed column, probe is codegen bit tests
+        from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+            build_bloom_index,
+        )
+
+        probe_key = orders_dim.select("o_custkey").first().o_custkey
+        t0 = time.perf_counter()
+        bloom = build_bloom_index(spark, f"{ski_dir}/orders", ["o_custkey"])
+        got_b, _ib = scan_with_skip_index(
+            spark, idx, [("o_custkey", "=", int(probe_key))], bloom=bloom
+        )
+        got_b.write.format("noop").mode("overwrite").save()
+        extras["bloom_index_scan"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(ski_dir, ignore_errors=True)
 

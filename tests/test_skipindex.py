@@ -461,3 +461,69 @@ def test_bloom_index_prunes_scattered_equality(spark, tmp_path):
         spark, idx, [("o_orderkey", "=", keys[0])], bloom=bloom
     )
     assert _rows(g6) == _rows(full.where(F.col("o_orderkey") == keys[0]))
+
+
+def test_update_bloom_index_incremental_equals_rebuild(spark, tmp_path):
+    """Bloom maintenance mirrors the min/max index: hash only NEW
+    files, drop deleted files' rows, result bit-identical to a fresh
+    rebuild, probes through the updated relation stay exact, and the
+    returned relation is a value (acts after later deletes)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_bloom_index,
+        update_bloom_index,
+    )
+
+    out = str(tmp_path / "store")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.where("o_orderkey % 2 = 0").repartitionByRange(
+        4, "o_orderkey"
+    ).write.parquet(out)
+    b0 = build_bloom_index(spark, out, ["o_custkey"], m_bits=1 << 14)
+
+    orders.where("o_orderkey % 2 = 1").repartitionByRange(
+        4, "o_orderkey"
+    ).write.mode("append").parquet(out)
+    b1, info = update_bloom_index(spark, out, b0)
+    assert info == {"added": 4, "removed": 0, "kept": 4}
+
+    def rows(df):
+        return sorted(
+            (r.file, r.column, r.m_bits, r.k, r.n_values, tuple(r.bits))
+            for r in df.collect()
+        )
+
+    assert rows(b1) == rows(
+        build_bloom_index(spark, out, ["o_custkey"], m_bits=1 << 14)
+    )
+
+    # delete one file from EACH batch -> rows drop, still == rebuild
+    import glob as g
+
+    files = sorted(g.glob(os.path.join(out, "*.parquet")))
+    _delete_file(files[0])
+    _delete_file(files[-1])
+    b2, info2 = update_bloom_index(spark, out, b1)
+    assert info2 == {"added": 0, "removed": 2, "kept": 6}
+    assert rows(b2) == rows(
+        build_bloom_index(spark, out, ["o_custkey"], m_bits=1 << 14)
+    )
+    # the PREVIOUS relation still acts (value, not recompute recipe)
+    assert b1.select("file").distinct().count() == 8
+
+    # probes through the updated bloom stay exact
+    full = spark.read.parquet(out)
+    idx = build_skip_index(spark, out)
+    probe = full.select("o_custkey").first().o_custkey
+    got, _ = scan_with_skip_index(
+        spark, idx, [("o_custkey", "=", probe)], bloom=b2
+    )
+    assert _rows(got) == _rows(full.where(F.col("o_custkey") == probe))
+
+    # mixed-config relations are refused (they would weaken probes)
+    import pytest as _pytest
+
+    mixed = b2.unionByName(
+        build_bloom_index(spark, out, ["o_custkey"], m_bits=128, k=2)
+    )
+    with _pytest.raises(ValueError, match="configs"):
+        update_bloom_index(spark, out, mixed)
