@@ -573,6 +573,9 @@ def bloom_dropped_files(
         (r.m_bits, r.k)
         for r in bloom.select("m_bits", "k").distinct().collect()
     ]
+    if not configs:
+        # an empty bloom relation proves nothing: drop no files
+        return bloom.select("file")
     dropped = None
     for col, v in eq_predicates:
         cond = None
