@@ -508,8 +508,8 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--root", required=True)
     vs.add_argument("--op", required=True,
                     choices=["append", "overwrite", "merge", "delete",
-                             "read", "history", "rollback", "vacuum",
-                             "checkpoint", "optimize"])
+                             "read", "count", "history", "rollback",
+                             "vacuum", "checkpoint", "optimize"])
     vs.add_argument("--target-mb", type=int, default=128,
                     help="optimize: target file size")
     vs.add_argument("--zorder-by", default=None,
@@ -1210,6 +1210,10 @@ def main(argv: list[str] | None = None) -> int:
             if info is not None:
                 rep.update(info)
             print(_json.dumps(rep))
+        elif args.op == "count":
+            n, info = V.count_versioned(spark, args.root, args.version)
+            info["rows"] = n
+            print(_json.dumps(info))
         elif args.op == "history":
             print(_json.dumps(V.history(args.root)))
         elif args.op == "rollback":

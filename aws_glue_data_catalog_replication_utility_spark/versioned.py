@@ -224,6 +224,84 @@ def _replay_full(
     return sorted(seen), last, origin
 
 
+def _replay_rows(
+    root: str, version: int | None
+) -> tuple[list[str], dict[str, int], dict | None]:
+    """Live files at `version` plus each live file's RECORDED row count
+    (files added by pre-stats manifests are simply absent from the
+    map — callers fall back to scanning just those). Same
+    checkpoint-accelerated walk as `_replay_full`."""
+    ms = _manifests(root)
+    if version is not None and (not ms or version > ms[-1][0] or version < 1):
+        raise ValueError(f"version {version} does not exist")
+    seen: set = set()
+    rows: dict[str, int] = {}
+    last = None
+    start_after = 0
+    for cv, cp in reversed(_checkpoints(root)):
+        if version is None or cv <= version:
+            with open(cp) as fh:
+                c = json.load(fh)
+            seen = set(c["live"])
+            cr = c.get("file_rows") or {}
+            rows = {f: int(cr[f]) for f in seen if f in cr}
+            last = c
+            start_after = cv
+            break
+    for v, p in ms:
+        if v <= start_after:
+            continue
+        if version is not None and v > version:
+            break
+        with open(p) as fh:
+            m = json.load(fh)
+        last = m
+        for f in m.get("removed", []):
+            seen.discard(f)
+            rows.pop(f, None)
+        fr = m.get("file_rows") or {}
+        for f in m.get("added", []):
+            seen.add(f)
+            if f in fr:
+                rows[f] = int(fr[f])
+            else:
+                rows.pop(f, None)
+    if last is None:
+        if version is not None:
+            raise ValueError(f"version {version} does not exist")
+        return [], {}, None
+    return sorted(seen), rows, last
+
+
+def count_versioned(
+    spark: SparkSession, root: str, version: int | None = None
+) -> tuple[int, dict]:
+    """COUNT(*) of a snapshot answered (mostly) from the LOG: every
+    commit records its added files' row counts, so the count is a sum
+    over O(live files) manifest metadata — no file is opened. Files
+    added by pre-stats manifests (or hand-edited logs) fall back to
+    ONE scan over exactly those files; the result is always exact.
+    Returns (count, {"files_total", "files_from_log",
+    "files_scanned"}). The row-count twin of `snapshot_skip_index`:
+    the txlog answers which files are live AND how many rows they
+    carry."""
+    live, rows, last = _replay_rows(root, version)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    unknown = [f for f in live if f not in rows]
+    n = sum(rows[f] for f in live if f in rows)
+    if unknown:
+        n += (
+            spark.read.parquet(*[os.path.join(root, f) for f in unknown])
+            .count()
+        )
+    return int(n), {
+        "files_total": len(live),
+        "files_from_log": len(live) - len(unknown),
+        "files_scanned": len(unknown),
+    }
+
+
 def _stage_write(df: DataFrame, root: str) -> list[str]:
     """Write df's data files via staging, move them under data/ with
     unique names; returns the new RELATIVE paths. No manifest yet —
@@ -285,6 +363,17 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
             body["file_schema"] = fmap
     if meta:
         body["meta"] = meta
+    # per-file row counts for the added files (Delta-style stats in the
+    # log): O(added) footer reads at commit time buy metadata-only
+    # COUNT(*) forever after (count_versioned). The files were fully
+    # staged into data/ before any commit attempt, so they exist.
+    if added:
+        import pyarrow.parquet as _pq
+
+        body["file_rows"] = {
+            f: int(_pq.read_metadata(os.path.join(root, f)).num_rows)
+            for f in added
+        }
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(body, fh)
@@ -687,6 +776,11 @@ def checkpoint(root: str) -> dict:
         "schemas": schemas,
         "file_schema": file_schema,
     }
+    # carry the known row counts forward: replay starts HERE, so counts
+    # recorded by pre-checkpoint manifests must survive compaction
+    _, rows, _ = _replay_rows(root, None)
+    if rows:
+        body["file_rows"] = rows
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(body, fh)

@@ -1202,6 +1202,9 @@ def test_cli_vstore_lifecycle(spark, tmp_path, capsys):
     run(["vstore", "--root", root, "--op", "vacuum", "--keep-last", "1",
          "--retention-seconds", "0"])
     assert run(["vstore", "--root", root, "--op", "read"])["rows"] == n
+    # metadata-only COUNT: exact, zero files opened
+    cnt = run(["vstore", "--root", root, "--op", "count"])
+    assert cnt["rows"] == n and cnt["files_scanned"] == 0
 
 
 def test_cli_vstore_merge(spark, tmp_path, capsys):

@@ -679,3 +679,58 @@ def test_concurrent_appends_race_all_land_once(spark, orders, tmp_path, log_stor
     hist = V.history(root)
     assert [h["version"] for h in hist] == [1, 2, 3, 4, 5]
     assert V.read_versioned(spark, root).count() == 5 + sum(counts)
+
+
+def test_count_versioned_metadata_only(spark, orders, tmp_path):
+    """Every commit records its added files' row counts, so COUNT(*)
+    of ANY version sums manifest metadata — zero files opened — and
+    stays exact through append/MERGE/DELETE/optimize/rollback; a
+    checkpoint carries the counts forward (pre-checkpoint manifests
+    deleted, count still metadata-only); a legacy manifest with no
+    counts falls back to scanning exactly its files."""
+    import json as js
+
+    from aws_glue_data_catalog_replication_utility_spark.versioned import (
+        count_versioned,
+    )
+
+    root = str(tmp_path / "t")
+    V.append(orders.repartition(3), root)                          # v1
+    upd = orders.limit(10).withColumn("o_totalprice", F.lit(1.0))
+    V.merge_into(spark, root, upd, ["o_orderkey"])                 # v2
+    V.delete_where(spark, root, "o_custkey % 5 = 0")               # v3
+    V.optimize(spark, root, target_file_bytes=1 << 30)             # v4
+    V.rollback(spark, root, 2)                                     # v5
+
+    for v in (1, 2, 3, 4, 5, None):
+        n, info = count_versioned(spark, root, v)
+        assert n == V.read_versioned(spark, root, v).count()
+        assert info["files_scanned"] == 0
+        assert info["files_from_log"] == info["files_total"]
+
+    # checkpoint compaction preserves the counts: delete every
+    # pre-checkpoint manifest, the latest count still never scans
+    V.checkpoint(root)
+    log = os.path.join(root, "_txlog")
+    for v in range(1, 6):
+        os.remove(os.path.join(log, f"v{v:012d}.json"))
+    n, info = count_versioned(spark, root)
+    assert n == V.read_versioned(spark, root).count()
+    assert info["files_scanned"] == 0
+
+    # legacy manifest (pre-stats engine): strip file_rows from a new
+    # commit -> count falls back to scanning exactly those files
+    V.append(orders.limit(7), root)
+    mans = sorted(
+        p for p in os.listdir(log) if p.startswith("v") and p.endswith(".json")
+    )
+    mp = os.path.join(log, mans[-1])
+    m = js.load(open(mp))
+    stripped = {k: v for k, v in m.items() if k != "file_rows"}
+    os.remove(mp)
+    with open(mp, "w") as fh:
+        js.dump(stripped, fh)
+    n2, info2 = count_versioned(spark, root)
+    assert n2 == V.read_versioned(spark, root).count()
+    assert info2["files_scanned"] == len(m["added"]) > 0
+    assert info2["files_from_log"] + info2["files_scanned"] == info2["files_total"]
