@@ -1449,24 +1449,8 @@ def main(argv: list[str] | None = None) -> int:
                 idx = spark.read.parquet(args.out)
         bloom = None
         bloom_upd = None
-        if args.update and args.bloom_out and not args.bloom_cols:
-            # refresh the persisted bloom alongside the min/max index
-            import os as _os
-
-            if _os.path.isdir(args.bloom_out):
-                from .functions.skipindex import update_bloom_index
-
-                bloom, bloom_upd = update_bloom_index(
-                    spark, args.path, spark.read.parquet(args.bloom_out)
-                )
-                btmp = args.bloom_out.rstrip("/") + ".__tmp__"
-                bloom.write.mode("overwrite").parquet(btmp)
-                import shutil as _sh2
-
-                _sh2.rmtree(args.bloom_out)
-                _sh2.move(btmp, args.bloom_out)
-                bloom = spark.read.parquet(args.bloom_out)
-        elif args.bloom_cols:
+        if args.bloom_cols:
+            # explicit columns: (re)build from scratch, --update or not
             from .functions.skipindex import build_bloom_index
 
             bloom = build_bloom_index(
@@ -1478,7 +1462,30 @@ def main(argv: list[str] | None = None) -> int:
                 bloom.write.mode("overwrite").parquet(args.bloom_out)
                 bloom = spark.read.parquet(args.bloom_out)
         elif args.bloom_out:
+            # a persisted bloom is ALWAYS loaded when named — and under
+            # --update it is refreshed first; naming a missing index is
+            # an error, never a silent scan-without-pruning
+            import os as _os
+
+            if not _os.path.isdir(args.bloom_out):
+                raise SystemExit(
+                    f"--bloom-out {args.bloom_out} does not exist; "
+                    "build it first with --bloom-cols"
+                )
             bloom = spark.read.parquet(args.bloom_out)
+            if args.update:
+                from .functions.skipindex import update_bloom_index
+
+                bloom, bloom_upd = update_bloom_index(
+                    spark, args.path, bloom
+                )
+                btmp = args.bloom_out.rstrip("/") + ".__tmp__"
+                bloom.write.mode("overwrite").parquet(btmp)
+                import shutil as _sh2
+
+                _sh2.rmtree(args.bloom_out)
+                _sh2.move(btmp, args.bloom_out)
+                bloom = spark.read.parquet(args.bloom_out)
         preds = _parse_preds(args.pred)
         summary: dict = {
             "files": idx.select("file").distinct().count(),

@@ -106,10 +106,16 @@ def _materialize(index: DataFrame) -> DataFrame:
 def _widen_str_upper(s: str) -> str | None:
     """A string strictly greater than every string with prefix `s`:
     bump the last bump-able char, drop the tail (parquet writers'
-    truncate-and-increment). None when every char is U+10FFFF — no
-    finite upper bound exists at this prefix length."""
+    truncate-and-increment). Bumping skips the UTF-16 surrogate gap —
+    U+D7FF increments to U+E000, never to the lone surrogate U+D800,
+    which Arrow/UTF-8 cannot encode (the build would crash on valid
+    data, the exact failure this widening path exists to avoid). None
+    when every char is U+10FFFF — no finite upper bound exists at this
+    prefix length."""
     for i in range(len(s) - 1, -1, -1):
         c = ord(s[i])
+        if c == 0xD7FF:
+            return s[:i] + chr(0xE000)
         if c < 0x10FFFF:
             return s[:i] + chr(c + 1)
     return None
@@ -412,19 +418,72 @@ def update_skip_index(
 # ---------------------------------------------------------------------------
 
 _BLOOM_SCHEMA = (
-    "file string, column string, m_bits int, k int, n_values long, "
-    "bits array<long>"
+    "file string, column string, lane string, m_bits int, k int, "
+    "n_values long, bits array<long>"
 )
 
 
-def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
-    """k bit positions via double hashing over the md5 of the value's
-    canonical utf-8 repr. The SAME Python runs at build (executors) and
-    probe (driver), so cross-engine hash reproducibility never enters
-    the contract."""
+def _bloom_canon(value) -> tuple[str, str]:
+    """(lane, canonical-repr) of a value for bloom hashing. The
+    contract a bloom filter's DROP verdict rests on: two values that
+    Spark's `=` (with its implicit numeric/temporal coercions) could
+    consider equal MUST canonicalize identically — otherwise the index
+    falsely proves absence and prunes a file that holds matches (the
+    silent-wrong-results failure str(value) had: build hashed
+    pyarrow's `100.0` float repr while the probe hashed the literal
+    `100`). Values that merely COLLIDE only ever keep extra files.
+
+    Lanes: 'num' (bool/int/float/decimal, one shared repr: integral
+    values within 2^53 print as exact ints, everything else as the
+    float shortest-round-trip — large ints collide at float precision,
+    mirroring Spark's own bigint<->double comparison cast), 'tme'
+    (timestamps AND dates on one exact epoch-micros line, because
+    Spark coerces date = timestamp), 'str', 'bin'."""
+    import datetime
+    import decimal
+
+    if isinstance(value, bool):
+        return "num", "1" if value else "0"
+    if isinstance(value, (int, float, decimal.Decimal)):
+        try:
+            f = float(value)
+        except OverflowError:
+            # beyond double range: exact decimal repr (no double
+            # literal can equal it, so cross-type equality is moot)
+            return "num", format(
+                value if isinstance(value, int) else value.normalize(), "f"
+            )
+        if math.isfinite(f) and f == int(f) and abs(f) <= 2.0**53:
+            return "num", repr(int(f))
+        return "num", repr(f)
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+        td = value - datetime.datetime(1970, 1, 1)
+        micros = (
+            td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+        )
+        return "tme", repr(micros)
+    if isinstance(value, datetime.date):
+        days = (value - datetime.date(1970, 1, 1)).days
+        return "tme", repr(days * 86_400_000_000)
+    if isinstance(value, str):
+        return "str", value
+    if isinstance(value, (bytes, bytearray)):
+        return "bin", bytes(value).hex()
+    raise ValueError(f"unsupported bloom value type: {type(value)}")
+
+
+def _bloom_positions(canon: str, m_bits: int, k: int) -> list[int]:
+    """k bit positions via double hashing over the md5 of the
+    CANONICAL utf-8 repr (`_bloom_canon`). The SAME Python runs at
+    build (executors) and probe (driver), so cross-engine hash
+    reproducibility never enters the contract."""
     import hashlib
 
-    h = hashlib.md5(str(value).encode("utf-8")).digest()
+    h = hashlib.md5(canon.encode("utf-8")).digest()
     h1 = int.from_bytes(h[:8], "big")
     h2 = int.from_bytes(h[8:16], "big") | 1
     return [(h1 + i * h2) % m_bits for i in range(k)]
@@ -472,17 +531,12 @@ def _bloom_files(
     ).repartition(n_slices)
 
     def build(batches):
-        import hashlib
-
         import pandas as pd
         import pyarrow.parquet as pq
 
-        def positions(v):
-            h = hashlib.md5(str(v).encode("utf-8")).digest()
-            h1 = int.from_bytes(h[:8], "big")
-            h2 = int.from_bytes(h[8:16], "big") | 1
-            return [(h1 + i * h2) % mb for i in range(kk)]
-
+        # the build hashes the SAME canonical repr the probe side does
+        # (_bloom_canon/_bloom_positions are module functions pickled
+        # by reference — one code path, no drift)
         for pdf in batches:
             rows = []
             for f in pdf["file"]:
@@ -495,18 +549,30 @@ def _bloom_files(
                     vals = {
                         v for v in t.column(c).to_pylist() if v is not None
                     }
+                    lane = None
                     words = [0] * (mb // 64)
                     for v in vals:
-                        for p in positions(v):
+                        vl, canon = _bloom_canon(v)
+                        if lane is None:
+                            lane = vl
+                        elif lane != vl:
+                            raise ValueError(
+                                f"mixed value lanes in {f}:{c}: "
+                                f"{lane} vs {vl}"
+                            )
+                        for p in _bloom_positions(canon, mb, kk):
                             words[p // 64] |= 1 << (p % 64)
                     signed = [
                         w - (1 << 64) if w >= (1 << 63) else w for w in words
                     ]
-                    rows.append((f, c, mb, kk, len(vals), signed))
+                    rows.append(
+                        (f, c, lane or "none", mb, kk, len(vals), signed)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "file", "column", "m_bits", "k", "n_values", "bits",
+                    "file", "column", "lane", "m_bits", "k", "n_values",
+                    "bits",
                 ],
             )
 
@@ -525,6 +591,12 @@ def update_bloom_index(
     a materialized VALUE (same discipline as the min/max index)."""
     from .stats import _file_list
 
+    if "lane" not in bloom.columns:
+        raise ValueError(
+            "bloom relation has no 'lane' column — built by an older "
+            "version whose value hashing was type-unstable; rebuild "
+            "with build_bloom_index"
+        )
     cfgs = bloom.select("m_bits", "k").distinct().collect()
     if len(cfgs) != 1:
         raise ValueError(
@@ -557,16 +629,50 @@ def update_bloom_index(
     }
 
 
+def _bloom_check_lane(bloom: DataFrame, column: str, probe_lane: str) -> None:
+    """Refuse a probe whose value lane cannot match the built column's
+    lane — without this the probe's canonical repr never hashes to the
+    built bits and the filter silently proves a FALSE absence for
+    every file (e.g. probing an int-built column with a string).
+    Rows with lane 'none' (all-null in that file) prove absence for
+    any lane and are exempt."""
+    if "lane" not in bloom.columns:
+        raise ValueError(
+            "bloom relation has no 'lane' column — built by an older "
+            "version whose value hashing was type-unstable; rebuild "
+            "with build_bloom_index"
+        )
+    lanes = {
+        r.lane
+        for r in bloom.where(F.col("column") == column)
+        .select("lane")
+        .distinct()
+        .collect()
+    } - {"none"}
+    if lanes and probe_lane not in lanes:
+        raise ValueError(
+            f"probe value lane {probe_lane!r} cannot match column "
+            f"{column!r} built with lane(s) {sorted(lanes)} — a "
+            "mismatched probe would silently prune files that hold "
+            "matches; probe with a value of the column's type"
+        )
+
+
 def bloom_dropped_files(
     bloom: DataFrame, eq_predicates: list[tuple[str, object]]
 ) -> DataFrame:
     """Files the bloom index PROVES cannot satisfy some `col = value`
     predicate (at least one of the value's k probe bits is unset in
     that file's filter). Pure DataFrame ops: the probe positions are
-    computed driver-side with the build's own hash, the bit tests are
-    codegen'd shift-and-mask expressions. Files without a bloom row
-    for the column are never returned (unknown keeps). Returns a
-    (file) relation to anti-join against."""
+    computed driver-side from the value's CANONICAL repr — the same
+    `_bloom_canon` the build hashed, so int-vs-float literals, decimal
+    and date/timestamp columns all land on the build's bits (hashing
+    raw str(value) here falsely proved absence whenever the reprs
+    drifted, e.g. probe `100` vs pyarrow's read-back `100.0`). A probe
+    whose value LANE cannot match the built column raises. Files
+    without a bloom row for the column are never returned (unknown
+    keeps); a row with zero values (all-null file) proves absence for
+    any probe. Returns a (file) relation to anti-join against."""
     if not eq_predicates:
         raise ValueError("eq_predicates must be non-empty")
     configs = [
@@ -578,10 +684,18 @@ def bloom_dropped_files(
         return bloom.select("file")
     dropped = None
     for col, v in eq_predicates:
+        if v is None:
+            raise ValueError(
+                f"bloom probe value for {col!r} is None — `= NULL` "
+                "matches no row; filter nulls before probing"
+            )
+        lane, canon = _bloom_canon(v)
+        _bloom_check_lane(bloom, col, lane)
+        lane_ok = (F.col("lane") == lane) | (F.col("n_values") == 0)
         cond = None
         for mb, kk in configs:
             present = None
-            for p in _bloom_positions(v, mb, kk):
+            for p in _bloom_positions(canon, mb, kk):
                 bit = (
                     F.shiftright(
                         F.element_at(F.col("bits"), p // 64 + 1), p % 64
@@ -593,6 +707,7 @@ def bloom_dropped_files(
                 (F.col("m_bits") == mb)
                 & (F.col("k") == kk)
                 & (F.col("column") == col)
+                & lane_ok
                 & ~present
             )
             cond = c if cond is None else cond | c
@@ -602,6 +717,105 @@ def bloom_dropped_files(
             per_pred if dropped is None else dropped.unionByName(per_pred)
         )
     return dropped.distinct()
+
+
+def bloom_dropped_files_for_join(
+    bloom: DataFrame,
+    column: str,
+    probes: DataFrame,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Runtime-filter-shaped bloom pruning: given a RELATION of probe
+    values (the small side's join keys), return the files the bloom
+    index proves contain NONE of them — so an equi-join of the store
+    against a key set can skip files, not just a literal point lookup
+    (the shape Spark's own DPP/runtime filters give a partitioned
+    table, applied at the file-statistics plane).
+
+    Semantics: a file is dropped iff EVERY distinct non-null probe
+    value is provably absent from it (a join emits a row when ANY key
+    matches). An empty probe set therefore drops every indexed file —
+    the join result is provably empty. NULL probe values are ignored
+    (an equi-join never matches NULL). Probe lane is validated against
+    the built column's lane exactly as the literal path.
+
+    Plan shape: probe values are hashed EXECUTOR-side with the build's
+    own canonical md5 double-hash (Arrow-batched mapInPandas over the
+    distinct values), then each (m_bits, k) config's probe-position
+    relation joins the bloom rows for `column` and a higher-order
+    `forall` tests the k bits per (file, probe) — cost O(files x
+    distinct probes x k) bit tests, the intended regime being a small
+    key relation (dimension keys, a broadcastable filter side).
+    Returns a (file) relation to anti-join against."""
+    if value_col is None:
+        if len(probes.columns) != 1:
+            raise ValueError(
+                "pass value_col when the probe relation has more than "
+                "one column"
+            )
+        value_col = probes.columns[0]
+    configs = [
+        (int(r.m_bits), int(r.k))
+        for r in bloom.select("m_bits", "k").distinct().collect()
+    ]
+    rows = bloom.where(F.col("column") == column)
+    if not configs:
+        return bloom.select("file").limit(0)
+    vals = probes.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).distinct()
+
+    cfg_list = list(configs)
+
+    def hash_probes(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for v in pdf["v"]:
+                lane, canon = _bloom_canon(v)
+                for mb, kk in cfg_list:
+                    out.append(
+                        (lane, mb, kk, _bloom_positions(canon, mb, kk))
+                    )
+            yield pd.DataFrame(
+                out, columns=["lane", "m_bits", "k", "positions"]
+            )
+
+    hashed = vals.mapInPandas(
+        hash_probes,
+        "lane string, m_bits int, k int, positions array<int>",
+    ).localCheckpoint(eager=True)  # small by contract; probed twice
+
+    probe_lanes = {r.lane for r in hashed.select("lane").distinct().collect()}
+    if len(probe_lanes) > 1:
+        raise ValueError(
+            f"probe relation mixes value lanes {sorted(probe_lanes)}"
+        )
+    if probe_lanes:
+        _bloom_check_lane(bloom, column, next(iter(probe_lanes)))
+    else:
+        # empty probe set: the join is provably empty — every indexed
+        # file is skippable
+        return rows.select("file").distinct()
+
+    probe_lane = next(iter(probe_lanes))
+    present = F.expr(
+        "forall(positions, p -> "
+        "(shiftright(bits[CAST(p DIV 64 AS INT)], "
+        "CAST(p % 64 AS INT)) & 1) = 1)"
+    )
+    # lane validated above; restrict bloom rows to matching-lane or
+    # all-null rows (which prove absence for any lane)
+    joined = rows.where(
+        (F.col("lane") == probe_lane) | (F.col("n_values") == 0)
+    ).join(
+        F.broadcast(hashed.drop("lane")), on=["m_bits", "k"]
+    )
+    per_file = joined.groupBy("file").agg(
+        F.max(present.cast("int")).alias("__any_present")
+    )
+    return per_file.where(F.col("__any_present") == 0).select("file")
 
 
 def count_with_skip_index(

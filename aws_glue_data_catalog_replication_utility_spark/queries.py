@@ -116,6 +116,35 @@ def _dec(col, scale: int = 2):
     )
 
 
+# side-effecting queries (q12 versioned store, q13 skip-index store)
+# build scratch stores the caller's later collect still reads: each
+# invocation retires the PREVIOUS invocation's directory (its result
+# was collected before the registry moved on — the same lifetime
+# contract _persist relies on) and atexit sweeps the last one, so a
+# 3x bench run leaves nothing under /tmp
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def _scratch_dir(tag: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    old = _SCRATCH_DIRS.pop(tag, None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"{tag}_")
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _SCRATCH_DIRS.values()
+            ]
+        )
+    _SCRATCH_DIRS[tag] = d
+    return d
+
+
 # ---------------------------------------------------------------------------
 # 1. aggregation core (hash agg, SURVEY §2A #22-23)
 # ---------------------------------------------------------------------------
@@ -544,8 +573,6 @@ def q12_vstore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     read EVERY version back by time travel and aggregate each — the
     returned relation is one row per version, value-checked against a
     DuckDB reconstruction of the same lifecycle."""
-    import tempfile
-
     from . import versioned as V
 
     (orders,) = _t(spark, sf_dir, "orders")
@@ -553,8 +580,10 @@ def q12_vstore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     # the driver may collect the returned frame long after this call:
-    # the store directory must outlive the function (tmp, driver-owned)
-    root = tempfile.mkdtemp(prefix="q12_vstore_") + "/t"
+    # the store directory must outlive the function; _scratch_dir keeps
+    # it alive until the NEXT invocation (or process exit) and sweeps
+    # it then, so repeated bench runs don't accrete /tmp debris
+    root = _scratch_dir("q12_vstore") + "/t"
     V.append(base, root)  # v1
     upd = (
         orders.where("o_orderkey % 10 = 0")

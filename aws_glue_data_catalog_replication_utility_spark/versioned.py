@@ -719,7 +719,17 @@ def append_stream_batch(
     monotonic per query, so nothing older can carry this one. A
     replayed batch (always the query's most recent) is found in
     O(other-queries'-interleaved-commits) manifests; the per-batch
-    cost never grows with table history."""
+    cost never grows with table history.
+
+    LEGACY stream manifests (batch_id present, query_id absent —
+    written before query scoping existed) are treated as MATCHING any
+    query: a store+checkpoint pair upgraded in place would otherwise
+    replay its first batch invisibly to the guard and append it twice
+    (exactly-once broken exactly once, at the upgrade boundary). The
+    conservative direction is deliberate: a legacy commit can only
+    SKIP a replayed batch it genuinely carried under the old
+    one-stream-per-store discipline; all post-upgrade commits are
+    fully query-scoped."""
     for _, p in reversed(_manifests(root)):
         with open(p) as fh:
             m = json.load(fh)
@@ -727,7 +737,8 @@ def append_stream_batch(
         bid = meta.get("batch_id")
         if bid is None:
             continue
-        if query_id is not None and meta.get("query_id") != query_id:
+        mqid = meta.get("query_id")
+        if query_id is not None and mqid is not None and mqid != query_id:
             continue
         if bid == batch_id:
             return None  # replay: this batch already committed

@@ -527,3 +527,185 @@ def test_update_bloom_index_incremental_equals_rebuild(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="configs"):
         update_bloom_index(spark, out, mixed)
+
+
+def test_bloom_canonical_value_hashing_across_types(spark, tmp_path):
+    """The r08 defect class (ADVICE high): build hashed pyarrow's
+    read-back repr, probe hashed the caller's literal repr — for
+    double/decimal/date columns (or int-vs-float literals) the reprs
+    drifted and the bloom falsely PROVED ABSENCE, silently pruning
+    files that hold matches. Canonical hashing must keep every
+    equal-under-Spark probe, and pruning must still engage for
+    genuinely absent values."""
+    import datetime
+    from decimal import Decimal
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_bloom_index,
+        bloom_dropped_files,
+    )
+
+    out = str(tmp_path / "store")
+    spark.createDataFrame(
+        [
+            (1, 100.0, Decimal("100.00"), datetime.date(2020, 1, 2),
+             datetime.datetime(2020, 1, 2, 3, 4, 5), 10**15 + 7),
+            (2, 2.5, Decimal("2.50"), datetime.date(2021, 6, 9),
+             datetime.datetime(2021, 6, 9, 0, 0, 0), 42),
+        ],
+        "id int, d double, dec decimal(10,2), dt date, ts timestamp, big long",
+    ).repartition(2, "id").write.parquet(out)
+    bloom = build_bloom_index(
+        spark, out, ["d", "dec", "dt", "ts", "big"], m_bits=1 << 10
+    )
+    full = spark.read.parquet(out)
+    files_with = {
+        c: {
+            v: full.where(F.col(c) == F.lit(v))
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+            for v in vals
+        }
+        for c, vals in {
+            "d": [100, 100.0, 2.5],          # int literal on double col
+            "dec": [100, Decimal("100"), 2.5],
+            "big": [10**15 + 7, float(42)],  # float literal on long col
+            "dt": [datetime.date(2020, 1, 2)],
+            "ts": [datetime.datetime(2020, 1, 2, 3, 4, 5)],
+        }.items()
+    }
+    n_files = bloom.select("file").distinct().count()
+    for c, vals in files_with.items():
+        for v, n_in in vals.items():
+            dropped = bloom_dropped_files(bloom, [(c, v)]).count()
+            # NEVER prune a file that truly holds the value
+            assert dropped <= n_files - n_in, (c, v)
+            if n_in:
+                assert dropped < n_files, (c, v)
+    # genuinely absent values still prune everything (power retained)
+    assert bloom_dropped_files(bloom, [("d", -9.75)]).count() == n_files
+    assert bloom_dropped_files(
+        bloom, [("dt", datetime.date(1999, 9, 9))]
+    ).count() == n_files
+    # date = timestamp-at-midnight coercion (Spark considers them
+    # equal): a midnight timestamp probe on the date column must keep
+    # the file holding that date
+    assert bloom_dropped_files(
+        bloom, [("dt", datetime.datetime(2020, 1, 2))]
+    ).count() < n_files
+
+    # probe lane mismatches RAISE instead of silently pruning all
+    for col, v in [("d", "100"), ("dt", 100), ("big", "42")]:
+        with pytest.raises(ValueError, match="lane"):
+            bloom_dropped_files(bloom, [(col, v)])
+    with pytest.raises(ValueError, match="None"):
+        bloom_dropped_files(bloom, [("d", None)])
+
+
+def test_bloom_join_probe_prunes_to_containing_files(spark, tmp_path):
+    """Relation-valued probes (the runtime-filter shape): an equi-join
+    key set prunes to exactly the union of files containing ANY key;
+    empty key set drops every indexed file; mixed/mismatched lanes
+    raise; results stay exact through scan_with_skip_index's residual
+    discipline when the kept files are read."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_bloom_index,
+        bloom_dropped_files_for_join,
+    )
+
+    out = str(tmp_path / "store")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartitionByRange(8, "o_orderkey").write.parquet(out)
+    full = spark.read.parquet(out)
+    bloom = build_bloom_index(spark, out, ["o_custkey"], m_bits=1 << 14)
+
+    probe_keys = [
+        r.o_custkey
+        for r in full.select("o_custkey").distinct().limit(3).collect()
+    ]
+    probes = spark.createDataFrame(
+        [(k,) for k in probe_keys], "o_custkey long"
+    )
+    dropped = bloom_dropped_files_for_join(bloom, "o_custkey", probes)
+    dropped_set = {r.file for r in dropped.collect()}
+    truly_in = {
+        r[0]
+        for r in full.where(F.col("o_custkey").isin(probe_keys))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    # soundness: no file holding any probe key is dropped
+    assert all(f not in dropped_set for f in truly_in)
+    # the kept set answers the join exactly
+    kept_files = [
+        r.file
+        for r in bloom.select("file").distinct().collect()
+        if r.file not in dropped_set
+    ]
+    got = (
+        spark.read.parquet(*kept_files)
+        .join(probes, on="o_custkey")
+        .select("o_orderkey")
+    )
+    want = full.join(probes, on="o_custkey").select("o_orderkey")
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        r[0] for r in want.collect()
+    )
+
+    # a probe relation with NULLs: nulls ignored (equi-join never
+    # matches NULL), same result
+    probes_null = spark.createDataFrame(
+        [(k,) for k in probe_keys] + [(None,)], "o_custkey long"
+    )
+    d2 = {
+        r.file
+        for r in bloom_dropped_files_for_join(
+            bloom, "o_custkey", probes_null
+        ).collect()
+    }
+    assert d2 == dropped_set
+
+    # absent keys only: every indexed file provably skippable
+    absent = spark.createDataFrame([(-5,), (-6,)], "o_custkey long")
+    assert bloom_dropped_files_for_join(
+        bloom, "o_custkey", absent
+    ).count() == 8
+    # empty probe set: join provably empty -> all files skippable
+    assert bloom_dropped_files_for_join(
+        bloom, "o_custkey", absent.where("o_custkey > 0")
+    ).count() == 8
+    # lane mismatch raises
+    with pytest.raises(ValueError, match="lane"):
+        bloom_dropped_files_for_join(
+            bloom, "o_custkey",
+            spark.createDataFrame([("x",)], "o_custkey string"),
+        )
+
+
+def test_string_widening_skips_surrogate_gap(spark, tmp_path):
+    """Truncate-and-increment bumping U+D7FF must skip to U+E000 —
+    chr(0xD800) is a lone surrogate Arrow cannot encode, so the old
+    bump crashed the index build on valid (if adversarial) data."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        _STR_PREFIX,
+        _widen_str_upper,
+    )
+
+    assert _widen_str_upper("a" + chr(0xD7FF)) == "a" + chr(0xE000)
+    assert _widen_str_upper(chr(0xD7FF) * 3) == chr(0xD7FF) * 2 + chr(0xE000)
+
+    out = str(tmp_path / "store")
+    hot = chr(0xD7FF) * _STR_PREFIX + "tail-beyond-prefix"
+    spark.createDataFrame(
+        [(1, hot), (2, "aaa")], "id int, s string"
+    ).coalesce(1).write.parquet(out)
+    idx = build_skip_index(spark, out)  # must not crash in the build
+    row = [
+        r for r in idx.collect() if r.column == "s" and r.has_minmax
+    ][0]
+    # widened upper bound is a real upper bound for the hot string
+    assert row.max_str > hot[:_STR_PREFIX] and "\ud800" not in row.max_str
+    got, _ = scan_with_skip_index(spark, idx, [("s", "=", hot)])
+    assert got.count() == 1
