@@ -618,11 +618,108 @@ def q12_vstore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 13. file-skipping scan (r09 registry rotation: the skipping layer —
+# min/max + bloom file indexes, functions/skipindex.py — had only
+# pytest twins; this slot value-checks a PRUNED scan against the
+# DuckDB full-scan answer. q58_product_quantization rotated out: its
+# PQ-code semantics stay pinned by q59/q60, which consume the same
+# codes, plus the bit-exact DuckDB twin kept in tests/test_functions.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_skipindex_scan",
+    oracle="""
+    SELECT 'range' AS leg, o_orderpriority AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'point' AS leg, CAST(o_orderkey AS VARCHAR) AS k,
+           CAST(1 AS BIGINT) AS n, o_totalprice AS total
+    FROM orders
+    WHERE o_custkey = 41
+    """,
+)
+def q13_skipindex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping scan, value-checked end-to-end: orders is laid out
+    range-partitioned on o_orderdate (8 files, the layout the min/max
+    index exists for), a footer-stats index plus an o_custkey bloom
+    index are built, and two pruned scans answer (a) a 12-month range
+    aggregate — the scan RAISES if the index failed to prune files,
+    so this slot pins pruning power, not just safety — and (b) an
+    equality point-lookup on the scattered key through the bloom
+    layer. Results are bit-identical to DuckDB's full scans because
+    pruning only drops files PROVED empty of matches and the residual
+    filter re-applies the predicates (functions/skipindex.py).
+    Reference tie-in: the reference's read path narrows work to what a
+    message names (S3Util.java:201-236 reads only the keyed object);
+    this is the same narrowing at the file-statistics plane."""
+    import datetime
+
+    from .functions.skipindex import (
+        build_bloom_index,
+        build_skip_index,
+        scan_with_skip_index,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    store = _scratch_dir("q13_skipstore") + "/orders"
+    (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+            "o_orderpriority",
+        )
+        .repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(store)
+    )
+    idx = build_skip_index(spark, store)
+    bloom = build_bloom_index(spark, store, ["o_custkey"], m_bits=1 << 14)
+
+    rng, info = scan_with_skip_index(
+        spark,
+        idx,
+        [
+            ("o_orderdate", ">=", datetime.datetime(1995, 1, 1)),
+            ("o_orderdate", "<", datetime.datetime(1996, 1, 1)),
+        ],
+    )
+    # 12 months of an ~80-month span over 8 range files: the index
+    # must prove most files out — a kept==total scan means the
+    # skipping layer silently stopped working
+    if not info["files_kept"] < info["files_total"]:
+        raise AssertionError(f"skip index failed to prune: {info}")
+    leg_range = (
+        rng.groupBy(F.col("o_orderpriority").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .select(F.lit("range").alias("leg"), "k", "n", "total")
+    )
+    pt, _ = scan_with_skip_index(
+        spark, idx, [("o_custkey", "=", 41)], bloom=bloom
+    )
+    leg_point = pt.select(
+        F.lit("point").alias("leg"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.lit(1).cast("bigint").alias("n"),
+        F.col("o_totalprice").alias("total"),
+    )
+    return leg_range.unionByName(leg_point)
+
+
+# ---------------------------------------------------------------------------
 # 14-15. sort/limit + multi-way joins (deterministic top-k; bench heads)
 # (r05 registry consolidation: the driver's correctness artifact caps at
 # 50 rows, so single-operator queries subsumed by richer ones were
-# folded — standalone top-k (was q13) is pinned by q14's
-# TakeOrderedAndProject tail and q38's.)
+# folded — standalone top-k (was q13) was pinned by q14's
+# TakeOrderedAndProject tail and q38's; the q13 slot was re-used by the
+# r09 skip-index rotation above.)
 # ---------------------------------------------------------------------------
 
 
@@ -2750,15 +2847,21 @@ _ADC_CTE = """
     )"""
 
 
-@register(
-    "q58_product_quantization",
-    oracle=f"""
+# r09 registry rotation: q58 left the 50-slot registry (the skipping
+# layer took the slot, q13); its code-level PQ semantics remain pinned
+# three ways — q59/q60 consume these exact codes under the driver
+# oracle, and tests/test_functions.py runs THIS function against THIS
+# oracle bit-exactly at sf0.01 (the retired-slot parity discipline).
+RETIRED_ORACLES: dict[str, str] = {
+    "q58_product_quantization": f"""
     WITH {_PQ_CTES}
     SELECT vec_id, CAST(4 AS INT) AS m,
            string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS code_str
     FROM bc GROUP BY vec_id
     """,
-)
+}
+
+
 def q58_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes — the compression step PAST scalar
     quantization an ANN index stores (m=4 subspaces x k=8 codewords =

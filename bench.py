@@ -57,8 +57,10 @@ HEADLINE = [
     "q52_document_chunking",
     "q53_dedup_clusters",  # r05: now runs BOTH CC algorithms in one query
     "q54_embedding_quantization",
-    # round-4 additions: ANN index stack depth (PQ codes + ADC search)
-    "q58_product_quantization",
+    # round-4 additions: ANN index stack depth (ADC search; q58 PQ
+    # codes rotated out of the registry in r09 — the skipping layer
+    # took the slot)
+    "q13_skipindex_scan",
     "q59_pq_adc_topk",
     # round-5 additions: pipeline fan-out lane (VERDICT r04 #6) and the
     # composed IVF+ADC production search with its recall pins

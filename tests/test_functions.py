@@ -2685,3 +2685,33 @@ def test_leakage_safe_split_validation(spark):
         leakage_safe_split(df, {"train": 60, "eval": 30})
     with pytest.raises(ValueError, match="non-negative"):
         leakage_safe_split(df, {"train": 150, "eval": -50})
+
+
+def test_retired_q58_pq_codes_duckdb_parity(spark):
+    """q58_product_quantization left the 50-slot registry in r09 (the
+    skip-index scan took the slot); the retired-slot discipline keeps
+    its DuckDB oracle running HERE bit-exactly, so the PQ code
+    semantics stay pinned by three independent checks (this twin, plus
+    the q59/q60 registry slots that consume the same codes)."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.queries import (
+        RETIRED_ORACLES,
+        q58_product_quantization,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    got = sorted(
+        tuple(r) for r in q58_product_quantization(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            RETIRED_ORACLES["q58_product_quantization"]
+        ).fetchall()
+    )
+    assert got == want
