@@ -295,6 +295,12 @@ def main(argv: list[str] | None = None) -> int:
     ncl.add_argument("--state-root", required=True)
     ncl.add_argument("--threshold", type=float, default=0.7)
     ncl.add_argument("--num-hashes", type=int, default=12)
+    ncl.add_argument(
+        "--mode", choices=["auto", "full", "incremental"], default="auto",
+        help="auto = incremental when a compatible close watermark "
+             "exists (pair regeneration scoped to bands touched since "
+             "the last pass), full = complete re-fold",
+    )
 
     scl = sub.add_parser(
         "semdedup-close",
@@ -307,6 +313,12 @@ def main(argv: list[str] | None = None) -> int:
     scl.add_argument("--index-root", required=True)
     scl.add_argument("--threshold", type=float, default=0.9)
     scl.add_argument("--pair-blocks", type=int, default=8)
+    scl.add_argument(
+        "--mode", choices=["auto", "full", "incremental"], default="auto",
+        help="auto = incremental when a compatible close watermark "
+             "exists (pair regeneration scoped to clusters touched "
+             "since the last pass), full = complete re-fold",
+    )
 
     c = sub.add_parser(
         "clean",
@@ -1882,6 +1894,7 @@ def main(argv: list[str] | None = None) -> int:
             state_root=args.state_root,
             num_hashes=args.num_hashes,
             threshold=args.threshold,
+            mode=args.mode,
         )
         print(_json.dumps(report))
 
@@ -1896,6 +1909,7 @@ def main(argv: list[str] | None = None) -> int:
             index_root=args.index_root,
             threshold=args.threshold,
             pair_blocks=args.pair_blocks,
+            mode=args.mode,
         )
         print(_json.dumps(report))
 

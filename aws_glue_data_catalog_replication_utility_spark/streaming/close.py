@@ -35,17 +35,79 @@ formulation via `connected_components`; the per-directory rewrites are
 O(affected dirs) driver-scheduled jobs, bounded by stream length and
 kept small by `compact_dedup_state`.
 
-Cadence: every N batches or nightly — each pass folds everything
-accumulated so far, so a missed pass only delays convergence, never
-loses it.
+Cadence: every N batches or nightly. Passes are INCREMENTAL by
+default (r09): each completed pass persists a close-watermark batch id
+in the state root, and the next pass regenerates pairs only over the
+bands/clusters that contain docs arrived SINCE the watermark — sound
+because a completed pass leaves every qualifying pair among previously
+seen docs reflected in the recorded verdict edges (each non-keeper
+points at its component label), so a NEW qualifying pair must involve
+a new doc, whose bands/clusters are exactly the touched set. The
+watermark is INCLUSIVE (>=): the inline `close_every` hook runs before
+the micro-batch's offsets commit, so a crash in that window replays
+the watermark batch with greedy verdicts — re-folding that one batch
+is the self-heal. A parameter change (threshold, hash count, ANN
+centroids) invalidates the watermark and falls back to the full
+re-fold, which also remains available via mode="full".
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _wm_path(state_root: str, kind: str) -> str:
+    return os.path.join(state_root, f"close_watermark_{kind}.json")
+
+
+def _read_watermark(state_root: str, kind: str, params: dict) -> dict | None:
+    """The last completed pass's watermark, or None when absent or when
+    `params` differ from the recorded ones (a changed threshold/hash
+    family voids the no-new-pairs-among-old-docs invariant)."""
+    p = _wm_path(state_root, kind)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        wm = json.load(fh)
+    if wm.get("params") != params:
+        return None
+    return wm
+
+
+def _write_watermark(
+    state_root: str, kind: str, params: dict, batch_id: int
+) -> None:
+    """Atomic (tmp+rename) so a crash mid-write leaves the previous
+    mark; written only AFTER a pass completes, so a crash mid-pass
+    re-folds a superset next time (idempotent, never skips work)."""
+    if batch_id is None:  # empty decision log: nothing to mark
+        return
+    p = _wm_path(state_root, kind)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"batch_id": int(batch_id), "params": params}, fh)
+    os.replace(tmp, p)
+
+
+def _resolve_mode(mode: str, wm: dict | None) -> bool:
+    """-> incremental? 'auto' goes incremental iff a compatible
+    watermark exists; 'incremental' demands one; 'full' never."""
+    if mode not in ("auto", "full", "incremental"):
+        raise ValueError(f"mode must be auto|full|incremental, got {mode!r}")
+    if mode == "full":
+        return False
+    if mode == "incremental" and wm is None:
+        raise ValueError(
+            "mode='incremental' but no compatible close watermark exists "
+            "(first pass, or parameters changed) — run mode='auto' or "
+            "'full'"
+        )
+    return wm is not None
 
 
 def _closed_decisions(
@@ -133,6 +195,7 @@ def close_near_dedup_state(
     num_hashes: int = 12,
     threshold: float = 0.7,
     use_star: bool = True,
+    mode: str = "auto",
 ) -> dict:
     """Fold the near-dedup stream's accumulated state into transitive
     closure: one keeper (smallest doc id) per connected component of
@@ -142,6 +205,17 @@ def close_near_dedup_state(
     rewritten in place; demoted keepers' signatures move to the cold
     log and promoted docs' signatures into the store, so the NEXT
     micro-batch dedups against exactly the closed keeper set.
+
+    `mode`: 'auto' (default) runs INCREMENTALLY when a compatible
+    watermark from a prior pass exists — the band self-join's input is
+    restricted to signatures sharing a band with docs arrived since
+    the (inclusive) watermark batch, so a `close_every=N` stream does
+    O(new + touched-band) pair work per pass instead of O(all
+    accumulated state) (the r08 verdict's stream-lifetime cost). The
+    recorded verdict edges carry the previous closure's component
+    structure, so the restricted pass is verdict-identical to the full
+    one (pinned in tests). 'full' forces the complete re-fold;
+    'incremental' demands a watermark.
 
     Reference tie-in: the batch pipeline's pair->CC->keeper step
     (functions/dedup.dedup_clusters) applied to the stream's own state.
@@ -156,11 +230,16 @@ def close_near_dedup_state(
 
     from .neardedup import _est_col, read_dedup_decisions
 
+    params = {"num_hashes": num_hashes, "threshold": threshold}
+    wm = _read_watermark(state_root, "near", params)
+    incremental = _resolve_mode(mode, wm)
+
     # a VALUE, not a plan: the decision files are rewritten below, and
     # a lazy relation would re-read them mid-rewrite
     decisions = read_dedup_decisions(spark, state_root).select(
         "doc_id", "keep", "dup_of", "est", "batch_id"
     ).localCheckpoint(eager=True)
+    max_bid = decisions.agg(F.max("batch_id")).collect()[0][0]
 
     def read_sigs(root: str) -> DataFrame | None:
         if not os.path.isdir(root):
@@ -176,11 +255,33 @@ def close_near_dedup_state(
     if store is None:
         raise ValueError(f"no signature store at {sig_root}")
     all_sigs = store if cold is None else store.unionByName(cold)
-    all_sigs = all_sigs.localCheckpoint(eager=True)  # read 3+ times below
 
-    # FULL pair set over every accumulated signature: the band
-    # equi-join bounds candidates exactly as the stream/batch lanes do
-    a, b = all_sigs.alias("a"), all_sigs.alias("b")
+    n_new = None
+    if incremental:
+        # INCLUSIVE >=: the watermark batch itself may have been
+        # replayed with greedy verdicts after the closing pass (the
+        # inline close runs before the checkpoint offsets commit);
+        # re-folding that one batch is the self-heal.
+        new_docs = (
+            decisions.where(F.col("batch_id") >= wm["batch_id"])
+            .select("doc_id")
+            .distinct()
+        )
+        n_new = new_docs.count()
+        new_sigs = all_sigs.join(new_docs, on="doc_id", how="left_semi")
+        touched = new_sigs.select("band", "band_key").distinct()
+        cand = all_sigs.join(
+            touched, on=["band", "band_key"], how="left_semi"
+        ).localCheckpoint(eager=True)
+    else:
+        # full pass: every accumulated signature enters the pair join;
+        # materialized because the dirs it reads are rewritten below
+        all_sigs = all_sigs.localCheckpoint(eager=True)
+        cand = all_sigs
+
+    # pair set over the candidate signatures: the band equi-join
+    # bounds candidates exactly as the stream/batch lanes do
+    a, b = cand.alias("a"), cand.alias("b")
     pairs = (
         a.join(b, on=["band", "band_key"])
         .where(F.col("a.doc_id") > F.col("b.doc_id"))
@@ -192,8 +293,10 @@ def close_near_dedup_state(
         .dropDuplicates(["doc_id", "dup_of"])
         .where(F.col("est") >= threshold)
     )
-    # the stream's recorded edges (all exact-estimator verified) cover
-    # legacy state written before the cold log existed
+    # the stream's recorded edges carry (a) exact-verified greedy
+    # verdicts since the last pass, (b) the previous closure's full
+    # component structure (every non-keeper points at its label) —
+    # which is what makes the restricted pair set sufficient
     recorded = decisions.where(F.col("dup_of").isNotNull()).select(
         "doc_id", "dup_of", "est"
     )
@@ -222,11 +325,16 @@ def close_near_dedup_state(
         n_changed = changed.count()
         report = {
             "docs": decisions.count(),
+            "mode": "incremental" if incremental else "full",
+            "pair_input_rows": int(cand.count()),
             "changed_verdicts": int(n_changed),
             "decision_dirs_rewritten": 0,
             "signature_dirs_rewritten": 0,
         }
+        if incremental:
+            report["new_docs"] = int(n_new)
         if not n_changed:
+            _write_watermark(state_root, "near", params, max_bid)
             return report
 
         # --- decisions: rewrite only dirs holding changed rows -------
@@ -248,13 +356,19 @@ def close_near_dedup_state(
             r.batch_id
             for r in moved.select("batch_id").distinct().collect()
         ]
-        new_store = all_sigs.join(keepers, on="doc_id", how="left_semi")
-        new_cold = all_sigs.join(keepers, on="doc_id", how="left_anti")
+        # the rewritten dirs' rows, pinned as a VALUE before any
+        # overwrite (in full mode all_sigs already is one)
+        src = all_sigs.where(F.col("batch_id").isin(sig_batches))
+        if incremental:
+            src = src.localCheckpoint(eager=True)
+        new_store = src.join(keepers, on="doc_id", how="left_semi")
+        new_cold = src.join(keepers, on="doc_id", how="left_anti")
         report["signature_dirs_rewritten"] = _rewrite_batch_dirs(
             spark, sig_root, new_store, sig_batches, batch_col_in_file=False
         ) + _rewrite_batch_dirs(
             spark, dup_root, new_cold, sig_batches, batch_col_in_file=False
         )
+        _write_watermark(state_root, "near", params, max_bid)
         return report
     finally:
         cc_labels.unpersist()
@@ -267,6 +381,7 @@ def close_semantic_dedup_state(
     threshold: float = 0.9,
     pair_blocks: int = 8,
     use_star: bool = True,
+    mode: str = "auto",
 ) -> dict:
     """The semantic twin of `close_near_dedup_state`: transitive
     closure over every embedding the stream has seen — keeper store =
@@ -277,6 +392,13 @@ def close_semantic_dedup_state(
     exact-verified edges (which also bridge clusters the assignment
     would separate). Demoted keepers are deleted from the index (their
     vectors move to the cold log), promoted docs append to it.
+
+    `mode` mirrors the near lane: 'auto' scopes the triangle join to
+    CLUSTERS containing docs arrived since the (inclusive) watermark
+    batch; the centroid set is part of the watermark fingerprint, so a
+    rebuilt/re-seeded index voids the invariant and forces a full
+    pass. Verdict-identical to 'full' by the recorded-edges argument
+    (pinned in tests).
 
     Same recall trade as SemDeDup: rediscovered pairs are bounded to
     intra-cluster; the recorded edges and repeated passes narrow the
@@ -297,12 +419,24 @@ def close_semantic_dedup_state(
     meta = load_ann_meta(index_root)
     vec_id = meta["id_col"]
 
+    params = {
+        "threshold": threshold,
+        "pair_blocks": pair_blocks,
+        "centroids_md5": hashlib.md5(
+            json.dumps(meta["centroids"]).encode()
+        ).hexdigest(),
+        "levels": meta.get("levels"),
+    }
+    wm = _read_watermark(state_root, "sem", params)
+    incremental = _resolve_mode(mode, wm)
+
     from .semdedup import read_semantic_decisions
 
     # a VALUE, not a plan: the decision files are rewritten below
     decisions = read_semantic_decisions(spark, state_root).select(
         "doc_id", "keep", "dup_of", "cosine", "batch_id"
     ).localCheckpoint(eager=True)
+    max_bid = decisions.agg(F.max("batch_id")).collect()[0][0]
 
     stored = (
         spark.read.option("basePath", f"{index_root}/vectors")
@@ -328,12 +462,33 @@ def close_semantic_dedup_state(
             _int_l2_argmin(cents, "quantized").cast("int").alias("cluster"),
         )
     all_vecs = stored if cold is None else stored.unionByName(cold)
-    all_vecs = all_vecs.localCheckpoint(eager=True)
+
+    n_new = None
+    if incremental:
+        # inclusive >= for the same replay-window reason as the near
+        # lane; the touched set is the CLUSTERS holding new docs
+        new_docs = (
+            decisions.where(F.col("batch_id") >= wm["batch_id"])
+            .select("doc_id")
+            .distinct()
+        )
+        n_new = new_docs.count()
+        touched = (
+            all_vecs.join(new_docs, on="doc_id", how="left_semi")
+            .select("cluster")
+            .distinct()
+        )
+        cand_vecs = all_vecs.join(
+            touched, on="cluster", how="left_semi"
+        ).localCheckpoint(eager=True)
+    else:
+        all_vecs = all_vecs.localCheckpoint(eager=True)
+        cand_vecs = all_vecs
 
     _, pairs = _semantic_pair_plan(
-        all_vecs.select("doc_id", "embedding"),
+        cand_vecs.select("doc_id", "embedding"),
         threshold,
-        all_vecs.select("doc_id", "cluster"),
+        cand_vecs.select("doc_id", "cluster"),
         pair_blocks,
         "doc_id",
         "embedding",
@@ -367,12 +522,17 @@ def close_semantic_dedup_state(
         n_changed = changed.count()
         report = {
             "docs": decisions.count(),
+            "mode": "incremental" if incremental else "full",
+            "pair_input_rows": int(cand_vecs.count()),
             "changed_verdicts": int(n_changed),
             "decision_dirs_rewritten": 0,
             "index_deleted": 0,
             "index_appended": 0,
         }
+        if incremental:
+            report["new_docs"] = int(n_new)
         if not n_changed:
+            _write_watermark(state_root, "sem", params, max_bid)
             return report
 
         dec_batches = [
@@ -381,6 +541,20 @@ def close_semantic_dedup_state(
         report["decision_dirs_rewritten"] = _rewrite_batch_dirs(
             spark, dec_root, closed, dec_batches
         )
+
+        # every demoted/promoted doc has a CHANGED verdict, so the
+        # vectors the index mutations below need are exactly the
+        # changed docs' — pinned as a VALUE before any index rewrite
+        # (in full mode all_vecs already is one; in incremental mode
+        # the lazy all_vecs would re-read files the delete/append
+        # rewrites). NOTE: changed components can span clusters the
+        # touched set missed (recorded edges bridge clusters), so this
+        # is keyed on changed docs, never on touched clusters.
+        moved_vecs = all_vecs.join(
+            changed.select("doc_id").distinct(), on="doc_id", how="left_semi"
+        )
+        if incremental:
+            moved_vecs = moved_vecs.localCheckpoint(eager=True)
 
         keepers = labels.where(F.col("doc_id") == F.col("label")).select("doc_id")
         # demotion scope: STREAM-SEEN docs only. The index may hold a
@@ -406,7 +580,7 @@ def close_semantic_dedup_state(
         )
         # demoted keepers: vectors move index -> cold log BEFORE the
         # index delete (their embeddings only live in the index)
-        dem_vecs = all_vecs.join(demoted, on="doc_id", how="left_semi")
+        dem_vecs = moved_vecs.join(demoted, on="doc_id", how="left_semi")
         n_dem = dem_vecs.count()
         if n_dem:
             # cold-log home for close-moved vectors: their decision
@@ -443,7 +617,7 @@ def close_semantic_dedup_state(
             )
             report["index_deleted"] = int(n_dem)
         if promoted is not None:
-            pro_vecs = all_vecs.join(promoted, on="doc_id", how="left_semi")
+            pro_vecs = moved_vecs.join(promoted, on="doc_id", how="left_semi")
             n_pro = pro_vecs.count()
             if n_pro:
                 append_to_ann_index(
@@ -477,6 +651,7 @@ def close_semantic_dedup_state(
                     batch_col_in_file=False,
                 )
                 report["index_appended"] = int(n_pro)
+        _write_watermark(state_root, "sem", params, max_bid)
         return report
     finally:
         cc_labels.unpersist()

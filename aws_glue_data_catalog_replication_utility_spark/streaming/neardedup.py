@@ -152,7 +152,17 @@ def start_near_dedup_stream(
     stopped while it runs, which is exactly the close pass's contract.
     Stream-only users converge to the batch clusters without a
     maintenance scheduler; leave None to run `dedup-close` on your own
-    cadence."""
+    cadence.
+
+    Crash-replay window (documented EVENTUAL-CONVERGENCE behavior):
+    the inline close runs BEFORE the micro-batch's checkpoint offsets
+    commit, so a crash in that window replays the batch over the
+    post-closure state — the replayed batch overwrites ITS OWN
+    directories with greedy verdicts while earlier directories stay
+    closed. The next closure pass re-folds it (the close watermark is
+    inclusive of its own batch for exactly this case) and converges to
+    the same clusters; pinned by
+    tests/test_close.py::test_replay_after_inline_close_converges."""
     if os.path.exists(f"{state_root}/{_COMPACT_TMP}/MANIFEST.json"):
         raise RuntimeError(
             f"{state_root} has a pending compaction (a prior "

@@ -90,7 +90,12 @@ def start_semantic_dedup_stream(
     close_every=N runs the transitive-closure pass
     (streaming/close.close_semantic_dedup_state) inline after every
     Nth micro-batch — foreachBatch is serial, so the stream is
-    effectively stopped while it runs (the close pass's contract)."""
+    effectively stopped while it runs (the close pass's contract).
+    Crash-replay window: same eventual-convergence behavior as the
+    near lane (see start_near_dedup_stream) — the inline close runs
+    before the offsets commit, a replayed batch regresses only its own
+    directories to greedy verdicts, and the next pass (whose watermark
+    is inclusive of its own batch) re-folds them."""
     from ..functions.ann_index import (
         append_to_ann_index,
         delete_from_ann_index,
