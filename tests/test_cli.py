@@ -1382,3 +1382,53 @@ def test_cli_vstore_stream(spark, tmp_path, capsys):
     assert main(argv) == 0
     capsys.readouterr()
     assert len(run(["vstore", "--root", root, "--op", "history"])) == 2
+
+
+def test_cli_skip_index_bloom_update_and_missing(spark, tmp_path, capsys):
+    """ADVICE r08 (low): --bloom-out always loads the persisted bloom
+    when the directory exists — refreshed first under --update — and
+    naming a missing index errors instead of silently scanning without
+    bloom pruning."""
+    import json
+
+    import pytest as _pytest
+
+    store = str(tmp_path / "orders")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.where("o_orderkey % 2 = 0").repartitionByRange(
+        2, "o_orderkey"
+    ).write.parquet(store)
+    idx = str(tmp_path / "idx")
+    bloom = str(tmp_path / "bloom")
+    assert main([
+        "skip-index", "--path", store, "--out", idx,
+        "--bloom-cols", "o_custkey", "--bloom-out", bloom,
+    ]) == 0
+    capsys.readouterr()
+
+    orders.where("o_orderkey % 2 = 1").repartitionByRange(
+        2, "o_orderkey"
+    ).write.mode("append").parquet(store)
+    # --update with --bloom-out: BOTH indexes refresh in place and the
+    # probe answers through the refreshed bloom
+    probe = orders.select("o_custkey").first().o_custkey
+    assert main([
+        "skip-index", "--path", store, "--out", idx, "--update",
+        "--bloom-out", bloom, "--pred", f"o_custkey = {probe}",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["update"] == {"added": 2, "removed": 0, "kept": 2}
+    assert rep["bloom_update"] == {"added": 2, "removed": 0, "kept": 2}
+    want = spark.read.parquet(store).where(f"o_custkey = {probe}").count()
+    assert rep["rows"] == want
+
+    # a missing persisted bloom is an ERROR, never a silent no-bloom
+    # scan — under --update and without
+    for argv in (
+        ["skip-index", "--path", store, "--out", idx, "--update",
+         "--bloom-out", str(tmp_path / "nope")],
+        ["skip-index", "--path", store, "--out", str(tmp_path / "idx3"),
+         "--bloom-out", str(tmp_path / "nope")],
+    ):
+        with _pytest.raises(SystemExit, match="does not exist"):
+            main(argv)

@@ -734,3 +734,30 @@ def test_count_versioned_metadata_only(spark, orders, tmp_path):
     assert n2 == V.read_versioned(spark, root).count()
     assert info2["files_scanned"] == len(m["added"]) > 0
     assert info2["files_from_log"] + info2["files_scanned"] == info2["files_total"]
+
+
+def test_append_stream_batch_legacy_query_id_upgrade(spark, orders, tmp_path):
+    """ADVICE r08 (medium): a store whose stream manifests predate
+    query scoping (batch_id present, query_id absent) is upgraded in
+    place — the CLI now always passes query_id — and the first batch
+    replayed across the upgrade boundary must be recognized in the
+    LEGACY manifests, not appended twice. Legacy manifests match ANY
+    query id; post-upgrade commits are fully scoped."""
+    root = str(tmp_path / "t")
+    b = [orders.where(f"o_orderkey % 3 = {i}").limit(4) for i in range(3)]
+
+    # legacy era: one-stream-per-store discipline, no query scoping
+    assert V.append_stream_batch(b[0], 0, root) == 1
+    assert V.append_stream_batch(b[1], 1, root) == 2
+
+    # upgrade: same store + checkpoint, query_id now set; the
+    # at-least-once window replays the last committed batch
+    assert V.append_stream_batch(b[1], 1, root, query_id="ckpt") is None
+    # fresh batches commit query-scoped and replay-guard as usual
+    assert V.append_stream_batch(b[2], 2, root, query_id="ckpt") == 3
+    assert V.append_stream_batch(b[2], 2, root, query_id="ckpt") is None
+    assert V.read_versioned(spark, root).count() == sum(
+        x.count() for x in b
+    )
+    # a DIFFERENT query's scoped commits still never mask each other
+    assert V.append_stream_batch(b[0], 2, root, query_id="other") == 4
