@@ -818,6 +818,46 @@ def bloom_dropped_files_for_join(
     return per_file.where(F.col("__any_present") == 0).select("file")
 
 
+def scan_for_join(
+    spark: SparkSession,
+    index: DataFrame,
+    bloom: DataFrame,
+    column: str,
+    probes: DataFrame,
+    value_col: str | None = None,
+    schema=None,
+) -> tuple[DataFrame, dict]:
+    """The user-facing runtime-filter scan: read ONLY the store files
+    that can contain at least one of the probe relation's join keys
+    (per `bloom_dropped_files_for_join`), returning a DataFrame ready
+    to equi-join against the probe side. Exactness needs no residual
+    here: a dropped file provably contains NO key, so the join over
+    the kept files equals the join over the full store by
+    construction. Files the bloom does not cover (no row for the
+    column) are always read. Returns (df, info) with files kept/total;
+    an all-pruned store returns an empty frame with the store schema
+    (pass `schema` to skip the one-footer schema read)."""
+    total_rel = index.select("file").distinct()
+    total = total_rel.count()
+    dropped = bloom_dropped_files_for_join(
+        bloom, column, probes, value_col=value_col
+    )
+    kept = [
+        r.file
+        for r in total_rel.join(dropped, on="file", how="left_anti").collect()
+    ]
+    info = {"files_total": int(total), "files_kept": len(kept)}
+    if not kept:
+        if schema is None:
+            any_file = index.select("file").first().file
+            schema = spark.read.parquet(any_file).schema
+        return spark.createDataFrame([], schema), info
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*kept), info
+
+
 def count_with_skip_index(
     spark: SparkSession,
     index: DataFrame,

@@ -709,3 +709,48 @@ def test_string_widening_skips_surrogate_gap(spark, tmp_path):
     assert row.max_str > hot[:_STR_PREFIX] and "\ud800" not in row.max_str
     got, _ = scan_with_skip_index(spark, idx, [("s", "=", hot)])
     assert got.count() == 1
+
+
+def test_scan_for_join_reads_only_key_containing_files(spark, tmp_path):
+    """The composed runtime-filter scan: join over the pruned file set
+    equals the join over the full store (no residual needed — dropped
+    files provably hold no key), and the scan provably reads fewer
+    files for a selective key set."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_bloom_index,
+        scan_for_join,
+    )
+
+    out = str(tmp_path / "store")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartitionByRange(8, "o_orderkey").write.parquet(out)
+    full = spark.read.parquet(out)
+    idx = build_skip_index(spark, out)
+    bloom = build_bloom_index(spark, out, ["o_custkey"], m_bits=1 << 14)
+
+    # pick the key with the smallest file spread so pruning is real
+    spread = (
+        full.select("o_custkey", F.input_file_name().alias("f"))
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .orderBy("nf", "o_custkey")
+        .first()
+    )
+    probes = spark.createDataFrame(
+        [(int(spread.o_custkey),), (-99,)], "o_custkey long"
+    )
+    got, info = scan_for_join(spark, idx, bloom, "o_custkey", probes)
+    assert info["files_kept"] < info["files_total"] == 8
+    assert info["files_kept"] >= spread.nf
+    j_got = got.join(probes, on="o_custkey").select("o_orderkey")
+    j_want = full.join(probes, on="o_custkey").select("o_orderkey")
+    assert sorted(r[0] for r in j_got.collect()) == sorted(
+        r[0] for r in j_want.collect()
+    )
+
+    # all-absent key set: empty frame, store schema, zero files read
+    absent = spark.createDataFrame([(-1,), (-2,)], "o_custkey long")
+    g2, info2 = scan_for_join(spark, idx, bloom, "o_custkey", absent)
+    assert info2["files_kept"] == 0
+    assert g2.count() == 0 and g2.schema == full.schema
