@@ -136,15 +136,22 @@ def lane_close(spark: SparkSession, state_root: str) -> dict:
     }
 
 
-def lane_zorder(spark: SparkSession, sf_dir: str, mult: int) -> dict:
-    """The bench zorder_layout lane over lineitem x mult (keys offset
-    per replica so the z-domain grows with the data, as it would in
-    the wild)."""
+def lane_zorder(
+    spark: SparkSession, sf_dir: str, mult: int, divisor: int = 1
+) -> dict:
+    """The bench zorder_layout lane over (lineitem / divisor) x mult
+    (keys offset per replica so the z-domain grows with the data, as
+    it would in the wild). `divisor` shrinks the BASE slice — the
+    per-round bench probes 60k -> 600k rows (divisor=10) so its wall
+    budget stays bounded; the one-off big table (tools/scale_probe.py)
+    runs the full 600k -> 6M."""
     from .functions.layout import zorder_layout
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
+    if divisor > 1:
+        li = li.where(F.col("l_orderkey") % divisor == 0)
     reps = spark.range(mult).select(F.col("id").alias("r")).repartition(
         min(int(mult), spark.sparkContext.defaultParallelism)
     )
@@ -168,6 +175,7 @@ def run_probe(
     factor: int = 10,
     lanes: tuple[str, ...] = ("minhash_cc", "close", "zorder"),
     zorder_base_mult: int = 1,
+    zorder_divisor: int = 1,
 ) -> dict:
     """Each lane at its base multiplier and base*factor; returns
     {lane: {"1x": s, "<factor>x": s, "ratio": r, ...}} plus driver RSS
@@ -211,8 +219,8 @@ def run_probe(
                 r["rows"] = n
             elif lane == "zorder":
                 zm = zorder_base_mult * (1 if tag == "1x" else factor)
-                r = lane_zorder(spark, sf_dir, zm)
-                r["rows"] = 600_000 * zm
+                r = lane_zorder(spark, sf_dir, zm, divisor=zorder_divisor)
+                r["rows"] = 600_000 * zm // zorder_divisor
             else:
                 raise ValueError(lane)
             res[tag] = r

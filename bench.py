@@ -537,7 +537,7 @@ def main() -> None:
     try:
         probe = run_probe(
             spark, sf_dir, sp_dir, base_mult=2, factor=10,
-            zorder_base_mult=1,
+            zorder_base_mult=1, zorder_divisor=10,  # 60k -> 600k rows
         )
         for lane in ("minhash_cc", "close", "zorder"):
             extras[f"scale_{lane}_1x"] = probe[lane]["1x"]["seconds"]

@@ -29,6 +29,7 @@ def test_heavy_lanes_scale_linearly(spark, tmp_path):
         base_mult=1,
         factor=factor,
         zorder_base_mult=1,
+        zorder_divisor=10,  # 60k -> 480k rows: the ratio is the pin
     )
     hi = f"{factor}x"
     for lane in ("minhash_cc", "close", "zorder"):

@@ -29,6 +29,7 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--lanes", default="minhash_cc,close,zorder")
     ap.add_argument("--zorder-base-mult", type=int, default=1)
+    ap.add_argument("--zorder-divisor", type=int, default=1)
     ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
 
@@ -46,6 +47,7 @@ def main() -> int:
             factor=args.factor,
             lanes=tuple(args.lanes.split(",")),
             zorder_base_mult=args.zorder_base_mult,
+            zorder_divisor=args.zorder_divisor,
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
