@@ -862,6 +862,7 @@ def count_with_skip_index(
     spark: SparkSession,
     index: DataFrame,
     predicates: list[tuple[str, str, object]],
+    bloom: DataFrame | None = None,
 ) -> tuple[int, dict]:
     """COUNT(*) WHERE ... answered mostly from METADATA: a kept file
     whose footer stats PROVE every row matches every predicate (bounds
@@ -875,10 +876,19 @@ def count_with_skip_index(
 
     At 100 TB this is the difference between a count that reads three
     boundary files and one that reads a thousand interior ones.
-    Returns (count, {"files_total", "files_kept", "files_counted",
-    "files_scanned"})."""
+    `bloom` additionally excludes files a bloom index PROVES hold no
+    row for some `=` predicate (they contribute 0, so dropping them
+    from both the counted and scanned sets is exact — same layering as
+    scan_with_skip_index). Returns (count, {"files_total",
+    "files_kept", "files_counted", "files_scanned"})."""
     total = index.select("file").distinct().count()
     kept = prune_files(index, predicates)
+    if bloom is not None:
+        eqs = [(c, v) for (c, op, v) in predicates if op == "="]
+        if eqs:
+            kept = kept.join(
+                bloom_dropped_files(bloom, eqs), on="file", how="left_anti"
+            )
     if not predicates:
         n = kept.agg(F.sum("file_rows")).collect()[0][0]
         return int(n or 0), {

@@ -210,11 +210,14 @@ def test_semantic_dedup_close_folds_chain_through_ann_index(spark, tmp_path):
     assert _store_ids(spark, f"{state}/dup_vectors") == {106, 107}
     assert verify_ann_index(spark, index_root)["violations"] == 0
 
-    # idempotent
+    # idempotent — and the second pass engages INCREMENTAL mode (the
+    # first wrote the watermark)
+    assert rep["mode"] == "full"
     rep2 = close_semantic_dedup_state(
         spark, state, index_root, threshold=0.5, pair_blocks=2
     )
     assert rep2["changed_verdicts"] == 0
+    assert rep2["mode"] == "incremental"
 
     # an exact dup of the DEMOTED 7 arrives: the stream misses it (7 is
     # not in the index — the documented hot-path recall gap)...
@@ -228,11 +231,26 @@ def test_semantic_dedup_close_folds_chain_through_ann_index(spark, tmp_path):
         spark, state, index_root, threshold=0.5, pair_blocks=2
     )
     assert rep3["changed_verdicts"] == 1
+    assert rep3["mode"] == "incremental"
     dec = {r.doc_id: r for r in read_semantic_decisions(spark, state).collect()}
     assert not dec[108].keep and dec[108].dup_of == 105
     indexed = _store_ids(spark, f"{index_root}/vectors")
     assert 105 in indexed and not {106, 107, 108} & indexed
     assert verify_ann_index(spark, index_root)["violations"] == 0
+
+    # equivalence pin: after the incremental passes converged, a FULL
+    # re-fold must find NOTHING left to change — the incremental lane
+    # reached the same fixpoint the exhaustive pass defines
+    rep4 = close_semantic_dedup_state(
+        spark, state, index_root, threshold=0.5, pair_blocks=2,
+        mode="full",
+    )
+    assert rep4["mode"] == "full" and rep4["changed_verdicts"] == 0
+
+    # a changed threshold voids the watermark: auto falls back to full
+    assert close_semantic_dedup_state(
+        spark, state, index_root, threshold=0.55, pair_blocks=2
+    )["mode"] == "full"
 
 
 def test_close_every_hook_converges_stream_only(spark, tmp_path):
@@ -483,6 +501,14 @@ def test_incremental_close_matches_full_and_bounds_pair_input(
         assert _store_ids(spark, f"{envs['full']['state']}/{plane}") == (
             _store_ids(spark, f"{envs['incr']['state']}/{plane}")
         )
+
+    # equivalence pin: a FULL re-fold over the incrementally-closed
+    # state finds nothing left to change — the incremental lane
+    # reached the fixpoint the exhaustive pass defines
+    rep_full = close_near_dedup_state(
+        spark, envs["incr"]["state"], threshold=0.25, mode="full"
+    )
+    assert rep_full["changed_verdicts"] == 0
 
     # parameter change voids the watermark: auto falls back to full
     rep = close_near_dedup_state(

@@ -754,3 +754,45 @@ def test_scan_for_join_reads_only_key_containing_files(spark, tmp_path):
     g2, info2 = scan_for_join(spark, idx, bloom, "o_custkey", absent)
     assert info2["files_kept"] == 0
     assert g2.count() == 0 and g2.schema == full.schema
+
+
+def test_count_with_skip_index_bloom_layer(spark, tmp_path):
+    """COUNT through the bloom layer: an equality count on a scattered
+    column scans only the files the bloom keeps, stays exact, and an
+    absent value answers 0 with zero files opened."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_bloom_index,
+        count_with_skip_index,
+    )
+
+    out = str(tmp_path / "store")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartitionByRange(8, "o_orderkey").write.parquet(out)
+    full = spark.read.parquet(out)
+    idx = build_skip_index(spark, out)
+    bloom = build_bloom_index(spark, out, ["o_custkey"], m_bits=1 << 14)
+
+    spread = (
+        full.select("o_custkey", F.input_file_name().alias("f"))
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .orderBy("nf", "o_custkey")
+        .first()
+    )
+    probe = int(spread.o_custkey)
+    want = full.where(F.col("o_custkey") == probe).count()
+    # without bloom: min/max proves nothing on the scattered key
+    n0, i0 = count_with_skip_index(spark, idx, [("o_custkey", "=", probe)])
+    assert n0 == want and i0["files_kept"] == 8
+    # with bloom: same count from fewer opened files
+    n1, i1 = count_with_skip_index(
+        spark, idx, [("o_custkey", "=", probe)], bloom=bloom
+    )
+    assert n1 == want
+    assert spread.nf <= i1["files_kept"] < 8
+    # absent value: 0 rows, zero files opened
+    n2, i2 = count_with_skip_index(
+        spark, idx, [("o_custkey", "=", -7)], bloom=bloom
+    )
+    assert n2 == 0 and i2["files_kept"] == 0 and i2["files_scanned"] == 0
