@@ -249,3 +249,49 @@ def test_sign_lsh_hyperplane_law(spark):
         rate = hits / P
         tol = 4.5 * math.sqrt(max(theory * (1 - theory), 1e-4) / P) + 0.03
         assert abs(rate - theory) <= tol, (deg, rate, theory, tol)
+
+
+def test_bloom_filter_fpr_tracks_closed_form(spark, tmp_path):
+    """The bloom file index's stored filters follow the textbook
+    false-positive law (1 - e^(-kn/m))^k: probe absent values against
+    the ENGINE-built bits (evaluated with the probe path's own
+    canonical hash) and pin the measured FP rate inside binomial
+    bounds of theory — a degenerate hash family (all k positions
+    collapsing, bits saturating) fails on either side. Present values
+    must never be false negatives (the contract wrong hashing broke in
+    r08's ADVICE finding)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        _bloom_canon,
+        _bloom_positions,
+        build_bloom_index,
+    )
+
+    n, m_bits, k = 500, 1 << 12, 4
+    out = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(i,) for i in range(n)], "v long"
+    ).coalesce(1).write.parquet(out)
+    bloom = build_bloom_index(spark, out, ["v"], m_bits=m_bits, k=k)
+    row = bloom.collect()[0]
+    assert row.n_values == n and row.lane == "num"
+    words = [w & ((1 << 64) - 1) for w in row.bits]
+
+    def present(value) -> bool:
+        _, canon = _bloom_canon(value)
+        return all(
+            (words[p // 64] >> (p % 64)) & 1
+            for p in _bloom_positions(canon, m_bits, k)
+        )
+
+    # zero false negatives over every stored value
+    assert all(present(i) for i in range(n))
+    # false-positive rate on absent values tracks (1 - e^-kn/m)^k
+    probes = 4000
+    fp = sum(present(10_000 + i) for i in range(probes)) / probes
+    theory = (1 - math.exp(-k * n / m_bits)) ** k
+    tol = 4.5 * math.sqrt(theory * (1 - theory) / probes) + 0.01
+    assert abs(fp - theory) <= tol, (fp, theory, tol)
+    # sanity against degenerate extremes: neither empty nor saturated
+    ones = sum(bin(w).count("1") for w in words)
+    fill_theory = 1 - math.exp(-k * n / m_bits)
+    assert abs(ones / m_bits - fill_theory) <= 0.05
