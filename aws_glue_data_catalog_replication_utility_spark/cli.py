@@ -702,6 +702,14 @@ def main(argv: list[str] | None = None) -> int:
                          "with --pred, '=' predicates prune through it")
     sk.add_argument("--bloom-bits", type=int, default=1 << 16)
     sk.add_argument("--bloom-k", type=int, default=4)
+    sk.add_argument("--join-keys", default=None,
+                    help="parquet relation of join keys: with a bloom "
+                         "index, scan ONLY files that can contain at "
+                         "least one key (runtime-filter file skipping) "
+                         "and report/write the result")
+    sk.add_argument("--join-col", default=None,
+                    help="store column the keys join on (defaults to "
+                         "the key relation's single column name)")
 
     sh = sub.add_parser(
         "shuffle",
@@ -1517,6 +1525,28 @@ def main(argv: list[str] | None = None) -> int:
                 summary["rows_out"] = args.rows_out
             else:
                 summary["rows"] = got.count()
+        if args.join_keys:
+            if bloom is None:
+                raise SystemExit(
+                    "--join-keys needs a bloom index (--bloom-cols to "
+                    "build one or --bloom-out to load one)"
+                )
+            from pyspark.sql import functions as F
+
+            from .functions.skipindex import scan_for_join
+
+            keys = spark.read.parquet(args.join_keys)
+            col = args.join_col or keys.columns[0]
+            value_col = col if col in keys.columns else keys.columns[0]
+            got_j, jinfo = scan_for_join(
+                spark, idx, bloom, col, keys, value_col=value_col
+            )
+            probe_rel = keys.select(F.col(value_col).alias(col)).distinct()
+            summary["join"] = {
+                "column": col,
+                **jinfo,
+                "rows": got_j.join(probe_rel, on=col).count(),
+            }
         print(_json.dumps(summary))
 
     elif args.job == "shuffle":

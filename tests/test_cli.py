@@ -1432,3 +1432,53 @@ def test_cli_skip_index_bloom_update_and_missing(spark, tmp_path, capsys):
     ):
         with _pytest.raises(SystemExit, match="does not exist"):
             main(argv)
+
+
+def test_cli_skip_index_join_keys(spark, tmp_path, capsys):
+    """`skip-index --join-keys`: runtime-filter file skipping through
+    the job surface — the join over the pruned file set matches the
+    full join, the file info reports real pruning, and asking for it
+    without a bloom index errors."""
+    import json
+
+    import pytest as _pytest
+
+    store = str(tmp_path / "orders")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.repartitionByRange(4, "o_orderkey").write.parquet(store)
+    spread = (
+        spark.read.parquet(store)
+        .select("o_custkey", F.input_file_name().alias("f"))
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .orderBy("nf", "o_custkey")
+        .first()
+    )
+    keys_path = str(tmp_path / "keys")
+    spark.createDataFrame(
+        [(int(spread.o_custkey),), (-4,)], "o_custkey long"
+    ).write.parquet(keys_path)
+
+    assert main([
+        "skip-index", "--path", store,
+        "--out", str(tmp_path / "idx"),
+        "--bloom-cols", "o_custkey",
+        "--bloom-out", str(tmp_path / "bloom"),
+        "--join-keys", keys_path,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = (
+        spark.read.parquet(store)
+        .where(F.col("o_custkey") == int(spread.o_custkey))
+        .count()
+    )
+    assert rep["join"]["rows"] == want
+    assert spread.nf <= rep["join"]["files_kept"] < 4
+
+    with _pytest.raises(SystemExit, match="bloom"):
+        main([
+            "skip-index", "--path", store,
+            "--out", str(tmp_path / "idx2"),
+            "--join-keys", keys_path,
+        ])
