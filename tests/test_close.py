@@ -585,3 +585,94 @@ def test_replay_after_inline_close_converges(spark, tmp_path):
     assert final == closed  # converged back to the closed clusters
     assert _store_ids(spark, f"{state}/signatures") == {5}
     assert _store_ids(spark, f"{state}/dup_signatures") == {6, 7}
+
+
+def test_incremental_close_random_waves_property(spark, tmp_path):
+    """Property-shaped generalization of the chain e2e: four seeded
+    waves of documents (fresh texts, mutations of earlier docs, exact
+    duplicates — including cross-wave chains no greedy pass would
+    fold) land as fabricated state batches in two identical state
+    roots; after every wave, one root closes incrementally (auto) and
+    the other with the full re-fold. Decisions must be IDENTICAL after
+    every pass — the recorded-edges soundness argument, exercised over
+    a messy random graph instead of one crafted chain."""
+    import random
+
+    from aws_glue_data_catalog_replication_utility_spark.streaming.neardedup import (
+        _banded_signatures,
+        read_dedup_decisions,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(400)]
+    texts: dict[int, str] = {}
+
+    def fresh_text() -> str:
+        return " ".join(rng.sample(vocab, 30))
+
+    def mutate(t: str) -> str:
+        toks = t.split()
+        keep = rng.randint(18, 27)
+        return " ".join(
+            toks[:keep] + [f"m{rng.randrange(10**6)}" for _ in range(30 - keep)]
+        )
+
+    states = {m: str(tmp_path / m) for m in ("auto", "full")}
+    next_id = 0
+    for wave in range(4):
+        docs = []
+        for _ in range(25):
+            doc_id, next_id = next_id, next_id + 1
+            kind = rng.random()
+            if kind < 0.4 or not texts:
+                t = fresh_text()
+            elif kind < 0.75:
+                t = mutate(texts[rng.choice(sorted(texts))])
+            else:
+                t = texts[rng.choice(sorted(texts))]  # exact dup
+            texts[doc_id] = t
+            docs.append((doc_id, t))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        banded = _banded_signatures(df, n=5, num_hashes=12, bands=12,
+                                    normalize=False)
+        for root in states.values():
+            banded.write.mode("overwrite").parquet(
+                f"{root}/signatures/batch_id={wave}"
+            )
+            df.select(
+                "doc_id",
+                F.lit(True).alias("keep"),
+                F.lit(None).cast("long").alias("dup_of"),
+                F.lit(None).cast("double").alias("est"),
+                F.lit(wave).cast("long").alias("batch_id"),
+            ).write.mode("overwrite").parquet(
+                f"{root}/decisions/batch_id={wave}"
+            )
+        ra = close_near_dedup_state(
+            spark, states["auto"], threshold=0.4, mode="auto"
+        )
+        rb = close_near_dedup_state(
+            spark, states["full"], threshold=0.4, mode="full"
+        )
+        assert ra["mode"] == ("full" if wave == 0 else "incremental")
+        assert ra["changed_verdicts"] == rb["changed_verdicts"]
+
+        def dec(root):
+            return {
+                r.doc_id: (r.keep, r.dup_of, r.est)
+                for r in read_dedup_decisions(spark, root).collect()
+            }
+
+        da, db = dec(states["auto"]), dec(states["full"])
+        assert da == db, {k: (da.get(k), db.get(k))
+                          for k in set(da) | set(db)
+                          if da.get(k) != db.get(k)}
+        # stores agree plane-for-plane too
+        for plane in ("signatures", "dup_signatures"):
+            assert _store_ids(spark, f"{states['auto']}/{plane}") == (
+                _store_ids(spark, f"{states['full']}/{plane}")
+            )
+    # the random graph must have produced real multi-doc components or
+    # the property proved nothing
+    n_dups = sum(1 for v in dec(states["auto"]).values() if not v[0])
+    assert n_dups >= 10, n_dups
