@@ -83,7 +83,9 @@ def main() -> int:
         norm_s = f"  {rn:8.2f}" if rn is not None else ""
         print(f"{q:34s} {a[q]:8.2f} {b[q]:8.2f}  {r:8.2f}{norm_s}{flag}")
     ta, tb = sum(a[q] for q in common), sum(b[q] for q in common)
-    tr = tb / ta
+    # a driver-wrapped artifact (timings only in its truncated 'tail')
+    # parses to zero common time — report inf instead of crashing
+    tr = tb / ta if ta else float("inf")
     tn = f"  {tr * scale:8.2f}" if scale is not None else ""
     print(f"{'COMMON TOTAL':34s} {ta:8.2f} {tb:8.2f}  {tr:8.2f}{tn}")
     for name, only in (("A", set(a) - set(b)), ("B", set(b) - set(a))):
