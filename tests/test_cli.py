@@ -1482,3 +1482,29 @@ def test_cli_skip_index_join_keys(spark, tmp_path, capsys):
             "--out", str(tmp_path / "idx2"),
             "--join-keys", keys_path,
         ])
+
+
+def test_cli_pred_int_literal_on_double_column_bloom(spark, tmp_path, capsys):
+    """The ADVICE r08 high scenario verbatim: `--pred price = 100`
+    parses the literal as int while the double column's values read
+    back as floats — the canonical value hashing must keep the files
+    holding 100.0 (the old str(value) hashing pruned them, silently
+    returning zero rows)."""
+    import json
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(i, 100.0 if i % 3 == 0 else float(i)) for i in range(60)],
+        "id int, price double",
+    ).repartition(4, "id").write.parquet(store)
+    want = spark.read.parquet(store).where("price = 100").count()
+    assert want > 0
+    assert main([
+        "skip-index", "--path", store,
+        "--out", str(tmp_path / "idx"),
+        "--bloom-cols", "price",
+        "--pred", "price = 100",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == want
+    assert rep["files_kept"] >= 1
