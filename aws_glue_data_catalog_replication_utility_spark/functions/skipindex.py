@@ -322,6 +322,21 @@ def _residual(predicates: list[tuple[str, str, object]]) -> F.Column | None:
     return cond
 
 
+def _schema_from_index(spark: SparkSession, index: DataFrame):
+    """Recover the store schema from any indexed file, for the
+    all-pruned empty-result path. An EMPTY index (fresh store, no
+    files) has no schema to recover — raise a descriptive error
+    instead of the bare AttributeError `.first().file` used to throw
+    (ADVICE r09)."""
+    row = index.select("file").first()
+    if row is None:
+        raise ValueError(
+            "skip index covers no files; pass schema= explicitly to "
+            "scan an empty store"
+        )
+    return spark.read.parquet(row.file).schema
+
+
 def scan_with_skip_index(
     spark: SparkSession,
     index: DataFrame,
@@ -351,8 +366,7 @@ def scan_with_skip_index(
     info = {"files_total": int(total), "files_kept": len(kept)}
     if not kept:
         if schema is None:
-            any_file = index.select("file").first().file
-            schema = spark.read.parquet(any_file).schema
+            schema = _schema_from_index(spark, index)
         df = spark.createDataFrame([], schema)
     else:
         reader = spark.read
@@ -448,11 +462,28 @@ def _bloom_canon(value) -> tuple[str, str]:
         try:
             f = float(value)
         except OverflowError:
-            # beyond double range: exact decimal repr (no double
-            # literal can equal it, so cross-type equality is moot)
-            return "num", format(
-                value if isinstance(value, int) else value.normalize(), "f"
+            f = math.inf if value > 0 else -math.inf
+        if not math.isfinite(f) and not isinstance(value, float):
+            # beyond double range (int raises OverflowError above;
+            # Decimal.__float__ silently returns ±inf): exact decimal
+            # repr, so equal exact values canonicalize identically and
+            # distinct huge values don't all collide on 'inf'. Route
+            # ints through Decimal — format(int, 'f') converts through
+            # float and re-raises the OverflowError this branch exists
+            # to handle (ADVICE r09). A double literal can never equal
+            # these, so no cross-type lane unification is lost.
+            dec = (
+                value
+                if isinstance(value, decimal.Decimal)
+                else decimal.Decimal(value)
             )
+            # format(…, 'f') is exact (normalize() would ROUND to the
+            # 28-digit context precision, colliding distinct ints);
+            # strip fractional trailing zeros so 1E+400 == 10**400
+            s = format(dec, "f")
+            if "." in s:
+                s = s.rstrip("0").rstrip(".")
+            return "num", s
         if math.isfinite(f) and f == int(f) and abs(f) <= 2.0**53:
             return "num", repr(int(f))
         return "num", repr(f)
@@ -849,8 +880,7 @@ def scan_for_join(
     info = {"files_total": int(total), "files_kept": len(kept)}
     if not kept:
         if schema is None:
-            any_file = index.select("file").first().file
-            schema = spark.read.parquet(any_file).schema
+            schema = _schema_from_index(spark, index)
         return spark.createDataFrame([], schema), info
     reader = spark.read
     if schema is not None:

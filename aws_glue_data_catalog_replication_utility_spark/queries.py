@@ -124,6 +124,7 @@ def _dec(col, scale: int = 2):
 # contract _persist relies on) and atexit sweeps the last one, so a
 # 3x bench run leaves nothing under /tmp
 _SCRATCH_DIRS: dict[str, str] = {}
+_SCRATCH_SWEEP_REGISTERED = False
 
 
 def _scratch_dir(tag: str) -> str:
@@ -131,11 +132,16 @@ def _scratch_dir(tag: str) -> str:
     import shutil
     import tempfile
 
+    global _SCRATCH_SWEEP_REGISTERED
     old = _SCRATCH_DIRS.pop(tag, None)
     if old is not None:
         shutil.rmtree(old, ignore_errors=True)
     d = tempfile.mkdtemp(prefix=f"{tag}_")
-    if not _SCRATCH_DIRS:
+    if not _SCRATCH_SWEEP_REGISTERED:
+        # one sweeper per process (ADVICE r09: keying on dict
+        # emptiness after the pop re-registered a lambda every time a
+        # single tag cycled — unbounded handler growth in bench loops)
+        _SCRATCH_SWEEP_REGISTERED = True
         atexit.register(
             lambda: [
                 shutil.rmtree(p, ignore_errors=True)

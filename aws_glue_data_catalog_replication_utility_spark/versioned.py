@@ -722,14 +722,18 @@ def append_stream_batch(
     cost never grows with table history.
 
     LEGACY stream manifests (batch_id present, query_id absent —
-    written before query scoping existed) are treated as MATCHING any
-    query: a store+checkpoint pair upgraded in place would otherwise
-    replay its first batch invisibly to the guard and append it twice
-    (exactly-once broken exactly once, at the upgrade boundary). The
-    conservative direction is deliberate: a legacy commit can only
-    SKIP a replayed batch it genuinely carried under the old
-    one-stream-per-store discipline; all post-upgrade commits are
-    fully query-scoped."""
+    written before query scoping existed): ONLY the NEWEST legacy
+    manifest can represent a replayed batch, because Spark only ever
+    re-delivers a query's most recent batch — so a store+checkpoint
+    pair upgraded in place still recognizes its one cross-boundary
+    replay, while a NEW query (fresh checkpoint, batch ids restarting
+    at 0) attached to a store full of legacy history is NOT silently
+    masked by every colliding legacy id. The residual ambiguity is
+    irreducible: a fresh query whose first batch id happens to equal
+    the newest legacy id is indistinguishable from the upgrade replay
+    without an external marker, and skipping is the conservative side
+    only for that single id."""
+    seen_legacy = False
     for _, p in reversed(_manifests(root)):
         with open(p) as fh:
             m = json.load(fh)
@@ -740,6 +744,14 @@ def append_stream_batch(
         mqid = meta.get("query_id")
         if query_id is not None and mqid is not None and mqid != query_id:
             continue
+        if query_id is not None and mqid is None:
+            # legacy manifests predate every scoped commit in the log,
+            # so walking newest-first meets all scoped candidates
+            # before any legacy one; past the newest legacy id nothing
+            # older can carry a replay (ids were monotonic then too)
+            if seen_legacy:
+                continue
+            seen_legacy = True
         if bid == batch_id:
             return None  # replay: this batch already committed
         if bid < batch_id:

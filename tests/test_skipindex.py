@@ -796,3 +796,66 @@ def test_count_with_skip_index_bloom_layer(spark, tmp_path):
         spark, idx, [("o_custkey", "=", -7)], bloom=bloom
     )
     assert n2 == 0 and i2["files_kept"] == 0 and i2["files_scanned"] == 0
+
+
+def test_bloom_canon_beyond_double_ints_and_decimals(spark):
+    """ADVICE r09 (low): the OverflowError fallback itself overflowed
+    for ints — format(int, 'f') converts through float. Beyond-double
+    ints and Decimals must canonicalize (to the same exact repr when
+    numerically equal) instead of raising."""
+    from decimal import Decimal
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        _bloom_canon,
+    )
+
+    big = 10**400
+    lane_i, canon_i = _bloom_canon(big)
+    lane_d, canon_d = _bloom_canon(Decimal("1E+400"))
+    assert lane_i == lane_d == "num"
+    assert canon_i == canon_d == "1" + "0" * 400
+    # negative + non-power shapes don't collide
+    assert _bloom_canon(-big)[1] != canon_i
+    assert _bloom_canon(big + 1)[1] != canon_i
+
+
+def test_scan_empty_index_raises_descriptive_error(spark):
+    """ADVICE r09 (low): an EMPTY skip index (no files) with every
+    file pruned used to die on `.first().file` (AttributeError on
+    None); both scan paths now raise a ValueError naming the fix
+    (pass schema=) — or return the empty frame when schema is given."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        scan_for_join,
+        scan_with_skip_index,
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame([(1,)], "k long").write.parquet(
+            f"{d}/store"
+        )
+        from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+            build_bloom_index,
+            build_skip_index,
+        )
+
+        empty_idx = build_skip_index(spark, f"{d}/store").where(F.lit(False))
+        empty_bloom = build_bloom_index(spark, f"{d}/store", ["k"]).where(
+            F.lit(False)
+        )
+        empty_idx = spark.createDataFrame(
+            empty_idx.collect(), empty_idx.schema
+        )
+        empty_bloom = spark.createDataFrame(
+            empty_bloom.collect(), empty_bloom.schema
+        )
+    probes = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="schema"):
+        scan_with_skip_index(spark, empty_idx, [("x", "=", 1)])
+    with pytest.raises(ValueError, match="schema"):
+        scan_for_join(spark, empty_idx, empty_bloom, "k", probes)
+    got, info = scan_with_skip_index(
+        spark, empty_idx, [("x", "=", 1)], schema="x long"
+    )
+    assert got.count() == 0 and info["files_kept"] == 0

@@ -761,3 +761,12 @@ def test_append_stream_batch_legacy_query_id_upgrade(spark, orders, tmp_path):
     )
     # a DIFFERENT query's scoped commits still never mask each other
     assert V.append_stream_batch(b[0], 2, root, query_id="other") == 4
+
+    # ADVICE r09 (medium): a NEW query (fresh checkpoint, ids restart
+    # at 0) attached to this store must NOT have its batches masked by
+    # EARLIER legacy ids — only the NEWEST legacy manifest (bid=1) can
+    # represent a replay. bid=0 collides with an old legacy commit and
+    # must land; bid=1 is the irreducible single-id ambiguity (skipped).
+    assert V.append_stream_batch(b[0], 0, root, query_id="fresh") == 5
+    assert V.append_stream_batch(b[0], 0, root, query_id="fresh") is None
+    assert V.append_stream_batch(b[1], 1, root, query_id="fresh2") is None
