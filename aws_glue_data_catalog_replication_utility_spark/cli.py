@@ -54,6 +54,7 @@ Jobs (mirroring SURVEY.md §3):
   index-append  add vectors to an existing index (stored-codebook assign)
   index-delete  remove vectors by id (rewrites only affected clusters)
   index-compact re-cluster a drifted index (Lloyd from stored centroids)
+  index-recover finish/roll back a crashed index-compact swap (idempotent)
   index-stats   per-cluster counts + balance factor; --verify integrity gate
   search   ADC top-k over a built index, nprobe directory pruning
 
@@ -830,6 +831,14 @@ def main(argv: list[str] | None = None) -> int:
     ic.add_argument("--iters", type=int, default=2)
     ic.add_argument("--min-balance", type=float, default=None,
                     help="only compact when balance factor exceeds this")
+
+    irc = sub.add_parser(
+        "index-recover",
+        help="finish or roll back a crashed index-compact swap (the "
+             "resume path mutations point at when compact.pending is "
+             "present); idempotent",
+    )
+    irc.add_argument("--index-root", required=True)
 
     ist = sub.add_parser(
         "index-stats",
@@ -1683,6 +1692,11 @@ def main(argv: list[str] | None = None) -> int:
             f"compacted={res['compacted']} index version {res['meta_version']}",
             file=sys.stderr,
         )
+
+    elif args.job == "index-recover":
+        from .functions.ann_index import recover_ann_index
+
+        print(recover_ann_index(args.index_root), file=sys.stderr)
 
     elif args.job == "index-stats":
         from .functions.ann_index import ann_index_stats, verify_ann_index

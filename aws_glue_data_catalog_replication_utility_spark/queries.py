@@ -2620,29 +2620,118 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 54. embedding quantization (the int8 ANN storage lane)
+# 54. schema-evolution read path (r10 rotation: int8 quantization left
+# the registry — its scalar lane stays pinned by q59/q60's consuming
+# slots plus the retired-slot DuckDB twin in tests/test_functions.py —
+# and the "years of parquet" union-by-name read took the slot)
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "q54_embedding_quantization",
+    "q54_schema_evolution_read",
+    # reconstruct the three producer generations with the same casts in
+    # DuckDB and rebuild the union with its NATIVE union-by-name; the
+    # Spark side reads real parquet files with three different footers
     oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    s AS (SELECT vec_id, v,
-                 list_max(list_transform(v, x -> abs(x))) AS scale
-          FROM e),
-    q AS (SELECT vec_id, len(v) AS n_dims, scale,
-                 CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-                      ELSE list_transform(v,
-                             x -> CAST(FLOOR(x * 127.0 / scale) AS INT)) END AS qv
-          FROM s)
-    SELECT vec_id, CAST(n_dims AS INT) AS n_dims, scale,
-           CAST(list_sum(qv) AS BIGINT) AS q_sum,
-           CAST(list_min(qv) AS INT) AS q_min,
-           CAST(list_max(qv) AS INT) AS q_max
-    FROM q
+    WITH g1 AS (
+      SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey, o_custkey,
+             CAST(o_totalprice AS FLOAT) AS o_totalprice,
+             1 AS gen
+      FROM orders WHERE o_orderkey % 3 = 0),
+    g2 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS FLOAT) AS o_totalprice,
+             o_orderpriority, 2 AS gen
+      FROM orders WHERE o_orderkey % 3 = 1),
+    g3 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             o_orderpriority, o_orderstatus, 3 AS gen
+      FROM orders WHERE o_orderkey % 3 = 2)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(gen AS INT) AS gen,
+           o_orderpriority, o_orderstatus
+    FROM (SELECT * FROM g1
+          UNION ALL BY NAME SELECT * FROM g2
+          UNION ALL BY NAME SELECT * FROM g3)
     """,
 )
+def q54_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "years of parquet" read path (SURVEY §2B evolve row): a
+    store whose files were written by THREE producer generations —
+    gen1 (o_orderkey int32, o_totalprice float32), gen2 (o_orderkey
+    widened to int64, o_orderpriority added), gen3 (o_totalprice
+    widened to float64, o_orderstatus added) — is read back as ONE
+    relation via `union_evolved` (functions/evolve.py): least-upper-
+    bound schema across the footers, typed-NULL padding for columns a
+    generation predates, casts only along the lossless widening
+    lattice. The slot RAISES if the LUB is not the expected widened
+    schema, so it pins the lattice itself, not just the row values;
+    every row of every generation is value-checked against DuckDB's
+    native UNION ALL BY NAME over the same reconstruction. All
+    per-row projections — zero shuffles, whole-stage codegen.
+    Reference tie-in: the reference evolves metadata schemas by
+    overwrite (GlueUtil.java:175-192) and never touches the data
+    plane; at 100 TB the data plane itself drifts, which is exactly
+    what this slot exercises."""
+    from .functions.evolve import union_evolved
+
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def build(path: str) -> None:
+        k = F.col("o_orderkey")
+        (
+            orders.where(k % 3 == 0)
+            .select(
+                k.cast("int").alias("o_orderkey"),
+                "o_custkey",
+                F.col("o_totalprice").cast("float").alias("o_totalprice"),
+            )
+            .write.parquet(f"{path}/gen1")
+        )
+        (
+            orders.where(k % 3 == 1)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").cast("float").alias("o_totalprice"),
+                "o_orderpriority",
+            )
+            .write.parquet(f"{path}/gen2")
+        )
+        (
+            orders.where(k % 3 == 2)
+            .select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderpriority", "o_orderstatus",
+            )
+            .write.parquet(f"{path}/gen3")
+        )
+
+    # the mixed-schema store is a pure function of sf_dir: built once
+    # per process (fixture), while the measured operator is the
+    # evolved READ over its three footers
+    store = _cached_scratch_store("q54_evostore", sf_dir, build)
+    gens = [
+        spark.read.parquet(f"{store}/gen{i}").withColumn(
+            "gen", F.lit(i).cast("int")
+        )
+        for i in (1, 2, 3)
+    ]
+    out = union_evolved(gens)
+    got = out.schema.simpleString()
+    want = (
+        "struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,"
+        "gen:int,o_orderpriority:string,o_orderstatus:string>"
+    )
+    if got != want:
+        raise AssertionError(
+            f"schema-evolution LUB drifted: {got} (expected {want})"
+        )
+    return out
+
+
 def q54_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column — the
     storage-compression lane in front of IVF/LSH search (4x fewer bytes
@@ -2890,6 +2979,25 @@ RETIRED_ORACLES: dict[str, str] = {
     SELECT vec_id, CAST(4 AS INT) AS m,
            string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS code_str
     FROM bc GROUP BY vec_id
+    """,
+    # r10 rotation: the schema-evolution read took the q54 slot; the
+    # int8 scalar-quantization semantics stay pinned by q59/q60 (which
+    # consume the same quantized lane) plus this bit-exact twin
+    "q54_embedding_quantization": """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale
+          FROM e),
+    q AS (SELECT vec_id, len(v) AS n_dims, scale,
+                 CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(v,
+                             x -> CAST(FLOOR(x * 127.0 / scale) AS INT)) END AS qv
+          FROM s)
+    SELECT vec_id, CAST(n_dims AS INT) AS n_dims, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max
+    FROM q
     """,
 }
 

@@ -196,13 +196,21 @@ def run_probe(
     }
     hi = f"{factor}x"
     mults = {"1x": base_mult, hi: base_mult * factor}
-    doc_lanes = [l for l in lanes if l != "zorder"]
+    doc_lanes = [
+        l for l in lanes if l in ("minhash_cc", "close", "contamination", "bpe")
+    ]
     corpora = {}
     if doc_lanes:
         for tag, m in mults.items():
             p = f"{work_dir}/corpus_{tag}"
             n = build_scaled_corpus(spark, sf_dir, m, p)
             corpora[tag] = (p, n)
+    emb_corpora = {}
+    if "semdedup" in lanes:
+        for tag, m in mults.items():
+            p = f"{work_dir}/emb_{tag}"
+            n = build_scaled_embeddings(spark, sf_dir, m, p)
+            emb_corpora[tag] = (p, n)
     for lane in lanes:
         res: dict = {}
         for tag in ("1x", hi):
@@ -221,6 +229,20 @@ def run_probe(
                 zm = zorder_base_mult * (1 if tag == "1x" else factor)
                 r = lane_zorder(spark, sf_dir, zm, divisor=zorder_divisor)
                 r["rows"] = 600_000 * zm // zorder_divisor
+            elif lane == "semdedup":
+                path, n = emb_corpora[tag]
+                # clusters scale with the corpus (the SemDeDup recipe),
+                # keeping intra-cluster pair counts bounded
+                r = lane_semdedup(spark, path, n_seeds=8 * mults[tag])
+                r["rows"] = n
+            elif lane == "contamination":
+                path, n = corpora[tag]
+                r = lane_contamination(spark, path)
+                r["rows"] = n
+            elif lane == "bpe":
+                path, n = corpora[tag]
+                r = lane_bpe(spark, path)
+                r["rows"] = n
             else:
                 raise ValueError(lane)
             res[tag] = r
@@ -232,3 +254,90 @@ def run_probe(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     )
     return out
+
+
+def build_scaled_embeddings(
+    spark: SparkSession, sf_dir: str, mult: int, out: str
+) -> int:
+    """embeddings x mult with per-replica SIGN namespaces: every
+    replica multiplies each dimension by a deterministic ±1 pattern
+    keyed on (replica, dim). Within a replica all cosines are EXACTLY
+    preserved (the signs square away), across replicas they scramble
+    toward zero — so the base corpus's near-dup structure repeats once
+    per replica and never merges across replicas, the same honesty
+    argument as the token namespaces (module docstring). Ids are
+    r*100_000 + vec_id, keeping ids 0..n_seeds-1 present (replica 0)
+    for the deterministic IVF seeding."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    reps = spark.range(mult).select(F.col("id").alias("r")).repartition(
+        min(int(mult), spark.sparkContext.defaultParallelism)
+    )
+    scaled = reps.crossJoin(F.broadcast(emb)).select(
+        (F.col("r") * 100_000 + F.col("vec_id")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                F.xxhash64(F.col("r"), i) % 2 == 0, x
+            ).otherwise(-x),
+        ).alias("embedding"),
+    )
+    scaled.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count()
+
+
+def lane_semdedup(
+    spark: SparkSession, emb_path: str, n_seeds: int
+) -> dict:
+    """SemDeDup's blocked intra-cluster triangle join (the pair_blocks²
+    task risk, functions/similarity.py). The 100 TB contract is that
+    n_clusters scales WITH the corpus (cluster sizes stay bounded — the
+    SemDeDup recipe itself: clusters ~ n/k), so the probe scales
+    n_seeds by the multiplier and the triangle cost must then be
+    ~linear in total rows."""
+    from .functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet(emb_path)
+    t0 = time.perf_counter()
+    out = semantic_dedup(emb, threshold=0.3, n_seeds=n_seeds)
+    dropped = out.where(~F.col("keep")).count()
+    return {
+        "seconds": round(time.perf_counter() - t0, 3),
+        "dropped": int(dropped),
+    }
+
+
+def lane_contamination(spark: SparkSession, corpus_path: str) -> dict:
+    """The inverted-index shingle equi-join (functions/dedup.py):
+    fanout is sum over shingles of df_corpus x df_eval — token
+    namespaces keep per-replica dfs constant, so the sum must grow
+    linearly with replicas. Both sides scale (the eval set is a fixed
+    slice of the corpus), the worst case for the join."""
+    from .functions.dedup import contamination_pairs
+
+    docs = spark.read.parquet(corpus_path)
+    eval_docs = docs.where(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    t0 = time.perf_counter()
+    n = contamination_pairs(
+        docs, eval_docs, n=5, min_containment=0.3, max_df=20
+    ).count()
+    return {"seconds": round(time.perf_counter() - t0, 3), "pairs": int(n)}
+
+
+def lane_bpe(spark: SparkSession, corpus_path: str) -> dict:
+    """BPE training's per-round pair aggregation (functions/bpe.py):
+    each merge round re-aggregates the word relation — namespaced
+    tokens multiply the distinct-word relation linearly, so each
+    round's agg input (and thus total wall) must stay ~linear."""
+    from .functions.bpe import train_bpe
+
+    docs = spark.read.parquet(corpus_path)
+    t0 = time.perf_counter()
+    model = train_bpe(docs, n_merges=10)
+    return {
+        "seconds": round(time.perf_counter() - t0, 3),
+        "merges": len(model["merges"]),
+    }

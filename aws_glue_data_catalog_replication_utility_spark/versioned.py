@@ -514,18 +514,30 @@ def read_versioned(
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(last["schema"]))
         )
+    return _read_file_subset(spark, root, live, origin)
+
+
+def _read_file_subset(
+    spark: SparkSession, root: str, files: list[str], origin: dict[str, str]
+) -> DataFrame:
+    """The schema-evolution read over an arbitrary LIVE-file subset
+    (read_versioned's body, reusable for pruned reads like the MERGE
+    bloom probe): group files by the schema their commit wrote, read
+    each group under its own schema, widen to the LUB, union by name."""
+    from pyspark.sql.types import StructType
+
     # group files by the schema their commit wrote (replay order kept:
     # older groups first, so merged column order is stable)
     groups: dict[str, list[str]] = {}
     order: list[str] = []
-    for f in live:
+    for f in files:
         s = origin[f]
         if s not in groups:
             groups[s] = []
             order.append(s)
         groups[s].append(f)
     if len(groups) == 1:
-        return spark.read.parquet(*[os.path.join(root, f) for f in live])
+        return spark.read.parquet(*[os.path.join(root, f) for f in files])
     from .functions.evolve import evolve_to_schema, merge_schemas
 
     schemas = [StructType.fromJson(json.loads(s)) for s in order]
@@ -638,6 +650,7 @@ def merge_into(
     root: str,
     updates: DataFrame,
     key_cols: list[str],
+    bloom: DataFrame | None = None,
 ) -> int:
     """MERGE INTO — the table-format flagship, as one atomic version:
     every existing row whose key appears in `updates` is replaced,
@@ -654,7 +667,24 @@ def merge_into(
     rewrite cost is proportional to files-with-matches, never the
     table. Multiple update rows per key are all inserted (the caller
     owns update-side uniqueness, checked nowhere cheaper than the
-    caller's own dedup)."""
+    caller's own dedup).
+
+    `bloom` (r10 — the runtime filter composed into a shipped plan):
+    a Bloom file index over the store's data files
+    (functions/skipindex.build_bloom_index on `key_cols[0]`). When
+    given, the probe scan OPENS only the live files the index cannot
+    prove key-free (`bloom_dropped_files_for_join` hashes the update
+    key relation executor-side) — at 100k files a small MERGE stops
+    reading the whole key column of the whole table just to find the
+    handful of files it touches. Exact by construction: a dropped file
+    provably holds no update key, so it can be neither affected nor a
+    survivor source; a stale index is SAFE in both directions (files
+    it never covered are always probed; files it covers that have
+    since been deleted just aren't live). The commit manifest records
+    {probe_files_scanned, files_total} so pruning power is auditable
+    from the log. Reference tie-in: same narrowing as the reference's
+    keyed reads (S3Util.java:201-236), applied at the file plane of
+    the store's own MERGE (GlueUtil.java:397-451)."""
     from urllib.parse import unquote, urlparse
 
     live, last, origin = _replay_full(root, None)
@@ -662,20 +692,46 @@ def merge_into(
         raise ValueError(f"no versioned table at {root}")
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
-    snap = read_versioned(spark, root)
     keys = updates.select(*key_cols).distinct()
-    # input_file_name() must bind BEFORE the join (multi-source
-    # expressions are rejected above it): tag each row with its file,
-    # then probe
-    tagged = snap.select(*key_cols, F.input_file_name().alias("f"))
-    hits = [
-        unquote(urlparse(r["f"]).path)
-        for r in tagged.join(F.broadcast(keys), on=key_cols)
-        .select("f")
-        .distinct()
-        .collect()
-    ]
     rootabs = os.path.abspath(root)
+    probe_meta: dict = {}
+    cand = live
+    if bloom is not None:
+        if len(key_cols) != 1:
+            raise ValueError(
+                "bloom-pruned MERGE probes a single-column key; got "
+                f"{key_cols}"
+            )
+        from .functions.skipindex import bloom_dropped_files_for_join
+
+        dropped = {
+            unquote(urlparse(r.file).path)
+            for r in bloom_dropped_files_for_join(
+                bloom, key_cols[0], keys
+            ).collect()
+        }
+        cand = [
+            f for f in live if os.path.join(rootabs, f) not in dropped
+        ]
+        probe_meta = {
+            "probe_files_scanned": len(cand),
+            "files_total": len(live),
+        }
+    if cand:
+        # input_file_name() must bind BEFORE the join (multi-source
+        # expressions are rejected above it): tag each row with its
+        # file, then probe
+        snap = _read_file_subset(spark, root, cand, origin)
+        tagged = snap.select(*key_cols, F.input_file_name().alias("f"))
+        hits = [
+            unquote(urlparse(r["f"]).path)
+            for r in tagged.join(F.broadcast(keys), on=key_cols)
+            .select("f")
+            .distinct()
+            .collect()
+        ]
+    else:
+        hits = []
     affected = sorted(os.path.relpath(h, rootabs) for h in hits)
     # updates may evolve the table: LUB covers live schemas + theirs
     lub, lub_json = _table_lub(origin, updates.schema)
@@ -688,7 +744,7 @@ def merge_into(
     added.extend(_stage_write(evolve_to_schema(updates, lub), root))
     return _commit(
         root, "merge", added, affected, lub_json,
-        {"keys": key_cols},
+        {"keys": key_cols, **probe_meta},
     )
 
 

@@ -2715,3 +2715,34 @@ def test_retired_q58_pq_codes_duckdb_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_retired_q54_int8_quantization_duckdb_parity(spark):
+    """q54_embedding_quantization left the 50-slot registry in r10
+    (the schema-evolution read took the slot); the retired-slot
+    discipline keeps its DuckDB oracle running HERE bit-exactly, so
+    the int8 scalar-quantization semantics stay pinned by three
+    independent checks (this twin, plus the q59/q60 registry slots
+    that consume the same quantized lane)."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.queries import (
+        RETIRED_ORACLES,
+        q54_embedding_quantization,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    got = sorted(
+        tuple(r) for r in q54_embedding_quantization(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            RETIRED_ORACLES["q54_embedding_quantization"]
+        ).fetchall()
+    )
+    assert got == want

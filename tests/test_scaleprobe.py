@@ -53,3 +53,42 @@ def test_heavy_lanes_scale_linearly(spark, tmp_path):
     # grows with the corpus (high-water growth across the whole probe,
     # both scales and all lanes, bounded well under the data size)
     assert probe["rss_mb_after"] - probe["rss_mb_before"] <= 1500
+
+
+def test_remaining_heavy_lanes_scale_linearly(spark, tmp_path):
+    """VERDICT r09 #3: the three lanes with the minhash-family risk
+    profile but (until r10) no measurement — SemDeDup's blocked
+    intra-cluster triangle join (n_seeds scales with the corpus, so
+    per-cluster pair counts stay bounded), the contamination screen's
+    inverted-index fanout (token namespaces keep per-replica shingle
+    dfs constant), and BPE training's per-round pair agg. Same <=15x
+    gate for an 8x step; a quadratic lane would read ~64x."""
+    from aws_glue_data_catalog_replication_utility_spark.scaleprobe import (
+        run_probe,
+    )
+
+    factor = 8
+    probe = run_probe(
+        spark,
+        "/root/testdata/sf0.1",
+        str(tmp_path),
+        base_mult=1,
+        factor=factor,
+        lanes=("semdedup", "contamination", "bpe"),
+    )
+    hi = f"{factor}x"
+    for lane in ("semdedup", "contamination", "bpe"):
+        r = probe[lane]
+        assert r[hi]["rows"] == factor * r["1x"]["rows"]
+        assert r["ratio"] <= 15.0, (lane, r)
+    # replica-namespaced structure: per-replica results repeat, so
+    # counts scale linearly (sign namespaces scramble cross-replica
+    # cosines only toward zero — a scrambled pair can still land above
+    # the 0.3 threshold occasionally, so allow a small overage)
+    sd = probe["semdedup"]
+    assert sd[hi]["dropped"] >= factor * sd["1x"]["dropped"] * 0.97
+    ct = probe["contamination"]
+    assert abs(ct[hi]["pairs"] - factor * ct["1x"]["pairs"]) <= max(
+        3, 0.003 * factor * ct["1x"]["pairs"]
+    )
+    assert probe["rss_mb_after"] - probe["rss_mb_before"] <= 1500

@@ -770,3 +770,78 @@ def test_append_stream_batch_legacy_query_id_upgrade(spark, orders, tmp_path):
     assert V.append_stream_batch(b[0], 0, root, query_id="fresh") == 5
     assert V.append_stream_batch(b[0], 0, root, query_id="fresh") is None
     assert V.append_stream_batch(b[1], 1, root, query_id="fresh2") is None
+
+
+def test_merge_into_bloom_pruned_probe(spark, orders, tmp_path):
+    """VERDICT r09 #5 — the runtime filter composed into a shipped
+    plan: MERGE over a bloom-indexed store opens only the live files
+    the index cannot prove key-free, records the pruning in the commit
+    manifest, and commits a state bit-identical to the unpruned MERGE.
+    The probe subset spans two schema generations (one append carries
+    an extra column), so the pruned read exercises the evolution-aware
+    subset reader too."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_bloom_index,
+    )
+
+    upd = (
+        orders.where("o_orderkey % 4 = 2")
+        .orderBy("o_orderkey")
+        .limit(3)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+
+    roots = []
+    for tag in ("pruned", "plain"):
+        root = str(tmp_path / tag)
+        for i in range(3):
+            part = orders.where(f"o_orderkey % 4 = {i}").repartition(2)
+            if i == 2:
+                part = part.withColumn("note", F.lit("gen2"))
+            V.append(part, root)
+        roots.append(root)
+
+    bloom = build_bloom_index(
+        spark, f"{roots[0]}/data", ["o_orderkey"], m_bits=1 << 14
+    )
+    v1 = V.merge_into(
+        spark, roots[0], upd.withColumn("note", F.lit("upd")),
+        ["o_orderkey"], bloom=bloom,
+    )
+    V.merge_into(
+        spark, roots[1], upd.withColumn("note", F.lit("upd")),
+        ["o_orderkey"],
+    )
+
+    got = sorted(
+        tuple(r) for r in V.read_versioned(spark, roots[0]).collect()
+    )
+    want = sorted(
+        tuple(r) for r in V.read_versioned(spark, roots[1]).collect()
+    )
+    assert got == want
+
+    # the manifest carries the audit trail and the probe REALLY pruned:
+    # appends 0/1 cannot contain %4=2 keys, so at most the third
+    # append's files (2 of 6) plus bloom false positives are opened
+    manifest = None
+    for _, p in V._manifests(roots[0]):
+        import json as _json
+
+        with open(p) as fh:
+            m = _json.load(fh)
+        if m.get("version") == v1:
+            manifest = m
+    meta = manifest["meta"]
+    assert meta["files_total"] == 6
+    assert meta["probe_files_scanned"] < meta["files_total"]
+
+    # multi-column keys refuse the bloom (single-column probe contract)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single-column"):
+        V.merge_into(
+            spark, roots[0], upd, ["o_orderkey", "o_custkey"], bloom=bloom
+        )

@@ -5,8 +5,13 @@ Usage: python tools/bench_compare.py BENCH_r04.json BENCH_r05.json
 Accepts either the raw bench.py output line or the driver's wrapper
 ({"parsed": {...}} / {"tail": "..."}). Prints per-query ratios for the
 common set, the common-set totals, and entries unique to each side.
-Box-noise caveat: single-machine timings drift 15-20% day to day —
-read RATIOS on the common set, not absolute seconds (BASELINE.md).
+Box-noise caveat: single-machine timings drift 15-20% day to day and
+3-5x single-run — read the 'norm' column, not raw seconds. Since r10
+each record carries per-query 'sentinel_at' probes (a fixed scan+agg
+timed immediately before that query's runs), so 'norm' divides out the
+box state AT each query, not just the session average — the r09
+failure mode was a 3.5x mid-session drift that start/end sentinels
+could not attribute.
 """
 
 from __future__ import annotations
@@ -17,20 +22,41 @@ import sys
 
 def load_queries(
     path: str,
-) -> tuple[dict[str, float], float | None, dict[str, float]]:
-    """Returns (per-query medians, sentinel median or None, extras)."""
+) -> tuple[dict[str, float], float | None, dict[str, float], dict[str, float]]:
+    """Returns (per-query medians, sentinel median or None, extras,
+    per-query sentinel_at or {})."""
     with open(path) as fh:
         d = json.load(fh)
     if "queries" in d:
-        return d["queries"], d.get("sentinel"), d.get("extras", {})
+        return (
+            d["queries"],
+            d.get("sentinel"),
+            d.get("extras", {}),
+            d.get("sentinel_at", {}),
+        )
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         p = d["parsed"]
-        return p["queries"], p.get("sentinel"), p.get("extras", {})
+        return (
+            p["queries"],
+            p.get("sentinel"),
+            p.get("extras", {}),
+            p.get("sentinel_at", {}),
+        )
     # driver wrapper with a (possibly left-truncated) 'tail' fragment —
     # recover per-query medians with a regex over the region before the
     # raw 'runs' dict (entries there are lists, not scalars, so they
     # don't match)
     import re
+
+    def _scalar_dict(tail: str, key: str) -> dict[str, float]:
+        region = tail.split(f'"{key}"')
+        if len(region) < 2:
+            return {}
+        body = region[1].split("}")[0]
+        return {
+            k: float(v)
+            for k, v in re.findall(r'"([\w#]+)":\s*([0-9.]+)', body)
+        }
 
     tail = d.get("tail", "")
     region = tail.split('"runs"')[0]
@@ -38,19 +64,11 @@ def load_queries(
     if not pairs:
         raise SystemExit(f"{path}: no queries dict found")
     m = re.search(r'"sentinel":\s*([0-9.]+)', tail)
-    extras: dict[str, float] = {}
-    ex_region = tail.split('"extras"')
-    if len(ex_region) > 1:
-        # the extras dict runs to its closing brace; entries are scalars
-        ex_body = ex_region[1].split("}")[0]
-        extras = {
-            k: float(v)
-            for k, v in re.findall(r'"(\w+)":\s*([0-9.]+)', ex_body)
-        }
     return (
         {k: float(v) for k, v in pairs},
         (float(m.group(1)) if m else None),
-        extras,
+        _scalar_dict(tail, "extras"),
+        _scalar_dict(tail, "sentinel_at"),
     )
 
 
@@ -59,47 +77,73 @@ def main() -> int:
         print(__doc__)
         return 2
     a_path, b_path = sys.argv[1], sys.argv[2]
-    (a, sent_a, ex_a), (b, sent_b, ex_b) = load_queries(a_path), load_queries(b_path)
-    # sentinel normalization (VERDICT r05 #3): the sentinel is a fixed,
-    # never-optimized probe, so sent_b/sent_a measures the BOX between
-    # the two records; dividing it out of each ratio attributes what is
-    # left to the code. norm = raw * sent_a / sent_b.
+    a, sent_a, ex_a, sat_a = load_queries(a_path)
+    b, sent_b, ex_b, sat_b = load_queries(b_path)
+    # sentinel normalization (VERDICT r05 #3 / r09 #1): the sentinel is
+    # a fixed, never-optimized probe, so sentinel_B/sentinel_A measures
+    # the BOX between the two measurements; dividing it out of each
+    # ratio attributes what is left to the code. Per-query probes
+    # (sentinel_at, r10) beat the session median whenever present.
     scale = (sent_a / sent_b) if sent_a and sent_b else None
     if scale is not None:
+        n_pq = len(set(sat_a) & set(sat_b))
         print(
-            f"sentinel A={sent_a:.2f}s B={sent_b:.2f}s -> box drift "
-            f"x{sent_b / sent_a:.2f}; 'norm' divides it out"
+            f"sentinel A={sent_a:.2f}s B={sent_b:.2f}s -> session box "
+            f"drift x{sent_b / sent_a:.2f}; 'norm' divides out the "
+            + (f"per-query probe ({n_pq} in common)" if n_pq else "session median")
         )
     else:
         print("sentinel missing on one side: raw ratios only")
+
+    def _norm(q: str, ra: float, rb: float, fb_a=None, fb_b=None):
+        """Ratio B/A with the best available sentinel divided out."""
+        sa = sat_a.get(q, fb_a if fb_a else sent_a)
+        sb = sat_b.get(q, fb_b if fb_b else sent_b)
+        raw = rb / ra if ra else float("inf")
+        if sa and sb:
+            return raw, raw * (sa / sb)
+        return raw, (raw * scale if scale is not None else None)
+
     common = sorted(set(a) & set(b))
     hdr = f"{'query':34s} {'A':>8s} {'B':>8s}  ratio B/A"
     print(hdr + ("      norm" if scale is not None else ""))
+    norm_total_a = norm_total_b = 0.0
     for q in common:
-        r = b[q] / a[q] if a[q] else float("inf")
-        rn = r * scale if scale is not None else None
+        r, rn = _norm(q, a[q], b[q])
         judged = rn if rn is not None else r
         flag = "  <<<" if judged <= 0.8 else ("  !!!" if judged >= 1.5 else "")
         norm_s = f"  {rn:8.2f}" if rn is not None else ""
         print(f"{q:34s} {a[q]:8.2f} {b[q]:8.2f}  {r:8.2f}{norm_s}{flag}")
+        # sentinel-deflated seconds (box-independent units) for totals
+        sa = sat_a.get(q, sent_a)
+        sb = sat_b.get(q, sent_b)
+        if sa and sb:
+            norm_total_a += a[q] / sa
+            norm_total_b += b[q] / sb
     ta, tb = sum(a[q] for q in common), sum(b[q] for q in common)
     # a driver-wrapped artifact (timings only in its truncated 'tail')
     # parses to zero common time — report inf instead of crashing
     tr = tb / ta if ta else float("inf")
-    tn = f"  {tr * scale:8.2f}" if scale is not None else ""
+    if norm_total_a:
+        tn = f"  {norm_total_b / norm_total_a:8.2f}"
+    elif scale is not None:
+        tn = f"  {tr * scale:8.2f}"
+    else:
+        tn = ""
     print(f"{'COMMON TOTAL':34s} {ta:8.2f} {tb:8.2f}  {tr:8.2f}{tn}")
     for name, only in (("A", set(a) - set(b)), ("B", set(b) - set(a))):
         if only:
             print(f"only in {name}: {', '.join(sorted(only))}")
     # extras: the pytest-only operators (beyond the capped 50-query
-    # registry) — same ratio/norm treatment so a regression in an
-    # operator with no registry slot is still visible round-over-round
+    # registry) — normalized with the extras-block sentinel when
+    # present, else the session sentinel
     ex_common = sorted(set(ex_a) & set(ex_b))
     if ex_common:
+        exs_a = sat_a.get("__extras__")
+        exs_b = sat_b.get("__extras__")
         print("\nextras (non-registry operators)")
         for q in ex_common:
-            r = ex_b[q] / ex_a[q] if ex_a[q] else float("inf")
-            rn = r * scale if scale is not None else None
+            r, rn = _norm(q, ex_a[q], ex_b[q], fb_a=exs_a, fb_b=exs_b)
             judged = rn if rn is not None else r
             flag = "  <<<" if judged <= 0.8 else ("  !!!" if judged >= 1.5 else "")
             norm_s = f"  {rn:8.2f}" if rn is not None else ""
