@@ -45,6 +45,7 @@ def start_embed_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     source=None,
+    recover_on_start: bool = True,
 ):
     """Start the incremental embed-and-index stream over a documents
     directory (ndjson files of {doc_id, text}; drop a file, it becomes
@@ -60,13 +61,22 @@ def start_embed_stream(
     Each non-empty micro-batch bumps the index version on its append
     (plus once more for the self-heal delete when a replayed batch's
     ids were already present). Returns the StreamingQuery; callers
-    awaitTermination()."""
+    awaitTermination().
+
+    Concurrency with maintenance (r10, the index commit protocol): a
+    crashed `index-compact` leaves a pending swap that every mutation
+    refuses — `recover_on_start` (default) runs the idempotent
+    recovery once at stream start so an operator's dead cron job
+    cannot park the ingest loop; a compact racing a LIVE stream
+    resolves the other way (the batch's append commits, the compact's
+    version re-check aborts it for a clean re-run)."""
     import os
 
     from ..functions.ann_index import (
         append_to_ann_index,
         delete_from_ann_index,
         load_ann_meta,
+        recover_ann_index,
     )
     from ..functions.similarity import hashed_tf_embedding
 
@@ -75,6 +85,8 @@ def start_embed_stream(
             f"no ANN index at {index_root}; build it first (the stream "
             f"appends against the stored centroids/codebook)"
         )
+    if recover_on_start:
+        recover_ann_index(index_root)
     meta = load_ann_meta(index_root)
     if dim is None:
         dim = int(meta["dim"])

@@ -220,3 +220,56 @@ def test_pre_protocol_debris_swept_and_flagged(spark, tmp_path):
     res = A.compact_ann_index(spark, root, n_iters=1)  # entry sweep
     assert res["compacted"] is True
     A.verify_ann_index(spark, root)
+
+
+def test_embed_stream_recovers_crashed_compact_on_start(
+    spark, tmp_path, monkeypatch
+):
+    """The shipped-jobs composition the protocol exists for: a cron'd
+    compact died mid-swap (pending manifest present, vectors/ gone);
+    the live embed stream, restarted, must not park on the refusal —
+    recover_on_start finishes the swap and the batch appends land."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        hashed_tf_embedding,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.streaming import (
+        start_embed_stream,
+    )
+
+    seed_docs = spark.createDataFrame(
+        [(i, f"seed document number {i} about topic_{i} " * 3) for i in range(8)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "idx")
+    emb0 = hashed_tf_embedding(seed_docs).select("doc_id", "embedding")
+    A.build_ann_index(spark, emb0, root, n_clusters=4, m=4, k=8, id_col="doc_id")
+
+    _crash_compact(spark, root, monkeypatch, rename_calls_before_crash=1)
+    assert os.path.exists(f"{root}/{A._PENDING}")
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(100, "fresh streamed document about topic_x")],
+        "doc_id long, text string",
+    ).coalesce(1).write.json(f"{docs_dir}/f=0")
+    q = start_embed_stream(
+        spark,
+        docs_path=docs_dir,
+        index_root=root,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    A.verify_ann_index(spark, root)
+    meta = A.load_ann_meta(root)
+    # v2 = the recovered compact's commit, v3 = the batch append
+    assert meta["version"] == 3
+    assert meta["codebook_source"] == "compacted"
+    stored = {
+        r.doc_id
+        for r in spark.read.option("basePath", f"{root}/vectors")
+        .parquet(f"{root}/vectors")
+        .select("doc_id")
+        .collect()
+    }
+    assert 100 in stored
