@@ -522,7 +522,8 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--op", required=True,
                     choices=["append", "overwrite", "merge", "delete",
                              "read", "count", "history", "rollback",
-                             "vacuum", "checkpoint", "optimize"])
+                             "vacuum", "checkpoint", "optimize",
+                             "bloom-build", "bloom-refresh"])
     vs.add_argument("--target-mb", type=int, default=128,
                     help="optimize: target file size")
     vs.add_argument("--zorder-by", default=None,
@@ -541,6 +542,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="vacuum: never delete unreferenced files younger "
                          "than this (concurrent-writer guard); 0 only "
                          "when no writer can be running")
+    vs.add_argument("--bloom-cols", default=None,
+                    help="bloom-build: comma-separated columns for the "
+                         "store-owned Bloom file index (MERGE probes "
+                         "then open only key-containing files)")
     vs.add_argument("--pred", action="append", default=[],
                     help="read: 'col OP value' predicates (repeatable, "
                          "AND) served through the snapshot skip index "
@@ -1204,9 +1209,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.op == "merge":
             if not args.in_path or not args.keys:
                 raise SystemExit("--op merge requires --in and --keys")
+            # bloom="auto": the store-owned index prunes the probe
+            # when present (build once with --op bloom-build); absent
+            # or multi-column keys fall back to the unpruned probe
             v = V.merge_into(
                 spark, args.root, _read(spark, args.in_path),
                 [k.strip() for k in args.keys.split(",")],
+                bloom="auto",
             )
             print(_json.dumps({"version": v, "action": "merge"}))
         elif args.op == "delete":
@@ -1245,6 +1254,16 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps(info))
         elif args.op == "history":
             print(_json.dumps(V.history(args.root)))
+        elif args.op == "bloom-build":
+            if not args.bloom_cols:
+                raise SystemExit("--op bloom-build requires --bloom-cols")
+            rep = V.build_store_bloom(
+                spark, args.root,
+                [c.strip() for c in args.bloom_cols.split(",")],
+            )
+            print(_json.dumps(rep))
+        elif args.op == "bloom-refresh":
+            print(_json.dumps(V.refresh_store_bloom(spark, args.root)))
         elif args.op == "rollback":
             if args.version is None:
                 raise SystemExit("--op rollback requires --version")

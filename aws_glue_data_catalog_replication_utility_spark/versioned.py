@@ -578,6 +578,90 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     )
 
 
+_BLOOM_DIR = "_bloomindex"
+
+
+def build_store_bloom(
+    spark: SparkSession,
+    root: str,
+    columns: list[str],
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> dict:
+    """Build and PERSIST a Bloom file index over the store's data files
+    (r10): the index that turns `merge_into(bloom="auto")` on — a MERGE
+    then opens only the files that can contain its keys instead of
+    scanning the whole key column of the whole table. Stored under
+    `root/_bloomindex/` (underscore dir: invisible to parquet reads of
+    the data plane) as a generation directory plus an atomically
+    replaced pointer, so readers never see a torn index. Refresh after
+    mutations with `refresh_store_bloom` (incremental: only new files
+    hashed); staleness is always SAFE — uncovered files are probed,
+    covered-but-dead files are simply not live."""
+    from .functions.skipindex import build_bloom_index
+
+    bloom = build_bloom_index(spark, _data_dir(root), columns, m_bits, k)
+    return _publish_store_bloom(spark, root, bloom, columns)
+
+
+def refresh_store_bloom(spark: SparkSession, root: str) -> dict:
+    """Incrementally fold file adds/removes since the last build into
+    the persisted store bloom (update_bloom_index: new files hashed
+    under the existing config, deleted files' rows dropped, everything
+    else byte-identical). Run it on the same cadence as OPTIMIZE /
+    checkpoint — between refreshes MERGE pruning just degrades
+    gracefully toward 'probe everything new'."""
+    from .functions.skipindex import update_bloom_index
+
+    bloom = load_store_bloom(spark, root)
+    if bloom is None:
+        raise ValueError(
+            f"no store bloom at {root}; build_store_bloom first"
+        )
+    meta = _load_bloom_meta(root)
+    new_bloom, stats = update_bloom_index(spark, _data_dir(root), bloom)
+    out = _publish_store_bloom(spark, root, new_bloom, meta["columns"])
+    out.update(stats)
+    return out
+
+
+def load_store_bloom(spark: SparkSession, root: str) -> DataFrame | None:
+    """The persisted store bloom as a DataFrame, or None when the store
+    has none (merge_into(bloom="auto") treats None as 'no pruning')."""
+    meta = _load_bloom_meta(root)
+    if meta is None:
+        return None
+    return spark.read.parquet(
+        os.path.join(root, _BLOOM_DIR, meta["generation"])
+    )
+
+
+def _load_bloom_meta(root: str) -> dict | None:
+    p = os.path.join(root, _BLOOM_DIR, "meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _publish_store_bloom(
+    spark: SparkSession, root: str, bloom: DataFrame, columns: list[str]
+) -> dict:
+    base = os.path.join(root, _BLOOM_DIR)
+    prev = _load_bloom_meta(root)
+    gen = f"g{(int(prev['generation'][1:]) + 1) if prev else 1:06d}"
+    bloom.write.mode("overwrite").parquet(os.path.join(base, gen))
+    n_files = bloom.select("file").distinct().count()
+    meta = {"generation": gen, "columns": list(columns), "files": int(n_files)}
+    tmp = os.path.join(base, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(base, "meta.json"))
+    if prev:
+        shutil.rmtree(os.path.join(base, prev["generation"]), ignore_errors=True)
+    return dict(meta)
+
+
 def history(root: str) -> list[dict]:
     """The commit log, oldest first: version, action, files +/-."""
     out = []
@@ -650,7 +734,7 @@ def merge_into(
     root: str,
     updates: DataFrame,
     key_cols: list[str],
-    bloom: DataFrame | None = None,
+    bloom: DataFrame | None | str = None,
 ) -> int:
     """MERGE INTO — the table-format flagship, as one atomic version:
     every existing row whose key appears in `updates` is replaced,
@@ -696,6 +780,13 @@ def merge_into(
     rootabs = os.path.abspath(root)
     probe_meta: dict = {}
     cand = live
+    if bloom == "auto":
+        # the store-owned index (build_store_bloom); absent -> unpruned
+        # probe, and a multi-column key quietly skips pruning too (the
+        # persisted index may simply not fit this MERGE's key)
+        bloom = (
+            load_store_bloom(spark, root) if len(key_cols) == 1 else None
+        )
     if bloom is not None:
         if len(key_cols) != 1:
             raise ValueError(

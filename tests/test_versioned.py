@@ -845,3 +845,70 @@ def test_merge_into_bloom_pruned_probe(spark, orders, tmp_path):
         V.merge_into(
             spark, roots[0], upd, ["o_orderkey", "o_custkey"], bloom=bloom
         )
+
+
+def test_store_bloom_lifecycle_and_auto_merge(spark, orders, tmp_path):
+    """Store-owned bloom index (r10): build persists generations with
+    an atomically replaced pointer, merge_into(bloom='auto') picks it
+    up and prunes the probe (audited in the manifest), refresh folds
+    file adds in incrementally, and 'auto' degrades to the unpruned
+    probe for multi-column keys or a bloom-less store."""
+    from pyspark.sql import functions as F
+
+    roots = []
+    for tag in ("auto", "plain"):
+        root = str(tmp_path / tag)
+        for i in range(3):
+            V.append(
+                orders.where(f"o_orderkey % 4 = {i}").repartition(2), root
+            )
+        roots.append(root)
+
+    assert V.load_store_bloom(spark, roots[0]) is None
+    with pytest.raises(ValueError, match="build_store_bloom"):
+        V.refresh_store_bloom(spark, roots[0])
+
+    rep = V.build_store_bloom(spark, roots[0], ["o_orderkey"], m_bits=1 << 14)
+    assert rep["files"] == 6 and rep["columns"] == ["o_orderkey"]
+
+    upd = (
+        orders.where("o_orderkey % 4 = 2")
+        .orderBy("o_orderkey")
+        .limit(3)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    v1 = V.merge_into(spark, roots[0], upd, ["o_orderkey"], bloom="auto")
+    V.merge_into(spark, roots[1], upd, ["o_orderkey"])
+    assert sorted(
+        tuple(r) for r in V.read_versioned(spark, roots[0]).collect()
+    ) == sorted(tuple(r) for r in V.read_versioned(spark, roots[1]).collect())
+
+    def _meta(root, version):
+        for _, p in V._manifests(root):
+            with open(p) as fh:
+                m = json.load(fh)
+            if m.get("version") == version:
+                return m["meta"]
+
+    meta = _meta(roots[0], v1)
+    assert meta["probe_files_scanned"] < meta["files_total"] == 6
+
+    # refresh folds the merge's file surgery in (added staging files,
+    # removed rewritten ones); the next auto merge still prunes and
+    # still matches the plain twin
+    rep2 = V.refresh_store_bloom(spark, roots[0])
+    assert rep2["added"] > 0 and rep2["generation"] == "g000002"
+    upd2 = upd.withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    v2 = V.merge_into(spark, roots[0], upd2, ["o_orderkey"], bloom="auto")
+    V.merge_into(spark, roots[1], upd2, ["o_orderkey"])
+    assert sorted(
+        tuple(r) for r in V.read_versioned(spark, roots[0]).collect()
+    ) == sorted(tuple(r) for r in V.read_versioned(spark, roots[1]).collect())
+    meta2 = _meta(roots[0], v2)
+    assert meta2["probe_files_scanned"] < meta2["files_total"]
+
+    # 'auto' with a multi-column key: quietly unpruned, never an error
+    v3 = V.merge_into(
+        spark, roots[0], upd2, ["o_orderkey", "o_custkey"], bloom="auto"
+    )
+    assert "probe_files_scanned" not in _meta(roots[0], v3)
