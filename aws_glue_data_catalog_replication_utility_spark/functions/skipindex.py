@@ -121,6 +121,102 @@ def _widen_str_upper(s: str) -> str | None:
     return None
 
 
+def _footer_stat_rows(path: str) -> tuple[int, list[tuple]]:
+    """Per-file footer statistics — the ONE code path shared by the
+    distributed index build (mapInPandas worker) and the versioned
+    store's commit-time stats recording (Delta-style stats in the
+    log), so a log-sourced index relation is value-identical to a
+    footer-sourced one by construction. Returns (num_rows, [(column,
+    kind, nulls, has_minmax, min_num, max_num, min_str, max_str),
+    ...]) with the same widening discipline as always: numeric bounds
+    widened OUTWARD, truncated string maxima bumped past the surrogate
+    gap — may keep extra files, can never wrongly drop."""
+    import datetime
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    def classify(v):
+        if isinstance(v, bool):
+            return "num", float(v)
+        if isinstance(v, int):
+            return "num", None  # exactness handled via _num_bounds
+        if isinstance(v, float):
+            return "num", v
+        if isinstance(v, decimal.Decimal):
+            return "num", None
+        if isinstance(v, datetime.datetime):
+            return "ts", None
+        if isinstance(v, datetime.date):
+            return "date", None
+        if isinstance(v, str):
+            return "str", None
+        return "none", None
+
+    def to_micros(v: datetime.datetime) -> int:
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        epoch = datetime.datetime(1970, 1, 1)
+        return round((v - epoch).total_seconds() * 1_000_000)
+
+    md = pq.read_metadata(path)
+    agg: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            a = agg.setdefault(name, [0, None, None, False])
+            st = c.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                a[0] += st.null_count
+            if st.has_min_max:
+                a[3] = True
+                mn, mx = st.min, st.max
+                a[1] = mn if a[1] is None else min(a[1], mn)
+                a[2] = mx if a[2] is None else max(a[2], mx)
+    out: list[tuple] = []
+    for name, (nulls, mn, mx, has) in agg.items():
+        kind, _ = classify(mn) if has else ("none", None)
+        min_num = max_num = min_str = max_str = None
+        if has and kind == "ts":
+            kind = "num"
+            min_num = float(to_micros(mn))
+            max_num = float(to_micros(mx))
+        elif has and kind == "date":
+            kind = "num"
+            epoch = datetime.date(1970, 1, 1)
+            min_num = float((mn - epoch).days)
+            max_num = float((mx - epoch).days)
+        elif has and kind == "num":
+            min_num, max_num = _num_bounds(mn, mx)
+        elif has and kind == "str":
+            min_str = mn[:_STR_PREFIX]
+            max_str = mx[:_STR_PREFIX]
+            if len(mx) > _STR_PREFIX:
+                # widen: truncated max must stay an upper bound -> bump
+                # the last bump-able char and drop the tail; if EVERY
+                # prefix char is U+10FFFF no finite bound exists —
+                # record no min/max (nulls stay) instead of failing the
+                # whole build on adversarial data
+                widened = _widen_str_upper(max_str)
+                if widened is None:
+                    kind, has = "none", False
+                    min_str = max_str = None
+                else:
+                    max_str = widened
+        elif has:
+            kind = "none"
+            has = False
+        out.append((
+            name, kind if has else "none", int(nulls), bool(has),
+            min_num, max_num, min_str, max_str,
+        ))
+    return int(md.num_rows), out
+
+
 def _index_files(spark: SparkSession, files: list[str]) -> DataFrame:
     """The distributed footer pass over an explicit file list — shared
     by full build and incremental update."""
@@ -132,94 +228,13 @@ def _index_files(spark: SparkSession, files: list[str]) -> DataFrame:
     ).repartition(n_slices)
 
     def read_footers(batches):
-        import datetime
-        import decimal
-
         import pandas as pd
-        import pyarrow.parquet as pq
-
-        def classify(v):
-            if isinstance(v, bool):
-                return "num", float(v)
-            if isinstance(v, int):
-                return "num", None  # exactness handled via _num_bounds
-            if isinstance(v, float):
-                return "num", v
-            if isinstance(v, decimal.Decimal):
-                return "num", None
-            if isinstance(v, datetime.datetime):
-                return "ts", None
-            if isinstance(v, datetime.date):
-                return "date", None
-            if isinstance(v, str):
-                return "str", None
-            return "none", None
-
-        def to_micros(v: datetime.datetime) -> int:
-            if v.tzinfo is not None:
-                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-            epoch = datetime.datetime(1970, 1, 1)
-            return round((v - epoch).total_seconds() * 1_000_000)
 
         for pdf in batches:
             rows = []
             for f in pdf["file"]:
-                md = pq.read_metadata(f)
-                agg: dict[str, list] = {}
-                for rg in range(md.num_row_groups):
-                    g = md.row_group(rg)
-                    for ci in range(g.num_columns):
-                        c = g.column(ci)
-                        name = c.path_in_schema
-                        a = agg.setdefault(name, [0, None, None, False])
-                        st = c.statistics
-                        if st is None:
-                            continue
-                        if st.null_count is not None:
-                            a[0] += st.null_count
-                        if st.has_min_max:
-                            a[3] = True
-                            mn, mx = st.min, st.max
-                            a[1] = mn if a[1] is None else min(a[1], mn)
-                            a[2] = mx if a[2] is None else max(a[2], mx)
-                for name, (nulls, mn, mx, has) in agg.items():
-                    kind, _ = classify(mn) if has else ("none", None)
-                    min_num = max_num = min_str = max_str = None
-                    if has and kind == "ts":
-                        kind = "num"
-                        min_num = float(to_micros(mn))
-                        max_num = float(to_micros(mx))
-                    elif has and kind == "date":
-                        kind = "num"
-                        epoch = datetime.date(1970, 1, 1)
-                        min_num = float((mn - epoch).days)
-                        max_num = float((mx - epoch).days)
-                    elif has and kind == "num":
-                        min_num, max_num = _num_bounds(mn, mx)
-                    elif has and kind == "str":
-                        min_str = mn[:_STR_PREFIX]
-                        max_str = mx[:_STR_PREFIX]
-                        if len(mx) > _STR_PREFIX:
-                            # widen: truncated max must stay an upper
-                            # bound -> bump the last bump-able char and
-                            # drop the tail; if EVERY prefix char is
-                            # U+10FFFF no finite bound exists — record
-                            # no min/max (nulls stay) instead of failing
-                            # the whole build on adversarial data
-                            widened = _widen_str_upper(max_str)
-                            if widened is None:
-                                kind, has = "none", False
-                                min_str = max_str = None
-                            else:
-                                max_str = widened
-                    elif has:
-                        kind = "none"
-                        has = False
-                    rows.append((
-                        f, md.num_rows, name, kind if has else "none",
-                        int(nulls), bool(has),
-                        min_num, max_num, min_str, max_str,
-                    ))
+                n_rows, stats = _footer_stat_rows(f)
+                rows.extend((f, n_rows, *s) for s in stats)
             yield pd.DataFrame(
                 rows,
                 columns=[

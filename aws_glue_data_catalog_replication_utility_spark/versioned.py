@@ -231,11 +231,24 @@ def _replay_rows(
     (files added by pre-stats manifests are simply absent from the
     map — callers fall back to scanning just those). Same
     checkpoint-accelerated walk as `_replay_full`."""
+    live, rows, _, last = _replay_stats(root, version)
+    return live, rows, last
+
+
+def _replay_stats(
+    root: str, version: int | None
+) -> tuple[list[str], dict[str, int], dict[str, list], dict | None]:
+    """Live files at `version` plus each live file's recorded row count
+    AND per-column footer stats (Delta-style stats in the log, r10).
+    Files added by pre-stats manifests are absent from the maps —
+    callers fall back to reading exactly their footers. Same
+    checkpoint-accelerated walk as `_replay_full`."""
     ms = _manifests(root)
     if version is not None and (not ms or version > ms[-1][0] or version < 1):
         raise ValueError(f"version {version} does not exist")
     seen: set = set()
     rows: dict[str, int] = {}
+    stats: dict[str, list] = {}
     last = None
     start_after = 0
     for cv, cp in reversed(_checkpoints(root)):
@@ -245,6 +258,8 @@ def _replay_rows(
             seen = set(c["live"])
             cr = c.get("file_rows") or {}
             rows = {f: int(cr[f]) for f in seen if f in cr}
+            cs = c.get("file_stats") or {}
+            stats = {f: cs[f] for f in seen if f in cs}
             last = c
             start_after = cv
             break
@@ -259,18 +274,24 @@ def _replay_rows(
         for f in m.get("removed", []):
             seen.discard(f)
             rows.pop(f, None)
+            stats.pop(f, None)
         fr = m.get("file_rows") or {}
+        fs = m.get("file_stats") or {}
         for f in m.get("added", []):
             seen.add(f)
             if f in fr:
                 rows[f] = int(fr[f])
             else:
                 rows.pop(f, None)
+            if f in fs:
+                stats[f] = fs[f]
+            else:
+                stats.pop(f, None)
     if last is None:
         if version is not None:
             raise ValueError(f"version {version} does not exist")
-        return [], {}, None
-    return sorted(seen), rows, last
+        return [], {}, {}, None
+    return sorted(seen), rows, stats, last
 
 
 def count_versioned(
@@ -363,17 +384,26 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
             body["file_schema"] = fmap
     if meta:
         body["meta"] = meta
-    # per-file row counts for the added files (Delta-style stats in the
+    # per-file stats for the added files (Delta-style stats in the
     # log): O(added) footer reads at commit time buy metadata-only
-    # COUNT(*) forever after (count_versioned). The files were fully
-    # staged into data/ before any commit attempt, so they exist.
+    # COUNT(*) (count_versioned) AND zero-footer-I/O predicate pruning
+    # (snapshot_skip_index assembles the file-skipping relation from
+    # the log alone) forever after. ONE pyarrow metadata read per file
+    # serves both; the stat extraction is skipindex's own
+    # `_footer_stat_rows`, so log-sourced and footer-sourced index
+    # relations are value-identical by construction. The files were
+    # fully staged into data/ before any commit attempt, so they exist.
     if added:
-        import pyarrow.parquet as _pq
+        from .functions.skipindex import _footer_stat_rows
 
-        body["file_rows"] = {
-            f: int(_pq.read_metadata(os.path.join(root, f)).num_rows)
-            for f in added
-        }
+        rows_map: dict[str, int] = {}
+        stats_map: dict[str, list] = {}
+        for f in added:
+            n_rows, stats = _footer_stat_rows(os.path.join(root, f))
+            rows_map[f] = n_rows
+            stats_map[f] = [list(s) for s in stats]
+        body["file_rows"] = rows_map
+        body["file_stats"] = stats_map
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(body, fh)
@@ -946,11 +976,14 @@ def checkpoint(root: str) -> dict:
         "schemas": schemas,
         "file_schema": file_schema,
     }
-    # carry the known row counts forward: replay starts HERE, so counts
-    # recorded by pre-checkpoint manifests must survive compaction
-    _, rows, _ = _replay_rows(root, None)
+    # carry the known row counts AND per-column stats forward: replay
+    # starts HERE, so stats recorded by pre-checkpoint manifests must
+    # survive compaction
+    _, rows, fstats, _ = _replay_stats(root, None)
     if rows:
         body["file_rows"] = rows
+    if fstats:
+        body["file_stats"] = fstats
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(body, fh)
@@ -1017,19 +1050,53 @@ def optimize(
 
 
 def snapshot_skip_index(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    source: str = "auto",
 ):
-    """Build the file-skipping index (functions/skipindex) over a
-    SNAPSHOT's live files — pruned scans against any version of the
-    table, composing the two metadata layers: the txlog answers WHICH
-    files are live, the skip index answers which of those can match a
-    predicate. Pair with `scan_with_skip_index` for the read."""
-    from .functions.skipindex import _index_files
+    """The file-skipping index (functions/skipindex) over a SNAPSHOT's
+    live files — pruned scans against any version of the table,
+    composing the two metadata layers: the txlog answers WHICH files
+    are live, the skip index answers which of those can match a
+    predicate. Pair with `scan_with_skip_index` for the read.
 
-    live, last = _replay(root, version)
+    Since r10 every commit records its added files' per-column footer
+    stats IN the manifest (the same `_footer_stat_rows` extraction the
+    footer pass runs, so the relations are value-identical by
+    construction), and the default `source='auto'` assembles the index
+    from the LOG ALONE — a predicate read against a 100k-file snapshot
+    plans with ZERO footer I/O, Delta's stats-in-the-log design. Files
+    added by pre-stats manifests fall back to one distributed footer
+    pass over exactly those files; `source='footers'` forces the full
+    footer pass (the cross-check the tests pin bit-equal)."""
+    from .functions.skipindex import _INDEX_SCHEMA, _index_files, _materialize
+
+    if source not in ("auto", "footers"):
+        raise ValueError(f"source must be 'auto' or 'footers': {source!r}")
+    if source == "footers":
+        live, last = _replay(root, version)
+        if last is None:
+            raise ValueError(f"no versioned table at {root}")
+        return _index_files(spark, [os.path.join(root, f) for f in live])
+    live, rows, fstats, last = _replay_stats(root, version)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
-    return _index_files(spark, [os.path.join(root, f) for f in live])
+    log_rows = []
+    missing = []
+    for f in live:
+        if f in fstats and f in rows:
+            path = os.path.join(root, f)
+            for s in fstats[f]:
+                log_rows.append((path, rows[f], *s))
+        else:
+            missing.append(os.path.join(root, f))
+    idx = spark.createDataFrame(log_rows, _INDEX_SCHEMA)
+    if missing:
+        idx = idx.unionByName(_index_files(spark, missing))
+        # mixed-source relation: pin it like any index build
+        idx = _materialize(idx)
+    return idx
 
 
 def changes_between(

@@ -912,3 +912,108 @@ def test_store_bloom_lifecycle_and_auto_merge(spark, orders, tmp_path):
         spark, roots[0], upd2, ["o_orderkey", "o_custkey"], bloom="auto"
     )
     assert "probe_files_scanned" not in _meta(roots[0], v3)
+
+
+def test_snapshot_skip_index_from_log_stats(spark, tmp_path, monkeypatch):
+    """Delta-style stats in the log (r10): commits record per-column
+    footer stats in the manifest, so snapshot_skip_index assembles the
+    pruning relation from the LOG with zero footer I/O — pinned by
+    monkeypatching the footer pass to raise. Log-sourced equals
+    footer-sourced bit-for-bit (same extraction function), survives
+    checkpoint compaction with pre-checkpoint manifests deleted, falls
+    back to exactly the stat-less files on a hand-stripped legacy
+    manifest, and the pruned read stays exact."""
+    import glob as _glob
+
+    from aws_glue_data_catalog_replication_utility_spark.functions import (
+        skipindex as SKI,
+    )
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        scan_with_skip_index,
+    )
+
+    real_index_files = SKI._index_files
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    root = str(tmp_path / "t")
+    V.append(
+        orders.where("o_orderkey % 2 = 0").repartitionByRange(2, "o_orderkey"),
+        root,
+    )
+    V.append(
+        orders.where("o_orderkey % 2 = 1").repartitionByRange(2, "o_orderkey"),
+        root,
+    )
+
+    want = sorted(
+        tuple(r)
+        for r in V.snapshot_skip_index(spark, root, source="footers").collect()
+    )
+
+    def no_footers(*a, **k):
+        raise AssertionError("footer pass ran on a fully-stats'd log")
+
+    monkeypatch.setattr(SKI, "_index_files", no_footers)
+    idx = V.snapshot_skip_index(spark, root)  # auto: log only
+    got = sorted(tuple(r) for r in idx.collect())
+    assert got == want
+
+    # the log-sourced index drives an exact pruned read (numeric,
+    # string, and timestamp predicates all carried by manifest stats)
+    cut = orders.selectExpr("percentile_approx(o_orderkey, 0.25) v").first().v
+    preds = [("o_orderkey", "<=", int(cut)), ("o_orderstatus", "=", "O")]
+    full = V.read_versioned(spark, root)
+    got_df, info = scan_with_skip_index(spark, idx, preds)
+    assert info["files_kept"] < info["files_total"] == 4
+    assert sorted(map(tuple, got_df.collect())) == sorted(
+        map(
+            tuple,
+            full.where(
+                (F.col("o_orderkey") <= int(cut))
+                & (F.col("o_orderstatus") == "O")
+            ).collect(),
+        )
+    )
+
+    # time travel: the v1 index covers only v1's files — still log-only
+    idx1 = V.snapshot_skip_index(spark, root, version=1)
+    assert idx1.select("file").distinct().count() == 2
+
+    # checkpoint compaction carries the stats forward
+    V.checkpoint(root)
+    for p in _glob.glob(os.path.join(root, "_txlog", "v*.json")):
+        os.unlink(p)
+    got_ck = sorted(
+        tuple(r) for r in V.snapshot_skip_index(spark, root).collect()
+    )
+    assert got_ck == want
+    monkeypatch.setattr(SKI, "_index_files", real_index_files)
+
+    # legacy manifest (pre-stats): strip file_stats from a NEW commit,
+    # auto falls back to footers for exactly those files, result
+    # identical to the full footer build
+    v3 = V.append(
+        orders.where("o_orderkey % 7 = 3").repartition(1), root
+    )
+    mp = os.path.join(root, "_txlog", f"v{v3:012d}.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    del m["file_stats"]
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    calls = []
+
+    def spy(spark_, files):
+        calls.append(list(files))
+        return real_index_files(spark_, files)
+
+    monkeypatch.setattr(SKI, "_index_files", spy)
+    got_mixed = sorted(
+        tuple(r) for r in V.snapshot_skip_index(spark, root).collect()
+    )
+    monkeypatch.setattr(SKI, "_index_files", real_index_files)
+    assert len(calls) == 1 and len(calls[0]) == 1  # exactly the legacy file
+    want_mixed = sorted(
+        tuple(r)
+        for r in V.snapshot_skip_index(spark, root, source="footers").collect()
+    )
+    assert got_mixed == want_mixed
