@@ -1249,7 +1249,20 @@ def main(argv: list[str] | None = None) -> int:
                 rep.update(info)
             print(_json.dumps(rep))
         elif args.op == "count":
-            n, info = V.count_versioned(spark, args.root, args.version)
+            if args.pred:
+                # COUNT(*) WHERE ... answered (mostly) from metadata:
+                # the snapshot index comes from the LOG's per-file
+                # stats (zero footer I/O since r10), and files whose
+                # stats PROVE every row matches contribute their
+                # recorded row counts without being opened
+                from .functions.skipindex import count_with_skip_index
+
+                idx = V.snapshot_skip_index(spark, args.root, args.version)
+                n, info = count_with_skip_index(
+                    spark, idx, _parse_preds(args.pred)
+                )
+            else:
+                n, info = V.count_versioned(spark, args.root, args.version)
             info["rows"] = n
             print(_json.dumps(info))
         elif args.op == "history":

@@ -1205,6 +1205,12 @@ def test_cli_vstore_lifecycle(spark, tmp_path, capsys):
     # metadata-only COUNT: exact, zero files opened
     cnt = run(["vstore", "--root", root, "--op", "count"])
     assert cnt["rows"] == n and cnt["files_scanned"] == 0
+    # predicate COUNT (r10): served through the LOG-sourced snapshot
+    # skip index — exact vs a full-scan twin
+    want = spark.read.parquet(src).where("o_orderkey <= 1000").count()
+    cp = run(["vstore", "--root", root, "--op", "count",
+              "--pred", "o_orderkey <= 1000"])
+    assert cp["rows"] == want
 
 
 def test_cli_vstore_merge(spark, tmp_path, capsys):
