@@ -1,0 +1,500 @@
+"""The versioned store as a first-class Spark FORMAT (PySpark 4
+Python Data Source API): ``spark.read.format("vstore")`` /
+``df.write.format("vstore")`` / ``spark.readStream.format("vstore")``.
+
+Why this exists. ``versioned.py`` gives the engine a transactional
+table format (immutable data files + an ordered manifest log — the
+engine-native answer to the reference's delete-all-then-add catalog
+sync, ``GDCUtil.java:61-111``, without its inconsistency window), but
+until now it was a *library*: users called ``read_versioned(spark,
+root)``. This module makes the store a *format*, so the whole Spark
+surface — SQL via ``CREATE TEMPORARY VIEW ... USING``, ``.load()``,
+``.save()``, Structured Streaming — speaks to it directly:
+
+- **Batch read** (``spark.read.format("vstore").load(root)``): the
+  snapshot at ``version`` (time travel via ``.option("version", k)``),
+  with the same mixed-origin-schema evolution read as
+  ``read_versioned`` — each file is decoded under the schema its
+  commit wrote and widened to the table LUB, Arrow-batch zero-copy
+  into Spark.
+- **Filter pushdown file skipping**: Spark 4.1 pushes query filters
+  into Python data sources (``DataSourceReader.pushFilters``). We
+  translate them into the skip-index predicate form and prune the
+  live-file list against the PER-FILE COLUMN STATS RECORDED IN THE
+  COMMIT LOG (Delta's stats-in-the-log design; written by
+  ``versioned._commit`` via the same ``_footer_stat_rows`` extraction
+  the footer index uses) — a ``WHERE o_orderkey = k`` against a
+  100k-file snapshot plans with ZERO footer I/O and opens only the
+  files whose stats cannot refute the predicate. Every filter is
+  handed back to Spark for re-evaluation, so pruning affects I/O,
+  never results (the proof obligation is one-sided: a dropped file
+  provably contains no matching row).
+- **Batch write** (``df.write.format("vstore").mode("append" |
+  "overwrite").save(root)``): tasks stage parquet under
+  ``.staging/`` executor-side (Arrow batches straight to disk), and
+  the DRIVER commit publishes ONE atomic manifest through the same
+  ``_commit`` path as the library API — per-file stats recorded,
+  ``VersionConflict`` on a concurrent writer, crash-before-commit
+  leaves only vacuum-able orphans. ``abort()`` removes the staging.
+- **Streaming read** (``spark.readStream.format("vstore")``): the
+  commit log IS a change feed; offsets are store versions, so
+  exactly-once is the checkpoint replaying ``(start_version,
+  end_version]``. Append-family commits stream their added files'
+  rows; a commit that REMOVED files raises unless
+  ``.option("ignoreChanges", "true")`` (Delta's streaming-source
+  contract). ``.option("startingVersion", k)`` replays history from
+  version k; the default streams only commits after the query starts.
+
+Scale notes. ``partitions()`` returns one input partition per live
+data file — reads parallelize across the cluster exactly like a
+native parquet scan, and pruning happens BEFORE partition planning,
+so skipped files never become tasks. The stats walk is
+O(live files x indexed columns) driver-side metadata — the same cost
+``snapshot_skip_index`` pays, with no SparkSession needed (the
+Python-worker half of the data source has none). Rows move as Arrow
+RecordBatches both directions (never per-row Python).
+
+Reference parity: the reference's only storage integration is
+DynamoDB audit writes + S3 ndjson side-channels (``DDBUtil.java``,
+``S3Util.java:223-233``); this is the Spark-native generalization —
+the store the audit/import pipelines already use, now mounted on the
+standard reader/writer/stream surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+# manifest actions whose added files are pure inserts (safe to stream)
+_APPEND_ACTIONS = {"append", "stream_append", "checked_append"}
+
+
+def _opt(options, key: str, default=None):
+    # DataSource options arrive case-insensitive from SQL paths;
+    # normalize so .option("startingVersion", ...) and
+    # .option("startingversion", ...) both hit
+    for k, v in options.items():
+        if k.lower() == key.lower():
+            return v
+    return default
+
+
+def _root(options) -> str:
+    path = _opt(options, "path")
+    if not path:
+        raise ValueError(
+            "vstore requires a store root: .load(root) or .option('path', root)"
+        )
+    return path
+
+
+def _lub_schema(root: str, version: int | None) -> StructType:
+    """Table LUB schema at `version` from the log alone (pure Python —
+    runs in the data source worker, which has no SparkSession)."""
+    from ..versioned import _replay_full, _table_lub
+
+    _, last, origin = _replay_full(root, version)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    if not origin:
+        return StructType.fromJson(json.loads(last["schema"]))
+    return _table_lub(origin)[0]
+
+
+def _evolve_table(tbl: "pa.Table", target: "pa.Schema") -> "pa.Table":
+    """Arrow-side schema evolution: project `tbl` onto `target` —
+    missing columns as typed nulls, widened types cast. The lattice
+    was enforced at commit time (the LUB came through
+    evolve.merge_schemas), so any cast here is a widening by
+    construction."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            col = tbl.column(field.name)
+            if col.type != field.type:
+                if (
+                    pa.types.is_timestamp(field.type)
+                    and field.type.tz is not None
+                    and pa.types.is_timestamp(col.type)
+                    and col.type.tz is None
+                ):
+                    # naive parquet bytes under a tz-aware LUB: the
+                    # store writes session-UTC instants, so the wall
+                    # clock IS the instant
+                    col = pc.assume_timezone(col, field.type.tz)
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                else:
+                    col = col.cast(field.type)
+        else:
+            col = pa.nulls(tbl.num_rows, type=field.type)
+        cols.append(col)
+    return pa.table(dict(zip(target.names, cols)), schema=target)
+
+
+# ---------------------------------------------------------------------------
+# batch read + pushdown pruning
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str  # absolute data-file path
+    origin_json: str  # schema the file's bytes were written under
+
+
+def _translate_filters(
+    filters: list["Filter"],
+) -> tuple[list[tuple[str, str, object]], list[str]]:
+    """Supported pushed filters -> (range/equality predicates in
+    skip-index form, not-null columns). Unsupported shapes are simply
+    not used for pruning (Spark re-applies everything anyway)."""
+    import datetime
+    import decimal
+
+    _OPS = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    _LIT = (bool, int, float, str, datetime.date, datetime.datetime)
+    preds: list[tuple[str, str, object]] = []
+    notnull: list[str] = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:  # nested columns: no stats rows
+            continue
+        col = attr[0]
+        if isinstance(f, IsNotNull):
+            notnull.append(col)
+            continue
+        op = _OPS.get(type(f))
+        if op is None:
+            continue
+        v = f.value
+        if isinstance(v, decimal.Decimal):
+            v = float(v)
+        if isinstance(v, _LIT):
+            preds.append((col, op, v))
+    return preds, notnull
+
+
+def _prune_with_log_stats(
+    live: list[str],
+    rows: dict[str, int],
+    stats: dict[str, list],
+    preds: list[tuple[str, str, object]],
+    notnull: list[str],
+) -> list[str]:
+    """Pure-Python mirror of ``skipindex.prune_files`` over the log's
+    per-file stats (same `_footer_stat_rows` tuples, same proof rules:
+    drop only on an all-null column or a literal provably outside
+    [min, max] on the matching lane; unknown NEVER drops). Files absent
+    from the stats maps (pre-stats manifests) are always kept."""
+    from ..functions.skipindex import _pred_value
+
+    norm = [(c, op, *_pred_value(op, raw)) for (c, op, raw) in preds]
+    kept = []
+    for f in live:
+        st = stats.get(f)
+        fr = rows.get(f)
+        if st is None or fr is None:
+            kept.append(f)
+            continue
+        by_col: dict[str, list] = {}
+        for row in st:
+            by_col.setdefault(row[0], []).append(row)
+        drop = False
+        for col, op, lane, v in norm:
+            for (_, kind, nulls, has, mn_n, mx_n, mn_s, mx_s) in by_col.get(
+                col, []
+            ):
+                if nulls == fr:  # all-null: no comparison matches NULL
+                    drop = True
+                    break
+                if not (has and kind == lane):
+                    continue
+                lo, hi = (mn_n, mx_n) if lane == "num" else (mn_s, mx_s)
+                if lo is None or hi is None:
+                    continue
+                outside = {
+                    "=": v < lo or v > hi,
+                    "<": lo >= v,
+                    "<=": lo > v,
+                    ">": hi <= v,
+                    ">=": hi < v,
+                }[op]
+                if outside:
+                    drop = True
+                    break
+            if drop:
+                break
+        if not drop:
+            for col in notnull:
+                if any(r[2] == fr for r in by_col.get(col, [])):
+                    drop = True
+                    break
+        if not drop:
+            kept.append(f)
+    return kept
+
+
+class _VStoreBatchReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        from ..versioned import _replay_full, _replay_stats
+
+        self._root = _root(options)
+        v = _opt(options, "version")
+        self._version = int(v) if v is not None else None
+        self._schema = schema
+        live, self._rows, self._stats, last = _replay_stats(
+            self._root, self._version
+        )
+        if last is None:
+            raise ValueError(f"no versioned table at {self._root}")
+        self._live = live
+        _, _, self._origin = _replay_full(self._root, self._version)
+        self._preds: list[tuple[str, str, object]] = []
+        self._notnull: list[str] = []
+
+    def pushFilters(self, filters: list["Filter"]):
+        self._preds, self._notnull = _translate_filters(filters)
+        # every filter goes back to Spark: pruning is I/O-only, results
+        # stay exact no matter what the stats say
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        kept = _prune_with_log_stats(
+            self._live, self._rows, self._stats, self._preds, self._notnull
+        )
+        return [
+            _FilePartition(
+                path=os.path.join(self._root, f),
+                origin_json=self._origin[f],
+            )
+            for f in kept
+        ]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        tbl = pq.read_table(partition.path)
+        yield from _evolve_table(tbl, target).to_batches()
+
+
+# ---------------------------------------------------------------------------
+# batch write
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    rels: list  # staged file paths relative to the store root
+
+
+class _VStoreWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._root = _root(options)
+        self._schema_json = schema.json()
+        self._overwrite = overwrite
+        self._tag = uuid.uuid4().hex[:12]
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]):
+        import pyarrow.parquet as pq
+
+        writer = None
+        rel = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    rel = os.path.join(
+                        ".staging", self._tag, f"{uuid.uuid4().hex}.parquet"
+                    )
+                    full = os.path.join(self._root, rel)
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _StagedFiles(rels=[rel] if rel else [])
+
+    def commit(self, messages):
+        from ..versioned import _commit, _data_dir, _replay
+
+        staged = [r for m in messages if m is not None for r in m.rels]
+        os.makedirs(_data_dir(self._root), exist_ok=True)
+        added = []
+        for i, rel in enumerate(sorted(staged)):
+            dst = os.path.join("data", f"{self._tag}-{i:05d}.parquet")
+            shutil.move(
+                os.path.join(self._root, rel), os.path.join(self._root, dst)
+            )
+            added.append(dst)
+        removed = _replay(self._root, None)[0] if self._overwrite else []
+        try:
+            _commit(
+                self._root,
+                "overwrite" if self._overwrite else "append",
+                added,
+                removed,
+                self._schema_json,
+            )
+        finally:
+            shutil.rmtree(
+                os.path.join(self._root, ".staging", self._tag),
+                ignore_errors=True,
+            )
+        # a VersionConflict above propagates and fails the write; the
+        # moved files are unreferenced orphans vacuum() reclaims —
+        # identical to the library API's crash story
+
+    def abort(self, messages):
+        shutil.rmtree(
+            os.path.join(self._root, ".staging", self._tag),
+            ignore_errors=True,
+        )
+
+
+# ---------------------------------------------------------------------------
+# streaming read (commit log as change feed)
+# ---------------------------------------------------------------------------
+
+
+class _VStoreStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options, schema: StructType):
+        self._root = _root(options)
+        self._schema = schema
+        sv = _opt(options, "startingVersion")
+        self._starting = int(sv) if sv is not None else None
+        self._ignore_changes = str(
+            _opt(options, "ignoreChanges", "false")
+        ).lower() in ("true", "1")
+
+    def _latest(self) -> int:
+        from ..versioned import _manifests
+
+        ms = _manifests(self._root)
+        return ms[-1][0] if ms else 0
+
+    def initialOffset(self) -> dict:
+        if self._starting is not None:
+            return {"version": self._starting - 1}
+        return {"version": self._latest()}
+
+    def read(self, start: dict):
+        end_v = self._latest()
+        if end_v <= start["version"]:
+            return iter([]), dict(start)
+        # a list iterator, NOT a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator between micro-batches
+        return (
+            iter(self._rows_between(start["version"], end_v)),
+            {"version": end_v},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows_between(start["version"], end["version"]))
+
+    def _rows_between(self, s: int, e: int) -> list:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..versioned import _manifests
+
+        target = to_arrow_schema(self._schema)
+        names = list(self._schema.fieldNames())
+        out: list[tuple] = []
+        for v, p in _manifests(self._root):
+            if v <= s or v > e:
+                continue
+            with open(p) as fh:
+                m = json.load(fh)
+            if m.get("removed") and not (
+                m["action"] in _APPEND_ACTIONS or self._ignore_changes
+            ):
+                raise ValueError(
+                    f"vstore stream hit a data-changing commit "
+                    f"(version {m['version']}, action {m['action']!r}); "
+                    "set .option('ignoreChanges', 'true') to stream its "
+                    "re-added rows (downstream may see duplicates)"
+                )
+            # per-file origin schemas need no special handling here:
+            # arrow evolution projects whatever the bytes carry onto
+            # the stream's target schema
+            for f in m.get("added", []):
+                tbl = pq.read_table(os.path.join(self._root, f))
+                evolved = _evolve_table(tbl, target)
+                for row in evolved.to_pylist():
+                    out.append(tuple(row[n] for n in names))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# the data source
+# ---------------------------------------------------------------------------
+
+
+class VStoreDataSource(DataSource):
+    """``format("vstore")``: batch read (time travel + pushdown file
+    skipping), batch write (atomic manifest commit), streaming read
+    (version offsets). See module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vstore"
+
+    def schema(self):
+        v = _opt(self.options, "version")
+        return _lub_schema(_root(self.options), int(v) if v is not None else None)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _VStoreBatchReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _VStoreWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _VStoreStreamReader(self.options, schema)
+
+
+def register_vstore_source(spark) -> None:
+    """Make ``format("vstore")`` available on this session (and turn
+    on Python-data-source filter pushdown, off by default in 4.1, so
+    the log-stats file skipping actually engages)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(VStoreDataSource)

@@ -1,0 +1,302 @@
+"""vstore as a Spark format (Python Data Source API): batch read with
+time travel + log-stats filter pushdown, batch write through the
+commit protocol, streaming read over version offsets, SQL `USING`
+surface. The pruning tests are PROOF-driven: the file the stats
+exclude is physically corrupted, so a scan that failed to prune
+cannot return — the same RAISES-if-not-pruned discipline as q13."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from aws_glue_data_catalog_replication_utility_spark import versioned as V
+from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+    _prune_with_log_stats,
+    _translate_filters,
+    register_vstore_source,
+)
+
+
+@pytest.fixture(scope="module")
+def vsrc_spark(spark):
+    register_vstore_source(spark)
+    return spark
+
+
+def _mk_evolved_store(spark, root):
+    """gen1: (k int, x float); gen2: (k bigint, x double, s string)."""
+    g1 = spark.range(0, 100).selectExpr(
+        "cast(id as int) as k", "cast(id * 1.5 as float) as x"
+    )
+    V.append(g1, root)
+    g2 = spark.range(100, 200).selectExpr(
+        "cast(id as bigint) as k",
+        "cast(id * 1.5 as double) as x",
+        "concat('s', id) as s",
+    )
+    V.append(g2, root)
+
+
+def test_batch_read_matches_read_versioned(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_evolved_store(vsrc_spark, root)
+    got = vsrc_spark.read.format("vstore").load(root)
+    lib = V.read_versioned(vsrc_spark, root)
+    assert got.schema == lib.schema  # LUB: bigint, double, string
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, lib.collect())
+    )
+
+
+def test_batch_read_time_travel(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_evolved_store(vsrc_spark, root)
+    v1 = vsrc_spark.read.format("vstore").option("version", "1").load(root)
+    assert v1.columns == ["k", "x"]
+    assert v1.schema["k"].dataType.simpleString() == "int"
+    assert v1.count() == 100
+    lib = V.read_versioned(vsrc_spark, root, 1)
+    assert sorted(map(tuple, v1.collect())) == sorted(
+        map(tuple, lib.collect())
+    )
+
+
+def test_sql_using_surface(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_evolved_store(vsrc_spark, root)
+    vsrc_spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW vsrc_sql USING vstore "
+        f"OPTIONS (path '{root}')"
+    )
+    n = vsrc_spark.sql(
+        "SELECT count(*) AS n FROM vsrc_sql WHERE k >= 150"
+    ).collect()[0].n
+    assert n == 50
+
+
+def _range_laid_store(spark, root):
+    """Three single-file appends with disjoint k ranges; returns the
+    live file whose k range is [200, 300)."""
+    for lo in (0, 100, 200):
+        V.append(
+            spark.range(lo, lo + 100)
+            .selectExpr("id as k", "concat('v', id) as s")
+            .coalesce(1),
+            root,
+        )
+    import pyarrow.parquet as pq
+
+    live, _ = V._replay(root, None)
+    for f in live:
+        p = os.path.join(root, f)
+        if pq.read_metadata(p).row_group(0).column(0).statistics.min == 200:
+            return p
+    raise AssertionError("no file with min k == 200")
+
+
+def test_pushdown_prunes_files_e2e(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    hot = _range_laid_store(vsrc_spark, root)
+    with open(hot, "wb") as fh:
+        fh.write(b"garbage")  # a scan that opens this file dies
+    got = (
+        vsrc_spark.read.format("vstore")
+        .load(root)
+        .where("k < 150")
+        .selectExpr("count(*) AS n", "sum(k) AS s")
+        .collect()[0]
+    )
+    assert (got.n, got.s) == (150, sum(range(150)))
+    # the control: without the predicate the corrupted file IS opened
+    with pytest.raises(Exception):
+        vsrc_spark.read.format("vstore").load(root).count()
+
+
+def test_pushdown_string_and_notnull(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    hot = _range_laid_store(vsrc_spark, root)
+    with open(hot, "wb") as fh:
+        fh.write(b"garbage")
+    # string equality: 'v100' lies outside every file but the middle one
+    got = (
+        vsrc_spark.read.format("vstore")
+        .load(root)
+        .where("s = 'v100'")
+        .collect()
+    )
+    assert [(r.k, r.s) for r in got] == [(100, "v100")]
+
+
+def test_prune_mirror_matches_prune_files(vsrc_spark, tmp_path):
+    """The data source's pure-Python pruning must agree with the
+    DataFrame implementation (skipindex.prune_files over the
+    log-sourced snapshot index) predicate for predicate."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        prune_files,
+    )
+
+    root = str(tmp_path / "store")
+    _range_laid_store(vsrc_spark, root)
+    live, rows, stats, _ = V._replay_stats(root, None)
+    idx = V.snapshot_skip_index(vsrc_spark, root)
+    cases = [
+        [("k", "=", 150)],
+        [("k", "<", 100)],
+        [("k", ">=", 250)],
+        [("k", ">", 99), ("k", "<", 200)],
+        [("s", "=", "v0")],
+        [("missing_col", "=", 1)],
+        [],
+    ]
+    for preds in cases:
+        py_kept = set(
+            _prune_with_log_stats(live, rows, stats, preds, [])
+        )
+        df_kept = {
+            os.path.relpath(r.file, root)
+            for r in prune_files(idx, preds).collect()
+        }
+        assert py_kept == df_kept, preds
+
+
+def test_translate_filters_shapes():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        IsNotNull,
+        IsNull,
+        LessThanOrEqual,
+    )
+
+    preds, notnull = _translate_filters(
+        [
+            EqualTo(("k",), 5),
+            GreaterThan(("x",), 1.5),
+            LessThanOrEqual(("s",), "zz"),
+            IsNotNull(("k",)),
+            IsNull(("s",)),  # unsupported for pruning: ignored
+            EqualTo(("a", "b"), 1),  # nested: ignored
+        ]
+    )
+    assert preds == [("k", "=", 5), ("x", ">", 1.5), ("s", "<=", "zz")]
+    assert notnull == ["k"]
+
+
+def test_format_write_append_and_overwrite(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = vsrc_spark.range(0, 50).selectExpr("id as k", "id * 2 as v")
+    df.write.format("vstore").mode("append").save(root)
+    df2 = vsrc_spark.range(50, 80).selectExpr("id as k", "id * 2 as v")
+    df2.write.format("vstore").mode("append").save(root)
+    lib = V.read_versioned(vsrc_spark, root)
+    assert lib.count() == 80
+    assert [h["action"] for h in V.history(root)] == ["append", "append"]
+    # stats land in the log for DS-written files: every live file has
+    # recorded rows+stats (no footer fallback needed)
+    live, rows, stats, _ = V._replay_stats(root, None)
+    assert set(rows) == set(live) and set(stats) == set(live)
+    # overwrite = one atomic snapshot swap
+    df2.write.format("vstore").mode("overwrite").save(root)
+    assert V.read_versioned(vsrc_spark, root).count() == 30
+    h = V.history(root)[-1]
+    assert h["action"] == "overwrite" and h["n_removed"] > 0
+    # no staging debris left behind
+    assert not os.path.exists(os.path.join(root, ".staging")) or not os.listdir(
+        os.path.join(root, ".staging")
+    )
+
+
+def test_format_write_then_format_read_roundtrip(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = vsrc_spark.range(0, 25).selectExpr(
+        "id as k",
+        "id % 2 = 0 as b",
+        "concat('r', id) as s",
+        "date_add(date'2026-01-01', cast(id as int)) as d",
+    )
+    df.write.format("vstore").mode("append").save(root)
+    back = vsrc_spark.read.format("vstore").load(root)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def _run_stream(spark, root, ckpt, out, ignore_changes=False):
+    r = (
+        spark.readStream.format("vstore")
+        .option("path", root)
+        .option("startingVersion", "1")
+    )
+    if ignore_changes:
+        r = r.option("ignoreChanges", "true")
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_source_exactly_once_and_change_guard(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    V.append(vsrc_spark.range(0, 10).selectExpr("id as k"), root)
+    _run_stream(vsrc_spark, root, ckpt, out)
+    assert vsrc_spark.read.parquet(out).count() == 10
+    # second run over the SAME checkpoint streams only the delta
+    V.append(vsrc_spark.range(10, 25).selectExpr("id as k"), root)
+    _run_stream(vsrc_spark, root, ckpt, out)
+    got = vsrc_spark.read.parquet(out)
+    assert got.count() == 25
+    assert {r.k for r in got.collect()} == set(range(25))
+    # a data-changing commit fails the stream with a clear error...
+    V.delete_where(vsrc_spark, root, "k < 5")
+    with pytest.raises(Exception, match="data-changing commit"):
+        _run_stream(vsrc_spark, root, ckpt, out)
+    # ...and ignoreChanges resumes past it (this delete dropped two
+    # fully-matching files: no survivors re-added, so no duplicates)
+    _run_stream(vsrc_spark, root, ckpt, out, ignore_changes=True)
+    assert vsrc_spark.read.parquet(out).count() == 25
+
+
+def test_stream_starting_version_zero_replays_nothing_new(
+    vsrc_spark, tmp_path
+):
+    """Default (no startingVersion): offsets start at the CURRENT
+    version, so pre-existing history does not stream."""
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    V.append(vsrc_spark.range(0, 10).selectExpr("id as k"), root)
+    q = (
+        vsrc_spark.readStream.format("vstore")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the sink may not even have a _spark_metadata data file yet
+    try:
+        n = vsrc_spark.read.parquet(out).count()
+    except Exception:
+        n = 0
+    assert n == 0
+
+
+def test_reader_errors(vsrc_spark, tmp_path):
+    with pytest.raises(Exception, match="no versioned table"):
+        vsrc_spark.read.format("vstore").load(
+            str(tmp_path / "nostore")
+        ).count()
