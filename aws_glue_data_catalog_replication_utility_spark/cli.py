@@ -578,6 +578,24 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--id-col", default="doc_id")
     mx.add_argument("--text-col", default="text")
 
+    ds = sub.add_parser(
+        "dsir",
+        help="DSIR importance resampling: select --k raw docs whose "
+             "hashed-n-gram distribution matches a target corpus "
+             "(Gumbel top-k, seed-stable)",
+    )
+    ds.add_argument("--in", dest="in_path", required=True,
+                    help="raw corpus parquet")
+    ds.add_argument("--target", required=True, help="target corpus parquet")
+    ds.add_argument("--out", required=True)
+    ds.add_argument("--k", type=int, required=True)
+    ds.add_argument("--n-buckets", type=int, default=10_000)
+    ds.add_argument("--alpha", type=float, default=1e-4)
+    ds.add_argument("--seed", default="0")
+    ds.add_argument("--temperature", type=float, default=1.0)
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--text-col", default="text")
+
     bt = sub.add_parser(
         "bpe-train",
         help="learn a BPE merge table from the corpus (distributed "
@@ -1329,6 +1347,21 @@ def main(argv: list[str] | None = None) -> int:
             args.id_col,
             F.size(F.split(F.trim(F.col(args.text_col)), r"\s+")),
             alpha=args.alpha,
+        ).write.mode("overwrite").parquet(args.out)
+
+    elif args.job == "dsir":
+        from .functions.dsir import dsir_select
+
+        dsir_select(
+            _read(spark, args.in_path),
+            _read(spark, args.target),
+            k=args.k,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            n_buckets=args.n_buckets,
+            alpha=args.alpha,
+            seed=args.seed,
+            temperature=args.temperature,
         ).write.mode("overwrite").parquet(args.out)
 
     elif args.job == "bpe-train":
