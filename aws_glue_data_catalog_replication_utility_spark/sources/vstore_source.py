@@ -36,6 +36,12 @@ surface — SQL via ``CREATE TEMPORARY VIEW ... USING``, ``.load()``,
   ``_commit`` path as the library API — per-file stats recorded,
   ``VersionConflict`` on a concurrent writer, crash-before-commit
   leaves only vacuum-able orphans. ``abort()`` removes the staging.
+- **Streaming write** (``df.writeStream.format("vstore")``): each
+  micro-batch commits as one atomic version with the epoch's batchId
+  in the manifest meta — the same exactly-once replay guard as
+  ``append_stream_batch`` (a re-delivered epoch is recognized in the
+  log and its staged files dropped). ``.option("queryId", ...)``
+  scopes the guard when several queries share a store.
 - **Streaming read** (``spark.readStream.format("vstore")``): the
   commit log IS a change feed; offsets are store versions, so
   exactly-once is the checkpoint replaying ``(start_version,
@@ -74,6 +80,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -90,8 +97,10 @@ from pyspark.sql.types import StructType
 if TYPE_CHECKING:  # pragma: no cover
     import pyarrow as pa
 
-# manifest actions whose added files are pure inserts (safe to stream)
-_APPEND_ACTIONS = {"append", "stream_append", "checked_append"}
+# manifest actions whose added files are pure inserts (safe to
+# stream): every append flavor (library append, append_checked,
+# append_stream_batch, the format writers) commits action "append"
+_APPEND_ACTIONS = {"append"}
 
 
 def _opt(options, key: str, default=None):
@@ -325,6 +334,61 @@ class _StagedFiles(WriterCommitMessage):
     rels: list  # staged file paths relative to the store root
 
 
+def _stage_task_batches(root: str, tag: str, iterator) -> "_StagedFiles":
+    """Executor-side half of both writers: stream this task's Arrow
+    batches into one staged parquet file under `.staging/<tag>/`."""
+    import pyarrow.parquet as pq
+
+    writer = None
+    rel = None
+    try:
+        for batch in iterator:
+            if writer is None:
+                rel = os.path.join(
+                    ".staging", tag, f"{uuid.uuid4().hex}.parquet"
+                )
+                full = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                writer = pq.ParquetWriter(full, batch.schema)
+            writer.write_batch(batch)
+    finally:
+        if writer is not None:
+            writer.close()
+    return _StagedFiles(rels=[rel] if rel else [])
+
+
+def _publish_staged(
+    root: str,
+    staged: list[str],
+    name_prefix: str,
+    overwrite: bool,
+    schema_json: str,
+    meta: dict | None = None,
+) -> None:
+    """Driver-side half of both writers: move the staged files under
+    data/ and publish ONE atomic manifest. A `VersionConflict`
+    propagates and fails the write — the moved files are unreferenced
+    orphans vacuum() reclaims, identical to the library API's crash
+    story."""
+    from ..versioned import _commit, _data_dir, _replay
+
+    os.makedirs(_data_dir(root), exist_ok=True)
+    added = []
+    for i, rel in enumerate(sorted(staged)):
+        dst = os.path.join("data", f"{name_prefix}-{i:05d}.parquet")
+        shutil.move(os.path.join(root, rel), os.path.join(root, dst))
+        added.append(dst)
+    removed = _replay(root, None)[0] if overwrite else []
+    _commit(
+        root,
+        "overwrite" if overwrite else "append",
+        added,
+        removed,
+        schema_json,
+        meta=meta,
+    )
+
+
 class _VStoreWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: StructType, overwrite: bool):
         self._root = _root(options)
@@ -333,44 +397,16 @@ class _VStoreWriter(DataSourceArrowWriter):
         self._tag = uuid.uuid4().hex[:12]
 
     def write(self, iterator: Iterator["pa.RecordBatch"]):
-        import pyarrow.parquet as pq
-
-        writer = None
-        rel = None
-        try:
-            for batch in iterator:
-                if writer is None:
-                    rel = os.path.join(
-                        ".staging", self._tag, f"{uuid.uuid4().hex}.parquet"
-                    )
-                    full = os.path.join(self._root, rel)
-                    os.makedirs(os.path.dirname(full), exist_ok=True)
-                    writer = pq.ParquetWriter(full, batch.schema)
-                writer.write_batch(batch)
-        finally:
-            if writer is not None:
-                writer.close()
-        return _StagedFiles(rels=[rel] if rel else [])
+        return _stage_task_batches(self._root, self._tag, iterator)
 
     def commit(self, messages):
-        from ..versioned import _commit, _data_dir, _replay
-
         staged = [r for m in messages if m is not None for r in m.rels]
-        os.makedirs(_data_dir(self._root), exist_ok=True)
-        added = []
-        for i, rel in enumerate(sorted(staged)):
-            dst = os.path.join("data", f"{self._tag}-{i:05d}.parquet")
-            shutil.move(
-                os.path.join(self._root, rel), os.path.join(self._root, dst)
-            )
-            added.append(dst)
-        removed = _replay(self._root, None)[0] if self._overwrite else []
         try:
-            _commit(
+            _publish_staged(
                 self._root,
-                "overwrite" if self._overwrite else "append",
-                added,
-                removed,
+                staged,
+                self._tag,
+                self._overwrite,
                 self._schema_json,
             )
         finally:
@@ -378,15 +414,75 @@ class _VStoreWriter(DataSourceArrowWriter):
                 os.path.join(self._root, ".staging", self._tag),
                 ignore_errors=True,
             )
-        # a VersionConflict above propagates and fails the write; the
-        # moved files are unreferenced orphans vacuum() reclaims —
-        # identical to the library API's crash story
 
     def abort(self, messages):
         shutil.rmtree(
             os.path.join(self._root, ".staging", self._tag),
             ignore_errors=True,
         )
+
+
+class _VStoreStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("vstore")``: each micro-batch commits as
+    ONE atomic store version, exactly-once. The epoch's batchId rides
+    the manifest meta exactly like `append_stream_batch`'s, and the
+    same newest-first replay walk (`_stream_batch_replayed`) skips a
+    re-delivered epoch after a crash between sink commit and
+    checkpoint write — the staged files of the replay are dropped, the
+    version chain carries each batch once. Pass
+    ``.option("queryId", <stable string>)`` (the checkpoint path is
+    the natural choice) when several queries append to one store;
+    unscoped commits follow the one-stream-per-store discipline
+    documented on `append_stream_batch`. Append output mode only:
+    complete-mode truncation belongs to batch `overwrite`."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "vstore streaming sink supports append mode only; use "
+                "batch .write.format('vstore').mode('overwrite') for "
+                "snapshot swaps"
+            )
+        self._root = _root(options)
+        self._schema_json = schema.json()
+        self._query_id = _opt(options, "queryId")
+        self._tag = uuid.uuid4().hex[:12]
+
+    def write(self, iterator):
+        return _stage_task_batches(self._root, self._tag, iterator)
+
+    def commit(self, messages, batchId: int):
+        from ..versioned import _stream_batch_replayed
+
+        staged = [r for m in messages if m is not None for r in m.rels]
+        try:
+            if not staged or _stream_batch_replayed(
+                self._root, batchId, self._query_id
+            ):
+                return  # empty batch or replayed epoch: no version
+            meta: dict = {"batch_id": int(batchId)}
+            if self._query_id is not None:
+                meta["query_id"] = self._query_id
+            _publish_staged(
+                self._root,
+                staged,
+                f"{self._tag}-b{batchId}",
+                False,
+                self._schema_json,
+                meta=meta,
+            )
+        finally:
+            for rel in staged:
+                p = os.path.join(self._root, rel)
+                if os.path.exists(p):
+                    os.unlink(p)
+
+    def abort(self, messages, batchId: int):
+        for m in messages:
+            for rel in (m.rels if m is not None else []):
+                p = os.path.join(self._root, rel)
+                if os.path.exists(p):
+                    os.unlink(p)
 
 
 # ---------------------------------------------------------------------------
@@ -490,6 +586,9 @@ class VStoreDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):
         return _VStoreStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _VStoreStreamWriter(self.options, schema, overwrite)
 
 
 def register_vstore_source(spark) -> None:

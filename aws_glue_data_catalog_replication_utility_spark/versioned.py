@@ -869,6 +869,40 @@ def merge_into(
     )
 
 
+def _stream_batch_replayed(
+    root: str, batch_id: int, query_id: str | None
+) -> bool:
+    """The newest-first replay walk shared by `append_stream_batch`
+    and the vstore format's streaming sink: True iff this (query,
+    batch) already committed. Semantics documented on
+    `append_stream_batch` (monotonic per-query ids, legacy-manifest
+    newest-id-only matching)."""
+    seen_legacy = False
+    for _, p in reversed(_manifests(root)):
+        with open(p) as fh:
+            m = json.load(fh)
+        meta = m.get("meta", {})
+        bid = meta.get("batch_id")
+        if bid is None:
+            continue
+        mqid = meta.get("query_id")
+        if query_id is not None and mqid is not None and mqid != query_id:
+            continue
+        if query_id is not None and mqid is None:
+            # legacy manifests predate every scoped commit in the log,
+            # so walking newest-first meets all scoped candidates
+            # before any legacy one; past the newest legacy id nothing
+            # older can carry a replay (ids were monotonic then too)
+            if seen_legacy:
+                continue
+            seen_legacy = True
+        if bid == batch_id:
+            return True
+        if bid < batch_id:
+            break
+    return False
+
+
 def append_stream_batch(
     df: DataFrame, batch_id: int, root: str, query_id: str | None = None
 ) -> int | None:
@@ -910,29 +944,8 @@ def append_stream_batch(
     the newest legacy id is indistinguishable from the upgrade replay
     without an external marker, and skipping is the conservative side
     only for that single id."""
-    seen_legacy = False
-    for _, p in reversed(_manifests(root)):
-        with open(p) as fh:
-            m = json.load(fh)
-        meta = m.get("meta", {})
-        bid = meta.get("batch_id")
-        if bid is None:
-            continue
-        mqid = meta.get("query_id")
-        if query_id is not None and mqid is not None and mqid != query_id:
-            continue
-        if query_id is not None and mqid is None:
-            # legacy manifests predate every scoped commit in the log,
-            # so walking newest-first meets all scoped candidates
-            # before any legacy one; past the newest legacy id nothing
-            # older can carry a replay (ids were monotonic then too)
-            if seen_legacy:
-                continue
-            seen_legacy = True
-        if bid == batch_id:
-            return None  # replay: this batch already committed
-        if bid < batch_id:
-            break
+    if _stream_batch_replayed(root, batch_id, query_id):
+        return None  # replay: this batch already committed
     if not df.limit(1).count():
         return None
     meta_out: dict = {"batch_id": batch_id}

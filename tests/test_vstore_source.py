@@ -295,6 +295,133 @@ def test_stream_starting_version_zero_replays_nothing_new(
     assert n == 0
 
 
+def test_stream_sink_commits_versions_exactly_once(vsrc_spark, tmp_path):
+    """File stream -> vstore streaming sink: each micro-batch is one
+    atomic version with the batch id in the manifest meta; re-running
+    the finished query over the same checkpoint adds nothing."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "store")
+    os.makedirs(src)
+    vsrc_spark.range(0, 20).selectExpr("id as k").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run():
+        q = (
+            vsrc_spark.readStream.schema("k bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("vstore")
+            .option("path", root)
+            .option("queryId", ckpt)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    assert V.read_versioned(vsrc_spark, root).count() == 20
+    h1 = V.history(root)
+    assert all(e["action"] == "append" for e in h1)
+    metas = []
+    for _, p in V._manifests(root):
+        metas.append(json.load(open(p)).get("meta", {}))
+    assert all("batch_id" in m and m.get("query_id") == ckpt for m in metas)
+    # replay the whole query over the same checkpoint: nothing new
+    run()
+    assert V.read_versioned(vsrc_spark, root).count() == 20
+    assert len(V.history(root)) == len(h1)
+    # a SECOND batch of input streams through incrementally
+    vsrc_spark.range(20, 30).selectExpr("id as k").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert V.read_versioned(vsrc_spark, root).count() == 30
+
+
+def test_stream_sink_replay_guard_direct(vsrc_spark, tmp_path):
+    """The sink's commit() skips an epoch whose batch id the log
+    already carries (the crash-between-sink-and-checkpoint window),
+    and the replayed epoch's staged files are removed."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _StagedFiles,
+        _VStoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    df = vsrc_spark.range(0, 5).selectExpr("id as k")
+    w = _VStoreStreamWriter({"path": root, "queryId": "q1"}, df.schema, False)
+    import pyarrow as pa
+
+    def stage(values):
+        batch = pa.RecordBatch.from_pydict({"k": values})
+        return w.write(iter([batch]))
+
+    m = stage([1, 2, 3])
+    w.commit([m], batchId=0)
+    assert V.read_versioned(vsrc_spark, root).count() == 3
+    # replayed epoch 0: skipped, staged file cleaned up
+    m2 = stage([1, 2, 3])
+    w.commit([m2], batchId=0)
+    assert V.read_versioned(vsrc_spark, root).count() == 3
+    assert not os.path.exists(os.path.join(root, m2.rels[0]))
+    assert len(V.history(root)) == 1
+    # epoch 1 lands
+    w.commit([stage([4, 5])], batchId=1)
+    assert V.read_versioned(vsrc_spark, root).count() == 5
+    # abort drops staged files without committing
+    m3 = stage([9])
+    w.abort([m3], batchId=2)
+    assert not os.path.exists(os.path.join(root, m3.rels[0]))
+    assert len(V.history(root)) == 2
+
+
+def test_stream_sink_rejects_complete_mode(vsrc_spark, tmp_path):
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamWriter,
+    )
+
+    df = vsrc_spark.range(0, 1).selectExpr("id as k")
+    with pytest.raises(ValueError, match="append mode only"):
+        _VStoreStreamWriter(
+            {"path": str(tmp_path / "s")}, df.schema, True
+        )
+
+
+def test_format_to_format_pipeline(vsrc_spark, tmp_path):
+    """vstore stream source -> vstore stream sink: an incremental
+    store-to-store replication loop built entirely from the format."""
+    src_root = str(tmp_path / "src_store")
+    dst_root = str(tmp_path / "dst_store")
+    ckpt = str(tmp_path / "ckpt")
+    V.append(vsrc_spark.range(0, 12).selectExpr("id as k"), src_root)
+
+    def pump():
+        q = (
+            vsrc_spark.readStream.format("vstore")
+            .option("path", src_root)
+            .option("startingVersion", "1")
+            .load()
+            .writeStream.format("vstore")
+            .option("path", dst_root)
+            .option("queryId", ckpt)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    pump()
+    assert V.read_versioned(vsrc_spark, dst_root).count() == 12
+    V.append(vsrc_spark.range(12, 20).selectExpr("id as k"), src_root)
+    pump()
+    got = V.read_versioned(vsrc_spark, dst_root)
+    assert got.count() == 20
+    assert {r.k for r in got.collect()} == set(range(20))
+
+
 def test_reader_errors(vsrc_spark, tmp_path):
     with pytest.raises(Exception, match="no versioned table"):
         vsrc_spark.read.format("vstore").load(
