@@ -588,6 +588,60 @@ def main() -> None:
     finally:
         shutil.rmtree(vs_dir, ignore_errors=True)
 
+    # r10 vstore-as-a-format: full scan and a pushdown-pruned point
+    # read through the Python Data Source (spark.read.format). The
+    # pruned read's cost at scale is O(matching files); the store is
+    # range-laid on o_orderkey by sortWithinPartitions so the log
+    # stats actually separate files.
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        register_vstore_source,
+    )
+
+    register_vstore_source(spark)
+    fmt_dir = tempfile.mkdtemp(prefix="bench_fmt_")
+    try:
+        froot = f"{fmt_dir}/t"
+        V.append(
+            orders_dim.repartitionByRange(
+                32, "o_orderkey"
+            ).sortWithinPartitions("o_orderkey"),
+            froot,
+        )
+        t0 = time.perf_counter()
+        spark.read.format("vstore").load(froot).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        extras["vstore_format_read"] = round(time.perf_counter() - t0, 3)
+        key = orders_dim.agg(F.min("o_orderkey")).collect()[0][0]
+        t0 = time.perf_counter()
+        n = (
+            spark.read.format("vstore")
+            .load(froot)
+            .where(F.col("o_orderkey") == key)
+            .count()
+        )
+        assert n >= 1
+        extras["vstore_format_pruned_read"] = round(
+            time.perf_counter() - t0, 3
+        )
+    finally:
+        shutil.rmtree(fmt_dir, ignore_errors=True)
+
+    # r10 DSIR importance resampling over the documents table: target
+    # = a deterministic 5% slice, raw = the corpus; select 500 docs.
+    from aws_glue_data_catalog_replication_utility_spark.functions.dsir import (
+        dsir_select,
+    )
+
+    t0 = time.perf_counter()
+    dsir_select(
+        docs.select("doc_id", "text"),
+        docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text"),
+        k=500,
+        seed="bench",
+    ).write.format("noop").mode("overwrite").save()
+    extras["dsir_select"] = round(time.perf_counter() - t0, 3)
+
     # r09 scale probes (VERDICT r08 #7): each heavy lane timed at 1x
     # and 10x of a token-namespaced synthetic corpus (docs x2 -> x20 =
     # 10k -> 100k docs; zorder lineitem x1 -> x10 = 600k -> 6M rows).
