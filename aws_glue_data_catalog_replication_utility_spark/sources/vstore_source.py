@@ -51,10 +51,12 @@ surface — SQL via ``CREATE TEMPORARY VIEW ... USING``, ``.load()``,
   contract). ``.option("startingVersion", k)`` replays history from
   version k; the default streams only commits after the query starts.
 
-Scale notes. ``partitions()`` returns one input partition per live
-data file — reads parallelize across the cluster exactly like a
-native parquet scan, and pruning happens BEFORE partition planning,
-so skipped files never become tasks. The stats walk is
+Scale notes. ``partitions()`` packs the (pruned) live files into
+row-budgeted groups (``rowsPerPartition``, default ~1M rows, counted
+from the log's recorded per-file rows — zero I/O), so a 100k-small-
+file store becomes thousands of tasks, not 100k, while large files
+still get a task each; pruning happens BEFORE partition planning, so
+skipped files never become tasks. The stats walk is
 O(live files x indexed columns) driver-side metadata — the same cost
 ``snapshot_skip_index`` pays, with no SparkSession needed (the
 Python-worker half of the data source has none). Rows move as Arrow
@@ -175,9 +177,10 @@ def _evolve_table(tbl: "pa.Table", target: "pa.Schema") -> "pa.Table":
 
 
 @dataclass
-class _FilePartition(InputPartition):
-    path: str  # absolute data-file path
-    origin_json: str  # schema the file's bytes were written under
+class _FilesPartition(InputPartition):
+    # (absolute data-file path, origin schema json) per file: one task
+    # reads the whole group sequentially
+    files: list
 
 
 def _translate_filters(
@@ -278,6 +281,142 @@ def _prune_with_log_stats(
     return kept
 
 
+def _changed_files(
+    root: str, frm: int, to: int | None
+) -> tuple[list[tuple[str, str, str, int]], int]:
+    """File-level change feed: every (rel_path, origin_schema_json,
+    change, commit_version) for manifests in [frm, to] — added files
+    are 'insert', removed files 'delete'. Origins are tracked across
+    the WHOLE log so a file removed in the range is read under the
+    schema its bytes were written with, even if its adding commit
+    predates the range. Returns (entries, resolved_to)."""
+    from ..versioned import _manifests
+
+    ms = _manifests(root)
+    if not ms:
+        raise ValueError(f"no versioned table at {root}")
+    latest = ms[-1][0]
+    to = latest if to is None else to
+    if frm < 1 or to > latest or frm > to:
+        raise ValueError(
+            f"invalid change range [{frm}, {to}]; log spans [1, {latest}]"
+        )
+    origin: dict[str, str] = {}
+    out: list[tuple[str, str, str, int]] = []
+    for v, p in ms:
+        if v > to:
+            break
+        with open(p) as fh:
+            m = json.load(fh)
+        m_schemas = m.get("schemas") or []
+        m_fschema = m.get("file_schema") or {}
+        in_range = v >= frm
+        for f in m.get("removed", []):
+            if in_range and f in origin:
+                out.append((f, origin[f], "delete", v))
+            origin.pop(f, None)
+        for f in m.get("added", []):
+            s = m_schemas[m_fschema[f]] if f in m_fschema else m["schema"]
+            origin[f] = s
+            if in_range:
+                out.append((f, s, "insert", v))
+    missing = [
+        f for f, _, _, _ in out if not os.path.exists(os.path.join(root, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"change feed needs data files vacuum already reclaimed: "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''}; lower "
+            "vacuum aggressiveness or narrow the range"
+        )
+    return out, to
+
+
+def _cdf_schema(root: str, frm: int, to: int | None) -> StructType:
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    from ..functions.evolve import merge_schemas
+
+    entries, _ = _changed_files(root, frm, to)
+    seen: list[str] = []
+    for _, s, _, _ in entries:
+        if s not in seen:
+            seen.append(s)
+    if not seen:
+        from ..versioned import _replay_full
+
+        _, last, _ = _replay_full(root, to)
+        base = StructType.fromJson(json.loads(last["schema"]))
+    else:
+        base = merge_schemas(
+            [StructType.fromJson(json.loads(s)) for s in seen]
+        )
+    fields = list(base.fields)
+    fields.append(StructField("_change", StringType(), False))
+    fields.append(StructField("_commit_version", LongType(), False))
+    return StructType(fields)
+
+
+@dataclass
+class _ChangePartition(InputPartition):
+    path: str
+    change: str
+    version: int
+
+
+class _VStoreChangeReader(DataSourceReader):
+    """Batch change-feed reader: `.option("changesFrom", v)` [+
+    `changesTo`] returns the file-level CDC rows with `_change` /
+    `_commit_version` metadata columns — inserts are added files'
+    rows, deletes are removed files' rows (an overwrite or delete
+    appears as delete+insert). The KEYED minimal diff stays
+    `versioned.changes_between`; this mode is for incremental
+    consumers that replay row slivers without keys. Filters are not
+    used for pruning here (ranges are slivers); Spark applies them
+    after the scan as usual."""
+
+    def __init__(self, options, schema: StructType):
+        self._root = _root(options)
+        self._schema = schema
+        frm = int(_opt(options, "changesFrom"))
+        to = _opt(options, "changesTo")
+        self._entries, _ = _changed_files(
+            self._root, frm, int(to) if to is not None else None
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _ChangePartition(
+                path=os.path.join(self._root, f), change=c, version=v
+            )
+            for f, _s, c, v in self._entries
+        ]
+
+    def read(self, partition: _ChangePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from pyspark.sql.types import StructType as _St
+
+        data_fields = [
+            f for f in self._schema.fields
+            if f.name not in ("_change", "_commit_version")
+        ]
+        target = to_arrow_schema(_St(data_fields))
+        tbl = pq.read_table(partition.path)
+        evolved = _evolve_table(tbl, target)
+        n = evolved.num_rows
+        cols = list(evolved.columns)
+        names = list(evolved.column_names)
+        cols.append(pa.array([partition.change] * n, type=pa.string()))
+        names.append("_change")
+        cols.append(pa.array([partition.version] * n, type=pa.int64()))
+        names.append("_commit_version")
+        yield from pa.table(dict(zip(names, cols))).to_batches()
+
+
 class _VStoreBatchReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         from ..versioned import _replay_full, _replay_stats
@@ -295,6 +434,12 @@ class _VStoreBatchReader(DataSourceReader):
         _, _, self._origin = _replay_full(self._root, self._version)
         self._preds: list[tuple[str, str, object]] = []
         self._notnull: list[str] = []
+        rpp = _opt(options, "rowsPerPartition")
+        # ~the row-count analog of spark.sql.files.maxPartitionBytes;
+        # 0 = one partition per file
+        self._rows_per_partition = int(rpp) if rpp is not None else 1_048_576
+        if self._rows_per_partition <= 0:
+            self._rows_per_partition = 1
 
     def pushFilters(self, filters: list["Filter"]):
         self._preds, self._notnull = _translate_filters(filters)
@@ -306,22 +451,36 @@ class _VStoreBatchReader(DataSourceReader):
         kept = _prune_with_log_stats(
             self._live, self._rows, self._stats, self._preds, self._notnull
         )
-        return [
-            _FilePartition(
-                path=os.path.join(self._root, f),
-                origin_json=self._origin[f],
-            )
-            for f in kept
-        ]
+        # Greedy row-budget packing: a 100k-file store must not become
+        # 100k Python tasks. Files pack in live order until the
+        # group's RECORDED row count (from the commit log — zero I/O)
+        # exceeds the budget; a file with no recorded count closes its
+        # own group (conservative). Budget 0 disables packing.
+        budget = self._rows_per_partition
+        groups: list[list] = []
+        cur: list = []
+        cur_rows = 0
+        for f in kept:
+            entry = (os.path.join(self._root, f), self._origin[f])
+            n = self._rows.get(f)
+            if cur and (n is None or cur_rows + n > budget):
+                groups.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(entry)
+            cur_rows += budget if n is None else n
+        if cur:
+            groups.append(cur)
+        return [_FilesPartition(files=g) for g in groups]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition: _FilesPartition):
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
-        tbl = pq.read_table(partition.path)
-        yield from _evolve_table(tbl, target).to_batches()
+        for path, _origin in partition.files:
+            tbl = pq.read_table(path)
+            yield from _evolve_table(tbl, target).to_batches()
 
 
 # ---------------------------------------------------------------------------
@@ -549,11 +708,20 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
                     "set .option('ignoreChanges', 'true') to stream its "
                     "re-added rows (downstream may see duplicates)"
                 )
-            # per-file origin schemas need no special handling here:
-            # arrow evolution projects whatever the bytes carry onto
-            # the stream's target schema
+            # arrow evolution projects each file onto the stream's
+            # target schema — but a file carrying columns the target
+            # lacks means the TABLE schema evolved after this query
+            # planned: dropping them silently would lose data, so fail
+            # loudly (a restart re-reads the widened LUB)
             for f in m.get("added", []):
                 tbl = pq.read_table(os.path.join(self._root, f))
+                extra = [c for c in tbl.column_names if c not in names]
+                if extra:
+                    raise ValueError(
+                        f"store schema evolved mid-stream (version "
+                        f"{m['version']} added columns {extra}); restart "
+                        "the query to pick up the new table schema"
+                    )
                 evolved = _evolve_table(tbl, target)
                 for row in evolved.to_pylist():
                     out.append(tuple(row[n] for n in names))
@@ -576,9 +744,23 @@ class VStoreDataSource(DataSource):
 
     def schema(self):
         v = _opt(self.options, "version")
+        cf = _opt(self.options, "changesFrom")
+        if cf is not None:
+            if v is not None:
+                raise ValueError(
+                    "options 'version' and 'changesFrom' are exclusive"
+                )
+            ct = _opt(self.options, "changesTo")
+            return _cdf_schema(
+                _root(self.options),
+                int(cf),
+                int(ct) if ct is not None else None,
+            )
         return _lub_schema(_root(self.options), int(v) if v is not None else None)
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if _opt(self.options, "changesFrom") is not None:
+            return _VStoreChangeReader(self.options, schema)
         return _VStoreBatchReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):

@@ -422,6 +422,139 @@ def test_format_to_format_pipeline(vsrc_spark, tmp_path):
     assert {r.k for r in got.collect()} == set(range(20))
 
 
+def test_partition_packing_row_budget(vsrc_spark, tmp_path):
+    """Kept files pack into row-budgeted input partitions: many small
+    files never become one task per file unless asked."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreBatchReader,
+    )
+
+    root = str(tmp_path / "store")
+    # 8 files x 100 rows
+    V.append(vsrc_spark.range(0, 800).selectExpr("id as k").repartition(8), root)
+    schema = V.read_versioned(vsrc_spark, root).schema
+
+    def n_parts(**opts):
+        r = _VStoreBatchReader({"path": root, **opts}, schema)
+        parts = r.partitions()
+        assert sum(len(p.files) for p in parts) == 8
+        return len(parts)
+
+    assert n_parts() == 1  # default budget swallows 800 rows
+    assert n_parts(rowsPerPartition="200") == 4
+    assert n_parts(rowsPerPartition="0") == 8  # opt out: per-file
+    # values still exact under packing
+    got = (
+        vsrc_spark.read.format("vstore")
+        .option("rowsPerPartition", "200")
+        .load(root)
+    )
+    assert got.count() == 800
+    assert {r.k for r in got.collect()} == set(range(800))
+
+
+def _multiset(rows):
+    from collections import Counter
+
+    return Counter(tuple(r) for r in rows)
+
+
+def test_cdf_batch_read_apply_law(vsrc_spark, tmp_path):
+    """changesFrom/changesTo: applying the file-level CDC to the
+    from-predecessor snapshot reproduces the to snapshot —
+    multiset(v_from-1) + inserts - deletes == multiset(v_to)."""
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(0, 10).selectExpr("id as k"), root)  # v1
+    V.append(vsrc_spark.range(10, 20).selectExpr("id as k"), root)  # v2
+    V.delete_where(vsrc_spark, root, "k % 2 = 0")  # v3
+    V.append(vsrc_spark.range(20, 24).selectExpr("id as k"), root)  # v4
+
+    cdf = (
+        vsrc_spark.read.format("vstore")
+        .option("changesFrom", "2")
+        .option("changesTo", "4")
+        .load(root)
+    )
+    assert cdf.columns == ["k", "_change", "_commit_version"]
+    rows = cdf.collect()
+    assert {r._commit_version for r in rows} <= {2, 3, 4}
+    base = _multiset(
+        (r.k,) for r in V.read_versioned(vsrc_spark, root, 1).collect()
+    )
+    for r in sorted(rows, key=lambda r: r._commit_version):
+        if r._change == "insert":
+            base[(r.k,)] += 1
+        else:
+            base[(r.k,)] -= 1
+    head = _multiset(
+        (r.k,) for r in V.read_versioned(vsrc_spark, root, 4).collect()
+    )
+    assert +base == head
+    # v2's inserts alone are exactly the appended rows
+    ins2 = [
+        r.k for r in rows if r._commit_version == 2 and r._change == "insert"
+    ]
+    assert sorted(ins2) == list(range(10, 20))
+    # the delete shows the REMOVED files' rows as deletes (file-level:
+    # survivors re-inserted)
+    assert any(r._change == "delete" and r._commit_version == 3 for r in rows)
+
+
+def test_cdf_vacuumed_range_raises(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(0, 10).selectExpr("id as k"), root)
+    V.overwrite(vsrc_spark.range(10, 15).selectExpr("id as k"), root)
+    V.vacuum(root, keep_last=1, retention_seconds=0.0)
+    with pytest.raises(Exception, match="vacuum already reclaimed"):
+        vsrc_spark.read.format("vstore").option("changesFrom", "1").load(
+            root
+        ).count()
+
+
+def test_cdf_option_conflicts(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(0, 5).selectExpr("id as k"), root)
+    with pytest.raises(Exception, match="exclusive"):
+        vsrc_spark.read.format("vstore").option("changesFrom", "1").option(
+            "version", "1"
+        ).load(root).count()
+    with pytest.raises(Exception, match="invalid change range"):
+        vsrc_spark.read.format("vstore").option("changesFrom", "7").load(
+            root
+        ).count()
+
+
+def test_stream_schema_evolution_guard(vsrc_spark, tmp_path):
+    """A mid-run evolved append (new column the planned schema lacks)
+    fails the reader with a restart hint instead of silently dropping
+    the column; a restarted/fresh query plans the widened schema. (A
+    query RESTART re-calls schema(), so only the mid-run window needs
+    the guard — exercised on the reader directly.)"""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamReader,
+    )
+
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(0, 5).selectExpr("id as k"), root)
+    planned = V.read_versioned(vsrc_spark, root).schema  # (k)
+    rdr = _VStoreStreamReader({"path": root, "startingVersion": "1"}, planned)
+    assert len(rdr._rows_between(0, 1)) == 5
+    # the table evolves while the query is running
+    V.append(
+        vsrc_spark.range(5, 8).selectExpr("id as k", "id * 2 as extra"), root
+    )
+    with pytest.raises(ValueError, match="evolved mid-stream"):
+        rdr._rows_between(1, 2)
+    # a fresh query (schema re-read) sees the widened schema
+    df = (
+        vsrc_spark.readStream.format("vstore")
+        .option("path", root)
+        .option("startingVersion", "1")
+        .load()
+    )
+    assert df.columns == ["k", "extra"]
+
+
 def test_reader_errors(vsrc_spark, tmp_path):
     with pytest.raises(Exception, match="no versioned table"):
         vsrc_spark.read.format("vstore").load(
