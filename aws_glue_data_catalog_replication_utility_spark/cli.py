@@ -523,7 +523,11 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["append", "overwrite", "merge", "delete",
                              "read", "count", "history", "rollback",
                              "vacuum", "checkpoint", "optimize",
-                             "bloom-build", "bloom-refresh"])
+                             "bloom-build", "bloom-refresh", "changes"])
+    vs.add_argument("--from", dest="changes_from", type=int, default=None,
+                    help="changes: first version of the feed (inclusive)")
+    vs.add_argument("--to", dest="changes_to", type=int, default=None,
+                    help="changes: last version (default: latest)")
     vs.add_argument("--target-mb", type=int, default=128,
                     help="optimize: target file size")
     vs.add_argument("--zorder-by", default=None,
@@ -1285,6 +1289,29 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps(info))
         elif args.op == "history":
             print(_json.dumps(V.history(args.root)))
+        elif args.op == "changes":
+            # file-level change feed through the vstore FORMAT:
+            # inserts/deletes with _change/_commit_version columns
+            if args.changes_from is None:
+                raise SystemExit("--op changes requires --from")
+            if not args.out:
+                raise SystemExit("--op changes requires --out")
+            from .sources.vstore_source import register_vstore_source
+
+            register_vstore_source(spark)
+            r = (
+                spark.read.format("vstore")
+                .option("changesFrom", str(args.changes_from))
+            )
+            if args.changes_to is not None:
+                r = r.option("changesTo", str(args.changes_to))
+            r.load(args.root).write.mode("overwrite").parquet(args.out)
+            got = spark.read.parquet(args.out)
+            print(_json.dumps({
+                "rows": got.count(),
+                "inserts": got.where("_change = 'insert'").count(),
+                "deletes": got.where("_change = 'delete'").count(),
+            }))
         elif args.op == "bloom-build":
             if not args.bloom_cols:
                 raise SystemExit("--op bloom-build requires --bloom-cols")

@@ -286,24 +286,58 @@ def _changed_files(
 ) -> tuple[list[tuple[str, str, str, int]], int]:
     """File-level change feed: every (rel_path, origin_schema_json,
     change, commit_version) for manifests in [frm, to] — added files
-    are 'insert', removed files 'delete'. Origins are tracked across
-    the WHOLE log so a file removed in the range is read under the
-    schema its bytes were written with, even if its adding commit
-    predates the range. Returns (entries, resolved_to)."""
-    from ..versioned import _manifests
+    are 'insert', removed files 'delete'. Origins are tracked from the
+    newest CHECKPOINT below the range (checkpoint compaction may have
+    deleted older manifests) so a file removed in the range is read
+    under the schema its bytes were written with, even when its adding
+    commit predates the range — or the log itself. Raises when the
+    range's own manifests were compacted away (those changes are
+    genuinely unreconstructable). Returns (entries, resolved_to)."""
+    from ..versioned import _checkpoints, _manifests
 
     ms = _manifests(root)
-    if not ms:
+    cs = _checkpoints(root)
+    if not ms and not cs:
         raise ValueError(f"no versioned table at {root}")
-    latest = ms[-1][0]
+    latest = max(ms[-1][0] if ms else 0, cs[-1][0] if cs else 0)
     to = latest if to is None else to
     if frm < 1 or to > latest or frm > to:
         raise ValueError(
             f"invalid change range [{frm}, {to}]; log spans [1, {latest}]"
         )
+    # seed file origins from the newest checkpoint BEFORE the range
+    # (same encoding _replay_full reads); without one, the manifest
+    # chain must reach back to v1
     origin: dict[str, str] = {}
+    start_after = 0
+    for cv, cp in reversed(cs):
+        if cv < frm:
+            with open(cp) as fh:
+                c = json.load(fh)
+            if "file_schema" in c:
+                sch = c["schemas"]
+                origin = {f: sch[i] for f, i in c["file_schema"].items()}
+                origin.update(
+                    {f: c["schema"] for f in c["live"] if f not in origin}
+                )
+            else:
+                origin = {f: c["schema"] for f in c["live"]}
+            start_after = cv
+            break
+    have = {v for v, _ in ms}
+    # the walk consumes EVERY manifest after the seed (pre-range ones
+    # feed origin tracking), so all of them must still exist
+    gaps = [v for v in range(start_after + 1, to + 1) if v not in have]
+    if gaps:
+        raise ValueError(
+            f"change range [{frm}, {to}] needs manifests the checkpoint "
+            f"compaction deleted (missing versions {gaps[:5]}"
+            f"{'...' if len(gaps) > 5 else ''})"
+        )
     out: list[tuple[str, str, str, int]] = []
     for v, p in ms:
+        if v <= start_after:
+            continue
         if v > to:
             break
         with open(p) as fh:
@@ -735,8 +769,10 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
 
 class VStoreDataSource(DataSource):
     """``format("vstore")``: batch read (time travel + pushdown file
-    skipping), batch write (atomic manifest commit), streaming read
-    (version offsets). See module docstring."""
+    skipping + `changesFrom`/`changesTo` file-level change feed),
+    batch write (atomic manifest commit), streaming read (version
+    offsets), streaming write (exactly-once micro-batch versions).
+    See module docstring."""
 
     @classmethod
     def name(cls) -> str:

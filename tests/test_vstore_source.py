@@ -511,6 +511,37 @@ def test_cdf_vacuumed_range_raises(vsrc_spark, tmp_path):
         ).count()
 
 
+def test_cdf_survives_checkpoint_compaction(vsrc_spark, tmp_path):
+    """A checkpoint below the range seeds file origins, so the change
+    feed still resolves deletes of files whose adding manifests were
+    compacted away; a range whose OWN manifests are gone raises."""
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(0, 10).selectExpr("id as k"), root)  # v1
+    V.append(vsrc_spark.range(10, 20).selectExpr("id as k"), root)  # v2
+    V.checkpoint(root)  # c2
+    V.delete_where(vsrc_spark, root, "k < 3")  # v3: removes v1-era files
+    # compact: drop the pre-checkpoint manifests
+    for v, p in V._manifests(root):
+        if v <= 2:
+            os.unlink(p)
+    cdf = (
+        vsrc_spark.read.format("vstore").option("changesFrom", "3").load(root)
+    )
+    rows = cdf.collect()
+    dels = _multiset((r.k,) for r in rows if r._change == "delete")
+    ins = _multiset((r.k,) for r in rows if r._change == "insert")
+    # file-level: deleted files' FULL contents stream as deletes,
+    # survivors re-insert; net = rows 0..2 gone
+    net = ins.copy()
+    net.subtract(dels)
+    assert {k for (k,), c in net.items() if c < 0} == {0, 1, 2}
+    # the compacted-away range itself is unreconstructable
+    with pytest.raises(Exception, match="compaction deleted"):
+        vsrc_spark.read.format("vstore").option("changesFrom", "1").load(
+            root
+        ).count()
+
+
 def test_cdf_option_conflicts(vsrc_spark, tmp_path):
     root = str(tmp_path / "store")
     V.append(vsrc_spark.range(0, 5).selectExpr("id as k"), root)
