@@ -185,12 +185,21 @@ class _FilesPartition(InputPartition):
 
 def _translate_filters(
     filters: list["Filter"],
-) -> tuple[list[tuple[str, str, object]], list[str]]:
+) -> tuple[list[tuple[str, str, object]], list[str], list[tuple[str, list]]]:
     """Supported pushed filters -> (range/equality predicates in
-    skip-index form, not-null columns). Unsupported shapes are simply
-    not used for pruning (Spark re-applies everything anyway)."""
+    skip-index form, not-null columns, IN-lists). Unsupported shapes
+    are simply not used for pruning (Spark re-applies everything
+    anyway). `StringStartsWith(c, p)` compiles to the exact range
+    `c >= p AND c < bump(p)` (`_widen_str_upper` — the same bump the
+    stats writer uses for truncated maxima, so both sides widen
+    identically); an `In` list prunes a file only when EVERY value is
+    provably absent."""
     import datetime
     import decimal
+
+    from pyspark.sql.datasource import In, StringStartsWith
+
+    from ..functions.skipindex import _widen_str_upper
 
     _OPS = {
         EqualTo: "=",
@@ -200,8 +209,15 @@ def _translate_filters(
         LessThanOrEqual: "<=",
     }
     _LIT = (bool, int, float, str, datetime.date, datetime.datetime)
+
+    def lit(v):
+        if isinstance(v, decimal.Decimal):
+            v = float(v)
+        return v if isinstance(v, _LIT) else None
+
     preds: list[tuple[str, str, object]] = []
     notnull: list[str] = []
+    ins: list[tuple[str, list]] = []
     for f in filters:
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:  # nested columns: no stats rows
@@ -210,15 +226,26 @@ def _translate_filters(
         if isinstance(f, IsNotNull):
             notnull.append(col)
             continue
+        if isinstance(f, StringStartsWith):
+            p = f.value
+            if isinstance(p, str) and p:
+                preds.append((col, ">=", p))
+                upper = _widen_str_upper(p)
+                if upper is not None:
+                    preds.append((col, "<", upper))
+            continue
+        if isinstance(f, In):
+            vals = [lit(v) for v in f.value]
+            if vals and all(v is not None for v in vals):
+                ins.append((col, vals))
+            continue
         op = _OPS.get(type(f))
         if op is None:
             continue
-        v = f.value
-        if isinstance(v, decimal.Decimal):
-            v = float(v)
-        if isinstance(v, _LIT):
+        v = lit(f.value)
+        if v is not None:
             preds.append((col, op, v))
-    return preds, notnull
+    return preds, notnull, ins
 
 
 def _prune_with_log_stats(
@@ -227,6 +254,7 @@ def _prune_with_log_stats(
     stats: dict[str, list],
     preds: list[tuple[str, str, object]],
     notnull: list[str],
+    ins: list[tuple[str, list]] = (),
 ) -> list[str]:
     """Pure-Python mirror of ``skipindex.prune_files`` over the log's
     per-file stats (same `_footer_stat_rows` tuples, same proof rules:
@@ -236,6 +264,9 @@ def _prune_with_log_stats(
     from ..functions.skipindex import _pred_value
 
     norm = [(c, op, *_pred_value(op, raw)) for (c, op, raw) in preds]
+    norm_ins = [
+        (c, [_pred_value("=", v) for v in vals]) for (c, vals) in ins
+    ]
     kept = []
     for f in live:
         st = stats.get(f)
@@ -275,6 +306,29 @@ def _prune_with_log_stats(
             for col in notnull:
                 if any(r[2] == fr for r in by_col.get(col, [])):
                     drop = True
+                    break
+        if not drop:
+            # an IN list drops the file only when EVERY value is
+            # provably absent (all-null column proves all at once)
+            for col, lanes_vals in norm_ins:
+                for (_, kind, nulls, has, mn_n, mx_n, mn_s, mx_s) in (
+                    by_col.get(col, [])
+                ):
+                    if nulls == fr:
+                        drop = True
+                        break
+                    if not has:
+                        continue
+                    lo, hi = (mn_n, mx_n) if kind == "num" else (mn_s, mx_s)
+                    if lo is None or hi is None:
+                        continue
+                    if all(
+                        lane == kind and (v < lo or v > hi)
+                        for lane, v in lanes_vals
+                    ):
+                        drop = True
+                        break
+                if drop:
                     break
         if not drop:
             kept.append(f)
@@ -468,6 +522,7 @@ class _VStoreBatchReader(DataSourceReader):
         _, _, self._origin = _replay_full(self._root, self._version)
         self._preds: list[tuple[str, str, object]] = []
         self._notnull: list[str] = []
+        self._ins: list[tuple[str, list]] = []
         rpp = _opt(options, "rowsPerPartition")
         # ~the row-count analog of spark.sql.files.maxPartitionBytes;
         # 0 = one partition per file
@@ -476,14 +531,19 @@ class _VStoreBatchReader(DataSourceReader):
             self._rows_per_partition = 1
 
     def pushFilters(self, filters: list["Filter"]):
-        self._preds, self._notnull = _translate_filters(filters)
+        self._preds, self._notnull, self._ins = _translate_filters(filters)
         # every filter goes back to Spark: pruning is I/O-only, results
         # stay exact no matter what the stats say
         return filters
 
     def partitions(self) -> Sequence[InputPartition]:
         kept = _prune_with_log_stats(
-            self._live, self._rows, self._stats, self._preds, self._notnull
+            self._live,
+            self._rows,
+            self._stats,
+            self._preds,
+            self._notnull,
+            self._ins,
         )
         # Greedy row-budget packing: a 100k-file store must not become
         # 100k Python tasks. Files pack in live order until the

@@ -167,12 +167,14 @@ def test_translate_filters_shapes():
     from pyspark.sql.datasource import (
         EqualTo,
         GreaterThan,
+        In,
         IsNotNull,
         IsNull,
         LessThanOrEqual,
+        StringStartsWith,
     )
 
-    preds, notnull = _translate_filters(
+    preds, notnull, ins = _translate_filters(
         [
             EqualTo(("k",), 5),
             GreaterThan(("x",), 1.5),
@@ -180,10 +182,50 @@ def test_translate_filters_shapes():
             IsNotNull(("k",)),
             IsNull(("s",)),  # unsupported for pruning: ignored
             EqualTo(("a", "b"), 1),  # nested: ignored
+            StringStartsWith(("s",), "ab"),
+            In(("k",), (1, 7, 9)),
+            In(("k",), (1, None)),  # null in list: conservative skip
         ]
     )
-    assert preds == [("k", "=", 5), ("x", ">", 1.5), ("s", "<=", "zz")]
+    assert preds == [
+        ("k", "=", 5),
+        ("x", ">", 1.5),
+        ("s", "<=", "zz"),
+        ("s", ">=", "ab"),
+        ("s", "<", "ac"),  # bump(p): exact prefix upper bound
+    ]
     assert notnull == ["k"]
+    assert ins == [("k", [1, 7, 9])]
+
+
+def test_pushdown_in_and_startswith_prune(vsrc_spark, tmp_path):
+    """IN-lists and prefix predicates prune: the stats-excluded file
+    is corrupted, so a scan that failed to prune cannot pass."""
+    root = str(tmp_path / "store")
+    hot = _range_laid_store(vsrc_spark, root)  # k ranges per file:
+    with open(hot, "wb") as fh:  # [0,100) [100,200) [200,300)*corrupt
+        fh.write(b"garbage")
+    got = (
+        vsrc_spark.read.format("vstore")
+        .load(root)
+        .where("k in (5, 105, 199)")
+        .collect()
+    )
+    assert sorted(r.k for r in got) == [5, 105, 199]
+    # prefix: only 'v1*' strings (k 1, 10-19, 100-199 files 1+2)
+    n = (
+        vsrc_spark.read.format("vstore")
+        .load(root)
+        .where("s like 'v1%'")
+        .count()
+    )
+    assert n == 1 + 10 + 100
+    # an IN list with a value in the corrupted file's range must still
+    # open it — and therefore fail (prune is proof-driven, not greedy)
+    with pytest.raises(Exception):
+        vsrc_spark.read.format("vstore").load(root).where(
+            "k in (5, 250)"
+        ).count()
 
 
 def test_format_write_append_and_overwrite(vsrc_spark, tmp_path):
