@@ -472,6 +472,14 @@ def main(argv: list[str] | None = None) -> int:
     cb.add_argument("--span-dedup-n", type=int, default=None)
     cb.add_argument("--threshold", type=float, default=0.8)
     cb.add_argument("--normalize", action="store_true")
+    cb.add_argument("--dsir-target", default=None,
+                    help="also DSIR-select toward this target corpus "
+                         "after near-dedup (importance resampling; "
+                         "requires --dsir-k)")
+    cb.add_argument("--dsir-k", type=int, default=None,
+                    help="number of docs DSIR keeps")
+    cb.add_argument("--dsir-temperature", type=float, default=1.0)
+    cb.add_argument("--dsir-seed", default="0")
     cb.add_argument("--mix-alpha", type=float, default=None,
                     help="also temperature-mix the TRAIN split by "
                          "source (p ~ tokens^alpha) before sharding")
@@ -1135,6 +1143,30 @@ def main(argv: list[str] | None = None) -> int:
         rc = main(nd_argv)
         if rc:
             return rc
+        # optional DSIR selection toward a target corpus — AFTER
+        # near-dedup (duplicates would double-count their n-grams in
+        # the raw model) and BEFORE the split (selection must not
+        # peek across train/eval)
+        split_in = f"{w}/deduped"
+        n_dsir = None
+        if args.dsir_target is not None:
+            if args.dsir_k is None:
+                raise SystemExit("--dsir-target requires --dsir-k")
+            from .functions.dsir import dsir_select
+
+            deduped = spark.read.parquet(split_in)
+            picked = dsir_select(
+                deduped.select("doc_id", "text"),
+                _read(spark, args.dsir_target).select("doc_id", "text"),
+                k=args.dsir_k,
+                seed=args.dsir_seed,
+                temperature=args.dsir_temperature,
+            )
+            deduped.join(
+                picked.select("doc_id"), on="doc_id", how="inner"
+            ).write.mode("overwrite").parquet(f"{w}/selected")
+            split_in = f"{w}/selected"
+            n_dsir = spark.read.parquet(split_in).count()
         # near-dup clusters become the split keys, so even sub-keeper
         # survivors of the same cluster (threshold misses) can never
         # straddle train/eval
@@ -1143,7 +1175,7 @@ def main(argv: list[str] | None = None) -> int:
         ).write.mode("overwrite").parquet(f"{w}/labels")
         rc = main([
             "split",
-            "--in", f"{w}/deduped",
+            "--in", split_in,
             "--out", args.out,
             "--splits", args.splits,
             "--labels", f"{w}/labels",
@@ -1160,9 +1192,11 @@ def main(argv: list[str] | None = None) -> int:
         summary = {
             "input_docs": n_in,
             "after_clean": n_clean,
-            "after_near_dedup": int(sum(per_split.values())),
+            "after_near_dedup": spark.read.parquet(f"{w}/deduped").count(),
             "splits": per_split,
         }
+        if n_dsir is not None:
+            summary["after_dsir"] = n_dsir
 
         # optional tail stages, both over the TRAIN split only (eval/
         # test must keep their natural distribution and stay unsharded)

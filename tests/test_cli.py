@@ -825,6 +825,47 @@ def test_cli_split_job(spark, tmp_path):
     }
 
 
+def test_cli_corpus_build_with_dsir(spark, tmp_path, capsys):
+    """corpus-build --dsir-target: importance resampling runs after
+    near-dedup and before the split — the final corpus holds exactly
+    k docs, all of them dedup keepers, spread across the splits."""
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main as cli_main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    target = str(tmp_path / "target")
+    spark.read.parquet(docs).where("doc_id % 10 = 0").select(
+        "doc_id", "text"
+    ).write.parquet(target)
+    out = str(tmp_path / "corpus")
+    work = str(tmp_path / "work")
+    assert cli_main([
+        "corpus-build",
+        "--documents", docs,
+        "--out", out,
+        "--work-dir", work,
+        "--splits", "train=90,eval=10",
+        "--threshold", "0.7",
+        "--dsir-target", target,
+        "--dsir-k", "40",
+        "--dsir-seed", "cb",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["after_dsir"] == 40
+    assert rep["after_near_dedup"] >= 40
+    assert sum(rep["splits"].values()) == 40
+    final = spark.read.parquet(out)
+    assert final.count() == 40
+    keepers = {
+        r.doc_id
+        for r in spark.read.parquet(f"{work}/dedup_audit")
+        .where("is_keeper")
+        .collect()
+    }
+    assert {r.doc_id for r in final.collect()} <= keepers
+
+
 def test_cli_stats_job(spark, tmp_path, capsys):
     import json
 
