@@ -752,6 +752,12 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
         self._ignore_changes = str(
             _opt(options, "ignoreChanges", "false")
         ).lower() in ("true", "1")
+        # Delta's weaker knob: tolerate DELETE-ONLY commits (removed
+        # files, nothing re-added — no duplicate risk) while still
+        # failing on rewrites; ignoreChanges implies it
+        self._ignore_deletes = self._ignore_changes or str(
+            _opt(options, "ignoreDeletes", "false")
+        ).lower() in ("true", "1")
 
     def _latest(self) -> int:
         from ..versioned import _manifests
@@ -793,15 +799,25 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
                 continue
             with open(p) as fh:
                 m = json.load(fh)
-            if m.get("removed") and not (
-                m["action"] in _APPEND_ACTIONS or self._ignore_changes
-            ):
-                raise ValueError(
-                    f"vstore stream hit a data-changing commit "
-                    f"(version {m['version']}, action {m['action']!r}); "
-                    "set .option('ignoreChanges', 'true') to stream its "
-                    "re-added rows (downstream may see duplicates)"
+            if m.get("removed") and m["action"] not in _APPEND_ACTIONS:
+                delete_only = not m.get("added")
+                tolerated = self._ignore_changes or (
+                    delete_only and self._ignore_deletes
                 )
+                if not tolerated:
+                    hint = (
+                        "set .option('ignoreDeletes', 'true') to skip "
+                        "delete-only commits"
+                        if delete_only
+                        else "set .option('ignoreChanges', 'true') to "
+                        "stream its re-added rows (downstream may see "
+                        "duplicates)"
+                    )
+                    raise ValueError(
+                        f"vstore stream hit a data-changing commit "
+                        f"(version {m['version']}, action "
+                        f"{m['action']!r}); {hint}"
+                    )
             # arrow evolution projects each file onto the stream's
             # target schema — but a file carrying columns the target
             # lacks means the TABLE schema evolved after this query

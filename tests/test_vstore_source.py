@@ -309,6 +309,39 @@ def test_stream_source_exactly_once_and_change_guard(vsrc_spark, tmp_path):
     assert vsrc_spark.read.parquet(out).count() == 25
 
 
+def test_stream_ignore_deletes_vs_ignore_changes(vsrc_spark, tmp_path):
+    """ignoreDeletes tolerates delete-ONLY commits (nothing re-added,
+    no duplicate risk) but still fails on rewrites; ignoreChanges
+    tolerates both. Driven on the reader directly."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamReader,
+    )
+
+    root = str(tmp_path / "store")
+    V.append(
+        vsrc_spark.range(0, 10).selectExpr("id as k").coalesce(1), root
+    )  # v1: one file
+    V.append(
+        vsrc_spark.range(10, 20).selectExpr("id as k").coalesce(1), root
+    )  # v2
+    V.delete_where(vsrc_spark, root, "k < 10")  # v3: drops v1's file whole
+    V.delete_where(vsrc_spark, root, "k = 15")  # v4: rewrites v2's file
+    planned = V.read_versioned(vsrc_spark, root).schema
+
+    def rdr(**opts):
+        return _VStoreStreamReader({"path": root, **opts}, planned)
+
+    # plain reader fails at the delete-only commit, naming ignoreDeletes
+    with pytest.raises(ValueError, match="ignoreDeletes"):
+        rdr()._rows_between(2, 4)
+    # ignoreDeletes passes v3 but still fails v4 (re-added rows)
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        rdr(ignoreDeletes="true")._rows_between(2, 4)
+    # ignoreChanges streams v4's survivor rows
+    rows = rdr(ignoreChanges="true")._rows_between(2, 4)
+    assert sorted(k for (k,) in rows) == [k for k in range(10, 20) if k != 15]
+
+
 def test_stream_starting_version_zero_replays_nothing_new(
     vsrc_spark, tmp_path
 ):
