@@ -529,8 +529,8 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--root", required=True)
     vs.add_argument("--op", required=True,
                     choices=["append", "overwrite", "merge", "delete",
-                             "read", "count", "history", "rollback",
-                             "vacuum", "checkpoint", "optimize",
+                             "replace-where", "read", "count", "history",
+                             "rollback", "vacuum", "checkpoint", "optimize",
                              "bloom-build", "bloom-refresh", "changes"])
     vs.add_argument("--from", dest="changes_from", type=int, default=None,
                     help="changes: first version of the feed (inclusive)")
@@ -544,7 +544,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="merge: comma-separated key columns")
     vs.add_argument("--in", dest="in_path", default=None,
                     help="append/overwrite: input parquet")
-    vs.add_argument("--where", default=None, help="delete: predicate")
+    vs.add_argument("--where", default=None,
+                    help="delete/replace-where: predicate")
     vs.add_argument("--version", type=int, default=None,
                     help="read: snapshot version; rollback: target")
     vs.add_argument("--out", default=None, help="read: write snapshot here")
@@ -1279,6 +1280,18 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--op delete requires --where")
             v = V.delete_where(spark, args.root, args.where)
             print(_json.dumps({"version": v, "action": "delete"}))
+        elif args.op == "replace-where":
+            # Delta's replaceWhere: the idempotent-backfill primitive —
+            # predicate region swapped for --in as ONE atomic version,
+            # replacement rows validated against the predicate first
+            if not args.where or not args.in_path:
+                raise SystemExit(
+                    "--op replace-where requires --where and --in"
+                )
+            v = V.overwrite_where(
+                spark, args.root, args.where, _read(spark, args.in_path)
+            )
+            print(_json.dumps({"version": v, "action": "replace_where"}))
         elif args.op == "read":
             info = None
             if args.pred:

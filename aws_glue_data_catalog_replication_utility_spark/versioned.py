@@ -490,30 +490,121 @@ def _rewrite_survivors(
     return added
 
 
-def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
-    """DELETE FROM ... WHERE, transactionally: only files containing
-    matching rows are rewritten (their survivors re-staged as new
-    files, normalized to the table's LUB schema); untouched files stay
-    in the live set byte-identical. The old files remain on disk for
-    time travel until vacuumed."""
+_PRED_IDENT = r"(?:`(?P<bcol>[^`]+)`|(?P<col>[A-Za-z_][A-Za-z0-9_]*))"
+_PRED_OP = r"(?P<op>==|=|<=|>=|<|>)"
+_PRED_LIT = (
+    r"(?:(?P<str>'(?:[^']|'')*')"
+    r"|(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)"
+    r"|(?P<bool>true|false|TRUE|FALSE))"
+)
+
+
+def _parse_conjuncts(predicate: str) -> list[tuple[str, str, object]] | None:
+    """Best-effort translation of a WHERE string into the skip index's
+    typed (col, op, literal) triples — ONLY for candidate-file pruning,
+    never for evaluation (the SQL string itself is always re-applied
+    exactly, so a None here costs a full probe scan, not correctness).
+    Handles top-level AND of `col op literal` / `literal op col`
+    comparisons over numeric, single-quoted-string, and boolean
+    literals; anything else (OR, parens, functions, IN, BETWEEN,
+    casts) returns None and the caller scans every live file."""
+    import re
+
+    out: list[tuple[str, str, object]] = []
+    _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "="}
+    for part in re.split(r"(?i)\s+AND\s+", predicate.strip()):
+        part = part.strip()
+        m = re.fullmatch(
+            rf"{_PRED_IDENT}\s*{_PRED_OP}\s*{_PRED_LIT}", part
+        ) or re.fullmatch(
+            rf"{_PRED_LIT}\s*{_PRED_OP}\s*{_PRED_IDENT}", part
+        )
+        if m is None:
+            return None
+        g = m.groupdict()
+        col = g["bcol"] or g["col"]
+        op = "=" if g["op"] == "==" else g["op"]
+        # literal-first form (`5 < c`): flip to the column-first op
+        if any(
+            m.start(k) >= 0 and m.start(k) < m.start("op")
+            for k in ("str", "num", "bool")
+        ):
+            op = _FLIP[op]
+        if g["str"] is not None:
+            val: object = g["str"][1:-1].replace("''", "'")
+        elif g["bool"] is not None:
+            val = g["bool"].lower() == "true"
+        else:
+            n = g["num"]
+            val = float(n) if any(c in n for c in ".eE") else int(n)
+        out.append((col, op, val))
+    return out
+
+
+def _affected_files(
+    spark: SparkSession,
+    root: str,
+    live: list[str],
+    origin: dict[str, str],
+    predicate: str,
+) -> tuple[list[str], dict]:
+    """The files of a live snapshot that CONTAIN rows matching
+    `predicate`, found in two stages (shared by delete_where /
+    overwrite_where): (1) prune candidates against the per-file column
+    stats already IN the commit log when the predicate translates to
+    skip-index triples — a DELETE against a 100k-file table then opens
+    only the stat-overlapping files, zero footer I/O at plan time; a
+    pruned file provably holds no match, so pruning never changes the
+    answer — then (2) the exact input_file_name probe over just the
+    candidates. Returns (affected_rels, probe_meta)."""
     from urllib.parse import unquote, urlparse
 
-    live, last, origin = _replay_full(root, None)
-    if last is None:
-        raise ValueError(f"no versioned table at {root}")
-    df = read_versioned(spark, root)
+    probe_meta: dict = {}
+    cand = live
+    preds = _parse_conjuncts(predicate)
+    if preds:
+        from .functions.skipindex import prune_files
+
+        idx = snapshot_skip_index(spark, root)
+        kept = {r.file for r in prune_files(idx, preds).collect()}
+        cand = [f for f in live if os.path.join(root, f) in kept]
+        probe_meta = {
+            "probe_files_scanned": len(cand),
+            "files_total": len(live),
+        }
+    if not cand:
+        return [], probe_meta
+    snap = _read_file_subset(spark, root, cand, origin)
     hits = [
         unquote(urlparse(r["f"]).path)
-        for r in df.where(predicate)
+        for r in snap.where(predicate)
         .select(F.input_file_name().alias("f"))
         .distinct()
         .collect()
     ]
     rootabs = os.path.abspath(root)
-    affected = sorted(os.path.relpath(h, rootabs) for h in hits)
+    return sorted(os.path.relpath(h, rootabs) for h in hits), probe_meta
+
+
+def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
+    """DELETE FROM ... WHERE, transactionally: only files containing
+    matching rows are rewritten (their survivors re-staged as new
+    files, normalized to the table's LUB schema); untouched files stay
+    in the live set byte-identical. The old files remain on disk for
+    time travel until vacuumed. The match probe is stats-pruned from
+    the log (`_affected_files`): simple conjunctive predicates open
+    only the files whose recorded min/max overlap, and the manifest
+    records {probe_files_scanned, files_total} when pruning applied."""
+    live, last, origin = _replay_full(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    affected, probe_meta = _affected_files(
+        spark, root, live, origin, predicate
+    )
     if not affected:
         return last["version"]  # no-op: nothing matched, no new version
     lub, lub_json = _table_lub(origin)
+    rootabs = os.path.abspath(root)
     # survivors are rows where the predicate is NOT TRUE: a NULL
     # predicate (e.g. NULL column values sharing a file with matches)
     # must KEEP the row — `NOT (pred)` would evaluate NULL and drop it
@@ -521,7 +612,67 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         spark, rootabs, affected, origin, lub,
         lambda df: df.where(~F.coalesce(F.expr(predicate), F.lit(False))),
     )
-    return _commit(root, "delete", added, affected, lub_json)
+    return _commit(
+        root, "delete", added, affected, lub_json, probe_meta or None
+    )
+
+
+def overwrite_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    df: DataFrame,
+    validate: bool = True,
+) -> int:
+    """Predicate-scoped overwrite in ONE atomic version — Delta's
+    `replaceWhere`: every existing row matching `predicate` is removed
+    and `df` is written in its place; rows NOT matching (including
+    NULL-predicate rows) survive, untouched files stay byte-identical
+    in the live set. The idempotent-backfill shape: re-running "replace
+    partition day=X with this recomputed slice" converges instead of
+    duplicating, and readers never see the deleted-but-not-yet-
+    rewritten window a delete-then-append pair exposes (the same
+    inconsistency the reference's full-table sync has at partition
+    grain, GDCUtil.java:61-111 — here the swap is one manifest).
+
+    `validate=True` (Delta's contract) raises BEFORE any write when a
+    replacement row does NOT satisfy the predicate — silently writing
+    out-of-scope rows would make the backfill non-idempotent (the next
+    run's predicate wouldn't reclaim them). Pass validate=False only
+    when the caller owns that proof.
+
+    File surgery matches delete_where: the match probe is stats-pruned
+    from the commit log, only files containing matches are rewritten,
+    and the manifest records the predicate + pruning stats."""
+    live, last, origin = _replay_full(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    if validate:
+        bad = df.where(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                "overwrite_where: replacement rows must satisfy the "
+                f"predicate {predicate!r} (found a violating row); "
+                "fix the data or pass validate=False"
+            )
+    affected, probe_meta = _affected_files(
+        spark, root, live, origin, predicate
+    )
+    lub, lub_json = _table_lub(origin, df.schema)
+    from .functions.evolve import evolve_to_schema
+
+    rootabs = os.path.abspath(root)
+    added = _rewrite_survivors(
+        spark, rootabs, affected, origin, lub,
+        lambda s: s.where(~F.coalesce(F.expr(predicate), F.lit(False))),
+    )
+    added.extend(_stage_write(evolve_to_schema(df, lub), root))
+    return _commit(
+        root, "replace_where", added, affected, lub_json,
+        {"predicate": predicate, **probe_meta},
+    )
 
 
 def read_versioned(

@@ -1254,6 +1254,33 @@ def test_cli_vstore_lifecycle(spark, tmp_path, capsys):
     assert cp["rows"] == want
 
 
+def test_cli_vstore_replace_where(spark, tmp_path, capsys):
+    """Delta's replaceWhere through the job surface: the predicate
+    region swapped for --in as one atomic version."""
+    import json
+
+    root = str(tmp_path / "vt")
+    src = "/root/testdata/sf0.001/orders.parquet"
+    repl = str(tmp_path / "repl")
+    spark.read.parquet(src).where("o_custkey < 50").withColumn(
+        "o_totalprice", F.lit(0.0)
+    ).write.parquet(repl)
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run(["vstore", "--root", root, "--op", "append", "--in", src])
+    assert run(["vstore", "--root", root, "--op", "replace-where",
+                "--in", repl, "--where", "o_custkey < 50"]) == {
+        "version": 2, "action": "replace_where"}
+    got = run(["vstore", "--root", root, "--op", "read"])["rows"]
+    assert got == spark.read.parquet(src).count()
+    # the region really was swapped: re-running is idempotent content
+    hist = run(["vstore", "--root", root, "--op", "history"])
+    assert [h["action"] for h in hist] == ["append", "replace_where"]
+
+
 def test_cli_vstore_merge(spark, tmp_path, capsys):
     import json
 
