@@ -548,6 +548,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="delete/replace-where: predicate")
     vs.add_argument("--version", type=int, default=None,
                     help="read: snapshot version; rollback: target")
+    vs.add_argument("--timestamp", default=None,
+                    help="read/count/rollback: TIMESTAMP AS OF (epoch "
+                         "seconds or ISO-8601, naive = UTC) — resolved "
+                         "to the newest version committed at or before "
+                         "it; exclusive with --version")
     vs.add_argument("--out", default=None, help="read: write snapshot here")
     vs.add_argument("--keep-last", type=int, default=1,
                     help="vacuum: versions whose snapshots stay readable")
@@ -1257,6 +1262,10 @@ def main(argv: list[str] | None = None) -> int:
 
         from . import versioned as V
 
+        if args.timestamp is not None:
+            if args.version is not None:
+                raise SystemExit("pass --version OR --timestamp, not both")
+            args.version = V.version_at_timestamp(args.root, args.timestamp)
         if args.op in ("append", "overwrite"):
             if not args.in_path:
                 raise SystemExit(f"--op {args.op} requires --in")

@@ -124,6 +124,25 @@ def _root(options) -> str:
     return path
 
 
+def _resolve_version(options) -> int | None:
+    """The snapshot version a batch read addresses: .option("version",
+    k), or .option("timestampAsOf", t) resolved through the commit
+    log's recorded timestamps (Delta's TIMESTAMP AS OF; epoch seconds
+    or ISO-8601, naive = UTC), or None for latest. Pure Python — runs
+    in the session-less data-source worker."""
+    v = _opt(options, "version")
+    ts = _opt(options, "timestampAsOf")
+    if ts is not None:
+        if v is not None:
+            raise ValueError(
+                "options 'version' and 'timestampAsOf' are exclusive"
+            )
+        from ..versioned import version_at_timestamp
+
+        return version_at_timestamp(_root(options), ts)
+    return int(v) if v is not None else None
+
+
 def _lub_schema(root: str, version: int | None) -> StructType:
     """Table LUB schema at `version` from the log alone (pure Python —
     runs in the data source worker, which has no SparkSession)."""
@@ -510,8 +529,7 @@ class _VStoreBatchReader(DataSourceReader):
         from ..versioned import _replay_full, _replay_stats
 
         self._root = _root(options)
-        v = _opt(options, "version")
-        self._version = int(v) if v is not None else None
+        self._version = _resolve_version(options)
         self._schema = schema
         live, self._rows, self._stats, last = _replay_stats(
             self._root, self._version
@@ -855,12 +873,14 @@ class VStoreDataSource(DataSource):
         return "vstore"
 
     def schema(self):
-        v = _opt(self.options, "version")
         cf = _opt(self.options, "changesFrom")
         if cf is not None:
-            if v is not None:
+            if _opt(self.options, "version") is not None or _opt(
+                self.options, "timestampAsOf"
+            ) is not None:
                 raise ValueError(
-                    "options 'version' and 'changesFrom' are exclusive"
+                    "option 'changesFrom' is exclusive with "
+                    "'version'/'timestampAsOf'"
                 )
             ct = _opt(self.options, "changesTo")
             return _cdf_schema(
@@ -868,7 +888,7 @@ class VStoreDataSource(DataSource):
                 int(cf),
                 int(ct) if ct is not None else None,
             )
-        return _lub_schema(_root(self.options), int(v) if v is not None else None)
+        return _lub_schema(_root(self.options), _resolve_version(self.options))
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if _opt(self.options, "changesFrom") is not None:

@@ -361,12 +361,18 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
     next_v = max(
         ms[-1][0] if ms else 0, cs[-1][0] if cs else 0
     ) + 1
+    import time
+
     body = {
         "version": next_v,
         "action": action,
         "added": added,
         "removed": removed,
         "schema": schema_json,
+        # commit wall-clock for TIMESTAMP AS OF resolution; readers
+        # treat the sequence as monotone via a running max, so clock
+        # skew between writers can never make time travel non-causal
+        "ts": time.time(),
     }
     if file_schema:
         schemas: list[str] = []
@@ -676,10 +682,16 @@ def overwrite_where(
 
 
 def read_versioned(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Snapshot read: the table exactly as of `version` (latest when
-    None). Empty snapshots keep the schema recorded in the log. When
+    None), or as of `timestamp` (TIMESTAMP AS OF — epoch seconds, ISO
+    string, or datetime; resolved via `version_at_timestamp`, mutually
+    exclusive with `version`). Empty snapshots keep the schema
+    recorded in the log. When
     live files carry DIFFERENT origin schemas (evolved appends), each
     schema group is read with the schema its bytes were written under,
     widened to the least-upper-bound table schema
@@ -688,6 +700,10 @@ def read_versioned(
     Delta/Iceberg schema-evolution read without rewriting old files."""
     from pyspark.sql.types import StructType
 
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(root, timestamp)
     live, last, origin = _replay_full(root, version)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
@@ -844,7 +860,9 @@ def _publish_store_bloom(
 
 
 def history(root: str) -> list[dict]:
-    """The commit log, oldest first: version, action, files +/-."""
+    """The commit log, oldest first: version, action, files +/-,
+    commit timestamp (epoch seconds; None only for manifests written
+    before timestamps were recorded)."""
     out = []
     for _, p in _manifests(root):
         with open(p) as fh:
@@ -854,8 +872,71 @@ def history(root: str) -> list[dict]:
             "action": m["action"],
             "n_added": len(m.get("added", [])),
             "n_removed": len(m.get("removed", [])),
+            "ts": m.get("ts"),
         })
     return out
+
+
+def _to_epoch(ts) -> float:
+    """Timestamp coercion for time travel: epoch seconds (int/float),
+    a numeric string, an ISO-8601 string, or a datetime. NAIVE
+    datetimes/strings are read as UTC — commit timestamps are wall
+    epochs, and guessing a session zone would make the same call
+    resolve to different versions on different boxes."""
+    import datetime
+
+    if isinstance(ts, bool):
+        raise ValueError(f"not a timestamp: {ts!r}")
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        try:
+            return float(ts)
+        except ValueError:
+            ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return ts.timestamp()
+    raise ValueError(f"not a timestamp: {ts!r}")
+
+
+def version_at_timestamp(root: str, ts) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commit
+    time is <= `ts` (epoch seconds, ISO string, or datetime — naive
+    means UTC). Commit times are read as a RUNNING MAX over versions
+    (Delta's adjusted-timestamp discipline), so writer clock skew can
+    reorder recorded stamps but never the resolution: later versions
+    never resolve earlier. Manifests from before timestamps were
+    recorded fall back to their file mtime — exactly Delta's own
+    source of commit time. A target before the earliest available
+    commit raises (nothing existed then)."""
+    target = _to_epoch(ts)
+    ms = _manifests(root)
+    if not ms:
+        raise ValueError(f"no versioned table at {root}")
+    best = None
+    eff = None
+    first_eff = None
+    for v, p in ms:
+        with open(p) as fh:
+            m = json.load(fh)
+        t = m.get("ts")
+        if t is None:
+            t = os.path.getmtime(p)
+        eff = float(t) if eff is None else max(eff, float(t))
+        if first_eff is None:
+            first_eff = eff
+        if eff <= target:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"timestamp {target} precedes the earliest commit "
+            f"({first_eff}) at {root}"
+        )
+    return best
 
 
 def vacuum(

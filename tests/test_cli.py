@@ -1246,6 +1246,11 @@ def test_cli_vstore_lifecycle(spark, tmp_path, capsys):
     # metadata-only COUNT: exact, zero files opened
     cnt = run(["vstore", "--root", root, "--op", "count"])
     assert cnt["rows"] == n and cnt["files_scanned"] == 0
+    # TIMESTAMP AS OF through the job surface: "now" resolves to head
+    import time as _time
+
+    assert run(["vstore", "--root", root, "--op", "read",
+                "--timestamp", str(_time.time())])["rows"] == n
     # predicate COUNT (r10): served through the LOG-sourced snapshot
     # skip index — exact vs a full-scan twin
     want = spark.read.parquet(src).where("o_orderkey <= 1000").count()

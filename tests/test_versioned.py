@@ -1017,3 +1017,74 @@ def test_snapshot_skip_index_from_log_stats(spark, tmp_path, monkeypatch):
         for r in V.snapshot_skip_index(spark, root, source="footers").collect()
     )
     assert got_mixed == want_mixed
+
+
+def test_timestamp_time_travel(spark, orders, tmp_path):
+    """TIMESTAMP AS OF: commits record wall timestamps; reads resolve
+    to the newest version at-or-before the target, accept epoch /
+    ISO-8601 / datetime, raise before the first commit, and stay
+    causal under writer clock skew (running-max discipline)."""
+    import datetime
+    import time
+
+    root = str(tmp_path / "t")
+    a = orders.where("o_orderkey % 2 = 0")
+    b = orders.where("o_orderkey % 2 = 1")
+    V.append(a, root)
+    t_between = time.time()
+    time.sleep(0.05)
+    V.append(b, root)
+
+    hist = V.history(root)
+    assert all(h["ts"] is not None for h in hist)
+    assert hist[0]["ts"] <= hist[1]["ts"]
+
+    assert V.version_at_timestamp(root, t_between) == 1
+    assert V.version_at_timestamp(root, time.time()) == 2
+    # read surface: epoch float, ISO string, aware datetime
+    assert _ids(V.read_versioned(spark, root, timestamp=t_between)) == _ids(a)
+    iso = datetime.datetime.fromtimestamp(
+        t_between, tz=datetime.timezone.utc
+    ).isoformat()
+    assert V.version_at_timestamp(root, iso) == 1
+    dt = datetime.datetime.fromtimestamp(time.time(), datetime.timezone.utc)
+    assert V.version_at_timestamp(root, dt) == 2
+
+    with pytest.raises(ValueError, match="precedes the earliest"):
+        V.version_at_timestamp(root, hist[0]["ts"] - 10)
+    with pytest.raises(ValueError, match="not both"):
+        V.read_versioned(spark, root, version=1, timestamp=t_between)
+
+
+def test_timestamp_travel_legacy_and_skew(spark, orders, tmp_path):
+    """Manifests without a recorded ts (pre-timestamp log) resolve via
+    file mtime — Delta's own commit-time source; a LATER version whose
+    recorded ts runs BEHIND an earlier one (writer clock skew) never
+    resolves before it."""
+    import time
+
+    root = str(tmp_path / "t")
+    V.append(orders.limit(10), root)
+    V.append(orders.limit(20), root)
+    mp1 = os.path.join(root, "_txlog", "v000000000001.json")
+    mp2 = os.path.join(root, "_txlog", "v000000000002.json")
+    with open(mp1) as fh:
+        m1 = json.load(fh)
+    t1 = m1.pop("ts")
+    with open(mp1, "w") as fh:
+        json.dump(m1, fh)  # legacy: no ts key -> mtime fallback
+    os.utime(mp1, (t1, t1))
+    assert V.version_at_timestamp(root, t1 + 1e-3) == 1
+    assert V.version_at_timestamp(root, time.time()) == 2
+
+    # clock skew: v2 stamped BEFORE v1's time — running max keeps
+    # resolution causal: v2 never resolves ahead of v1 (its effective
+    # time is adjusted UP to v1's, Delta's discipline)
+    with open(mp2) as fh:
+        m2 = json.load(fh)
+    m2["ts"] = t1 - 100.0
+    with open(mp2, "w") as fh:
+        json.dump(m2, fh)
+    with pytest.raises(ValueError, match="precedes the earliest"):
+        V.version_at_timestamp(root, t1 - 50.0)  # raw v2 stamp is ignored
+    assert V.version_at_timestamp(root, t1) == 2  # adjusted to v1's moment

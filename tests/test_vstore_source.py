@@ -65,6 +65,40 @@ def test_batch_read_time_travel(vsrc_spark, tmp_path):
     )
 
 
+def test_batch_read_timestamp_as_of(vsrc_spark, tmp_path):
+    """TIMESTAMP AS OF through the format: schema AND rows resolve to
+    the version committed at-or-before the option's time."""
+    import time
+
+    root = str(tmp_path / "store")
+    g1 = vsrc_spark.range(0, 100).selectExpr(
+        "cast(id as int) as k", "cast(id * 1.5 as float) as x"
+    )
+    V.append(g1, root)
+    t_between = time.time()
+    time.sleep(0.05)
+    _mk_evolved_store(vsrc_spark, str(tmp_path / "other"))  # spacing work
+    g2 = vsrc_spark.range(100, 200).selectExpr(
+        "cast(id as int) as k", "cast(id * 1.5 as float) as x"
+    )
+    V.append(g2, root)
+
+    asof = (
+        vsrc_spark.read.format("vstore")
+        .option("timestampAsOf", str(t_between))
+        .load(root)
+    )
+    assert asof.count() == 100
+    lib = V.read_versioned(vsrc_spark, root, timestamp=t_between)
+    assert sorted(map(tuple, asof.collect())) == sorted(
+        map(tuple, lib.collect())
+    )
+    with pytest.raises(Exception, match="exclusive"):
+        vsrc_spark.read.format("vstore").option(
+            "timestampAsOf", str(t_between)
+        ).option("version", "1").load(root).count()
+
+
 def test_sql_using_surface(vsrc_spark, tmp_path):
     root = str(tmp_path / "store")
     _mk_evolved_store(vsrc_spark, root)
