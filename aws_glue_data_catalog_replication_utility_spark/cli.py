@@ -1276,8 +1276,8 @@ def main(argv: list[str] | None = None) -> int:
             if not args.in_path or not args.keys:
                 raise SystemExit("--op merge requires --in and --keys")
             # bloom="auto": the store-owned index prunes the probe
-            # when present (build once with --op bloom-build); absent
-            # or multi-column keys fall back to the unpruned probe
+            # when present and covering every key column (build once
+            # with --op bloom-build); otherwise the unpruned probe
             v = V.merge_into(
                 spark, args.root, _read(spark, args.in_path),
                 [k.strip() for k in args.keys.split(",")],

@@ -864,6 +864,123 @@ def bloom_dropped_files_for_join(
     return per_file.where(F.col("__any_present") == 0).select("file")
 
 
+def bloom_dropped_files_for_join_tuples(
+    bloom: DataFrame, columns: list[str], probes: DataFrame
+) -> DataFrame:
+    """Composite-key runtime-filter pruning: given a relation of probe
+    TUPLES (a multi-column equi-join's key set), return the files the
+    bloom index proves contain NONE of them. The per-tuple proof is an
+    AND across columns: tuple (a, b) can match a row only if the row
+    has a in column A AND b in column B, so ONE covered column proving
+    its value absent kills the tuple for that file — strictly stronger
+    than pruning on any single column's value set (a file holding a in
+    A and b in B but never together is the conservative false-keep the
+    filter cannot decide; a file holding a but not b is DROPPED, which
+    per-column OR pruning would keep).
+
+    A file is dropped iff EVERY distinct fully-non-null tuple is
+    provably absent (a multi-key equi-join never matches a tuple with
+    any NULL, so those are ignored; a probe set with no complete
+    tuples makes the join provably empty — every file the index covers
+    on any probed column is skippable). Columns the bloom does not
+    cover for a file contribute no proof (unknown keeps). Per-column
+    probe lanes are validated exactly like the single-column path.
+
+    Plan shape mirrors `bloom_dropped_files_for_join`: distinct tuples
+    hashed EXECUTOR-side into per-(tuple, column, config) position
+    rows, broadcast against the bloom rows of the probed columns, the
+    k-bit test per (file, tuple, column), then two tiny aggregations
+    (ANY covered column absent -> tuple absent; ALL tuples absent ->
+    file dropped). Returns a (file) relation to anti-join against."""
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if len(columns) == 1:
+        return bloom_dropped_files_for_join(bloom, columns[0], probes)
+    configs = [
+        (int(r.m_bits), int(r.k))
+        for r in bloom.select("m_bits", "k").distinct().collect()
+    ]
+    if not configs:
+        return bloom.select("file").limit(0)
+    rows = bloom.where(F.col("column").isin(list(columns)))
+    vals = probes.select(*columns).na.drop(
+        "any", subset=list(columns)
+    ).distinct()
+
+    cfg_list = list(configs)
+    col_list = list(columns)
+
+    def hash_tuples(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for t in pdf.itertuples(index=False):
+                canons = []
+                for c, v in zip(col_list, t):
+                    lane, canon = _bloom_canon(v)
+                    canons.append((c, lane, canon))
+                pid = hashlib.md5(
+                    "\x1f".join(c for _, _, c in canons).encode("utf-8")
+                ).hexdigest()
+                for (c, lane, canon) in canons:
+                    for mb, kk in cfg_list:
+                        out.append((
+                            pid, c, lane, mb, kk,
+                            _bloom_positions(canon, mb, kk),
+                        ))
+            yield pd.DataFrame(
+                out,
+                columns=["pid", "column", "lane", "m_bits", "k", "positions"],
+            )
+
+    hashed = vals.mapInPandas(
+        hash_tuples,
+        "pid string, column string, lane string, m_bits int, k int, "
+        "positions array<int>",
+    ).localCheckpoint(eager=True)  # small by contract; probed twice
+
+    lane_rows = hashed.select("column", "lane").distinct().collect()
+    col_lanes: dict[str, set] = {}
+    for r in lane_rows:
+        col_lanes.setdefault(r.column, set()).add(r.lane)
+    for c, lanes in col_lanes.items():
+        if len(lanes) > 1:
+            raise ValueError(
+                f"probe tuples mix value lanes {sorted(lanes)} in "
+                f"column {c!r}"
+            )
+        _bloom_check_lane(bloom, c, next(iter(lanes)))
+    if not col_lanes:
+        # no complete tuple: the join is provably empty — every file
+        # the index covers on any probed column is skippable
+        return rows.select("file").distinct()
+
+    present = F.expr(
+        "forall(positions, p -> "
+        "(shiftright(bits[CAST(p DIV 64 AS INT)], "
+        "CAST(p % 64 AS INT)) & 1) = 1)"
+    )
+    lane_ok = None
+    for c, lanes in col_lanes.items():
+        ok = (F.col("column") == c) & (
+            (F.col("lane") == next(iter(lanes))) | (F.col("n_values") == 0)
+        )
+        lane_ok = ok if lane_ok is None else lane_ok | ok
+    joined = rows.where(lane_ok).join(
+        F.broadcast(hashed.drop("lane")), on=["m_bits", "k", "column"]
+    )
+    per_tuple = joined.groupBy("file", "pid").agg(
+        F.max((~present).cast("int")).alias("__absent")
+    )
+    per_file = per_tuple.groupBy("file").agg(
+        F.min("__absent").alias("__all_absent")
+    )
+    return per_file.where(F.col("__all_absent") == 1).select("file")
+
+
 def scan_for_join(
     spark: SparkSession,
     index: DataFrame,

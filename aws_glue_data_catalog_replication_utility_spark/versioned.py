@@ -1017,10 +1017,12 @@ def merge_into(
 
     `bloom` (r10 — the runtime filter composed into a shipped plan):
     a Bloom file index over the store's data files
-    (functions/skipindex.build_bloom_index on `key_cols[0]`). When
-    given, the probe scan OPENS only the live files the index cannot
-    prove key-free (`bloom_dropped_files_for_join` hashes the update
-    key relation executor-side) — at 100k files a small MERGE stops
+    (functions/skipindex.build_bloom_index covering the key columns).
+    When given, the probe scan OPENS only the live files the index
+    cannot prove key-free (`bloom_dropped_files_for_join` hashes the
+    update key relation executor-side; composite keys go through the
+    tuple prover, where ONE covered column proving its value absent
+    kills the whole tuple) — at 100k files a small MERGE stops
     reading the whole key column of the whole table just to find the
     handful of files it touches. Exact by construction: a dropped file
     provably holds no update key, so it can be neither affected nor a
@@ -1044,24 +1046,35 @@ def merge_into(
     cand = live
     if bloom == "auto":
         # the store-owned index (build_store_bloom); absent -> unpruned
-        # probe, and a multi-column key quietly skips pruning too (the
-        # persisted index may simply not fit this MERGE's key)
+        # probe. A composite key engages only when the index covers
+        # EVERY key column — the tuple proof needs at least one covered
+        # column per file, and a fully-covered index gives the AND
+        # across columns its full power
+        meta = _load_bloom_meta(root)
         bloom = (
-            load_store_bloom(spark, root) if len(key_cols) == 1 else None
+            load_store_bloom(spark, root)
+            if meta and set(key_cols) <= set(meta["columns"])
+            else None
         )
     if bloom is not None:
-        if len(key_cols) != 1:
-            raise ValueError(
-                "bloom-pruned MERGE probes a single-column key; got "
-                f"{key_cols}"
-            )
-        from .functions.skipindex import bloom_dropped_files_for_join
+        from .functions.skipindex import (
+            bloom_dropped_files_for_join,
+            bloom_dropped_files_for_join_tuples,
+        )
 
-        dropped = {
-            unquote(urlparse(r.file).path)
-            for r in bloom_dropped_files_for_join(
+        if len(key_cols) == 1:
+            dropped_rel = bloom_dropped_files_for_join(
                 bloom, key_cols[0], keys
-            ).collect()
+            )
+        else:
+            # composite key: a file is dropped when every key TUPLE is
+            # provably absent (one covered column proving its value
+            # absent kills the tuple) — see skipindex for the proof
+            dropped_rel = bloom_dropped_files_for_join_tuples(
+                bloom, key_cols, keys
+            )
+        dropped = {
+            unquote(urlparse(r.file).path) for r in dropped_rel.collect()
         }
         cand = [
             f for f in live if os.path.join(rootabs, f) not in dropped

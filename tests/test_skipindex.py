@@ -859,3 +859,107 @@ def test_scan_empty_index_raises_descriptive_error(spark):
         spark, empty_idx, [("x", "=", 1)], schema="x long"
     )
     assert got.count() == 0 and info["files_kept"] == 0
+
+
+def test_bloom_tuple_probe_ands_across_columns(spark, tmp_path):
+    """Composite-key pruning is an AND across columns per tuple: a file
+    holding the tuple's A-value but NOT its B-value is dropped (single
+    column pruning on A would keep it); a file holding both values only
+    in DIFFERENT rows is the documented conservative false-keep; files
+    holding the tuple are never dropped; all-absent tuples drop every
+    covered file; NULL-bearing and empty tuple sets behave like the
+    single-column path."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_bloom_index,
+        bloom_dropped_files_for_join_tuples,
+    )
+
+    out = str(tmp_path / "store")
+    # f0: (1,'a') together; f1: A=1 present, B='a' absent;
+    # f2: A=1 and B='a' both present but never in one row
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "ka int, kb string"
+    ).coalesce(1).write.parquet(out + "/f0")
+    spark.createDataFrame(
+        [(1, "zz"), (3, "yy")], "ka int, kb string"
+    ).coalesce(1).write.parquet(out + "/f1")
+    spark.createDataFrame(
+        [(1, "qq"), (9, "a")], "ka int, kb string"
+    ).coalesce(1).write.parquet(out + "/f2")
+    import glob as _glob
+    import shutil as _shutil
+
+    os.makedirs(out + "/flat")
+    for i, d in enumerate(("f0", "f1", "f2")):
+        src = _glob.glob(f"{out}/{d}/*.parquet")[0]
+        _shutil.copy(src, f"{out}/flat/{i}-{d}.parquet")
+    flat = out + "/flat"
+    bloom = build_bloom_index(spark, flat, ["ka", "kb"], m_bits=1 << 12)
+
+    def dropped(pairs, schema="ka int, kb string"):
+        probes = spark.createDataFrame(pairs, schema)
+        return {
+            os.path.basename(r.file)
+            for r in bloom_dropped_files_for_join_tuples(
+                bloom, ["ka", "kb"], probes
+            ).collect()
+        }
+
+    d = dropped([(1, "a")])
+    assert "0-f0.parquet" not in d          # holds the tuple: kept
+    assert "1-f1.parquet" in d              # has ka=1 but no kb='a': AND drops
+    assert "2-f2.parquet" not in d          # both values, different rows: FP keep
+
+    # a second tuple matching f1 un-drops it (ANY tuple possible keeps)
+    d2 = dropped([(1, "a"), (3, "yy")])
+    assert d2 == d - {"1-f1.parquet"}
+
+    # all tuples provably absent everywhere: every covered file dropped
+    assert len(dropped([(77, "nope")])) == 3
+    # NULL-bearing tuples ignored; nothing but NULLs -> join provably
+    # empty -> all covered files skippable
+    assert dropped([(1, "a"), (None, "zz")]) == d
+    assert len(dropped([(None, "a"), (1, None)])) == 3
+    # per-column lane mismatch raises
+    with pytest.raises(ValueError, match="lane"):
+        dropped([("1", 5)], schema="ka string, kb int")
+
+
+def test_bloom_tuple_probe_exactness_on_real_keys(spark, tmp_path):
+    """Soundness sweep on real data: kept files answer the composite
+    equi-join exactly (no file holding a probe tuple is ever dropped)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_bloom_index,
+        bloom_dropped_files_for_join_tuples,
+    )
+
+    out = str(tmp_path / "store")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartitionByRange(6, "o_orderkey").write.parquet(out)
+    full = spark.read.parquet(out)
+    bloom = build_bloom_index(
+        spark, out, ["o_custkey", "o_orderpriority"], m_bits=1 << 14
+    )
+    probes = (
+        full.select("o_custkey", "o_orderpriority").distinct().limit(5)
+    )
+    probes = spark.createDataFrame(
+        probes.collect(), "o_custkey long, o_orderpriority string"
+    )
+    dropped_set = {
+        r.file
+        for r in bloom_dropped_files_for_join_tuples(
+            bloom, ["o_custkey", "o_orderpriority"], probes
+        ).collect()
+    }
+    kept_files = [
+        r.file
+        for r in bloom.select("file").distinct().collect()
+        if r.file not in dropped_set
+    ]
+    on = ["o_custkey", "o_orderpriority"]
+    got = spark.read.parquet(*kept_files).join(probes, on=on)
+    want = full.join(probes, on=on)
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in want.collect()
+    )

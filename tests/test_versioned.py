@@ -838,13 +838,39 @@ def test_merge_into_bloom_pruned_probe(spark, orders, tmp_path):
     assert meta["files_total"] == 6
     assert meta["probe_files_scanned"] < meta["files_total"]
 
-    # multi-column keys refuse the bloom (single-column probe contract)
-    import pytest as _pytest
+    # composite keys route through the tuple prover (r10c): a bloom
+    # covering only ONE of the key columns still prunes soundly —
+    # equivalence against an unpruned twin, audit meta recorded
+    upd2 = (
+        orders.where("o_orderkey % 4 = 3")
+        .orderBy("o_orderkey")
+        .limit(3)
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .withColumn("note", F.lit("upd2"))
+    )
+    bloom2 = build_bloom_index(
+        spark, f"{roots[0]}/data", ["o_orderkey"], m_bits=1 << 14
+    )
+    v2 = V.merge_into(
+        spark, roots[0], upd2, ["o_orderkey", "o_custkey"], bloom=bloom2
+    )
+    V.merge_into(spark, roots[1], upd2, ["o_orderkey", "o_custkey"])
+    got2 = sorted(
+        tuple(r) for r in V.read_versioned(spark, roots[0]).collect()
+    )
+    want2 = sorted(
+        tuple(r) for r in V.read_versioned(spark, roots[1]).collect()
+    )
+    assert got2 == want2
+    m2 = None
+    for _, p in V._manifests(roots[0]):
+        import json as _json
 
-    with _pytest.raises(ValueError, match="single-column"):
-        V.merge_into(
-            spark, roots[0], upd, ["o_orderkey", "o_custkey"], bloom=bloom
-        )
+        with open(p) as fh:
+            mm = _json.load(fh)
+        if mm.get("version") == v2:
+            m2 = mm
+    assert m2["meta"]["probe_files_scanned"] < m2["meta"]["files_total"]
 
 
 def test_store_bloom_lifecycle_and_auto_merge(spark, orders, tmp_path):
@@ -907,11 +933,28 @@ def test_store_bloom_lifecycle_and_auto_merge(spark, orders, tmp_path):
     meta2 = _meta(roots[0], v2)
     assert meta2["probe_files_scanned"] < meta2["files_total"]
 
-    # 'auto' with a multi-column key: quietly unpruned, never an error
+    # 'auto' with a composite key the index does NOT fully cover:
+    # quietly unpruned, never an error
     v3 = V.merge_into(
         spark, roots[0], upd2, ["o_orderkey", "o_custkey"], bloom="auto"
     )
     assert "probe_files_scanned" not in _meta(roots[0], v3)
+
+    # rebuild covering BOTH key columns: 'auto' now engages the tuple
+    # prover for the composite key and still matches the plain twin
+    V.build_store_bloom(
+        spark, roots[0], ["o_orderkey", "o_custkey"], m_bits=1 << 14
+    )
+    upd3 = upd2.withColumn("o_totalprice", F.lit(7.0))
+    v4 = V.merge_into(
+        spark, roots[0], upd3, ["o_orderkey", "o_custkey"], bloom="auto"
+    )
+    V.merge_into(spark, roots[1], upd3, ["o_orderkey", "o_custkey"])
+    assert "probe_files_scanned" in _meta(roots[0], v4)
+    # (v3 re-merged rows the twin already carried, so content realigns)
+    assert sorted(
+        tuple(r) for r in V.read_versioned(spark, roots[0]).collect()
+    ) == sorted(tuple(r) for r in V.read_versioned(spark, roots[1]).collect())
 
 
 def test_snapshot_skip_index_from_log_stats(spark, tmp_path, monkeypatch):
