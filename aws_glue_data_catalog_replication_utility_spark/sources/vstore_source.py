@@ -776,6 +776,24 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
         self._ignore_deletes = self._ignore_changes or str(
             _opt(options, "ignoreDeletes", "false")
         ).lower() in ("true", "1")
+        # rate limiting (Delta's maxFilesPerTrigger family): cap how
+        # much of the backlog one micro-batch admits, so a stream
+        # attached to a store with deep history (or a bursty writer)
+        # drains in bounded, checkpointable steps instead of one giant
+        # first batch. Versions are the offset unit here; rows come
+        # free from the log's recorded per-file counts (zero file I/O).
+        # Caveat: under trigger(availableNow) the first capped offset
+        # is snapshotted as "all available" (the simple-reader API has
+        # no admission control), so only one capped batch runs per
+        # start — the caps are for continuously triggered queries
+        mv = _opt(options, "maxVersionsPerTrigger")
+        self._max_versions = int(mv) if mv is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        mr = _opt(options, "maxRowsPerTrigger")
+        self._max_rows = int(mr) if mr is not None else None
+        if self._max_rows is not None and self._max_rows < 1:
+            raise ValueError("maxRowsPerTrigger must be >= 1")
 
     def _latest(self) -> int:
         from ..versioned import _manifests
@@ -792,12 +810,51 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
         end_v = self._latest()
         if end_v <= start["version"]:
             return iter([]), dict(start)
+        end_v = self._capped_end(start["version"], end_v)
         # a list iterator, NOT a generator: Spark's prefetch cache
         # copy.copy()s the returned iterator between micro-batches
         return (
             iter(self._rows_between(start["version"], end_v)),
             {"version": end_v},
         )
+
+    def _capped_end(self, s: int, end_v: int) -> int:
+        """Admit versions (s, end_v] until a trigger cap bites. At
+        least ONE version always enters the batch (a single commit
+        larger than maxRowsPerTrigger must still drain — Delta's
+        maxFilesPerTrigger admits its first file the same way);
+        replays via readBetweenOffsets are untouched, the cap only
+        shapes NEW offsets. Added files absent from the log's row
+        counts (pre-stats manifests) count 0 toward the row cap —
+        the cap is a throttle, never a correctness surface."""
+        if self._max_versions is None and self._max_rows is None:
+            return end_v
+        from ..versioned import _manifests
+
+        taken = 0
+        rows = 0
+        capped = s
+        for v, p in _manifests(self._root):
+            if v <= s or v > end_v:
+                continue
+            with open(p) as fh:
+                m = json.load(fh)
+            fr = m.get("file_rows") or {}
+            v_rows = sum(int(fr.get(f, 0)) for f in m.get("added", []))
+            if (
+                taken >= 1
+                and self._max_rows is not None
+                and rows + v_rows > self._max_rows
+            ):
+                break
+            taken += 1
+            rows += v_rows
+            capped = v
+            if self._max_versions is not None and taken >= self._max_versions:
+                break
+            if self._max_rows is not None and rows >= self._max_rows:
+                break
+        return capped
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._rows_between(start["version"], end["version"]))

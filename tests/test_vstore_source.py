@@ -404,6 +404,76 @@ def test_stream_starting_version_zero_replays_nothing_new(
     assert n == 0
 
 
+@pytest.mark.parametrize(
+    "opt,val,want_batches",
+    [("maxVersionsPerTrigger", "1", 4), ("maxRowsPerTrigger", "15", 4),
+     ("maxRowsPerTrigger", "25", 2)],
+)
+def test_stream_rate_limiting(vsrc_spark, tmp_path, opt, val, want_batches):
+    """Delta's maxFilesPerTrigger family on the vstore source: a deep
+    backlog drains across MULTIPLE capped micro-batches (offset files
+    prove the pacing) and every row still arrives exactly once."""
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    V.append(vsrc_spark.range(0, 1).selectExpr("id as k"), root)  # base
+    for i in range(4):
+        V.append(
+            vsrc_spark.range(i * 10, i * 10 + 10).selectExpr("id as k"),
+            root,
+        )
+    q = (
+        vsrc_spark.readStream.format("vstore")
+        .option("path", root)
+        .option("startingVersion", "2")  # the 4 backlog appends
+        .option(opt, val)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    # a capped batch admits only part of the backlog, so drain over
+    # successive triggers (availableNow would stop at the first capped
+    # offset — the simple-reader API has no admission control; the
+    # documented contract is pacing under continuous triggers)
+    import time
+
+    got: list = []
+    for _ in range(240):
+        time.sleep(0.5)
+        try:
+            got = sorted(r.k for r in vsrc_spark.read.parquet(out).collect())
+        except Exception:
+            got = []
+        if got == list(range(40)):
+            break
+    q.stop()
+    assert got == list(range(40))
+    n_batches = len([
+        f for f in os.listdir(os.path.join(ckpt, "offsets"))
+        if not f.startswith(".")
+    ])
+    assert n_batches >= want_batches  # backlog drained in capped steps
+
+
+def test_stream_rate_limit_cap_never_starves(vsrc_spark, tmp_path):
+    """A single commit bigger than maxRowsPerTrigger still drains —
+    the cap always admits at least one version."""
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(0, 100).selectExpr("id as k"), root)
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamReader,
+    )
+
+    r = _VStoreStreamReader(
+        {"path": root, "maxRowsPerTrigger": "5", "startingVersion": "1"},
+        vsrc_spark.range(1).selectExpr("id as k").schema,
+    )
+    assert r._capped_end(0, 1) == 1
+
+
 def test_stream_sink_commits_versions_exactly_once(vsrc_spark, tmp_path):
     """File stream -> vstore streaming sink: each micro-batch is one
     atomic version with the batch id in the manifest meta; re-running
