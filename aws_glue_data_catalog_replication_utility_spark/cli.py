@@ -531,7 +531,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["append", "overwrite", "merge", "delete",
                              "replace-where", "read", "count", "history",
                              "rollback", "vacuum", "checkpoint", "optimize",
-                             "bloom-build", "bloom-refresh", "changes"])
+                             "bloom-build", "bloom-refresh", "changes",
+                             "add-constraint", "drop-constraint",
+                             "constraints"])
     vs.add_argument("--from", dest="changes_from", type=int, default=None,
                     help="changes: first version of the feed (inclusive)")
     vs.add_argument("--to", dest="changes_to", type=int, default=None,
@@ -564,6 +566,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="bloom-build: comma-separated columns for the "
                          "store-owned Bloom file index (MERGE probes "
                          "then open only key-containing files)")
+    vs.add_argument("--name", default=None,
+                    help="add/drop-constraint: constraint name")
+    vs.add_argument("--expr", default=None,
+                    help="add-constraint: CHECK expression (AND of "
+                         "'col OP literal' / 'col IS NOT NULL')")
     vs.add_argument("--pred", action="append", default=[],
                     help="read: 'col OP value' predicates (repeatable, "
                          "AND) served through the snapshot skip index "
@@ -1368,6 +1375,20 @@ def main(argv: list[str] | None = None) -> int:
                 "inserts": got.where("_change = 'insert'").count(),
                 "deletes": got.where("_change = 'delete'").count(),
             }))
+        elif args.op == "add-constraint":
+            if not args.name or not args.expr:
+                raise SystemExit(
+                    "--op add-constraint requires --name and --expr"
+                )
+            v = V.add_table_constraint(spark, args.root, args.name, args.expr)
+            print(_json.dumps({"version": v, "action": "set_constraint"}))
+        elif args.op == "drop-constraint":
+            if not args.name:
+                raise SystemExit("--op drop-constraint requires --name")
+            v = V.drop_table_constraint(args.root, args.name)
+            print(_json.dumps({"version": v, "action": "drop_constraint"}))
+        elif args.op == "constraints":
+            print(_json.dumps(V.table_constraints(args.root)))
         elif args.op == "bloom-build":
             if not args.bloom_cols:
                 raise SystemExit("--op bloom-build requires --bloom-cols")

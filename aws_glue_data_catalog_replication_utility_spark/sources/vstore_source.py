@@ -605,15 +605,69 @@ class _StagedFiles(WriterCommitMessage):
     rels: list  # staged file paths relative to the store root
 
 
-def _stage_task_batches(root: str, tag: str, iterator) -> "_StagedFiles":
+def _arrow_batch_violations(batch, constraints: dict[str, list]) -> list[str]:
+    """The Arrow half of persistent table constraints (versioned.
+    add_table_constraint): evaluate each constraint's parsed conjuncts
+    against one RecordBatch in the session-less data-source worker.
+    Semantics match the Spark enforcer exactly — a row violates only
+    when the whole expression IS FALSE, so any single FALSE conjunct
+    violates while NULL comparisons pass (a column the batch lacks
+    evaluates NULL: comparisons pass, IS NOT NULL fails every row).
+    Returns 'name(count)' strings for violated constraints."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ops = {
+        "=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+        ">": pc.greater, ">=": pc.greater_equal,
+    }
+    names = set(batch.schema.names)
+    out = []
+    for cname, conjs in constraints.items():
+        mask = None  # per-row "some conjunct is FALSE"
+        for c in conjs:
+            if len(c) == 2:  # ('notnull', col)
+                col = c[1]
+                m = (
+                    pc.is_null(batch.column(col))
+                    if col in names
+                    else pa.array([True] * batch.num_rows)
+                )
+            else:
+                col, op, val = c
+                if col not in names:
+                    continue  # NULL comparison is never FALSE
+                m = pc.fill_null(
+                    pc.invert(ops[op](batch.column(col), val)), False
+                )
+            mask = m if mask is None else pc.or_(mask, m)
+        if mask is not None and bool(pc.any(mask).as_py()):
+            n_bad = pc.sum(pc.cast(mask, "int64")).as_py()
+            out.append(f"{cname}({n_bad})")
+    return out
+
+
+def _stage_task_batches(
+    root: str, tag: str, iterator, constraints: dict[str, list] | None = None
+) -> "_StagedFiles":
     """Executor-side half of both writers: stream this task's Arrow
-    batches into one staged parquet file under `.staging/<tag>/`."""
+    batches into one staged parquet file under `.staging/<tag>/`,
+    enforcing the table's persistent constraints per batch (a
+    violating batch fails the task before the file is published —
+    the commit never happens, same never-a-bad-version contract as
+    the library paths)."""
     import pyarrow.parquet as pq
 
     writer = None
     rel = None
     try:
         for batch in iterator:
+            if constraints:
+                bad = _arrow_batch_violations(batch, constraints)
+                if bad:
+                    raise ValueError(
+                        "table constraint violations: " + ", ".join(bad)
+                    )
             if writer is None:
                 rel = os.path.join(
                     ".staging", tag, f"{uuid.uuid4().hex}.parquet"
@@ -626,6 +680,17 @@ def _stage_task_batches(root: str, tag: str, iterator) -> "_StagedFiles":
         if writer is not None:
             writer.close()
     return _StagedFiles(rels=[rel] if rel else [])
+
+
+def _load_constraints(root: str) -> dict[str, list]:
+    """The table's constraints parsed to Arrow-evaluable conjuncts, as
+    a snapshot taken when the writer is planned (a constraint added
+    mid-query lands on the NEXT writer, same as any snapshot read)."""
+    from ..versioned import _parse_constraint, table_constraints
+
+    return {
+        n: _parse_constraint(e) for n, e in table_constraints(root).items()
+    }
 
 
 def _publish_staged(
@@ -666,9 +731,12 @@ class _VStoreWriter(DataSourceArrowWriter):
         self._schema_json = schema.json()
         self._overwrite = overwrite
         self._tag = uuid.uuid4().hex[:12]
+        self._constraints = _load_constraints(self._root)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]):
-        return _stage_task_batches(self._root, self._tag, iterator)
+        return _stage_task_batches(
+            self._root, self._tag, iterator, self._constraints
+        )
 
     def commit(self, messages):
         staged = [r for m in messages if m is not None for r in m.rels]
@@ -718,9 +786,14 @@ class _VStoreStreamWriter(DataSourceStreamArrowWriter):
         self._schema_json = schema.json()
         self._query_id = _opt(options, "queryId")
         self._tag = uuid.uuid4().hex[:12]
+        # constraint snapshot at query start; a constraint added while
+        # the stream runs lands on the next (re)start
+        self._constraints = _load_constraints(self._root)
 
     def write(self, iterator):
-        return _stage_task_batches(self._root, self._tag, iterator)
+        return _stage_task_batches(
+            self._root, self._tag, iterator, self._constraints
+        )
 
     def commit(self, messages, batchId: int):
         from ..versioned import _stream_batch_replayed

@@ -428,7 +428,10 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
 
 
 def append(df: DataFrame, root: str, meta: dict | None = None) -> int:
-    """Add df as new immutable files in one atomic version."""
+    """Add df as new immutable files in one atomic version. Enforces
+    the table's persistent constraints (add_table_constraint) before
+    anything is staged."""
+    enforce_table_constraints(df, root)
     added = _stage_write(df, root)
     return _commit(root, "append", added, [], df.schema.json(), meta)
 
@@ -436,7 +439,9 @@ def append(df: DataFrame, root: str, meta: dict | None = None) -> int:
 def overwrite(df: DataFrame, root: str) -> int:
     """Full snapshot swap in one atomic version: readers see the old
     table until the manifest lands, then the new one — never a
-    half-deleted store (the failure window of delete-all-then-add)."""
+    half-deleted store (the failure window of delete-all-then-add).
+    Persistent constraints are enforced on the new snapshot."""
+    enforce_table_constraints(df, root)
     live, _ = _replay(root, None)
     added = _stage_write(df, root)
     return _commit(root, "overwrite", added, live, df.schema.json())
@@ -653,6 +658,7 @@ def overwrite_where(
     live, last, origin = _replay_full(root, None)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
+    enforce_table_constraints(df, root)
     if validate:
         bad = df.where(
             ~F.coalesce(F.expr(predicate), F.lit(False))
@@ -1040,6 +1046,8 @@ def merge_into(
         raise ValueError(f"no versioned table at {root}")
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    # survivors were valid when written; the new rows must be too
+    enforce_table_constraints(updates, root)
     keys = updates.select(*key_cols).distinct()
     rootabs = os.path.abspath(root)
     probe_meta: dict = {}
@@ -1242,6 +1250,12 @@ def checkpoint(root: str) -> dict:
         body["file_rows"] = rows
     if fstats:
         body["file_stats"] = fstats
+    # constraints must survive manifest compaction the same way —
+    # replay starts HERE, and a dropped set_constraint manifest must
+    # not silently disarm enforcement
+    cons = table_constraints(root)
+    if cons:
+        body["constraints"] = cons
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(body, fh)
@@ -1391,6 +1405,155 @@ class ConstraintViolation(RuntimeError):
         )
 
 
+def _parse_constraint(expr: str) -> list[tuple]:
+    """Constraint grammar -> conjunct list: each conjunct is
+    ('notnull', col) or (col, op, literal). This is the
+    REGISTRATION-TIME gate that keeps every write path able to enforce
+    the same semantics — the library paths evaluate the SQL string in
+    Spark, the format writers evaluate these conjuncts Arrow-side in a
+    session-less worker, and restricting the grammar to what BOTH can
+    run is what stops the two enforcers drifting. Raises on anything
+    outside it (functions, OR, IN, column-to-column, ...)."""
+    import re
+
+    conjs: list[tuple] = []
+    for part in re.split(r"(?i)\s+AND\s+", expr.strip()):
+        part = part.strip()
+        m = re.fullmatch(rf"{_PRED_IDENT}\s+(?i:IS\s+NOT\s+NULL)", part)
+        if m:
+            conjs.append(("notnull", m.group("bcol") or m.group("col")))
+            continue
+        triples = _parse_conjuncts(part)
+        if triples is None:
+            raise ValueError(
+                f"unsupported constraint expression {part!r}: table "
+                "constraints are conjunctions of `col op literal` and "
+                "`col IS NOT NULL` (the grammar every write path — "
+                "Spark and Arrow alike — can enforce)"
+            )
+        conjs.extend(triples)
+    return conjs
+
+
+def table_constraints(root: str, version: int | None = None) -> dict[str, str]:
+    """The table's persistent CHECK constraints ({name: expr}) as of
+    `version` (latest when None), replayed from the commit log —
+    checkpoint-accelerated like every other replay, so constraint
+    manifests compacted away by `checkpoint()` survive through the
+    checkpoint's own `constraints` map. Empty dict for a store with
+    none (or no store yet — the create-on-first-append path)."""
+    cons: dict[str, str] = {}
+    ms = _manifests(root)
+    start_after = 0
+    for cv, cp in reversed(_checkpoints(root)):
+        if version is None or cv <= version:
+            with open(cp) as fh:
+                c = json.load(fh)
+            cons = dict(c.get("constraints") or {})
+            start_after = cv
+            break
+    for v, p in ms:
+        if v <= start_after:
+            continue
+        if version is not None and v > version:
+            break
+        with open(p) as fh:
+            m = json.load(fh)
+        if m["action"] == "set_constraint":
+            cons[m["meta"]["name"]] = m["meta"]["expr"]
+        elif m["action"] == "drop_constraint":
+            cons.pop(m["meta"]["name"], None)
+    return cons
+
+
+def _constraint_violation_counts(
+    df: DataFrame, cons: dict[str, str]
+) -> list[dict]:
+    """Per-constraint violation counts in ONE scan. SQL CHECK
+    semantics: a row violates only when the expression IS FALSE —
+    NULL passes (so `col > 0` admits NULL col; pair with IS NOT NULL
+    to forbid it). Referenced columns the frame lacks (an evolved
+    writer that predates the column) evaluate as NULL."""
+    if not cons:
+        return []
+    refs: set[str] = set()
+    for expr in cons.values():
+        for c in _parse_constraint(expr):
+            refs.add(c[1] if c[0] == "notnull" else c[0])
+    for c in sorted(refs):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None))
+    names = list(cons)
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(cons[n]), F.lit(True)), 1
+            ).otherwise(0)
+        ).alias(f"c{i}")
+        for i, n in enumerate(names)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return [
+        {"check": n, "kind": "constraint", "violations": int(row[f"c{i}"])}
+        for i, n in enumerate(names)
+        if (row[f"c{i}"] or 0) > 0
+    ]
+
+
+def enforce_table_constraints(df: DataFrame, root: str) -> None:
+    """Gate a batch against the table's persistent constraints —
+    called by every library write path BEFORE anything is staged, so
+    a bad batch can never become a version (the format writers run
+    the same conjuncts Arrow-side in their tasks)."""
+    bad = _constraint_violation_counts(df, table_constraints(root))
+    if bad:
+        raise ConstraintViolation(bad)
+
+
+def add_table_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT, Delta-shaped: validates the grammar
+    (see `_parse_constraint`), verifies EVERY EXISTING ROW satisfies
+    the expression (a constraint that is already broken would make the
+    table lie about its own invariant), then persists {name: expr} in
+    the commit log as one atomic version — from that version on, every
+    writer that can see the log enforces it: library appends/merges/
+    overwrites Spark-side, the vstore format's batch and stream
+    writers Arrow-side in their executors. Reference tie-in: the same
+    always-valid posture as the reference's schema checks before
+    catalog writes (GlueUtil.java:175-192), applied to row data."""
+    _parse_constraint(expr)  # grammar gate before any work
+    live, last, _ = _replay_full(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    if table_constraints(root).get(name) is not None:
+        raise ValueError(
+            f"constraint {name!r} already exists; drop it first"
+        )
+    bad = _constraint_violation_counts(
+        read_versioned(spark, root), {name: expr}
+    )
+    if bad:
+        raise ConstraintViolation(bad)
+    return _commit(
+        root, "set_constraint", [], [], last["schema"],
+        {"name": name, "expr": expr},
+    )
+
+
+def drop_table_constraint(root: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: one atomic version; time travel
+    before it still sees (and `table_constraints(version=k)` still
+    reports) the constraint."""
+    if name not in table_constraints(root):
+        raise ValueError(f"no constraint named {name!r} at {root}")
+    _, last, _ = _replay_full(root, None)
+    return _commit(
+        root, "drop_constraint", [], [], last["schema"], {"name": name}
+    )
+
+
 def append_checked(
     df: DataFrame, root: str, checks: list[dict],
     meta: dict | None = None,
@@ -1426,6 +1589,7 @@ def append_with_retry(
     overwrite) must NOT auto-retry: their file surgery was computed
     against a snapshot the competing writer may have invalidated —
     they re-raise for the caller to re-execute."""
+    enforce_table_constraints(df, root)
     added = _stage_write(df, root)
     schema_json = df.schema.json()
     err: VersionConflict | None = None
