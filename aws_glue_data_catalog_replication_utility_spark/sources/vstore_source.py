@@ -732,6 +732,15 @@ class _VStoreWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._tag = uuid.uuid4().hex[:12]
         self._constraints = _load_constraints(self._root)
+        # Delta's idempotent-write options: a retried job naming the
+        # same (txnAppId, txnVersion) publishes nothing the 2nd time
+        app = _opt(options, "txnAppId")
+        ver = _opt(options, "txnVersion")
+        if (app is None) != (ver is None):
+            raise ValueError(
+                "pass options txnAppId AND txnVersion, or neither"
+            )
+        self._txn = (app, int(ver)) if app is not None else None
 
     def write(self, iterator: Iterator["pa.RecordBatch"]):
         return _stage_task_batches(
@@ -739,14 +748,26 @@ class _VStoreWriter(DataSourceArrowWriter):
         )
 
     def commit(self, messages):
+        from ..versioned import txn_already_applied
+
         staged = [r for m in messages if m is not None for r in m.rels]
+        meta = None
         try:
+            if self._txn is not None:
+                app, ver = self._txn
+                # checked at COMMIT time (not plan time): two racing
+                # retries serialize on the version chain, and the
+                # loser's VersionConflict retry re-reads this state
+                if txn_already_applied(self._root, app, ver):
+                    return
+                meta = {"txn_app_id": app, "txn_version": ver}
             _publish_staged(
                 self._root,
                 staged,
                 self._tag,
                 self._overwrite,
                 self._schema_json,
+                meta=meta,
             )
         finally:
             shutil.rmtree(

@@ -427,10 +427,73 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
     return next_v
 
 
-def append(df: DataFrame, root: str, meta: dict | None = None) -> int:
+def _txn_state(root: str) -> dict[str, int]:
+    """Latest applied transaction version per application id (Delta's
+    SetTransaction state): the newest checkpoint's summarized map plus
+    every post-checkpoint manifest's txn marker — so idempotence
+    survives aggressive log cleanup exactly like constraints do."""
+    txns: dict[str, int] = {}
+    start_after = 0
+    for cv, cp in reversed(_checkpoints(root)):
+        with open(cp) as fh:
+            c = json.load(fh)
+        txns = {k: int(v) for k, v in (c.get("txns") or {}).items()}
+        start_after = cv
+        break
+    for v, p in _manifests(root):
+        if v <= start_after:
+            continue
+        with open(p) as fh:
+            m = json.load(fh)
+        meta = m.get("meta") or {}
+        if "txn_app_id" in meta:
+            txns[meta["txn_app_id"]] = int(meta["txn_version"])
+    return txns
+
+
+def last_txn_version(root: str, app_id: str) -> int | None:
+    """The newest txn_version committed under `app_id`, or None."""
+    return _txn_state(root).get(app_id)
+
+
+def txn_already_applied(root: str, app_id: str, version: int) -> bool:
+    """Delta's idempotent-write rule: a (txnAppId, txnVersion) write
+    applies only when `version` is STRICTLY greater than the last one
+    recorded for that app — a retried job (same version) or a
+    re-delivered older one is a no-op, never a duplicate."""
+    last = last_txn_version(root, app_id)
+    return last is not None and int(version) <= last
+
+
+def append(
+    df: DataFrame,
+    root: str,
+    meta: dict | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> int | None:
     """Add df as new immutable files in one atomic version. Enforces
     the table's persistent constraints (add_table_constraint) before
-    anything is staged."""
+    anything is staged.
+
+    `txn_app_id` + `txn_version` (both or neither) make the append
+    IDEMPOTENT across job retries — Delta's txnAppId/txnVersion: the
+    writer names itself and a monotonically increasing version; a
+    re-run whose version is <= the last committed one for that app
+    returns None without staging a byte. The marker rides the commit
+    manifest and is summarized into checkpoints, so cleanup of old
+    manifests never forgets an applied transaction. (The streaming
+    analog is `append_stream_batch`'s batch_id/query_id replay guard.)"""
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("pass txn_app_id AND txn_version, or neither")
+    if txn_app_id is not None:
+        if txn_already_applied(root, txn_app_id, txn_version):
+            return None
+        meta = {
+            **(meta or {}),
+            "txn_app_id": txn_app_id,
+            "txn_version": int(txn_version),
+        }
     enforce_table_constraints(df, root)
     added = _stage_write(df, root)
     return _commit(root, "append", added, [], df.schema.json(), meta)
@@ -1256,6 +1319,9 @@ def checkpoint(root: str) -> dict:
     cons = table_constraints(root)
     if cons:
         body["constraints"] = cons
+    txns = _txn_state(root)
+    if txns:
+        body["txns"] = txns
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(body, fh)

@@ -1131,3 +1131,33 @@ def test_timestamp_travel_legacy_and_skew(spark, orders, tmp_path):
     with pytest.raises(ValueError, match="precedes the earliest"):
         V.version_at_timestamp(root, t1 - 50.0)  # raw v2 stamp is ignored
     assert V.version_at_timestamp(root, t1) == 2  # adjusted to v1's moment
+
+
+def test_idempotent_txn_append(spark, orders, tmp_path):
+    """Delta's txnAppId/txnVersion: a retried job (same app+version)
+    is a no-op, a newer version applies, app ids are independent, and
+    the applied-state survives checkpoint compaction of the manifests
+    that carried it."""
+    root = str(tmp_path / "t")
+    part = orders.limit(10)
+    assert V.append(part, root, txn_app_id="etl", txn_version=1) == 1
+    # retry: skipped before staging, no new version
+    assert V.append(part, root, txn_app_id="etl", txn_version=1) is None
+    assert V.append(part, root, txn_app_id="etl", txn_version=0) is None
+    assert len(V.history(root)) == 1
+    # progress applies; another app is independent
+    assert V.append(part, root, txn_app_id="etl", txn_version=2) == 2
+    assert V.append(part, root, txn_app_id="other", txn_version=1) == 3
+    assert V.last_txn_version(root, "etl") == 2
+    with pytest.raises(ValueError, match="or neither"):
+        V.append(part, root, txn_app_id="etl")
+
+    # checkpoint summarizes txn state; delete the carrying manifests
+    V.checkpoint(root)
+    log = os.path.join(root, "_txlog")
+    for n in sorted(os.listdir(log)):
+        if n.startswith("v"):
+            os.unlink(os.path.join(log, n))
+    assert V.last_txn_version(root, "etl") == 2
+    assert V.append(part, root, txn_app_id="etl", txn_version=2) is None
+    assert V.append(part, root, txn_app_id="etl", txn_version=3) is not None

@@ -770,3 +770,29 @@ def test_reader_errors(vsrc_spark, tmp_path):
         vsrc_spark.read.format("vstore").load(
             str(tmp_path / "nostore")
         ).count()
+
+
+def test_batch_writer_idempotent_txn(vsrc_spark, tmp_path):
+    """txnAppId/txnVersion through the format writer: the retried
+    write publishes nothing, a newer version lands."""
+    root = str(tmp_path / "store")
+    df = vsrc_spark.range(0, 10).selectExpr("id as k")
+    w = (
+        df.write.format("vstore").mode("append")
+        .option("txnAppId", "job").option("txnVersion", "1")
+    )
+    w.save(root)
+    assert V.read_versioned(vsrc_spark, root).count() == 10
+    w.save(root)  # retry: no-op
+    assert V.read_versioned(vsrc_spark, root).count() == 10
+    assert len(V.history(root)) == 1
+    (
+        df.write.format("vstore").mode("append")
+        .option("txnAppId", "job").option("txnVersion", "2")
+        .save(root)
+    )
+    assert V.read_versioned(vsrc_spark, root).count() == 20
+    with pytest.raises(Exception, match="or neither"):
+        df.write.format("vstore").mode("append").option(
+            "txnAppId", "job"
+        ).save(root)
