@@ -1007,6 +1007,57 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
         return out
 
 
+class _VStoreStreamCDFReader(_VStoreStreamReader):
+    """``readStream.format("vstore").option("readChangeFeed", "true")``
+    — Delta's streaming change data feed: instead of streaming only
+    append commits (and failing on rewrites), EVERY commit streams as
+    file-level CDC rows with `_change` ('insert'/'delete') and
+    `_commit_version` metadata columns. A delete_where appears as
+    deletes of the removed files' rows plus re-inserts of their
+    survivors; a downstream consumer applying inserts minus deletes
+    reconstructs every snapshot transition — the incremental
+    replication shape that INCLUDES deletions (the reference's
+    replication only ever ships upserts + explicit delete messages,
+    GDCUtil.java:61-111 / the SQS delete path; this is both in one
+    feed). Offsets, checkpoint replay, startingVersion and the rate-
+    limiting caps are inherited from the plain stream reader; the feed
+    walk (`_changed_files`) tracks origins checkpoint-seeded and
+    raises on compaction gaps or vacuumed files instead of silently
+    dropping deletes, and the mid-stream schema-evolution guard
+    applies to feed rows exactly like plain streaming."""
+
+    def _rows_between(self, s: int, e: int) -> list:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from pyspark.sql.types import StructType as _St
+
+        data_fields = [
+            f for f in self._schema.fields
+            if f.name not in ("_change", "_commit_version")
+        ]
+        target = to_arrow_schema(_St(data_fields))
+        names = [f.name for f in data_fields]
+        entries, _ = _changed_files(self._root, s + 1, e)
+        out: list[tuple] = []
+        for f, origin_json, change, v in entries:
+            tbl = pq.read_table(os.path.join(self._root, f))
+            extra = [c for c in tbl.column_names if c not in names]
+            if extra:
+                raise ValueError(
+                    f"store schema evolved mid-stream (version {v} "
+                    f"touched columns {extra}); restart the query to "
+                    "pick up the new table schema"
+                )
+            evolved = _evolve_table(tbl, target)
+            for row in evolved.to_pylist():
+                out.append(
+                    tuple(row[n] for n in names) + (change, v)
+                )
+        return out
+
+
 # ---------------------------------------------------------------------------
 # the data source
 # ---------------------------------------------------------------------------
@@ -1024,6 +1075,28 @@ class VStoreDataSource(DataSource):
         return "vstore"
 
     def schema(self):
+        if self._read_change_feed():
+            if _opt(self.options, "changesFrom") is not None or _opt(
+                self.options, "version"
+            ) is not None or _opt(self.options, "timestampAsOf") is not None:
+                raise ValueError(
+                    "option 'readChangeFeed' is exclusive with "
+                    "'changesFrom'/'version'/'timestampAsOf'"
+                )
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+            )
+
+            base = _lub_schema(_root(self.options), None)
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
         cf = _opt(self.options, "changesFrom")
         if cf is not None:
             if _opt(self.options, "version") is not None or _opt(
@@ -1041,7 +1114,17 @@ class VStoreDataSource(DataSource):
             )
         return _lub_schema(_root(self.options), _resolve_version(self.options))
 
+    def _read_change_feed(self) -> bool:
+        return str(
+            _opt(self.options, "readChangeFeed", "false")
+        ).lower() in ("true", "1")
+
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._read_change_feed():
+            raise ValueError(
+                "readChangeFeed is a streaming option; batch CDC reads "
+                "use .option('changesFrom', v) [+ 'changesTo']"
+            )
         if _opt(self.options, "changesFrom") is not None:
             return _VStoreChangeReader(self.options, schema)
         return _VStoreBatchReader(self.options, schema)
@@ -1050,6 +1133,8 @@ class VStoreDataSource(DataSource):
         return _VStoreWriter(self.options, schema, overwrite)
 
     def simpleStreamReader(self, schema: StructType):
+        if self._read_change_feed():
+            return _VStoreStreamCDFReader(self.options, schema)
         return _VStoreStreamReader(self.options, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool):

@@ -796,3 +796,79 @@ def test_batch_writer_idempotent_txn(vsrc_spark, tmp_path):
         df.write.format("vstore").mode("append").option(
             "txnAppId", "job"
         ).save(root)
+
+
+def test_stream_change_feed_replays_inserts_and_deletes(
+    vsrc_spark, tmp_path
+):
+    """Streaming CDF (readChangeFeed): every commit streams as CDC
+    rows — a delete_where yields deletes of the removed files' rows
+    plus survivor re-inserts — and the apply law holds: inserts minus
+    deletes (as multisets) reconstructs the final snapshot from zero.
+    A checkpointed rerun adds nothing (exactly-once)."""
+    from collections import Counter
+
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    V.append(
+        vsrc_spark.range(0, 100).selectExpr("id as k", "id * 2 as w"), root
+    )
+    V.append(
+        vsrc_spark.range(100, 150).selectExpr("id as k", "id * 2 as w"),
+        root,
+    )
+    V.delete_where(vsrc_spark, root, "k % 10 = 0")
+    V.append(
+        vsrc_spark.range(150, 160).selectExpr("id as k", "id * 2 as w"),
+        root,
+    )
+
+    def run():
+        q = (
+            vsrc_spark.readStream.format("vstore")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run()
+    feed = vsrc_spark.read.parquet(out)
+    assert set(feed.columns) == {"k", "w", "_change", "_commit_version"}
+    acc: Counter = Counter()
+    for r in feed.collect():
+        if r._change == "insert":
+            acc[(r.k, r.w)] += 1
+        else:
+            acc[(r.k, r.w)] -= 1
+    want = Counter(
+        (r.k, r.w) for r in V.read_versioned(vsrc_spark, root).collect()
+    )
+    assert {kv: n for kv, n in acc.items() if n} == dict(want)
+    # the delete commit really streamed deletions
+    assert feed.where("_change = 'delete'").count() > 0
+
+    n1 = feed.count()
+    run()  # checkpointed rerun: nothing new
+    assert vsrc_spark.read.parquet(out).count() == n1
+
+
+def test_read_change_feed_is_stream_only(vsrc_spark, tmp_path):
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(3).selectExpr("id as k"), root)
+    with pytest.raises(Exception, match="streaming option"):
+        vsrc_spark.read.format("vstore").option(
+            "readChangeFeed", "true"
+        ).load(root).count()
+    with pytest.raises(Exception, match="exclusive"):
+        vsrc_spark.readStream.format("vstore").option(
+            "readChangeFeed", "true"
+        ).option("version", "1").load(root)
