@@ -533,7 +533,7 @@ def main(argv: list[str] | None = None) -> int:
                              "rollback", "vacuum", "checkpoint", "optimize",
                              "bloom-build", "bloom-refresh", "changes",
                              "add-constraint", "drop-constraint",
-                             "constraints"])
+                             "constraints", "detail"])
     vs.add_argument("--from", dest="changes_from", type=int, default=None,
                     help="changes: first version of the feed (inclusive)")
     vs.add_argument("--to", dest="changes_to", type=int, default=None,
@@ -1389,6 +1389,8 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps({"version": v, "action": "drop_constraint"}))
         elif args.op == "constraints":
             print(_json.dumps(V.table_constraints(args.root)))
+        elif args.op == "detail":
+            print(_json.dumps(V.describe_detail(args.root)))
         elif args.op == "bloom-build":
             if not args.bloom_cols:
                 raise SystemExit("--op bloom-build requires --bloom-cols")

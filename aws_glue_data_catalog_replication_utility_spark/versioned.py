@@ -928,6 +928,50 @@ def _publish_store_bloom(
     return dict(meta)
 
 
+def describe_detail(root: str) -> dict:
+    """DESCRIBE DETAIL, answered from METADATA alone (no file opened):
+    current version + commit time, live file count and total bytes,
+    row count where the log records it, schema generations in play,
+    declared constraints, idempotent-txn app state, checkpoint and
+    store-bloom presence — the one-call operational summary a table
+    owner checks before/after maintenance."""
+    live, rows, _, last = _replay_stats(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    _, _, origin = _replay_full(root, None)
+    size = 0
+    for f in live:
+        p = os.path.join(root, f)
+        if os.path.exists(p):
+            size += os.path.getsize(p)
+    known = [f for f in live if f in rows]
+    cs = _checkpoints(root)
+    bloom_meta = _load_bloom_meta(root)
+    # `last` may be a checkpoint body (no commit ts): read the ts from
+    # the head manifest when it still exists
+    ts = last.get("ts")
+    ms = _manifests(root)
+    if ts is None and ms and ms[-1][0] == last["version"]:
+        with open(ms[-1][1]) as fh:
+            ts = json.load(fh).get("ts")
+    return {
+        "version": last["version"],
+        "ts": ts,
+        "num_files": len(live),
+        "size_bytes": int(size),
+        "num_rows": (
+            int(sum(rows[f] for f in known))
+            if len(known) == len(live)
+            else None  # pre-stats files present: count_versioned scans
+        ),
+        "schema_generations": len({origin[f] for f in live}) if live else 0,
+        "constraints": table_constraints(root),
+        "txns": _txn_state(root),
+        "checkpoint_version": cs[-1][0] if cs else None,
+        "bloom_columns": (bloom_meta or {}).get("columns"),
+    }
+
+
 def history(root: str) -> list[dict]:
     """The commit log, oldest first: version, action, files +/-,
     commit timestamp (epoch seconds; None only for manifests written

@@ -624,6 +624,20 @@ def main() -> None:
         extras["vstore_format_pruned_read"] = round(
             time.perf_counter() - t0, 3
         )
+
+        # r10c replaceWhere: predicate-scoped atomic swap whose match
+        # probe is stats-pruned from the SAME range-laid log — the
+        # idempotent-backfill cost is O(overlapping files), and the
+        # timing includes the replacement-validates-predicate scan
+        hi = orders_dim.agg(
+            F.expr("percentile_approx(o_orderkey, 0.05)")
+        ).collect()[0][0]
+        repl = orders_dim.where(F.col("o_orderkey") <= hi).withColumn(
+            "o_totalprice", F.lit(0.0)
+        )
+        t0 = time.perf_counter()
+        V.overwrite_where(spark, froot, f"o_orderkey <= {hi}", repl)
+        extras["replace_where_pruned"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(fmt_dir, ignore_errors=True)
 

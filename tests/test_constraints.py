@@ -212,3 +212,42 @@ def test_cli_constraint_ops(spark, store, capsys):
                "--name", "pos"])
     assert rep["action"] == "drop_constraint"
     assert run(["vstore", "--root", store, "--op", "constraints"]) == {}
+
+
+def test_describe_detail_metadata_only(spark, store):
+    """DESCRIBE DETAIL from metadata alone: version, files, bytes,
+    log-recorded rows, constraints, txn state, bloom/checkpoint
+    presence — consistent with the heavier per-surface calls."""
+    V.add_table_constraint(spark, store, "pos", "id > 0")
+    V.append(
+        spark.createDataFrame(
+            [(4, 1.0, "d")], "id int, score double, s string"
+        ),
+        store,
+        txn_app_id="job",
+        txn_version=7,
+    )
+    V.checkpoint(store)
+    d = V.describe_detail(store)
+    assert d["version"] == len(V.history(store))
+    assert d["num_files"] >= 2 and d["size_bytes"] > 0
+    assert d["num_rows"] == V.count_versioned(spark, store)[0] == 3
+    assert d["schema_generations"] == 1
+    assert d["constraints"] == {"pos": "id > 0"}
+    assert d["txns"] == {"job": 7}
+    assert d["checkpoint_version"] == d["version"]
+    assert d["bloom_columns"] is None
+    assert d["ts"] is not None
+
+    # CLI surface
+    import json as _json
+
+    from aws_glue_data_catalog_replication_utility_spark.cli import main
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["vstore", "--root", store, "--op", "detail"]) == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["num_files"] == d["num_files"]
