@@ -542,6 +542,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="optimize: target file size")
     vs.add_argument("--zorder-by", default=None,
                     help="optimize: comma-separated z-order columns")
+    vs.add_argument("--small-mb", type=int, default=None,
+                    help="optimize: INCREMENTAL binpack — only files "
+                         "smaller than this are rewritten (cost scales "
+                         "with small-file debt, not table size); "
+                         "exclusive with --zorder-by")
     vs.add_argument("--keys", default=None,
                     help="merge: comma-separated key columns")
     vs.add_argument("--in", dest="in_path", default=None,
@@ -757,7 +762,8 @@ def main(argv: list[str] | None = None) -> int:
                          "least one key (runtime-filter file skipping) "
                          "and report/write the result")
     sk.add_argument("--join-col", default=None,
-                    help="store column the keys join on (defaults to "
+                    help="store column(s) the keys join on, comma-"
+                         "separated for composite keys (defaults to "
                          "the key relation's single column name)")
 
     sh = sub.add_parser(
@@ -1416,6 +1422,10 @@ def main(argv: list[str] | None = None) -> int:
                     [c.strip() for c in args.zorder_by.split(",")]
                     if args.zorder_by else None
                 ),
+                small_file_bytes=(
+                    args.small_mb << 20 if args.small_mb is not None
+                    else None
+                ),
             )
             print(_json.dumps({"version": v, "action": "optimize"}))
         else:
@@ -1716,16 +1726,31 @@ def main(argv: list[str] | None = None) -> int:
             from .functions.skipindex import scan_for_join
 
             keys = spark.read.parquet(args.join_keys)
-            col = args.join_col or keys.columns[0]
-            value_col = col if col in keys.columns else keys.columns[0]
-            got_j, jinfo = scan_for_join(
-                spark, idx, bloom, col, keys, value_col=value_col
+            cols = (
+                [c.strip() for c in args.join_col.split(",")]
+                if args.join_col else [keys.columns[0]]
             )
-            probe_rel = keys.select(F.col(value_col).alias(col)).distinct()
+            if len(cols) > 1:
+                # composite key: the tuple prover (AND across columns)
+                got_j, jinfo = scan_for_join(spark, idx, bloom, cols, keys)
+                probe_rel = keys.select(*cols).distinct()
+                on = cols
+                col_label = ",".join(cols)
+            else:
+                col = cols[0]
+                value_col = col if col in keys.columns else keys.columns[0]
+                got_j, jinfo = scan_for_join(
+                    spark, idx, bloom, col, keys, value_col=value_col
+                )
+                probe_rel = keys.select(
+                    F.col(value_col).alias(col)
+                ).distinct()
+                on = col
+                col_label = col
             summary["join"] = {
-                "column": col,
+                "column": col_label,
                 **jinfo,
-                "rows": got_j.join(probe_rel, on=col).count(),
+                "rows": got_j.join(probe_rel, on=on).count(),
             }
         print(_json.dumps(summary))
 

@@ -999,12 +999,24 @@ def scan_for_join(
     construction. Files the bloom does not cover (no row for the
     column) are always read. Returns (df, info) with files kept/total;
     an all-pruned store returns an empty frame with the store schema
-    (pass `schema` to skip the one-footer schema read)."""
+    (pass `schema` to skip the one-footer schema read).
+
+    `column` may be a LIST for composite join keys: the scan then
+    prunes through the tuple prover (`bloom_dropped_files_for_join_
+    tuples` — one covered column proving its value absent kills the
+    whole tuple), and `probes` must carry all key columns."""
     total_rel = index.select("file").distinct()
     total = total_rel.count()
-    dropped = bloom_dropped_files_for_join(
-        bloom, column, probes, value_col=value_col
-    )
+    if isinstance(column, (list, tuple)) and len(column) > 1:
+        dropped = bloom_dropped_files_for_join_tuples(
+            bloom, list(column), probes
+        )
+    else:
+        if isinstance(column, (list, tuple)):
+            column = column[0]
+        dropped = bloom_dropped_files_for_join(
+            bloom, column, probes, value_col=value_col
+        )
     kept = [
         r.file
         for r in total_rel.join(dropped, on="file", how="left_anti").collect()

@@ -1386,6 +1386,7 @@ def optimize(
     root: str,
     target_file_bytes: int = 128 << 20,
     zorder_by: list[str] | None = None,
+    small_file_bytes: int | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the live snapshot into ~target-size files as
     one atomic version — the small-file compaction every streaming-
@@ -1397,7 +1398,17 @@ def optimize(
     prune multi-column predicates after the rewrite. Data content is
     IDENTICAL before/after (pinned in tests); only the file layout
     changes. Time travel to pre-optimize versions keeps reading the
-    old files until vacuum."""
+    old files until vacuum.
+
+    `small_file_bytes` makes the pass INCREMENTAL (Delta's binpacking
+    OPTIMIZE): only live files smaller than it are read and rewritten
+    to ~target size; every file already at healthy size stays in the
+    live set byte-identical. On a 100 TB table fed by a streaming sink
+    this is the difference between an OPTIMIZE priced by the small-
+    file DEBT and one priced by the table — run it on a cadence and
+    the cost stays O(new small files) forever. Exclusive with
+    `zorder_by` (a Z-order re-lay is global by definition: interleaving
+    only prunes if every file covers a compact curve range)."""
     import math as _math
 
     live, last, origin = _replay_full(root, None)
@@ -1405,6 +1416,38 @@ def optimize(
         raise ValueError(f"no versioned table at {root}")
     if not live:
         return last["version"]  # nothing to lay out
+    if small_file_bytes is not None:
+        if zorder_by:
+            raise ValueError(
+                "small_file_bytes is exclusive with zorder_by: a "
+                "Z-order re-lay is global; run the full optimize"
+            )
+        small = [
+            f for f in live
+            if os.path.getsize(os.path.join(root, f)) < small_file_bytes
+        ]
+        if len(small) <= 1:
+            return last["version"]  # no debt worth a version
+        total = sum(
+            os.path.getsize(os.path.join(root, f)) for f in small
+        )
+        n_files = max(1, _math.ceil(total / target_file_bytes))
+        from .functions.evolve import evolve_to_schema
+
+        lub, lub_json = _table_lub(origin)
+        # small files may span schema generations AND be narrower than
+        # the table LUB: widen to the FULL-table LUB before writing,
+        # because the new files' recorded origin is the manifest schema
+        out = evolve_to_schema(
+            _read_file_subset(spark, root, small, origin), lub
+        ).coalesce(n_files)
+        added = _stage_write(out, root)
+        return _commit(
+            root, "optimize", added, small, lub_json,
+            {"target_file_bytes": target_file_bytes,
+             "small_file_bytes": int(small_file_bytes),
+             "zorder_by": []},
+        )
     total = sum(
         os.path.getsize(os.path.join(root, f)) for f in live
     )

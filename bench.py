@@ -239,6 +239,20 @@ def main() -> None:
     ).save()
     extras["cosine_topk_pandas"] = round(time.perf_counter() - t0, 3)
 
+    # r10c OPQ: rotation training (driver numpy on a bounded sample) +
+    # rotated ADC search — the anisotropy-robust PQ lane end to end
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        opq_adc_topk,
+        opq_rotation,
+    )
+
+    t0 = time.perf_counter()
+    rot = opq_rotation(emb, m=4, k=8, sample=1024)
+    opq_adc_topk(emb, rot, m=4, k=8, n_queries=5, topk=5).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    extras["opq_adc_topk"] = round(time.perf_counter() - t0, 3)
+
     # r05 pytest-parity lanes (DuckDB twins live in tests/, not the
     # registry — see the 50-slot note in the README): timed here so a
     # throughput regression is visible round-over-round

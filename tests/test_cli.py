@@ -1562,6 +1562,38 @@ def test_cli_skip_index_join_keys(spark, tmp_path, capsys):
             "--join-keys", keys_path,
         ])
 
+    # composite key through the same surface (--join-col "a,b"): the
+    # tuple prover joins on BOTH columns and matches the full join
+    pair = (
+        spark.read.parquet(store)
+        .select("o_custkey", "o_orderpriority")
+        .first()
+    )
+    keys2 = str(tmp_path / "keys2")
+    spark.createDataFrame(
+        [(int(pair.o_custkey), pair.o_orderpriority), (-4, "NOPE")],
+        "o_custkey long, o_orderpriority string",
+    ).write.parquet(keys2)
+    assert main([
+        "skip-index", "--path", store,
+        "--out", str(tmp_path / "idxc"),
+        "--bloom-cols", "o_custkey,o_orderpriority",
+        "--bloom-out", str(tmp_path / "bloomc"),
+        "--join-keys", keys2,
+        "--join-col", "o_custkey,o_orderpriority",
+    ]) == 0
+    repc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    wantc = (
+        spark.read.parquet(store)
+        .where(
+            (F.col("o_custkey") == int(pair.o_custkey))
+            & (F.col("o_orderpriority") == pair.o_orderpriority)
+        )
+        .count()
+    )
+    assert repc["join"]["rows"] == wantc
+    assert repc["join"]["files_kept"] <= 4
+
 
 def test_cli_pred_int_literal_on_double_column_bloom(spark, tmp_path, capsys):
     """The ADVICE r08 high scenario verbatim: `--pred price = 100`

@@ -1161,3 +1161,56 @@ def test_idempotent_txn_append(spark, orders, tmp_path):
     assert V.last_txn_version(root, "etl") == 2
     assert V.append(part, root, txn_app_id="etl", txn_version=2) is None
     assert V.append(part, root, txn_app_id="etl", txn_version=3) is not None
+
+
+def test_optimize_incremental_small_file_binpack(spark, orders, tmp_path):
+    """Incremental OPTIMIZE (small_file_bytes): only the small-file
+    debt is rewritten — healthy files stay live BYTE-IDENTICAL, content
+    is unchanged, the manifest audits the threshold, and a mixed-schema
+    small tail is widened to the full-table LUB on rewrite."""
+    root = str(tmp_path / "t")
+    # one healthy file (full orders) + many tiny appends, one evolved
+    V.append(orders.coalesce(1), root)
+    for i in range(6):
+        part = orders.limit(3).withColumn("o_totalprice", F.lit(float(i)))
+        if i == 5:
+            part = part.withColumn("tag", F.lit("gen2"))
+        V.append(part.coalesce(1), root)
+
+    live_before, _ = V._replay(root, None)
+    sizes = {
+        f: os.path.getsize(os.path.join(root, f)) for f in live_before
+    }
+    big = max(sizes, key=sizes.get)
+    threshold = sizes[big]  # strictly-below: the big file survives
+    before = sorted(
+        tuple(r) for r in V.read_versioned(spark, root).collect()
+    )
+
+    v = V.optimize(spark, root, small_file_bytes=threshold)
+    live_after, _ = V._replay(root, None)
+    assert big in live_after  # untouched and still live
+    assert os.path.getsize(os.path.join(root, big)) == sizes[big]
+    assert len(live_after) < len(live_before)
+    after = sorted(
+        tuple(r) for r in V.read_versioned(spark, root).collect()
+    )
+    assert after == before
+    with open(
+        os.path.join(root, "_txlog", f"v{v:012d}.json")
+    ) as fh:
+        m = json.load(fh)
+    assert m["action"] == "optimize"
+    assert m["meta"]["small_file_bytes"] == threshold
+    assert big not in m["removed"]
+
+    # idempotent-ish: a second pass has at most one small file left
+    assert V.optimize(spark, root, small_file_bytes=threshold) in (
+        v, v + 1
+    )
+    # exclusivity with zorder
+    with pytest.raises(ValueError, match="exclusive"):
+        V.optimize(
+            spark, root, zorder_by=["o_orderkey"],
+            small_file_bytes=threshold,
+        )
