@@ -533,7 +533,7 @@ def main(argv: list[str] | None = None) -> int:
                              "rollback", "vacuum", "checkpoint", "optimize",
                              "bloom-build", "bloom-refresh", "changes",
                              "add-constraint", "drop-constraint",
-                             "constraints", "detail"])
+                             "constraints", "detail", "prune-log"])
     vs.add_argument("--from", dest="changes_from", type=int, default=None,
                     help="changes: first version of the feed (inclusive)")
     vs.add_argument("--to", dest="changes_to", type=int, default=None,
@@ -571,6 +571,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="bloom-build: comma-separated columns for the "
                          "store-owned Bloom file index (MERGE probes "
                          "then open only key-containing files)")
+    vs.add_argument("--keep-manifests", type=int, default=0,
+                    help="prune-log: keep this many newest checkpoint-"
+                         "summarized manifests as an audit tail")
     vs.add_argument("--name", default=None,
                     help="add/drop-constraint: constraint name")
     vs.add_argument("--expr", default=None,
@@ -660,6 +663,10 @@ def main(argv: list[str] | None = None) -> int:
     vst.add_argument("--checkpoint", required=True)
     vst.add_argument("--schema", required=True, help="input DDL schema")
     vst.add_argument("--max-files-per-trigger", type=int, default=None)
+    vst.add_argument("--merge-keys", default=None,
+                     help="comma-separated key columns: each micro-"
+                         "batch MERGES (upserts) instead of appending "
+                         "— exactly-once streaming upsert")
 
     ssc = sub.add_parser(
         "stream-score",
@@ -1397,6 +1404,11 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps(V.table_constraints(args.root)))
         elif args.op == "detail":
             print(_json.dumps(V.describe_detail(args.root)))
+        elif args.op == "prune-log":
+            # log retention: checkpoint first pins everything kept
+            print(_json.dumps(V.prune_log(
+                args.root, keep_last_manifests=args.keep_manifests
+            )))
         elif args.op == "bloom-build":
             if not args.bloom_cols:
                 raise SystemExit("--op bloom-build requires --bloom-cols")
@@ -1523,8 +1535,16 @@ def main(argv: list[str] | None = None) -> int:
             # the checkpoint location IS the stream's identity: batch
             # ids are per-checkpoint, so the replay guard must scope
             # to it when several streams share one store
-            lambda b, i: V.append_stream_batch(
-                b, i, args.root, query_id=args.checkpoint
+            (
+                (lambda b, i: V.merge_stream_batch(
+                    spark, b, i, args.root,
+                    [k.strip() for k in args.merge_keys.split(",")],
+                    query_id=args.checkpoint,
+                ))
+                if args.merge_keys
+                else (lambda b, i: V.append_stream_batch(
+                    b, i, args.root, query_id=args.checkpoint
+                ))
             )
         ).trigger(availableNow=True).start()
         q.awaitTermination()

@@ -1110,6 +1110,7 @@ def merge_into(
     updates: DataFrame,
     key_cols: list[str],
     bloom: DataFrame | None | str = None,
+    meta: dict | None = None,
 ) -> int:
     """MERGE INTO — the table-format flagship, as one atomic version:
     every existing row whose key appears in `updates` is replaced,
@@ -1165,10 +1166,10 @@ def merge_into(
         # EVERY key column — the tuple proof needs at least one covered
         # column per file, and a fully-covered index gives the AND
         # across columns its full power
-        meta = _load_bloom_meta(root)
+        bmeta = _load_bloom_meta(root)
         bloom = (
             load_store_bloom(spark, root)
-            if meta and set(key_cols) <= set(meta["columns"])
+            if bmeta and set(key_cols) <= set(bmeta["columns"])
             else None
         )
     if bloom is not None:
@@ -1225,7 +1226,7 @@ def merge_into(
     added.extend(_stage_write(evolve_to_schema(updates, lub), root))
     return _commit(
         root, "merge", added, affected, lub_json,
-        {"keys": key_cols, **probe_meta},
+        {"keys": key_cols, **probe_meta, **(meta or {})},
     )
 
 
@@ -1312,6 +1313,69 @@ def append_stream_batch(
     if query_id is not None:
         meta_out["query_id"] = query_id
     return append(df, root, meta=meta_out)
+
+
+def merge_stream_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    batch_id: int,
+    root: str,
+    key_cols: list[str],
+    query_id: str | None = None,
+    bloom: DataFrame | None | str = "auto",
+) -> int | None:
+    """foreachBatch MERGE sink with EXACTLY-ONCE semantics — the
+    streaming-upsert pattern (Delta's foreachBatch + MERGE INTO): each
+    micro-batch upserts into the store as one atomic version; a
+    replayed batch (crash between sink commit and checkpoint write) is
+    recognized by the same newest-first replay walk as
+    `append_stream_batch` and skipped — MERGE does NOT commute with
+    itself, so the replay guard is what makes the at-least-once
+    delivery window safe. `bloom='auto'` keeps the store-owned file
+    pruning on the per-batch probe. Returns the committed version or
+    None for a replay/empty batch.
+
+    Usage: `stream.writeStream.foreachBatch(lambda b, i:
+        merge_stream_batch(spark, b, i, root, ["k"], query_id=ckpt))`."""
+    if _stream_batch_replayed(root, batch_id, query_id):
+        return None
+    if not df.limit(1).count():
+        return None
+    meta: dict = {"batch_id": int(batch_id)}
+    if query_id is not None:
+        meta["query_id"] = query_id
+    # the batch marker rides the merge's OWN atomic commit — a marker
+    # written any other way would reopen the duplicate window it closes
+    return merge_into(spark, root, df, key_cols, bloom=bloom, meta=meta)
+
+
+def prune_log(root: str, keep_last_manifests: int = 0) -> dict:
+    """Log retention (Delta's logRetentionDuration, made explicit):
+    delete manifests that a CHECKPOINT has already summarized — replay,
+    constraints, txn state, row counts and stats all survive through
+    the checkpoint body (each pinned by a delete-the-manifests test) —
+    keeping the newest `keep_last_manifests` pre-checkpoint manifests
+    for audit if asked. REFUSES to touch manifests newer than the
+    newest checkpoint (they are the only record of those commits) and
+    is a no-op on a checkpoint-less store. Time travel to pruned
+    versions is gone by design; `history()` shrinks accordingly —
+    run `checkpoint(root)` first to pin the state you keep.
+
+    What it costs at scale: a streaming sink committing every few
+    seconds writes ~20k manifests a day; without retention the log
+    listing itself becomes the bottleneck. checkpoint + prune_log on a
+    cron keeps replay AND listing O(recent)."""
+    cs = _checkpoints(root)
+    if not cs:
+        return {"manifests_removed": 0, "checkpoint_version": None}
+    cv = cs[-1][0]
+    ms = _manifests(root)
+    prunable = [p for v, p in ms if v <= cv]
+    keep = int(keep_last_manifests)
+    victims = prunable[: len(prunable) - keep] if keep else prunable
+    for p in victims:
+        os.unlink(p)
+    return {"manifests_removed": len(victims), "checkpoint_version": cv}
 
 
 def checkpoint(root: str) -> dict:

@@ -1214,3 +1214,68 @@ def test_optimize_incremental_small_file_binpack(spark, orders, tmp_path):
             spark, root, zorder_by=["o_orderkey"],
             small_file_bytes=threshold,
         )
+
+
+def test_merge_stream_batch_exactly_once_upsert(spark, orders, tmp_path):
+    """Streaming MERGE sink: a micro-batch upserts as one atomic
+    version; re-delivering the SAME batch id (the crash-replay window)
+    merges nothing — MERGE does not commute with itself, so this guard
+    is what makes at-least-once delivery safe. Marker rides the merge
+    commit itself."""
+    root = str(tmp_path / "t")
+    V.append(orders, root)
+    upd = orders.limit(5).withColumn("o_totalprice", F.lit(1.0))
+
+    v = V.merge_stream_batch(spark, upd, 0, root, ["o_orderkey"], "q1")
+    assert v == 2
+    after = sorted(
+        tuple(r) for r in V.read_versioned(spark, root).collect()
+    )
+    # replay: same batch id -> None, content unchanged
+    assert V.merge_stream_batch(spark, upd, 0, root, ["o_orderkey"], "q1") is None
+    assert sorted(
+        tuple(r) for r in V.read_versioned(spark, root).collect()
+    ) == after
+    assert len(V.history(root)) == 2
+    # a DIFFERENT query's batch 0 is not masked
+    upd2 = orders.limit(5).withColumn("o_totalprice", F.lit(2.0))
+    assert V.merge_stream_batch(
+        spark, upd2, 0, root, ["o_orderkey"], "q2"
+    ) == 3
+    # progress applies
+    assert V.merge_stream_batch(
+        spark, upd, 1, root, ["o_orderkey"], "q1"
+    ) == 4
+    # empty batch: no version
+    assert V.merge_stream_batch(
+        spark, upd.where("o_orderkey < 0"), 2, root, ["o_orderkey"], "q1"
+    ) is None
+
+
+def test_prune_log_retention(spark, orders, tmp_path):
+    """prune_log deletes only checkpoint-summarized manifests; replay,
+    row counts, constraints and txn state all survive; manifests newer
+    than the checkpoint are never touched; keep_last_manifests keeps an
+    audit tail."""
+    root = str(tmp_path / "t")
+    V.append(orders.limit(10), root, txn_app_id="etl", txn_version=3)
+    V.add_table_constraint(spark, root, "pos", "o_orderkey >= 0")
+    V.append(orders.limit(20), root)
+    # checkpoint-less: no-op
+    assert V.prune_log(root) == {
+        "manifests_removed": 0, "checkpoint_version": None
+    }
+    V.checkpoint(root)
+    V.append(orders.limit(5), root)  # post-checkpoint: must survive
+
+    rep = V.prune_log(root, keep_last_manifests=1)
+    assert rep["manifests_removed"] == 2  # v1, v2 gone; v3 kept as tail
+    ms = [v for v, _ in V._manifests(root)]
+    assert ms == [3, 4]
+    n, info = V.count_versioned(spark, root)
+    assert n == 35 and info["files_scanned"] == 0
+    assert V.table_constraints(root) == {"pos": "o_orderkey >= 0"}
+    assert V.last_txn_version(root, "etl") == 3
+    # idempotent second pass removes the kept tail if not protected
+    assert V.prune_log(root)["manifests_removed"] == 1
+    assert V.read_versioned(spark, root).count() == 35

@@ -117,3 +117,55 @@ def _run_model(spark, root, ops):
     )
     # history length == number of committed versions
     assert len(V.history(root)) == len(model_versions)
+
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s.upper() not in ("AND", "TRUE", "FALSE", "IS", "NOT", "NULL")
+)
+_op = st.sampled_from(["=", "<", "<=", ">", ">="])
+_lit = st.one_of(
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+    ).filter(lambda f: f != int(f)),  # integral floats render as ints
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00"
+        ),
+        max_size=12,
+    ),
+    st.booleans(),
+)
+
+
+def _render(col, op, val):
+    if isinstance(val, bool):
+        lit = "true" if val else "false"
+    elif isinstance(val, str):
+        lit = "'" + val.replace("'", "''") + "'"
+    else:
+        lit = repr(val)
+    return f"{col} {op} {lit}"
+
+
+@given(
+    st.lists(st.tuples(_ident, _op, _lit), min_size=1, max_size=4)
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_conjuncts_round_trip(triples):
+    """Render -> parse is the identity over the whole supported
+    grammar: whatever the pruner is handed is EXACTLY what the SQL
+    string says (a parser that mis-reads a literal would prune files
+    the predicate matches — silent wrong results). Strings containing
+    ' AND ' are the documented conservative give-up (None)."""
+    sql = " AND ".join(_render(*t) for t in triples)
+    got = V._parse_conjuncts(sql)
+    if any(
+        isinstance(v, str) and " and " in v.lower() for _, _, v in triples
+    ):
+        # split-on-AND cannot see quote context: must refuse, not lie
+        assert got is None or got == list(triples)
+        return
+    assert got == [
+        (c, o, v) for c, o, v in triples
+    ], sql
