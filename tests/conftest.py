@@ -17,3 +17,9 @@ def spark():
 
 
 SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running property/stress tests"
+    )
