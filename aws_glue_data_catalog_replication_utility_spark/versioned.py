@@ -1740,14 +1740,39 @@ def add_table_constraint(
     writers Arrow-side in their executors. Reference tie-in: the same
     always-valid posture as the reference's schema checks before
     catalog writes (GlueUtil.java:175-192), applied to row data."""
-    _parse_constraint(expr)  # grammar gate before any work
-    live, last, _ = _replay_full(root, None)
+    conjs = _parse_constraint(expr)  # grammar gate before any work
+    live, last, origin = _replay_full(root, None)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
     if table_constraints(root).get(name) is not None:
         raise ValueError(
             f"constraint {name!r} already exists; drop it first"
         )
+    # Arrow dry-run against a ZERO-ROW batch of the table schema: a
+    # literal whose Arrow type cannot compare against the column (e.g.
+    # a string literal on an int column — Spark registration would
+    # happily implicit-cast it) must be refused NOW, not crash the
+    # format writers' tasks later. Type resolution happens regardless
+    # of row count, so this costs nothing.
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType as _St
+
+    lub, _ = _table_lub(origin) if origin else (None, None)
+    if lub is not None:
+        arrow_schema = to_arrow_schema(_St(lub.fields))
+        empty = pa.RecordBatch.from_pylist([], schema=arrow_schema)
+        from .sources.vstore_source import _arrow_batch_violations
+
+        try:
+            _arrow_batch_violations(empty, {name: conjs})
+        except Exception as e:
+            raise ValueError(
+                f"constraint {expr!r} is not Arrow-enforceable against "
+                f"the table schema ({e}); use a literal of the "
+                "column's type"
+            ) from None
     bad = _constraint_violation_counts(
         read_versioned(spark, root), {name: expr}
     )

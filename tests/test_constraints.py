@@ -251,3 +251,17 @@ def test_describe_detail_metadata_only(spark, store):
         assert main(["vstore", "--root", store, "--op", "detail"]) == 0
     rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rep["num_files"] == d["num_files"]
+
+
+def test_add_constraint_rejects_arrow_unenforceable_literals(spark, store):
+    """The cross-enforcer drift guard: a literal Spark would happily
+    implicit-cast (string '5' on the int column) must be refused at
+    REGISTRATION — otherwise the Spark gate passes batches the Arrow
+    gate crashes on, and the two enforcers disagree."""
+    with pytest.raises(ValueError, match="Arrow-enforceable"):
+        V.add_table_constraint(spark, store, "bad", "id = '5'")
+    assert V.table_constraints(store) == {}
+    # while a correctly-typed literal on every lane registers fine
+    V.add_table_constraint(spark, store, "s_ok", "s >= 'a'")
+    V.add_table_constraint(spark, store, "sc_ok", "score >= 0.0")
+    assert set(V.table_constraints(store)) == {"s_ok", "sc_ok"}
