@@ -235,3 +235,31 @@ def test_pruned_delete_never_wrong_on_overlapping_stats(
     m = _manifest(root, v)
     assert m["meta"]["probe_files_scanned"] == m["meta"]["files_total"] == 4
     assert V.read_versioned(spark, root).count() == orders.count() - n_even
+
+
+def test_pruned_delete_across_schema_generations(spark, tmp_path):
+    """Predicate on a column one generation LACKS: the old-generation
+    file has no stats rows for it (unknown keeps -> candidate), the
+    widened scan evaluates it NULL (no match), and only the new
+    generation's matching file is rewritten."""
+    root = str(tmp_path / "t")
+    g1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    V.append(g1.coalesce(1), root)
+    g2 = spark.createDataFrame(
+        [(3, "c", "x"), (4, "d", "y")], "id int, s string, extra string"
+    )
+    V.append(g2.coalesce(1), root)
+
+    v = V.delete_where(spark, root, "extra = 'x'")
+    got = sorted(tuple(r) for r in V.read_versioned(spark, root).collect())
+    assert got == [(1, "a", None), (2, "b", None), (4, "d", "y")]
+    m = _manifest(root, v)
+    assert len(m["removed"]) == 1  # only the gen2 file rewritten
+
+    # and replaceWhere through the same seam: swap the 'y' region
+    repl = spark.createDataFrame(
+        [(9, "z", "y")], "id int, s string, extra string"
+    )
+    V.overwrite_where(spark, root, "extra = 'y'", repl)
+    got2 = sorted(tuple(r) for r in V.read_versioned(spark, root).collect())
+    assert got2 == [(1, "a", None), (2, "b", None), (9, "z", "y")]
