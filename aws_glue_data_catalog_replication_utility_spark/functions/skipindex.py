@@ -281,22 +281,44 @@ def prune_files(
         return index.select("file", "file_rows").distinct()
     keep = None
     for col, op, raw in predicates:
-        lane, v = _pred_value(op, raw)
+        if op == "in":
+            # IN-list: drop only when EVERY value is provably outside
+            # the file's bounds (the row matches if ANY value does);
+            # mixed-lane lists raise — they cannot all be provable on
+            # one lane and a silent partial proof would be a lie
+            vals = list(raw)
+            if not vals:
+                raise ValueError(f"empty IN list for column {col!r}")
+            lanes_vs = [_pred_value("=", v) for v in vals]
+            lanes = {la for la, _ in lanes_vs}
+            if len(lanes) > 1:
+                raise ValueError(
+                    f"IN list for {col!r} mixes value lanes {sorted(lanes)}"
+                )
+            lane = next(iter(lanes))
+        else:
+            lane, v = _pred_value(op, raw)
         is_col = F.col("column") == col
         all_null = F.col("nulls") == F.col("file_rows")
         lo = F.col("min_num") if lane == "num" else F.col("min_str")
         hi = F.col("max_num") if lane == "num" else F.col("max_str")
-        lit = F.lit(v)
-        if op == "=":
-            outside = (lit < lo) | (lit > hi)
-        elif op == "<":
-            outside = lo >= lit
-        elif op == "<=":
-            outside = lo > lit
-        elif op == ">":
-            outside = hi <= lit
-        else:  # >=
-            outside = hi < lit
+        if op == "in":
+            outside = None
+            for _, vv in lanes_vs:
+                o = (F.lit(vv) < lo) | (F.lit(vv) > hi)
+                outside = o if outside is None else outside & o
+        else:
+            lit = F.lit(v)
+            if op == "=":
+                outside = (lit < lo) | (lit > hi)
+            elif op == "<":
+                outside = lo >= lit
+            elif op == "<=":
+                outside = lo > lit
+            elif op == ">":
+                outside = hi <= lit
+            else:  # >=
+                outside = hi < lit
         provable = all_null | (
             F.col("has_minmax")
             & (F.col("kind") == lane)
@@ -325,14 +347,17 @@ def _residual(predicates: list[tuple[str, str, object]]) -> F.Column | None:
     cond = None
     for col, op, v in predicates:
         c = F.col(col)
-        lit = F.lit(v)
-        e = {
-            "<": c < lit,
-            "<=": c <= lit,
-            "=": c == lit,
-            ">=": c >= lit,
-            ">": c > lit,
-        }[op]
+        if op == "in":
+            e = c.isin(list(v))
+        else:
+            lit = F.lit(v)
+            e = {
+                "<": c < lit,
+                "<=": c <= lit,
+                "=": c == lit,
+                ">=": c >= lit,
+                ">": c > lit,
+            }[op]
         cond = e if cond is None else cond & e
     return cond
 
@@ -1074,6 +1099,35 @@ def count_with_skip_index(
     # per predicate: does this index row PROVE all rows match?
     proofs = []
     for col, op, raw in predicates:
+        if op == "in":
+            # all rows match an IN list only when the file is CONSTANT
+            # at one of the values (min == max == v, zero nulls)
+            lanes_vs = [_pred_value("=", v) for v in list(raw)]
+            lanes = {la for la, _ in lanes_vs}
+            if len(lanes) > 1:
+                raise ValueError(
+                    f"IN list for {col!r} mixes value lanes {sorted(lanes)}"
+                )
+            lane = next(iter(lanes))
+            lo = F.col("min_num") if lane == "num" else F.col("min_str")
+            hi = F.col("max_num") if lane == "num" else F.col("max_str")
+            inside = None
+            for _, vv in lanes_vs:
+                c = (lo == F.lit(vv)) & (hi == F.lit(vv))
+                inside = c if inside is None else inside | c
+            proofs.append(
+                F.max(
+                    F.when(
+                        (F.col("column") == col)
+                        & F.col("has_minmax")
+                        & (F.col("kind") == lane)
+                        & (F.col("nulls") == 0)
+                        & inside,
+                        1,
+                    ).otherwise(0)
+                ).alias(f"__p{len(proofs)}")
+            )
+            continue
         lane, v = _pred_value(op, raw)
         lo = F.col("min_num") if lane == "num" else F.col("min_str")
         hi = F.col("max_num") if lane == "num" else F.col("max_str")

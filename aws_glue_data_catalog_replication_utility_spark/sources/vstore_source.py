@@ -637,9 +637,20 @@ def _arrow_batch_violations(batch, constraints: dict[str, list]) -> list[str]:
                 col, op, val = c
                 if col not in names:
                     continue  # NULL comparison is never FALSE
-                m = pc.fill_null(
-                    pc.invert(ops[op](batch.column(col), val)), False
-                )
+                if op == "in":
+                    m = pc.fill_null(
+                        pc.invert(
+                            pc.is_in(
+                                batch.column(col),
+                                value_set=pa.array(list(val)),
+                            )
+                        ),
+                        False,
+                    )
+                else:
+                    m = pc.fill_null(
+                        pc.invert(ops[op](batch.column(col), val)), False
+                    )
             mask = m if mask is None else pc.or_(mask, m)
         if mask is not None and bool(pc.any(mask).as_py()):
             n_bad = pc.sum(pc.cast(mask, "int64")).as_py()

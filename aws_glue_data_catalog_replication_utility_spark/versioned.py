@@ -579,15 +579,43 @@ def _parse_conjuncts(predicate: str) -> list[tuple[str, str, object]] | None:
     never for evaluation (the SQL string itself is always re-applied
     exactly, so a None here costs a full probe scan, not correctness).
     Handles top-level AND of `col op literal` / `literal op col`
-    comparisons over numeric, single-quoted-string, and boolean
-    literals; anything else (OR, parens, functions, IN, BETWEEN,
-    casts) returns None and the caller scans every live file."""
+    comparisons and `col IN (literal, ...)` lists over numeric,
+    single-quoted-string, and boolean literals; anything else (OR,
+    parens, functions, BETWEEN, casts, NULL-bearing or mixed-lane IN
+    lists, commas inside quoted IN strings) returns None and the
+    caller scans every live file."""
     import re
 
     out: list[tuple[str, str, object]] = []
     _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "="}
     for part in re.split(r"(?i)\s+AND\s+", predicate.strip()):
         part = part.strip()
+        mi = re.fullmatch(
+            rf"{_PRED_IDENT}\s+(?i:IN)\s*\((?P<list>[^()]*)\)", part
+        )
+        if mi is not None:
+            vals = []
+            for item in mi.group("list").split(","):
+                lm = re.fullmatch(rf"\s*{_PRED_LIT}\s*", item)
+                if lm is None:
+                    return None  # NULL / nested / non-literal: give up
+                g = lm.groupdict()
+                if g["str"] is not None:
+                    vals.append(g["str"][1:-1].replace("''", "'"))
+                elif g["bool"] is not None:
+                    vals.append(g["bool"].lower() == "true")
+                else:
+                    n = g["num"]
+                    vals.append(
+                        float(n) if any(c in n for c in ".eE") else int(n)
+                    )
+            if not vals:
+                return None
+            lanes = {type(v) in (int, float) for v in vals}
+            if len(lanes) > 1:
+                return None  # mixed num/str lists: no single prune lane
+            out.append((mi.group("bcol") or mi.group("col"), "in", tuple(vals)))
+            continue
         m = re.fullmatch(
             rf"{_PRED_IDENT}\s*{_PRED_OP}\s*{_PRED_LIT}", part
         ) or re.fullmatch(
@@ -1644,8 +1672,8 @@ def _parse_constraint(expr: str) -> list[tuple]:
         if triples is None:
             raise ValueError(
                 f"unsupported constraint expression {part!r}: table "
-                "constraints are conjunctions of `col op literal` and "
-                "`col IS NOT NULL` (the grammar every write path — "
+                "constraints are conjunctions of `col op literal`, "
+                "`col IN (...)` and `col IS NOT NULL` (the grammar every write path — "
                 "Spark and Arrow alike — can enforce)"
             )
         conjs.extend(triples)

@@ -265,3 +265,34 @@ def test_add_constraint_rejects_arrow_unenforceable_literals(spark, store):
     V.add_table_constraint(spark, store, "s_ok", "s >= 'a'")
     V.add_table_constraint(spark, store, "sc_ok", "score >= 0.0")
     assert set(V.table_constraints(store)) == {"s_ok", "sc_ok"}
+
+
+def test_in_list_constraint_both_enforcers(spark, store, tmp_path):
+    """`split IN ('train','eval')`-style membership constraints run on
+    BOTH enforcers: Spark rejects a violating library append, the
+    Arrow path rejects a violating format write."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        register_vstore_source,
+    )
+
+    register_vstore_source(spark)
+    V.add_table_constraint(spark, store, "s_member", "s IN ('a', 'b', 'c')")
+    ok = spark.createDataFrame(
+        [(5, 1.0, "c")], "id int, score double, s string"
+    )
+    V.append(ok, store)
+    ok.write.format("vstore").mode("append").save(store)
+    bad = spark.createDataFrame(
+        [(6, 1.0, "zz")], "id int, score double, s string"
+    )
+    with pytest.raises(ConstraintViolation):
+        V.append(bad, store)
+    with pytest.raises(Exception, match="constraint violations: s_member"):
+        bad.coalesce(1).write.format("vstore").mode("append").save(store)
+    # NULL membership passes (SQL IN is NULL on NULL input, not FALSE)
+    V.append(
+        spark.createDataFrame(
+            [(7, 1.0, None)], "id int, score double, s string"
+        ),
+        store,
+    )

@@ -57,11 +57,22 @@ def test_parse_conjuncts_shapes():
     assert _parse_conjuncts("5 < a") == [("a", ">", 5)]
     assert _parse_conjuncts("'m' >= b") == [("b", "<=", "m")]
     assert _parse_conjuncts("true = flag") == [("flag", "=", True)]
+    # IN lists parse to an 'in' triple (r10c); unsafe shapes give up
+    assert _parse_conjuncts("k IN (1, 2)") == [("k", "in", (1, 2))]
+    assert _parse_conjuncts("s in ('a', 'b''c')") == [
+        ("s", "in", ("a", "b'c"))
+    ]
+    for bad_in in (
+        "k IN (1, NULL)",       # NULL never equi-matches: give up
+        "k IN (1, 'a')",        # mixed lanes: no single prune lane
+        "k IN ()",              # empty
+        "s IN ('a,b', 'c')",    # comma inside quotes defeats the split
+    ):
+        assert _parse_conjuncts(bad_in) is None, bad_in
     # anything the skip index can't prove -> None (full scan, not wrong)
     for bad in (
         "a = 5 OR b = 6",
         "(a = 5)",
-        "a IN (1, 2)",
         "upper(a) = 'X'",
         "a = b",
         "a BETWEEN 1 AND 2",
@@ -263,3 +274,22 @@ def test_pruned_delete_across_schema_generations(spark, tmp_path):
     V.overwrite_where(spark, root, "extra = 'y'", repl)
     got2 = sorted(tuple(r) for r in V.read_versioned(spark, root).collect())
     assert got2 == [(1, "a", None), (2, "b", None), (9, "z", "y")]
+
+
+def test_delete_where_in_list_pruned(spark, orders, tmp_path):
+    """DELETE ... WHERE k IN (...) prunes the probe to the files whose
+    bounds can hold ANY listed value, and matches the unpruned twin."""
+    root = str(tmp_path / "a")
+    twin = str(tmp_path / "b")
+    lo, hi = _three_range_store(spark, orders, root)
+    _three_range_store(spark, orders, twin)
+    keys = sorted(r[0] for r in orders.select("o_orderkey").collect())
+    pick = (keys[0], keys[1])  # both in the first range file
+    pred = f"o_orderkey IN ({pick[0]}, {pick[1]})"
+    v = V.delete_where(spark, root, pred)
+    m = _manifest(root, v)
+    assert m["meta"]["probe_files_scanned"] == 1
+    V.delete_where(spark, twin, f"({pred})")
+    assert _rows(V.read_versioned(spark, root)) == _rows(
+        V.read_versioned(spark, twin)
+    )

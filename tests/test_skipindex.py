@@ -963,3 +963,52 @@ def test_bloom_tuple_probe_exactness_on_real_keys(spark, tmp_path):
     assert sorted(r.o_orderkey for r in got.collect()) == sorted(
         r.o_orderkey for r in want.collect()
     )
+
+
+def test_in_list_pruning_and_metadata_count(spark, tmp_path):
+    """IN-list predicates through the library pruner: a file is
+    dropped only when EVERY value is provably outside its bounds; the
+    pruned scan is bit-equal to full-scan-plus-isin; COUNT proves
+    'all rows match' only for files CONSTANT at a listed value."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_skip_index,
+        count_with_skip_index,
+        scan_with_skip_index,
+    )
+
+    out = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, i // 100) for i in range(300)], "k int, g int"
+    )
+    df.repartitionByRange(3, "k").write.parquet(out)
+    idx = build_skip_index(spark, out)
+
+    got, info = scan_with_skip_index(spark, idx, [("k", "in", (5, 7))])
+    want = sorted(
+        r.k for r in spark.read.parquet(out).where("k in (5, 7)").collect()
+    )
+    assert sorted(r.k for r in got.collect()) == want
+    assert info["files_kept"] == 1  # both values live in the first file
+
+    # values spanning two files keep exactly those two
+    _, info2 = scan_with_skip_index(spark, idx, [("k", "in", (5, 250))])
+    assert info2["files_kept"] == 2
+    # all values absent: everything pruned
+    _, info3 = scan_with_skip_index(
+        spark, idx, [("k", "in", (-5, 999))], schema=df.schema
+    )
+    assert info3["files_kept"] == 0
+
+    # metadata COUNT: constant-g files prove 'all rows match g IN ...'
+    n, cinfo = count_with_skip_index(spark, idx, [("g", "in", (0, 2))])
+    assert n == 200
+    assert cinfo["files_counted"] == 2 and cinfo["files_scanned"] == 0
+    # mixed-lane IN raises loudly
+    import pytest as _pytest
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        prune_files,
+    )
+
+    with _pytest.raises(ValueError, match="lanes"):
+        prune_files(idx, [("k", "in", (1, "a"))]).collect()
