@@ -402,6 +402,19 @@ def scan_with_skip_index(
             kept_rel = kept_rel.join(
                 bloom_dropped_files(bloom, eqs), on="file", how="left_anti"
             )
+        for c, op, vals in predicates:
+            if op != "in":
+                continue
+            # IN through the bloom = the join-probe semantics with a
+            # literal value relation: drop a file only when EVERY
+            # listed value is provably absent (a row matches if ANY
+            # value does) — exactly bloom_dropped_files_for_join
+            probes = spark.createDataFrame([(v,) for v in vals], ["v"])
+            kept_rel = kept_rel.join(
+                bloom_dropped_files_for_join(bloom, c, probes, "v"),
+                on="file",
+                how="left_anti",
+            )
     kept = [r.file for r in kept_rel.collect()]
     info = {"files_total": int(total), "files_kept": len(kept)}
     if not kept:

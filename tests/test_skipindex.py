@@ -1012,3 +1012,44 @@ def test_in_list_pruning_and_metadata_count(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="lanes"):
         prune_files(idx, [("k", "in", (1, "a"))]).collect()
+
+
+def test_in_list_bloom_pruning_on_scattered_column(spark, tmp_path):
+    """IN-list + bloom: on a scattered column whose min/max prove
+    nothing, the bloom drops a file only when EVERY listed value is
+    provably absent — results stay exact via the residual."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        build_bloom_index,
+        build_skip_index,
+        scan_with_skip_index,
+    )
+
+    out = str(tmp_path / "store")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartitionByRange(6, "o_orderkey").write.parquet(out)
+    idx = build_skip_index(spark, out)
+    bloom = build_bloom_index(spark, out, ["o_custkey"], m_bits=1 << 14)
+    full = spark.read.parquet(out)
+
+    keys = [
+        r.o_custkey
+        for r in full.select("o_custkey").distinct().limit(2).collect()
+    ]
+    preds = [("o_custkey", "in", tuple(keys))]
+    # without the bloom: min/max keep everything (scattered column)
+    _, i0 = scan_with_skip_index(spark, idx, preds)
+    assert i0["files_kept"] == 6
+    got, i1 = scan_with_skip_index(spark, idx, preds, bloom=bloom)
+    want = sorted(
+        r.o_orderkey
+        for r in full.where(F.col("o_custkey").isin(keys)).collect()
+    )
+    assert sorted(r.o_orderkey for r in got.collect()) == want
+    assert i1["files_kept"] <= i0["files_kept"]
+
+    # planted-absent values: every file provably free of all of them
+    _, i2 = scan_with_skip_index(
+        spark, idx, [("o_custkey", "in", (-5, -6))], bloom=bloom,
+        schema=full.schema,
+    )
+    assert i2["files_kept"] == 0
