@@ -113,23 +113,38 @@ def _write_all(outputs, root):
 
 def _parse_preds(specs: list[str]) -> list[tuple[str, str, object]]:
     """'col OP value' strings -> skipindex predicate triples (OP in
-    < <= = >= >); values coerced int -> float -> quoted-string."""
+    < <= = >= >), plus 'col in v1,v2,...' membership lists; values
+    coerced int -> float -> quoted-string (per list item too)."""
     import re as _re
+
+    def coerce(raw: str) -> object:
+        try:
+            return int(raw)
+        except ValueError:
+            try:
+                return float(raw)
+            except ValueError:
+                return raw.strip("'\"")
 
     preds: list[tuple[str, str, object]] = []
     for p in specs:
+        mi = _re.match(r"^\s*(\w+)\s+(?i:in)\s+(.+?)\s*$", p)
+        if mi:
+            col, items = mi.groups()
+            vals = tuple(
+                coerce(x.strip()) for x in items.split(",") if x.strip()
+            )
+            if not vals:
+                raise SystemExit(f"bad --pred {p!r}: empty IN list")
+            preds.append((col, "in", vals))
+            continue
         m = _re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*$", p)
         if not m:
-            raise SystemExit(f"bad --pred {p!r}: want 'col OP value'")
+            raise SystemExit(
+                f"bad --pred {p!r}: want 'col OP value' or 'col in v1,v2'"
+            )
         col, op, raw = m.groups()
-        try:
-            val: object = int(raw)
-        except ValueError:
-            try:
-                val = float(raw)
-            except ValueError:
-                val = raw.strip("'\"")
-        preds.append((col, op, val))
+        preds.append((col, op, coerce(raw)))
     return preds
 
 

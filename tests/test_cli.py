@@ -1619,3 +1619,32 @@ def test_cli_pred_int_literal_on_double_column_bloom(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows"] == want
     assert rep["files_kept"] >= 1
+
+
+def test_cli_pred_in_list(spark, tmp_path, capsys):
+    """--pred 'col in v1,v2' through read and count: exact rows, and
+    the skip index prunes to the value-bearing files."""
+    import json
+
+    root = str(tmp_path / "vt")
+    src = "/root/testdata/sf0.001/orders.parquet"
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run(["vstore", "--root", root, "--op", "append", "--in", src])
+    keys = [
+        r.o_orderkey
+        for r in spark.read.parquet(src).select("o_orderkey").limit(2).collect()
+    ]
+    want = (
+        spark.read.parquet(src)
+        .where(F.col("o_orderkey").isin(keys))
+        .count()
+    )
+    pred = f"o_orderkey in {keys[0]},{keys[1]}"
+    assert run(["vstore", "--root", root, "--op", "read",
+                "--pred", pred])["rows"] == want
+    cnt = run(["vstore", "--root", root, "--op", "count", "--pred", pred])
+    assert cnt["rows"] == want
