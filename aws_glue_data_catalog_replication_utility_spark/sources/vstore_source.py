@@ -638,14 +638,19 @@ def _arrow_batch_violations(batch, constraints: dict[str, list]) -> list[str]:
                 if col not in names:
                     continue  # NULL comparison is never FALSE
                 if op == "in":
-                    m = pc.fill_null(
+                    # pc.is_in yields FALSE (not null) for a NULL
+                    # input, so inverting alone would flag NULL rows
+                    # as violations; gate on validity so NULLs pass
+                    # exactly like every other comparison (and like
+                    # the Spark enforcer's ~coalesce(expr, True))
+                    m = pc.and_(
+                        pc.is_valid(batch.column(col)),
                         pc.invert(
                             pc.is_in(
                                 batch.column(col),
                                 value_set=pa.array(list(val)),
                             )
                         ),
-                        False,
                     )
                 else:
                     m = pc.fill_null(

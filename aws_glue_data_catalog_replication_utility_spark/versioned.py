@@ -344,17 +344,35 @@ def _stage_write(df: DataFrame, root: str) -> list[str]:
 
 def _commit(root: str, action: str, added: list[str], removed: list[str],
             schema_json: str, meta: dict | None = None,
-            file_schema: dict[str, str] | None = None) -> int:
+            file_schema: dict[str, str] | None = None) -> int | None:
     """Atomically publish the next version; VersionConflict if a
     concurrent writer took it. `file_schema` (rel path -> schema json)
     records per-file origin schemas for added files whose bytes were
     written under a schema OTHER than `schema_json` (rollback re-adds
     old-era files); encoded as a deduped `schemas` list + index map,
-    same as checkpoints."""
+    same as checkpoints.
+
+    When `meta` carries txnAppId/txnVersion markers the idempotence
+    check re-runs HERE against the freshly listed log (Delta validates
+    SetTransaction inside commit conflict resolution the same way):
+    two concurrent retries of one (app, version) can both pass the
+    caller's pre-check, but the loser lists the winner's manifest here
+    and backs out (returns None, staged files unlinked) instead of
+    taking the next version cleanly and duplicating the write. The
+    residual window (winner publishes between this check and ours)
+    collapses to a plain VersionConflict — both computed the same
+    next_v — and the caller's retry re-reads txn state."""
     log = _log_dir(root)
     os.makedirs(log, exist_ok=True)
     ms = _manifests(root)
     cs = _checkpoints(root)
+    if meta and "txn_app_id" in meta:
+        if txn_already_applied(root, meta["txn_app_id"], meta["txn_version"]):
+            for f in added:
+                fp = os.path.join(root, f)
+                if os.path.exists(fp):
+                    os.unlink(fp)
+            return None
     # never fall at-or-below a checkpoint version (possible only if
     # pre-checkpoint manifests were manually pruned): such a commit
     # would be invisible to replay
@@ -1258,6 +1276,38 @@ def merge_into(
     )
 
 
+def _stream_state(root: str) -> dict[str, int]:
+    """Newest committed batch id per streaming query (key = query_id;
+    '' keys legacy/unscoped commits): the newest checkpoint's
+    summarized `stream_batches` map plus every post-checkpoint
+    manifest's batch marker — the same survive-log-cleanup story as
+    `_txn_state`, so the stream sinks' exactly-once guarantee holds
+    through `checkpoint() + prune_log()` cron cycles that delete the
+    manifests carrying the markers."""
+    state: dict[str, int] = {}
+    start_after = 0
+    for cv, cp in reversed(_checkpoints(root)):
+        with open(cp) as fh:
+            c = json.load(fh)
+        state = {
+            k: int(v) for k, v in (c.get("stream_batches") or {}).items()
+        }
+        start_after = cv
+        break
+    for v, p in _manifests(root):
+        if v <= start_after:
+            continue
+        with open(p) as fh:
+            m = json.load(fh)
+        meta = m.get("meta") or {}
+        if "batch_id" in meta:
+            key = meta.get("query_id") or ""
+            bid = int(meta["batch_id"])
+            if bid > state.get(key, bid - 1):
+                state[key] = bid
+    return state
+
+
 def _stream_batch_replayed(
     root: str, batch_id: int, query_id: str | None
 ) -> bool:
@@ -1265,7 +1315,13 @@ def _stream_batch_replayed(
     and the vstore format's streaming sink: True iff this (query,
     batch) already committed. Semantics documented on
     `append_stream_batch` (monotonic per-query ids, legacy-manifest
-    newest-id-only matching)."""
+    newest-id-only matching). When NO same-query marker survives in
+    the manifests (checkpoint + prune_log deleted them), the newest
+    checkpoint's summarized `stream_batches` state answers instead:
+    ids are monotonic per query, so an id at-or-below the summarized
+    newest already committed — without this fallback a crash between
+    sink commit and Spark's checkpoint write, followed by a pruned
+    log, would re-commit the replayed batch as a duplicate."""
     seen_legacy = False
     for _, p in reversed(_manifests(root)):
         with open(p) as fh:
@@ -1288,8 +1344,30 @@ def _stream_batch_replayed(
         if bid == batch_id:
             return True
         if bid < batch_id:
-            break
-    return False
+            # direct evidence: the newest surviving same-query id is
+            # older, and pruning only ever removes a version PREFIX,
+            # so nothing pruned can carry a newer id
+            return False
+    # walk exhausted with no same-query verdict: the markers were
+    # pruned — consult the checkpoint-summarized stream state
+    state: dict[str, int] = {}
+    for _, cp in reversed(_checkpoints(root)):
+        with open(cp) as fh:
+            c = json.load(fh)
+        state = {
+            k: int(v) for k, v in (c.get("stream_batches") or {}).items()
+        }
+        break
+    if query_id is not None:
+        last = state.get(query_id)
+        if last is not None:
+            return int(batch_id) <= last
+        legacy = state.get("")
+        # newest-legacy-only equality rule (docstring above): a fresh
+        # scoped query must not be masked by every colliding legacy id
+        return legacy is not None and int(batch_id) == legacy
+    last = max(state.values(), default=None)
+    return last is not None and int(batch_id) <= last
 
 
 def append_stream_batch(
@@ -1380,8 +1458,10 @@ def merge_stream_batch(
 def prune_log(root: str, keep_last_manifests: int = 0) -> dict:
     """Log retention (Delta's logRetentionDuration, made explicit):
     delete manifests that a CHECKPOINT has already summarized — replay,
-    constraints, txn state, row counts and stats all survive through
-    the checkpoint body (each pinned by a delete-the-manifests test) —
+    constraints, txn state, STREAM BATCH MARKERS (the sinks'
+    exactly-once replay guard), row counts and stats all survive
+    through the checkpoint body (each pinned by a
+    delete-the-manifests test) —
     keeping the newest `keep_last_manifests` pre-checkpoint manifests
     for audit if asked. REFUSES to touch manifests newer than the
     newest checkpoint (they are the only record of those commits) and
@@ -1400,7 +1480,9 @@ def prune_log(root: str, keep_last_manifests: int = 0) -> dict:
     ms = _manifests(root)
     prunable = [p for v, p in ms if v <= cv]
     keep = int(keep_last_manifests)
-    victims = prunable[: len(prunable) - keep] if keep else prunable
+    # max(0, ...): asking to keep more than exist keeps them ALL — a
+    # negative stop would slice from the tail and delete the oldest
+    victims = prunable[: max(0, len(prunable) - keep)]
     for p in victims:
         os.unlink(p)
     return {"manifests_removed": len(victims), "checkpoint_version": cv}
@@ -1458,6 +1540,13 @@ def checkpoint(root: str) -> dict:
     txns = _txn_state(root)
     if txns:
         body["txns"] = txns
+    # newest batch id per streaming query: the stream sinks' replay
+    # guard falls back to this map when prune_log has deleted the
+    # manifests carrying the batch markers (exactly-once survives the
+    # documented checkpoint + prune_log cron)
+    sb = _stream_state(root)
+    if sb:
+        body["stream_batches"] = sb
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(body, fh)

@@ -296,3 +296,24 @@ def test_in_list_constraint_both_enforcers(spark, store, tmp_path):
         ),
         store,
     )
+    # ...and through the FORMAT writer too: pyarrow's is_in yields
+    # FALSE (not null) for a NULL input, so the Arrow enforcer must
+    # validity-gate the mask or it rejects batches the Spark enforcer
+    # accepts — the exact divergence the registration gate exists to
+    # prevent
+    spark.createDataFrame(
+        [(8, 1.0, None)], "id int, score double, s string"
+    ).coalesce(1).write.format("vstore").mode("append").save(store)
+    assert V.read_versioned(spark, store).where("s IS NULL").count() == 2
+    # direct unit on the Arrow mask: NULL passes, real violations count
+    import pyarrow as pa
+
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _arrow_batch_violations,
+    )
+
+    batch = pa.RecordBatch.from_pydict({"s": ["a", None, "zz", None]})
+    got = _arrow_batch_violations(
+        batch, {"m": V._parse_constraint("s IN ('a', 'b')")}
+    )
+    assert got == ["m(1)"]  # only 'zz'; the NULLs pass

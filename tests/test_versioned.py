@@ -1279,3 +1279,95 @@ def test_prune_log_retention(spark, orders, tmp_path):
     # idempotent second pass removes the kept tail if not protected
     assert V.prune_log(root)["manifests_removed"] == 1
     assert V.read_versioned(spark, root).count() == 35
+
+
+def test_stream_replay_guard_survives_prune_log(spark, orders, tmp_path):
+    """The exactly-once window that checkpoint+prune_log used to
+    reopen: after the documented retention cron deletes the manifests
+    carrying the stream batch markers, a replayed micro-batch (crash
+    between sink commit and Spark checkpoint write) must STILL be
+    recognized — the checkpoint body summarizes the newest batch id
+    per query and the replay walk falls back to it."""
+    root = str(tmp_path / "t")
+    b = orders.limit(5)
+    assert V.append_stream_batch(b, 7, root, query_id="qA") == 1
+    assert V.merge_stream_batch(spark, b, 3, root, ["o_orderkey"], "qB") == 2
+    V.checkpoint(root)
+    assert V.prune_log(root)["manifests_removed"] == 2
+    assert V._manifests(root) == []  # the markers' manifests are gone
+    # replays of the pruned-marker batches are still recognized
+    assert V.append_stream_batch(b, 7, root, query_id="qA") is None
+    assert (
+        V.merge_stream_batch(spark, b, 3, root, ["o_orderkey"], "qB")
+        is None
+    )
+    assert V.read_versioned(spark, root).count() == 5
+    assert V._manifests(root) == []  # no duplicate version was added
+    # older re-deliveries skip too (ids are monotonic per query)...
+    assert V.append_stream_batch(b, 6, root, query_id="qA") is None
+    # ...and progress still applies, then survives the NEXT prune
+    assert V.append_stream_batch(orders.limit(3), 8, root, query_id="qA") == 3
+    V.checkpoint(root)
+    V.prune_log(root)
+    assert V.append_stream_batch(orders.limit(3), 8, root, query_id="qA") is None
+    assert V.append_stream_batch(orders.limit(3), 9, root, query_id="qA") == 4
+
+
+def test_stream_replay_guard_prune_legacy_and_unscoped(
+    spark, orders, tmp_path
+):
+    """Checkpoint-summarized stream state keeps the legacy rules: an
+    UNSCOPED query (one-stream-per-store discipline) skips ids at or
+    below the summarized newest; a SCOPED query over summarized legacy
+    history skips only the exact newest legacy id (the upgrade replay)
+    — a fresh query's restarting ids are not masked wholesale."""
+    root = str(tmp_path / "t")
+    b = orders.limit(4)
+    assert V.append_stream_batch(b, 3, root) == 1  # legacy / unscoped
+    assert V.append_stream_batch(b, 4, root) == 2
+    V.checkpoint(root)
+    V.prune_log(root)
+    # unscoped replay of the pruned newest id: skipped
+    assert V.append_stream_batch(b, 4, root) is None
+    # scoped upgrade replay of the newest legacy id: skipped
+    assert V.append_stream_batch(b, 4, root, query_id="ckpt") is None
+    # a fresh scoped query restarting at 0 is NOT masked
+    assert V.append_stream_batch(b, 0, root, query_id="fresh") == 3
+
+
+def test_prune_log_keep_more_than_prunable_keeps_all(
+    spark, orders, tmp_path
+):
+    """keep_last_manifests larger than the prunable count keeps them
+    ALL (a negative slice stop used to delete the oldest instead)."""
+    root = str(tmp_path / "t")
+    V.append(orders.limit(5), root)
+    V.append(orders.limit(5), root)
+    V.checkpoint(root)
+    rep = V.prune_log(root, keep_last_manifests=5)
+    assert rep["manifests_removed"] == 0
+    assert [v for v, _ in V._manifests(root)] == [1, 2]
+
+
+def test_txn_idempotence_rechecked_inside_commit(spark, orders, tmp_path):
+    """The check-then-act race: two retries of one (txnAppId,
+    txnVersion) both pass the caller's pre-check; the loser must back
+    out INSIDE _commit when it lists the winner's manifest — not take
+    the next version cleanly and duplicate the 'idempotent' write."""
+    root = str(tmp_path / "t")
+    df = orders.limit(5)
+    # both writers staged before either committed (the race window)
+    added1 = V._stage_write(df, root)
+    added2 = V._stage_write(df, root)
+    meta = {"txn_app_id": "job", "txn_version": 1}
+    assert V._commit(
+        root, "append", added1, [], df.schema.json(), dict(meta)
+    ) == 1
+    # the loser re-reads txn state from the fresh listing and backs out
+    assert V._commit(
+        root, "append", added2, [], df.schema.json(), dict(meta)
+    ) is None
+    assert len(V.history(root)) == 1
+    for f in added2:  # its staged files were unlinked, not orphaned
+        assert not os.path.exists(os.path.join(root, f))
+    assert V.read_versioned(spark, root).count() == 5
