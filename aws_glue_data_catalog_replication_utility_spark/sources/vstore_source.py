@@ -50,6 +50,12 @@ surface — SQL via ``CREATE TEMPORARY VIEW ... USING``, ``.load()``,
   ``.option("ignoreChanges", "true")`` (Delta's streaming-source
   contract). ``.option("startingVersion", k)`` replays history from
   version k; the default streams only commits after the query starts.
+  Built on the full ``DataSourceStreamReader`` API: the driver plans
+  offsets/partitions from manifest JSON alone (each manifest read
+  once per stream lifetime, range gaps from ``prune_log`` raise) and
+  the admitted files decode EXECUTOR-SIDE as Arrow batches — streamed
+  rows never transit the driver, so a commit bigger than driver
+  memory is just more tasks, and throughput scales with the cluster.
 
 Scale notes. ``partitions()`` packs the (pruned) live files into
 row-budgeted groups (``rowsPerPartition``, default ~1M rows, counted
@@ -83,6 +89,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -91,7 +98,6 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -871,7 +877,36 @@ class _VStoreStreamWriter(DataSourceStreamArrowWriter):
 # ---------------------------------------------------------------------------
 
 
-class _VStoreStreamReader(SimpleDataSourceStreamReader):
+class _VStoreStreamReader(DataSourceStreamReader):
+    """``readStream.format("vstore")`` on the FULL (partition-based)
+    stream reader API: the driver plans offsets and partitions from
+    the COMMIT LOG ALONE (manifest JSON, never a data file — pinned by
+    a corrupt-every-data-file planning test), and the admitted files
+    are read EXECUTOR-SIDE as Arrow batches through the same per-file
+    decode the batch reader uses. Contrast with PySpark's
+    SimpleDataSourceStreamReader, whose contract materializes every
+    streamed row on the driver via Python objects — at 100x scale that
+    caps the stream at one Python process and risks driver OOM on any
+    commit bigger than memory; here a 10 GB commit is just N parquet
+    tasks.
+
+    Driver-side state: one manifest-summary cache entry per version,
+    loaded ONCE per stream lifetime (O(new versions) I/O per trigger,
+    not O(backlog)); `commit(end)` drops entries the engine will never
+    ask about again. Rate limits (maxVersionsPerTrigger /
+    maxRowsPerTrigger) shape `latestOffset` against the last planned
+    end, which the engine re-establishes on restart by replaying
+    `partitions()` of the last logged batch — so pacing survives
+    restarts. Caveat unchanged from the simple reader: under
+    trigger(availableNow) the engine snapshots ONE latestOffset as
+    "all available", so a capped query drains one capped batch per
+    start — caps are for continuously triggered queries.
+
+    A version range whose manifests `prune_log` already deleted raises
+    (restart the query from a fresh checkpoint) instead of silently
+    skipping the pruned versions — same gap discipline as the change
+    feed's `_changed_files`."""
+
     def __init__(self, options, schema: StructType):
         self._root = _root(options)
         self._schema = schema
@@ -886,16 +921,6 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
         self._ignore_deletes = self._ignore_changes or str(
             _opt(options, "ignoreDeletes", "false")
         ).lower() in ("true", "1")
-        # rate limiting (Delta's maxFilesPerTrigger family): cap how
-        # much of the backlog one micro-batch admits, so a stream
-        # attached to a store with deep history (or a bursty writer)
-        # drains in bounded, checkpointable steps instead of one giant
-        # first batch. Versions are the offset unit here; rows come
-        # free from the log's recorded per-file counts (zero file I/O).
-        # Caveat: under trigger(availableNow) the first capped offset
-        # is snapshotted as "all available" (the simple-reader API has
-        # no admission control), so only one capped batch runs per
-        # start — the caps are for continuously triggered queries
         mv = _opt(options, "maxVersionsPerTrigger")
         self._max_versions = int(mv) if mv is not None else None
         if self._max_versions is not None and self._max_versions < 1:
@@ -904,6 +929,22 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
         self._max_rows = int(mr) if mr is not None else None
         if self._max_rows is not None and self._max_rows < 1:
             raise ValueError("maxRowsPerTrigger must be >= 1")
+        rpp = _opt(options, "rowsPerPartition")
+        # same task-packing budget as the batch reader: a deep backlog
+        # of small commits must not become one Python task per file
+        self._rows_per_partition = int(rpp) if rpp is not None else 1_048_576
+        if self._rows_per_partition <= 0:
+            self._rows_per_partition = 1
+        # driver-side manifest summary cache: version -> summary dict,
+        # each manifest opened ONCE per stream lifetime
+        self._minfo: dict[int, dict] = {}
+        self._minfo_loads = 0  # test hook: manifest-open counter
+        # the end of the last planned/admitted batch — the cursor the
+        # rate caps push against; None until initialOffset()/
+        # partitions() establishes it
+        self._last_end: int | None = None
+
+    # -- driver-side log metadata ---------------------------------
 
     def _latest(self) -> int:
         from ..versioned import _manifests
@@ -911,46 +952,112 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
         ms = _manifests(self._root)
         return ms[-1][0] if ms else 0
 
+    def _info(self, v: int, paths: dict[int, str] | None = None) -> dict:
+        """The manifest summary for version v, loaded once per stream
+        lifetime. Raises the pruned-gap error when the manifest no
+        longer exists — a lagging reader must fail loudly, not skip
+        versions `prune_log` deleted (data loss otherwise)."""
+        info = self._minfo.get(v)
+        if info is not None:
+            return info
+        if paths is None:
+            from ..versioned import _manifests
+
+            paths = dict(_manifests(self._root))
+        p = paths.get(v)
+        if p is None:
+            raise ValueError(
+                f"vstore stream needs the manifest for version {v}, but "
+                "it was deleted (prune_log retention); the intervening "
+                "changes are unreconstructable — restart the query from "
+                "a fresh checkpoint (or a startingVersion the log still "
+                "covers)"
+            )
+        with open(p) as fh:
+            m = json.load(fh)
+        self._minfo_loads += 1
+        fr = m.get("file_rows") or {}
+        added = list(m.get("added", []))
+        schemas = m.get("schemas") or []
+        fschema = m.get("file_schema") or {}
+        # every distinct origin schema among the added files: the
+        # mid-stream evolution guard reads field names from HERE (the
+        # log), so planning never opens a data file
+        origin_jsons: list[str] = []
+        for f in added:
+            s = schemas[fschema[f]] if f in fschema else m["schema"]
+            if s not in origin_jsons:
+                origin_jsons.append(s)
+        fields: set[str] = set()
+        for s in origin_jsons:
+            fields.update(
+                fld["name"] for fld in json.loads(s).get("fields", [])
+            )
+        info = {
+            "action": m["action"],
+            "added": added,
+            "added_rows": {f: int(fr.get(f, 0)) for f in added},
+            "rows_total": sum(int(fr.get(f, 0)) for f in added),
+            "removed": bool(m.get("removed")),
+            "delete_only": bool(m.get("removed")) and not added,
+            "added_fields": fields,
+        }
+        self._minfo[v] = info
+        return info
+
+    def _infos_between(self, s: int, e: int):
+        """Summaries for the dense version range (s, e], gap-checked.
+        LAZY: a rate cap that bites early stops the manifest loads
+        with it (one listdir per trigger at most, one manifest parse
+        per version per stream lifetime)."""
+        from ..versioned import _manifests
+
+        paths: dict[int, str] | None = None
+        for v in range(s + 1, e + 1):
+            if v not in self._minfo and paths is None:
+                paths = dict(_manifests(self._root))
+            yield v, self._info(v, paths)
+
+    # -- offsets ----------------------------------------------------
+
     def initialOffset(self) -> dict:
         if self._starting is not None:
-            return {"version": self._starting - 1}
-        return {"version": self._latest()}
+            off = {"version": self._starting - 1}
+        else:
+            off = {"version": self._latest()}
+        self._last_end = off["version"]
+        return off
 
-    def read(self, start: dict):
-        end_v = self._latest()
-        if end_v <= start["version"]:
-            return iter([]), dict(start)
-        end_v = self._capped_end(start["version"], end_v)
-        # a list iterator, NOT a generator: Spark's prefetch cache
-        # copy.copy()s the returned iterator between micro-batches
-        return (
-            iter(self._rows_between(start["version"], end_v)),
-            {"version": end_v},
-        )
+    def latestOffset(self) -> dict:
+        if self._last_end is None:
+            # defensive: the engine replays partitions() of the last
+            # logged batch on restart (which seeds the cursor) and
+            # calls initialOffset() on fresh queries — but never trust
+            # call order you don't control
+            self.initialOffset()
+        s = self._last_end
+        latest = self._latest()
+        if latest <= s:
+            return {"version": s}
+        e = self._capped_end(s, latest)
+        self._last_end = e
+        return {"version": e}
 
     def _capped_end(self, s: int, end_v: int) -> int:
         """Admit versions (s, end_v] until a trigger cap bites. At
         least ONE version always enters the batch (a single commit
         larger than maxRowsPerTrigger must still drain — Delta's
-        maxFilesPerTrigger admits its first file the same way);
-        replays via readBetweenOffsets are untouched, the cap only
-        shapes NEW offsets. Added files absent from the log's row
-        counts (pre-stats manifests) count 0 toward the row cap —
-        the cap is a throttle, never a correctness surface."""
+        maxFilesPerTrigger admits its first file the same way). Added
+        files absent from the log's row counts (pre-stats manifests)
+        count 0 toward the row cap — the cap is a throttle, never a
+        correctness surface."""
         if self._max_versions is None and self._max_rows is None:
             return end_v
-        from ..versioned import _manifests
-
         taken = 0
         rows = 0
         capped = s
-        for v, p in _manifests(self._root):
-            if v <= s or v > end_v:
-                continue
-            with open(p) as fh:
-                m = json.load(fh)
-            fr = m.get("file_rows") or {}
-            v_rows = sum(int(fr.get(f, 0)) for f in m.get("added", []))
+        for v, info in self._infos_between(s, end_v):
+            v_rows = info["rows_total"]
             if (
                 taken >= 1
                 and self._max_rows is not None
@@ -966,61 +1073,97 @@ class _VStoreStreamReader(SimpleDataSourceStreamReader):
                 break
         return capped
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._rows_between(start["version"], end["version"]))
+    def commit(self, end: dict) -> None:
+        # the engine will never ask below `end` again: drop the cache
+        # tail so a long-lived stream's driver state stays O(in-flight)
+        e = end.get("version", 0)
+        self._minfo = {v: i for v, i in self._minfo.items() if v > e}
 
-    def _rows_between(self, s: int, e: int) -> list:
+    # -- partition planning (driver) / reading (executors) ----------
+
+    def _guard_commit(self, v: int, info: dict) -> None:
+        """The Delta streaming-source contract: a commit that removed
+        files raises unless ignoreDeletes (delete-only) / ignoreChanges
+        (rewrites too) tolerates it."""
+        if info["removed"] and info["action"] not in _APPEND_ACTIONS:
+            tolerated = self._ignore_changes or (
+                info["delete_only"] and self._ignore_deletes
+            )
+            if not tolerated:
+                hint = (
+                    "set .option('ignoreDeletes', 'true') to skip "
+                    "delete-only commits"
+                    if info["delete_only"]
+                    else "set .option('ignoreChanges', 'true') to "
+                    "stream its re-added rows (downstream may see "
+                    "duplicates)"
+                )
+                raise ValueError(
+                    f"vstore stream hit a data-changing commit "
+                    f"(version {v}, action {info['action']!r}); {hint}"
+                )
+
+    def _guard_schema(self, v: int, info: dict, names: set[str]) -> None:
+        """Mid-stream evolution: a commit whose files carry columns the
+        planned schema lacks would silently lose data under Arrow
+        projection — fail loudly (a restart re-reads the widened LUB).
+        Field names come from the manifest, not the data files."""
+        extra = sorted(info["added_fields"] - names)
+        if extra:
+            raise ValueError(
+                f"store schema evolved mid-stream (version {v} added "
+                f"columns {extra}); restart the query to pick up the "
+                "new table schema"
+            )
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = start["version"], end["version"]
+        # restart recovery: the engine replays the last logged batch's
+        # partitions() before asking for new offsets, so the rate-cap
+        # cursor re-seeds itself here
+        if self._last_end is None or e > self._last_end:
+            self._last_end = e
+        if e <= s:
+            return []
+        names = set(self._schema.fieldNames())
+        budget = self._rows_per_partition
+        groups: list[list] = []
+        cur: list = []
+        cur_rows = 0
+        for v, info in self._infos_between(s, e):
+            self._guard_commit(v, info)
+            self._guard_schema(v, info, names)
+            for f in info["added"]:
+                n = info["added_rows"].get(f) or None
+                if cur and (n is None or cur_rows + n > budget):
+                    groups.append(cur)
+                    cur, cur_rows = [], 0
+                cur.append((os.path.join(self._root, f), None))
+                cur_rows += budget if n is None else n
+        if cur:
+            groups.append(cur)
+        return [_FilesPartition(files=g) for g in groups]
+
+    def read(self, partition: _FilesPartition):
+        # EXECUTOR-side: Arrow batches straight into Spark, never
+        # per-row Python. The extra-column check is defense in depth —
+        # planning already proved it from the log
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        from ..versioned import _manifests
-
         target = to_arrow_schema(self._schema)
         names = list(self._schema.fieldNames())
-        out: list[tuple] = []
-        for v, p in _manifests(self._root):
-            if v <= s or v > e:
-                continue
-            with open(p) as fh:
-                m = json.load(fh)
-            if m.get("removed") and m["action"] not in _APPEND_ACTIONS:
-                delete_only = not m.get("added")
-                tolerated = self._ignore_changes or (
-                    delete_only and self._ignore_deletes
+        for path, _origin in partition.files:
+            tbl = pq.read_table(path)
+            extra = [c for c in tbl.column_names if c not in names]
+            if extra:
+                raise ValueError(
+                    f"store schema evolved mid-stream (file {path} "
+                    f"carries columns {extra}); restart the query to "
+                    "pick up the new table schema"
                 )
-                if not tolerated:
-                    hint = (
-                        "set .option('ignoreDeletes', 'true') to skip "
-                        "delete-only commits"
-                        if delete_only
-                        else "set .option('ignoreChanges', 'true') to "
-                        "stream its re-added rows (downstream may see "
-                        "duplicates)"
-                    )
-                    raise ValueError(
-                        f"vstore stream hit a data-changing commit "
-                        f"(version {m['version']}, action "
-                        f"{m['action']!r}); {hint}"
-                    )
-            # arrow evolution projects each file onto the stream's
-            # target schema — but a file carrying columns the target
-            # lacks means the TABLE schema evolved after this query
-            # planned: dropping them silently would lose data, so fail
-            # loudly (a restart re-reads the widened LUB)
-            for f in m.get("added", []):
-                tbl = pq.read_table(os.path.join(self._root, f))
-                extra = [c for c in tbl.column_names if c not in names]
-                if extra:
-                    raise ValueError(
-                        f"store schema evolved mid-stream (version "
-                        f"{m['version']} added columns {extra}); restart "
-                        "the query to pick up the new table schema"
-                    )
-                evolved = _evolve_table(tbl, target)
-                for row in evolved.to_pylist():
-                    out.append(tuple(row[n] for n in names))
-        return out
+            yield from _evolve_table(tbl, target).to_batches()
 
 
 class _VStoreStreamCDFReader(_VStoreStreamReader):
@@ -1035,14 +1178,54 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
     replication shape that INCLUDES deletions (the reference's
     replication only ever ships upserts + explicit delete messages,
     GDCUtil.java:61-111 / the SQS delete path; this is both in one
-    feed). Offsets, checkpoint replay, startingVersion and the rate-
-    limiting caps are inherited from the plain stream reader; the feed
-    walk (`_changed_files`) tracks origins checkpoint-seeded and
-    raises on compaction gaps or vacuumed files instead of silently
-    dropping deletes, and the mid-stream schema-evolution guard
-    applies to feed rows exactly like plain streaming."""
+    feed). Offsets, checkpoint replay, startingVersion, rate caps and
+    the executor-parallel read all come from the plain stream reader;
+    the feed walk (`_changed_files`) tracks origins checkpoint-seeded
+    and raises on compaction gaps or vacuumed files instead of
+    silently dropping deletes, and the mid-stream schema-evolution
+    guard applies to feed rows exactly like plain streaming."""
 
-    def _rows_between(self, s: int, e: int) -> list:
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = start["version"], end["version"]
+        if self._last_end is None or e > self._last_end:
+            self._last_end = e
+        if e <= s:
+            return []
+        entries, _ = _changed_files(self._root, s + 1, e)
+        data_names = {
+            f.name for f in self._schema.fields
+            if f.name not in ("_change", "_commit_version")
+        }
+        checked: set[str] = set()
+        parts: list[_ChangePartition] = []
+        for f, origin_json, change, v in entries:
+            if origin_json not in checked:
+                checked.add(origin_json)
+                extra = sorted(
+                    {
+                        fld["name"]
+                        for fld in json.loads(origin_json).get("fields", [])
+                    }
+                    - data_names
+                )
+                if extra:
+                    raise ValueError(
+                        f"store schema evolved mid-stream (version {v} "
+                        f"touched columns {extra}); restart the query "
+                        "to pick up the new table schema"
+                    )
+            parts.append(
+                _ChangePartition(
+                    path=os.path.join(self._root, f), change=change,
+                    version=v,
+                )
+            )
+        return parts
+
+    def read(self, partition: _ChangePartition):
+        # executor-side CDC sliver: data columns evolved to the feed's
+        # data schema + constant _change/_commit_version columns
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -1055,23 +1238,23 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
         ]
         target = to_arrow_schema(_St(data_fields))
         names = [f.name for f in data_fields]
-        entries, _ = _changed_files(self._root, s + 1, e)
-        out: list[tuple] = []
-        for f, origin_json, change, v in entries:
-            tbl = pq.read_table(os.path.join(self._root, f))
-            extra = [c for c in tbl.column_names if c not in names]
-            if extra:
-                raise ValueError(
-                    f"store schema evolved mid-stream (version {v} "
-                    f"touched columns {extra}); restart the query to "
-                    "pick up the new table schema"
-                )
-            evolved = _evolve_table(tbl, target)
-            for row in evolved.to_pylist():
-                out.append(
-                    tuple(row[n] for n in names) + (change, v)
-                )
-        return out
+        tbl = pq.read_table(partition.path)
+        extra = [c for c in tbl.column_names if c not in names]
+        if extra:
+            raise ValueError(
+                f"store schema evolved mid-stream (file "
+                f"{partition.path} carries columns {extra}); restart "
+                "the query to pick up the new table schema"
+            )
+        evolved = _evolve_table(tbl, target)
+        n = evolved.num_rows
+        cols = list(evolved.columns)
+        out_names = list(evolved.column_names)
+        cols.append(pa.array([partition.change] * n, type=pa.string()))
+        out_names.append("_change")
+        cols.append(pa.array([partition.version] * n, type=pa.int64()))
+        out_names.append("_commit_version")
+        yield from pa.table(dict(zip(out_names, cols))).to_batches()
 
 
 # ---------------------------------------------------------------------------
@@ -1148,7 +1331,7 @@ class VStoreDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return _VStoreWriter(self.options, schema, overwrite)
 
-    def simpleStreamReader(self, schema: StructType):
+    def streamReader(self, schema: StructType):
         if self._read_change_feed():
             return _VStoreStreamCDFReader(self.options, schema)
         return _VStoreStreamReader(self.options, schema)

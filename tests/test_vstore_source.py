@@ -343,10 +343,23 @@ def test_stream_source_exactly_once_and_change_guard(vsrc_spark, tmp_path):
     assert vsrc_spark.read.parquet(out).count() == 25
 
 
+def _drain(reader, s, e, names):
+    """Plan partitions for (s, e] on `reader` and read them the way an
+    executor would; returns the rows as tuples in `names` order."""
+    rows = []
+    for p in reader.partitions({"version": s}, {"version": e}):
+        for b in reader.read(p):
+            for rec in b.to_pylist():
+                rows.append(tuple(rec[n] for n in names))
+    return rows
+
+
 def test_stream_ignore_deletes_vs_ignore_changes(vsrc_spark, tmp_path):
     """ignoreDeletes tolerates delete-ONLY commits (nothing re-added,
     no duplicate risk) but still fails on rewrites; ignoreChanges
-    tolerates both. Driven on the reader directly."""
+    tolerates both. Driven on the reader directly — the guard now
+    fires at PARTITION PLANNING (driver, from the log), before any
+    data file is touched."""
     from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
         _VStoreStreamReader,
     )
@@ -367,12 +380,12 @@ def test_stream_ignore_deletes_vs_ignore_changes(vsrc_spark, tmp_path):
 
     # plain reader fails at the delete-only commit, naming ignoreDeletes
     with pytest.raises(ValueError, match="ignoreDeletes"):
-        rdr()._rows_between(2, 4)
+        rdr().partitions({"version": 2}, {"version": 4})
     # ignoreDeletes passes v3 but still fails v4 (re-added rows)
     with pytest.raises(ValueError, match="ignoreChanges"):
-        rdr(ignoreDeletes="true")._rows_between(2, 4)
+        rdr(ignoreDeletes="true").partitions({"version": 2}, {"version": 4})
     # ignoreChanges streams v4's survivor rows
-    rows = rdr(ignoreChanges="true")._rows_between(2, 4)
+    rows = _drain(rdr(ignoreChanges="true"), 2, 4, ["k"])
     assert sorted(k for (k,) in rows) == [k for k in range(10, 20) if k != 15]
 
 
@@ -435,9 +448,10 @@ def test_stream_rate_limiting(vsrc_spark, tmp_path, opt, val, want_batches):
         .start()
     )
     # a capped batch admits only part of the backlog, so drain over
-    # successive triggers (availableNow would stop at the first capped
-    # offset — the simple-reader API has no admission control; the
-    # documented contract is pacing under continuous triggers)
+    # successive triggers (availableNow snapshots ONE latestOffset as
+    # "all available" — the Python stream-reader API has no admission
+    # control; the documented contract is pacing under continuous
+    # triggers)
     import time
 
     got: list = []
@@ -748,13 +762,14 @@ def test_stream_schema_evolution_guard(vsrc_spark, tmp_path):
     V.append(vsrc_spark.range(0, 5).selectExpr("id as k"), root)
     planned = V.read_versioned(vsrc_spark, root).schema  # (k)
     rdr = _VStoreStreamReader({"path": root, "startingVersion": "1"}, planned)
-    assert len(rdr._rows_between(0, 1)) == 5
-    # the table evolves while the query is running
+    assert len(_drain(rdr, 0, 1, ["k"])) == 5
+    # the table evolves while the query is running: PLANNING raises
+    # (from the manifest's recorded schema — no data file opened)
     V.append(
         vsrc_spark.range(5, 8).selectExpr("id as k", "id * 2 as extra"), root
     )
     with pytest.raises(ValueError, match="evolved mid-stream"):
-        rdr._rows_between(1, 2)
+        rdr.partitions({"version": 1}, {"version": 2})
     # a fresh query (schema re-read) sees the widened schema
     df = (
         vsrc_spark.readStream.format("vstore")
@@ -872,3 +887,189 @@ def test_read_change_feed_is_stream_only(vsrc_spark, tmp_path):
         vsrc_spark.readStream.format("vstore").option(
             "readChangeFeed", "true"
         ).option("version", "1").load(root)
+
+
+def test_stream_planning_never_reads_data_bytes(vsrc_spark, tmp_path):
+    """The 100x-scale contract of the partition-based stream reader:
+    offset computation and partition planning consume manifest JSON
+    ONLY. Proof: corrupt EVERY data file in the store — initialOffset,
+    latestOffset (capped), partitions() and the evolution/change
+    guards all still succeed; only read() (the executor path) dies."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamCDFReader,
+        _VStoreStreamReader,
+    )
+
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(0, 10).selectExpr("id as k"), root)
+    V.append(vsrc_spark.range(10, 30).selectExpr("id as k"), root)
+    planned = V.read_versioned(vsrc_spark, root).schema
+    live, _ = V._replay(root, None)
+    for f in live:  # every data byte is now garbage
+        with open(os.path.join(root, f), "wb") as fh:
+            fh.write(b"garbage")
+
+    rdr = _VStoreStreamReader(
+        {"path": root, "startingVersion": "1", "maxRowsPerTrigger": "10"},
+        planned,
+    )
+    assert rdr.initialOffset() == {"version": 0}
+    assert rdr.latestOffset() == {"version": 1}  # row cap planned from log
+    parts = rdr.partitions({"version": 0}, {"version": 2})
+    assert sum(len(p.files) for p in parts) == len(live)
+    with pytest.raises(Exception):  # the EXECUTOR path is what opens files
+        for p in parts:
+            list(rdr.read(p))
+
+    cdf = _VStoreStreamCDFReader(
+        {"path": root, "readChangeFeed": "true", "startingVersion": "1"},
+        vsrc_spark.createDataFrame(
+            [], "k bigint, _change string, _commit_version bigint"
+        ).schema,
+    )
+    assert cdf.latestOffset() == {"version": 2}
+    cparts = cdf.partitions({"version": 0}, {"version": 2})
+    assert len(cparts) == len(live)
+    with pytest.raises(Exception):
+        list(cdf.read(cparts[0]))
+
+
+def test_stream_manifest_cache_one_read_per_version(vsrc_spark, tmp_path):
+    """Each manifest is parsed ONCE per stream lifetime: repeated
+    latestOffset/partitions cycles over a growing store never re-open
+    already-summarized versions, and commit() prunes the cache."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamReader,
+    )
+
+    root = str(tmp_path / "store")
+    for lo in (0, 10, 20):
+        V.append(
+            vsrc_spark.range(lo, lo + 10).selectExpr("id as k"), root
+        )
+    planned = V.read_versioned(vsrc_spark, root).schema
+    rdr = _VStoreStreamReader(
+        {"path": root, "startingVersion": "1", "maxVersionsPerTrigger": "1"},
+        planned,
+    )
+    rdr.initialOffset()
+    assert rdr.latestOffset() == {"version": 1}
+    rdr.partitions({"version": 0}, {"version": 1})
+    assert rdr._minfo_loads == 1
+    # second trigger: only v2 is new
+    assert rdr.latestOffset() == {"version": 2}
+    rdr.partitions({"version": 1}, {"version": 2})
+    assert rdr._minfo_loads == 2
+    # replanning an old range (engine replay) hits the cache
+    rdr.partitions({"version": 0}, {"version": 1})
+    assert rdr._minfo_loads == 2
+    rdr.commit({"version": 2})  # cache tail dropped, no reload needed
+    assert rdr.latestOffset() == {"version": 3}
+    rdr.partitions({"version": 2}, {"version": 3})
+    assert rdr._minfo_loads == 3
+
+
+def test_stream_rate_cap_cursor_survives_restart(vsrc_spark, tmp_path):
+    """Restart recovery: the engine replays partitions() of the last
+    logged batch before asking for new offsets — a FRESH reader seeded
+    only by that replay continues capping from the replayed end, so
+    pacing survives restarts."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamReader,
+    )
+
+    root = str(tmp_path / "store")
+    for lo in (0, 10, 20, 30):
+        V.append(
+            vsrc_spark.range(lo, lo + 10).selectExpr("id as k"), root
+        )
+    planned = V.read_versioned(vsrc_spark, root).schema
+
+    def rdr():
+        return _VStoreStreamReader(
+            {
+                "path": root,
+                "startingVersion": "1",
+                "maxVersionsPerTrigger": "1",
+            },
+            planned,
+        )
+
+    r1 = rdr()
+    r1.initialOffset()
+    assert r1.latestOffset() == {"version": 1}
+    r1.partitions({"version": 0}, {"version": 1})
+    # "crash" after batch 0 was logged; the restarted reader sees the
+    # engine replay batch 0's partitions first...
+    r2 = rdr()
+    r2.partitions({"version": 0}, {"version": 1})
+    # ...and its next offset continues capped from there
+    assert r2.latestOffset() == {"version": 2}
+    assert r2.latestOffset() == {"version": 3}
+
+
+def test_stream_lagging_reader_pruned_gap_raises(vsrc_spark, tmp_path):
+    """A streaming reader whose checkpoint is behind the table
+    checkpoint must FAIL when prune_log deleted the manifests in its
+    range — silently skipping pruned versions would drop their rows
+    from the stream forever."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamReader,
+    )
+
+    root = str(tmp_path / "store")
+    for lo in (0, 10, 20):
+        V.append(
+            vsrc_spark.range(lo, lo + 10).selectExpr("id as k"), root
+        )
+    planned = V.read_versioned(vsrc_spark, root).schema
+    V.checkpoint(root)
+    V.prune_log(root)  # v1..v3 manifests gone
+    V.append(vsrc_spark.range(30, 40).selectExpr("id as k"), root)  # v4
+
+    rdr = _VStoreStreamReader({"path": root}, planned)
+    # a reader whose checkpoint sits at v1 needs v2..v3: unreconstructable
+    with pytest.raises(ValueError, match="prune_log"):
+        rdr.partitions({"version": 1}, {"version": 4})
+    # the capped-offset walk refuses the same way instead of skipping
+    capped = _VStoreStreamReader(
+        {"path": root, "maxVersionsPerTrigger": "1"}, planned
+    )
+    with pytest.raises(ValueError, match="prune_log"):
+        capped._capped_end(1, 4)
+    # a reader that only needs post-prune versions proceeds
+    assert [len(p.files) for p in rdr.partitions(
+        {"version": 3}, {"version": 4}
+    )] and True
+
+
+def test_stream_partitions_pack_by_row_budget(vsrc_spark, tmp_path):
+    """The stream reader packs admitted files into row-budgeted
+    partitions exactly like the batch reader — a deep backlog of
+    small commits never plans one task per file unless asked."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamReader,
+    )
+
+    root = str(tmp_path / "store")
+    # 8 single-file commits x 100 rows
+    for i in range(8):
+        V.append(
+            vsrc_spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id as k")
+            .coalesce(1),
+            root,
+        )
+    planned = V.read_versioned(vsrc_spark, root).schema
+
+    def n_parts(**opts):
+        r = _VStoreStreamReader(
+            {"path": root, "startingVersion": "1", **opts}, planned
+        )
+        parts = r.partitions({"version": 0}, {"version": 8})
+        assert sum(len(p.files) for p in parts) == 8
+        return len(parts)
+
+    assert n_parts() == 1
+    assert n_parts(rowsPerPartition="200") == 4
+    assert n_parts(rowsPerPartition="0") == 8
