@@ -20,32 +20,34 @@ import json
 import sys
 
 
-def load_queries(
-    path: str,
-) -> tuple[dict[str, float], float | None, dict[str, float], dict[str, float]]:
+def load_queries(path: str) -> tuple[
+    dict[str, float], float | None, dict[str, float], dict[str, float],
+    float | None, dict[str, float],
+]:
     """Returns (per-query medians, sentinel median or None, extras,
-    per-query sentinel_at or {})."""
+    per-query sentinel_at or {}, driver_sentinel or None,
+    per-query driver_sentinel_at or {})."""
     with open(path) as fh:
         d = json.load(fh)
+    p = None
     if "queries" in d:
-        return (
-            d["queries"],
-            d.get("sentinel"),
-            d.get("extras", {}),
-            d.get("sentinel_at", {}),
-        )
-    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        p = d
+    elif isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         p = d["parsed"]
+    if p is not None:
         return (
             p["queries"],
             p.get("sentinel"),
             p.get("extras", {}),
             p.get("sentinel_at", {}),
+            p.get("driver_sentinel"),
+            p.get("driver_sentinel_at", {}),
         )
-    # driver wrapper with a (possibly left-truncated) 'tail' fragment —
-    # recover per-query medians with a regex over the region before the
-    # raw 'runs' dict (entries there are lists, not scalars, so they
-    # don't match)
+    # driver wrapper with a (possibly left-truncated) 'tail' fragment.
+    # Since r11 the emitted key order puts the compact essentials LAST
+    # ("sentinel", "driver_sentinel", "queries", "sf"), so the medians
+    # live after the '"queries"' marker; pre-r11 artifacts had them
+    # before the raw 'runs' dict.
     import re
 
     def _scalar_dict(tail: str, key: str) -> dict[str, float]:
@@ -59,17 +61,45 @@ def load_queries(
         }
 
     tail = d.get("tail", "")
-    region = tail.split('"runs"')[0]
-    pairs = re.findall(r'"(q\w+)":\s*([0-9.]+)', region)
+    if '"queries"' in tail:
+        region = tail.split('"queries"', 1)[1].split("}", 1)[0]
+        pairs = re.findall(r'"(q\w+)":\s*([0-9.]+)', region)
+    else:
+        # pre-r11 artifacts truncated the 'queries' medians away; the
+        # raw per-run LISTS often survive in the tail — recover each
+        # query's median from them (list values can't be confused with
+        # extras/sentinel scalars)
+        import statistics
+
+        lists = re.findall(r'"(q\w+)":\s*\[([0-9.,\s]+)\]', tail)
+        if lists:
+            pairs = [
+                (k, statistics.median(float(x) for x in v.split(",")))
+                for k, v in lists
+            ]
+        else:
+            region = tail.split('"runs"')[0]
+            pairs = re.findall(r'"(q\w+)":\s*([0-9.]+)', region)
     if not pairs:
         raise SystemExit(f"{path}: no queries dict found")
     m = re.search(r'"sentinel":\s*([0-9.]+)', tail)
+    dm = re.search(r'"driver_sentinel":\s*([0-9.]+)', tail)
     return (
         {k: float(v) for k, v in pairs},
         (float(m.group(1)) if m else None),
         _scalar_dict(tail, "extras"),
         _scalar_dict(tail, "sentinel_at"),
+        (float(dm.group(1)) if dm else None),
+        _scalar_dict(tail, "driver_sentinel_at"),
     )
+
+
+# queries whose wall-clock is dominated by single-threaded DRIVER work
+# (Py4J plan-build / analyzer — q34 profiles at ~4.5k round-trips, q55
+# runs per-target towers off driver threads): the scan sentinel cannot
+# normalize these, so their 'norm' uses the driver sentinel family
+# when both artifacts carry it (marked 'd' in the output)
+DRIVER_BOUND = {"q34_replication_roundtrip", "q55_multi_target_fanout"}
 
 
 def main() -> int:
@@ -77,8 +107,8 @@ def main() -> int:
         print(__doc__)
         return 2
     a_path, b_path = sys.argv[1], sys.argv[2]
-    a, sent_a, ex_a, sat_a = load_queries(a_path)
-    b, sent_b, ex_b, sat_b = load_queries(b_path)
+    a, sent_a, ex_a, sat_a, dsent_a, dsat_a = load_queries(a_path)
+    b, sent_b, ex_b, sat_b, dsent_b, dsat_b = load_queries(b_path)
     # sentinel normalization (VERDICT r05 #3 / r09 #1): the sentinel is
     # a fixed, never-optimized probe, so sentinel_B/sentinel_A measures
     # the BOX between the two measurements; dividing it out of each
@@ -104,15 +134,29 @@ def main() -> int:
             return raw, raw * (sa / sb)
         return raw, (raw * scale if scale is not None else None)
 
+    def _driver_norm(q: str, ra: float, rb: float):
+        """Driver-sentinel-normalized ratio for driver-bound queries,
+        or None when either side lacks the driver family."""
+        da = dsat_a.get(q, dsent_a)
+        db = dsat_b.get(q, dsent_b)
+        if da and db and ra:
+            return (rb / ra) * (da / db)
+        return None
+
     common = sorted(set(a) & set(b))
     hdr = f"{'query':34s} {'A':>8s} {'B':>8s}  ratio B/A"
     print(hdr + ("      norm" if scale is not None else ""))
     norm_total_a = norm_total_b = 0.0
     for q in common:
         r, rn = _norm(q, a[q], b[q])
+        dmark = ""
+        if q in DRIVER_BOUND:
+            dn = _driver_norm(q, a[q], b[q])
+            if dn is not None:
+                rn, dmark = dn, "d"  # driver-normalized column
         judged = rn if rn is not None else r
         flag = "  <<<" if judged <= 0.8 else ("  !!!" if judged >= 1.5 else "")
-        norm_s = f"  {rn:8.2f}" if rn is not None else ""
+        norm_s = f"  {rn:8.2f}{dmark}" if rn is not None else ""
         print(f"{q:34s} {a[q]:8.2f} {b[q]:8.2f}  {r:8.2f}{norm_s}{flag}")
         # sentinel-deflated seconds (box-independent units) for totals
         sa = sat_a.get(q, sent_a)
