@@ -786,7 +786,12 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--join-col", default=None,
                     help="store column(s) the keys join on, comma-"
                          "separated for composite keys (defaults to "
-                         "the key relation's single column name)")
+                         "the key relation's single column name). "
+                         "Composite keys prune via the TUPLE prover: "
+                         "a file drops when every probe tuple has "
+                         "some column whose value the file provably "
+                         "lacks — strictly stronger than per-column "
+                         "pruning on cross-matched files (a-without-b)")
 
     sh = sub.add_parser(
         "shuffle",

@@ -1042,7 +1042,18 @@ def scan_for_join(
     `column` may be a LIST for composite join keys: the scan then
     prunes through the tuple prover (`bloom_dropped_files_for_join_
     tuples` — one covered column proving its value absent kills the
-    whole tuple), and `probes` must carry all key columns."""
+    whole tuple), and `probes` must carry all key columns.
+
+    When the tuple prover STRICTLY beats per-column pruning: per
+    column, a file survives if it holds ANY probe value of that
+    column; across columns that keeps every file whose a-values and
+    b-values each overlap the probe sets — even when no single probe
+    TUPLE is satisfiable there (the file holds a=1 with b=10 while
+    the probes are (1,20) and (2,10)). The tuple prover refutes each
+    probe tuple independently, so such cross-matched files drop. The
+    gap grows with key correlation: composite business keys (tenant,
+    entity) where each tenant's rows cluster in its own files are
+    exactly the a-without-b shape."""
     total_rel = index.select("file").distinct()
     total = total_rel.count()
     if isinstance(column, (list, tuple)) and len(column) > 1:

@@ -1648,3 +1648,53 @@ def test_cli_pred_in_list(spark, tmp_path, capsys):
                 "--pred", pred])["rows"] == want
     cnt = run(["vstore", "--root", root, "--op", "count", "--pred", pred])
     assert cnt["rows"] == want
+
+
+def test_cli_join_keys_tuple_prover_drops_cross_matched_file(
+    spark, tmp_path, capsys
+):
+    """The composite-key pruning-POWER pin through the CLI (VERDICT
+    r10 #6): a file holding a=1-with-b=10 under probes (1,20),(2,10)
+    survives PER-COLUMN pruning (its a-values and b-values each
+    overlap the probe sets) but every probe TUPLE is refuted there —
+    the tuple prover must drop BOTH such cross-matched files, so the
+    CLI reports zero files kept and a zero-row join."""
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.skipindex import (
+        bloom_dropped_files_for_join,
+    )
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, 10)] * 50, "a long, b long"
+    ).coalesce(1).write.mode("append").parquet(store)
+    spark.createDataFrame(
+        [(2, 20)] * 50, "a long, b long"
+    ).coalesce(1).write.mode("append").parquet(store)
+    keys = str(tmp_path / "keys")
+    spark.createDataFrame(
+        [(1, 20), (2, 10)], "a long, b long"
+    ).write.parquet(keys)
+
+    assert main([
+        "skip-index", "--path", store,
+        "--out", str(tmp_path / "idx"),
+        "--bloom-cols", "a,b",
+        "--bloom-out", str(tmp_path / "bloom"),
+        "--join-keys", keys,
+        "--join-col", "a,b",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["join"]["files_total"] == 2
+    assert rep["join"]["files_kept"] == 0  # tuple prover: both refuted
+    assert rep["join"]["rows"] == 0
+    # the contrast that makes this a POWER pin, not a safety pin:
+    # per-column pruning keeps both files (each column's values
+    # overlap the probe sets), so AND-across-columns is what pruned
+    bloom = spark.read.parquet(str(tmp_path / "bloom"))
+    probes = spark.read.parquet(keys)
+    for col in ("a", "b"):
+        assert bloom_dropped_files_for_join(
+            bloom, col, probes, value_col=col
+        ).count() == 0

@@ -1371,3 +1371,27 @@ def test_txn_idempotence_rechecked_inside_commit(spark, orders, tmp_path):
     for f in added2:  # its staged files were unlinked, not orphaned
         assert not os.path.exists(os.path.join(root, f))
     assert V.read_versioned(spark, root).count() == 5
+
+
+def test_retired_q12_vstore_lifecycle_duckdb_parity(spark):
+    """q12_vstore_lifecycle left the 50-slot registry in r11 (the
+    vstore FORMAT read path took the slot); the retired-slot
+    discipline keeps its DuckDB oracle running HERE bit-exactly, so
+    the library lifecycle (append -> MERGE -> DELETE -> per-version
+    time travel) stays value-checked alongside the format slot."""
+    import duckdb
+
+    from aws_glue_data_catalog_replication_utility_spark.queries import (
+        RETIRED_ORACLES,
+        q12_vstore_lifecycle,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    got = sorted(tuple(r) for r in q12_vstore_lifecycle(spark, sf).collect())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(RETIRED_ORACLES["q12_vstore_lifecycle"]).fetchall()
+    )
+    assert got == want
