@@ -477,6 +477,11 @@ class _ChangePartition(InputPartition):
     version: int
 
 
+@dataclass
+class _ChangeFilesPartition(InputPartition):
+    files: list  # (path, change, commit_version) triples, row-packed
+
+
 class _VStoreChangeReader(DataSourceReader):
     """Batch change-feed reader: `.option("changesFrom", v)` [+
     `changesTo`] returns the file-level CDC rows with `_change` /
@@ -980,12 +985,15 @@ class _VStoreStreamReader(DataSourceStreamReader):
         added = list(m.get("added", []))
         schemas = m.get("schemas") or []
         fschema = m.get("file_schema") or {}
-        # every distinct origin schema among the added files: the
-        # mid-stream evolution guard reads field names from HERE (the
-        # log), so planning never opens a data file
+        # per-added-file origin schema (the CDF walk tracks these) and
+        # the union of their field names: the mid-stream evolution
+        # guard reads names from HERE (the log), so planning never
+        # opens a data file
+        file_origin: dict[str, str] = {}
         origin_jsons: list[str] = []
         for f in added:
             s = schemas[fschema[f]] if f in fschema else m["schema"]
+            file_origin[f] = s
             if s not in origin_jsons:
                 origin_jsons.append(s)
         fields: set[str] = set()
@@ -999,8 +1007,10 @@ class _VStoreStreamReader(DataSourceStreamReader):
             "added_rows": {f: int(fr.get(f, 0)) for f in added},
             "rows_total": sum(int(fr.get(f, 0)) for f in added),
             "removed": bool(m.get("removed")),
+            "removed_files": list(m.get("removed", [])),
             "delete_only": bool(m.get("removed")) and not added,
             "added_fields": fields,
+            "file_origin": file_origin,
         }
         self._minfo[v] = info
         return info
@@ -1179,11 +1189,86 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
     replication only ever ships upserts + explicit delete messages,
     GDCUtil.java:61-111 / the SQS delete path; this is both in one
     feed). Offsets, checkpoint replay, startingVersion, rate caps and
-    the executor-parallel read all come from the plain stream reader;
-    the feed walk (`_changed_files`) tracks origins checkpoint-seeded
-    and raises on compaction gaps or vacuumed files instead of
-    silently dropping deletes, and the mid-stream schema-evolution
-    guard applies to feed rows exactly like plain streaming."""
+    the executor-parallel read all come from the plain stream reader.
+    The feed walk is INCREMENTAL: the origin map (live file -> the
+    schema its bytes were written under) seeds ONCE from the newest
+    checkpoint at-or-below the stream's start and then advances
+    version by version as batches are planned — O(new versions)
+    driver work per trigger, never a re-walk of table history (the
+    batch change reader's `_changed_files` re-walks by design; a
+    stream paying that per trigger would be O(history) on a
+    20k-manifest/day sink). Gaps (pruned manifests) and vacuumed data
+    files raise instead of silently dropping deletes, and the
+    mid-stream schema-evolution guard fires at PLANNING from the
+    log's recorded schemas — for inserts AND for deletes of
+    old-generation files."""
+
+    def __init__(self, options, schema: StructType):
+        super().__init__(options, schema)
+        # live-file origin schemas + recorded row counts AS OF version
+        # `self._origin_at`; advanced incrementally by partitions()
+        self._origin: dict[str, str] | None = None
+        self._frows: dict[str, int] = {}
+        self._origin_at = -1
+        self._fields_cache: dict[str, set] = {}
+
+    def _fields(self, schema_json: str) -> set:
+        got = self._fields_cache.get(schema_json)
+        if got is None:
+            got = {
+                fld["name"]
+                for fld in json.loads(schema_json).get("fields", [])
+            }
+            self._fields_cache[schema_json] = got
+        return got
+
+    def _seed_origin(self, upto: int) -> None:
+        """Origins + recorded row counts of the files live at version
+        `upto`, seeded from the newest checkpoint at-or-below it
+        (checkpoint compaction may have deleted older manifests) and
+        rolled forward through the surviving manifests — the same
+        tracking `_changed_files` does, paid ONCE per stream life."""
+        from ..versioned import _checkpoints, _manifests
+
+        origin: dict[str, str] = {}
+        frows: dict[str, int] = {}
+        start_after = 0
+        for cv, cp in reversed(_checkpoints(self._root)):
+            if cv <= upto:
+                with open(cp) as fh:
+                    c = json.load(fh)
+                if "file_schema" in c:
+                    sch = c["schemas"]
+                    origin = {
+                        f: sch[i] for f, i in c["file_schema"].items()
+                    }
+                    origin.update(
+                        {
+                            f: c["schema"]
+                            for f in c["live"]
+                            if f not in origin
+                        }
+                    )
+                else:
+                    origin = {f: c["schema"] for f in c["live"]}
+                frows = {
+                    f: int(n)
+                    for f, n in (c.get("file_rows") or {}).items()
+                    if f in origin
+                }
+                start_after = cv
+                break
+        paths = dict(_manifests(self._root))
+        for v in range(start_after + 1, upto + 1):
+            info = self._info(v, paths)
+            for f in info["removed_files"]:
+                origin.pop(f, None)
+                frows.pop(f, None)
+            origin.update(info["file_origin"])
+            frows.update(info["added_rows"])
+        self._origin = origin
+        self._frows = frows
+        self._origin_at = upto
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = start["version"], end["version"]
@@ -1191,40 +1276,71 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
             self._last_end = e
         if e <= s:
             return []
-        entries, _ = _changed_files(self._root, s + 1, e)
+        if self._origin is None or self._origin_at != s:
+            # first batch of the stream's life, or an engine replay of
+            # an older range: (re)seed the origin map at the range
+            # start; steady state advances incrementally below
+            self._seed_origin(s)
         data_names = {
             f.name for f in self._schema.fields
             if f.name not in ("_change", "_commit_version")
         }
-        checked: set[str] = set()
-        parts: list[_ChangePartition] = []
-        for f, origin_json, change, v in entries:
-            if origin_json not in checked:
-                checked.add(origin_json)
-                extra = sorted(
-                    {
-                        fld["name"]
-                        for fld in json.loads(origin_json).get("fields", [])
-                    }
-                    - data_names
-                )
-                if extra:
-                    raise ValueError(
-                        f"store schema evolved mid-stream (version {v} "
-                        f"touched columns {extra}); restart the query "
-                        "to pick up the new table schema"
-                    )
-            parts.append(
-                _ChangePartition(
-                    path=os.path.join(self._root, f), change=change,
-                    version=v,
-                )
-            )
-        return parts
 
-    def read(self, partition: _ChangePartition):
-        # executor-side CDC sliver: data columns evolved to the feed's
-        # data schema + constant _change/_commit_version columns
+        def _guard(schema_json: str, v: int) -> None:
+            extra = sorted(self._fields(schema_json) - data_names)
+            if extra:
+                raise ValueError(
+                    f"store schema evolved mid-stream (version {v} "
+                    f"touched columns {extra}); restart the query to "
+                    "pick up the new table schema"
+                )
+
+        entries: list[tuple[str, str, int, int]] = []
+        for v, info in self._infos_between(s, e):
+            for f in info["removed_files"]:
+                oj = self._origin.pop(f, None)
+                if oj is not None:
+                    _guard(oj, v)
+                    entries.append((f, "delete", v, self._frows.pop(f, 0)))
+            for f in info["added"]:
+                oj = info["file_origin"][f]
+                _guard(oj, v)
+                self._origin[f] = oj
+                self._frows[f] = info["added_rows"].get(f, 0)
+                entries.append((f, "insert", v, self._frows[f]))
+        self._origin_at = e
+        missing = [
+            f
+            for f, _c, _v, _n in entries
+            if not os.path.exists(os.path.join(self._root, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"change feed needs data files vacuum already "
+                f"reclaimed: {missing[:3]}"
+                f"{'...' if len(missing) > 3 else ''}; lower vacuum "
+                "aggressiveness or restart from a fresh checkpoint"
+            )
+        # same row-budget task packing as the plain reader — a CDC
+        # backlog of small commits never plans one task per file
+        budget = self._rows_per_partition
+        groups: list[list] = []
+        cur: list = []
+        cur_rows = 0
+        for f, change, v, n in entries:
+            rows = n or None
+            if cur and (rows is None or cur_rows + rows > budget):
+                groups.append(cur)
+                cur, cur_rows = [], 0
+            cur.append((os.path.join(self._root, f), change, v))
+            cur_rows += budget if rows is None else rows
+        if cur:
+            groups.append(cur)
+        return [_ChangeFilesPartition(files=g) for g in groups]
+
+    def read(self, partition: _ChangeFilesPartition):
+        # executor-side CDC slivers: data columns evolved to the
+        # feed's data schema + constant _change/_commit_version
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1238,23 +1354,24 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
         ]
         target = to_arrow_schema(_St(data_fields))
         names = [f.name for f in data_fields]
-        tbl = pq.read_table(partition.path)
-        extra = [c for c in tbl.column_names if c not in names]
-        if extra:
-            raise ValueError(
-                f"store schema evolved mid-stream (file "
-                f"{partition.path} carries columns {extra}); restart "
-                "the query to pick up the new table schema"
-            )
-        evolved = _evolve_table(tbl, target)
-        n = evolved.num_rows
-        cols = list(evolved.columns)
-        out_names = list(evolved.column_names)
-        cols.append(pa.array([partition.change] * n, type=pa.string()))
-        out_names.append("_change")
-        cols.append(pa.array([partition.version] * n, type=pa.int64()))
-        out_names.append("_commit_version")
-        yield from pa.table(dict(zip(out_names, cols))).to_batches()
+        for path, change, version in partition.files:
+            tbl = pq.read_table(path)
+            extra = [c for c in tbl.column_names if c not in names]
+            if extra:
+                raise ValueError(
+                    f"store schema evolved mid-stream (file {path} "
+                    f"carries columns {extra}); restart the query to "
+                    "pick up the new table schema"
+                )
+            evolved = _evolve_table(tbl, target)
+            n = evolved.num_rows
+            cols = list(evolved.columns)
+            out_names = list(evolved.column_names)
+            cols.append(pa.array([change] * n, type=pa.string()))
+            out_names.append("_change")
+            cols.append(pa.array([version] * n, type=pa.int64()))
+            out_names.append("_commit_version")
+            yield from pa.table(dict(zip(out_names, cols))).to_batches()
 
 
 # ---------------------------------------------------------------------------

@@ -929,9 +929,10 @@ def test_stream_planning_never_reads_data_bytes(vsrc_spark, tmp_path):
     )
     assert cdf.latestOffset() == {"version": 2}
     cparts = cdf.partitions({"version": 0}, {"version": 2})
-    assert len(cparts) == len(live)
+    assert sum(len(p.files) for p in cparts) == len(live)
     with pytest.raises(Exception):
-        list(cdf.read(cparts[0]))
+        for p in cparts:
+            list(cdf.read(p))
 
 
 def test_stream_manifest_cache_one_read_per_version(vsrc_spark, tmp_path):
@@ -1073,3 +1074,94 @@ def test_stream_partitions_pack_by_row_budget(vsrc_spark, tmp_path):
     assert n_parts() == 1
     assert n_parts(rowsPerPartition="200") == 4
     assert n_parts(rowsPerPartition="0") == 8
+
+
+def _cdf_reader(spark, root, **opts):
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamCDFReader,
+    )
+
+    schema = V.read_versioned(spark, root).schema
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    full = StructType(
+        list(schema.fields)
+        + [
+            StructField("_change", StringType(), False),
+            StructField("_commit_version", LongType(), False),
+        ]
+    )
+    return _VStoreStreamCDFReader({"path": root, **opts}, full)
+
+
+def _drain_cdf(reader, s, e):
+    rows = []
+    for p in reader.partitions({"version": s}, {"version": e}):
+        for b in reader.read(p):
+            rows.extend(
+                (rec["k"], rec["_change"], rec["_commit_version"])
+                for rec in b.to_pylist()
+            )
+    return rows
+
+
+def test_cdf_stream_incremental_walk_matches_changed_files(
+    vsrc_spark, tmp_path
+):
+    """The CDF stream reader's incremental origin tracking yields the
+    same (file rows, change, version) feed as the full-walk batch
+    reference (`_changed_files`) across appends, deletes and an
+    overwrite — batch by batch, with manifests parsed once each."""
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(0, 10).selectExpr("id as k"), root)  # v1
+    V.append(vsrc_spark.range(10, 20).selectExpr("id as k"), root)  # v2
+    V.delete_where(vsrc_spark, root, "k % 2 = 0")  # v3
+    V.append(vsrc_spark.range(20, 24).selectExpr("id as k"), root)  # v4
+
+    rdr = _cdf_reader(vsrc_spark, root, startingVersion="1")
+    got = []
+    for s, e in ((0, 2), (2, 3), (3, 4)):  # three micro-batches
+        got.extend(_drain_cdf(rdr, s, e))
+    loads_after_walk = rdr._minfo_loads
+
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _changed_files,
+    )
+
+    import pyarrow.parquet as pq
+
+    want = []
+    for f, _origin, change, v in _changed_files(root, 1, 4)[0]:
+        for rec in pq.read_table(os.path.join(root, f)).to_pylist():
+            want.append((rec["k"], change, v))
+    assert sorted(got) == sorted(want)
+    # replanning the middle batch (engine replay) re-seeds correctly
+    replay = _drain_cdf(rdr, 2, 3)
+    assert sorted(replay) == sorted(
+        r for r in want if r[2] == 3
+    )
+    # steady-state forward planning never re-parsed manifests beyond
+    # the replay's re-seed
+    assert rdr._minfo_loads == loads_after_walk
+
+
+def test_cdf_stream_packs_partitions(vsrc_spark, tmp_path):
+    """CDC backlogs pack into row-budgeted partitions like the plain
+    stream reader — not one task per changed file."""
+    root = str(tmp_path / "store")
+    for i in range(6):
+        V.append(
+            vsrc_spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id as k")
+            .coalesce(1),
+            root,
+        )
+    rdr = _cdf_reader(vsrc_spark, root, startingVersion="1")
+    parts = rdr.partitions({"version": 0}, {"version": 6})
+    assert len(parts) == 1 and len(parts[0].files) == 6
+    rdr2 = _cdf_reader(
+        vsrc_spark, root, startingVersion="1", rowsPerPartition="200"
+    )
+    parts2 = rdr2.partitions({"version": 0}, {"version": 6})
+    assert len(parts2) == 3
+    assert sum(len(p.files) for p in parts2) == 6
