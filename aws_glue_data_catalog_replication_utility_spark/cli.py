@@ -568,6 +568,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="append/overwrite: input parquet")
     vs.add_argument("--where", default=None,
                     help="delete/replace-where: predicate")
+    vs.add_argument("--delete-mode", choices=["rewrite", "dv"],
+                    default="rewrite",
+                    help="delete: 'rewrite' re-stages survivor files "
+                         "(copy-on-write); 'dv' writes a deletion "
+                         "vector instead — NO data file rewritten, "
+                         "reads mask the positions (merge-on-read; "
+                         "the write-amplification escape at scale)")
     vs.add_argument("--version", type=int, default=None,
                     help="read: snapshot version; rollback: target")
     vs.add_argument("--timestamp", default=None,
@@ -1327,8 +1334,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.op == "delete":
             if not args.where:
                 raise SystemExit("--op delete requires --where")
-            v = V.delete_where(spark, args.root, args.where)
-            print(_json.dumps({"version": v, "action": "delete"}))
+            v = V.delete_where(
+                spark, args.root, args.where, mode=args.delete_mode
+            )
+            print(_json.dumps({
+                "version": v, "action": "delete",
+                "mode": args.delete_mode,
+            }))
         elif args.op == "replace-where":
             # Delta's replaceWhere: the idempotent-backfill primitive —
             # predicate region swapped for --in as ONE atomic version,

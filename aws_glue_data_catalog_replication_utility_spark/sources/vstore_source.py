@@ -201,6 +201,40 @@ def _evolve_table(tbl: "pa.Table", target: "pa.Schema") -> "pa.Table":
 # ---------------------------------------------------------------------------
 
 
+def _dv_positions(
+    root: str, dvs: list[str], paths: list[str]
+) -> dict[str, list[int]]:
+    """Deleted row positions per REL path, restricted to `paths`
+    (absolute), unioned across the snapshot's live deletion-vector
+    relations. Executor-side pyarrow reads with a file filter — a task
+    loads only the positions of its own files."""
+    if not dvs:
+        return {}
+    import pyarrow.parquet as pq
+
+    rels = [os.path.relpath(p, root) for p in paths]
+    out: dict[str, list[int]] = {}
+    for d in dvs:
+        t = pq.read_table(
+            os.path.join(root, d), filters=[("file", "in", rels)]
+        )
+        for f, pos in zip(
+            t.column("file").to_pylist(), t.column("pos").to_pylist()
+        ):
+            out.setdefault(f, []).append(pos)
+    return out
+
+
+def _drop_positions(tbl: "pa.Table", positions: list[int]) -> "pa.Table":
+    """Arrow-side deletion-vector mask: drop the rows at `positions`."""
+    import numpy as np
+    import pyarrow as pa
+
+    mask = np.ones(tbl.num_rows, dtype=bool)
+    mask[np.asarray(positions, dtype=np.int64)] = False
+    return tbl.filter(pa.array(mask))
+
+
 @dataclass
 class _FilesPartition(InputPartition):
     # (absolute data-file path, origin schema json) per file: one task
@@ -362,10 +396,14 @@ def _prune_with_log_stats(
 
 def _changed_files(
     root: str, frm: int, to: int | None
-) -> tuple[list[tuple[str, str, str, int]], int]:
+) -> tuple[list[tuple[str, str, str, int, str | None]], int]:
     """File-level change feed: every (rel_path, origin_schema_json,
-    change, commit_version) for manifests in [frm, to] — added files
-    are 'insert', removed files 'delete'. Origins are tracked from the
+    change, commit_version, dv_rel) for manifests in [frm, to] — added
+    files are 'insert', removed files 'delete' (dv_rel None), and a
+    DELETION-VECTOR commit emits one 'delete' entry per covered file
+    with dv_rel set: only the rows at that dv's positions for the file
+    are deletes (row-level CDC — more precise than the file-level
+    delete+reinsert a rewrite produces). Origins are tracked from the
     newest CHECKPOINT below the range (checkpoint compaction may have
     deleted older manifests) so a file removed in the range is read
     under the schema its bytes were written with, even when its adding
@@ -413,7 +451,7 @@ def _changed_files(
             f"compaction deleted (missing versions {gaps[:5]}"
             f"{'...' if len(gaps) > 5 else ''})"
         )
-    out: list[tuple[str, str, str, int]] = []
+    out: list[tuple[str, str, str, int, str | None]] = []
     for v, p in ms:
         if v <= start_after:
             continue
@@ -426,15 +464,21 @@ def _changed_files(
         in_range = v >= frm
         for f in m.get("removed", []):
             if in_range and f in origin:
-                out.append((f, origin[f], "delete", v))
+                out.append((f, origin[f], "delete", v, None))
             origin.pop(f, None)
         for f in m.get("added", []):
             s = m_schemas[m_fschema[f]] if f in m_fschema else m["schema"]
             origin[f] = s
             if in_range:
-                out.append((f, s, "insert", v))
+                out.append((f, s, "insert", v, None))
+        if in_range and "dv" in m:
+            for f in (m.get("dv_rows") or {}):
+                if f in origin:
+                    out.append((f, origin[f], "delete", v, m["dv"]))
     missing = [
-        f for f, _, _, _ in out if not os.path.exists(os.path.join(root, f))
+        f
+        for f, _, _, _, _ in out
+        if not os.path.exists(os.path.join(root, f))
     ]
     if missing:
         raise ValueError(
@@ -452,7 +496,7 @@ def _cdf_schema(root: str, frm: int, to: int | None) -> StructType:
 
     entries, _ = _changed_files(root, frm, to)
     seen: list[str] = []
-    for _, s, _, _ in entries:
+    for _, s, _, _, _ in entries:
         if s not in seen:
             seen.append(s)
     if not seen:
@@ -475,6 +519,10 @@ class _ChangePartition(InputPartition):
     path: str
     change: str
     version: int
+    # deletion-vector relation (absolute path) when only the rows at
+    # its recorded positions for this file are the change; None = the
+    # whole file
+    dv: str | None = None
 
 
 @dataclass
@@ -505,9 +553,10 @@ class _VStoreChangeReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         return [
             _ChangePartition(
-                path=os.path.join(self._root, f), change=c, version=v
+                path=os.path.join(self._root, f), change=c, version=v,
+                dv=(os.path.join(self._root, dv) if dv else None),
             )
-            for f, _s, c, v in self._entries
+            for f, _s, c, v, dv in self._entries
         ]
 
     def read(self, partition: _ChangePartition):
@@ -524,6 +573,14 @@ class _VStoreChangeReader(DataSourceReader):
         ]
         target = to_arrow_schema(_St(data_fields))
         tbl = pq.read_table(partition.path)
+        if partition.dv is not None:
+            # deletion-vector slice: only the rows at the dv's
+            # positions for THIS file are the change
+            rel = os.path.relpath(partition.path, self._root)
+            pos = pq.read_table(
+                partition.dv, filters=[("file", "==", rel)]
+            ).column("pos").to_pylist()
+            tbl = tbl.take(sorted(pos))
         evolved = _evolve_table(tbl, target)
         n = evolved.num_rows
         cols = list(evolved.columns)
@@ -537,7 +594,7 @@ class _VStoreChangeReader(DataSourceReader):
 
 class _VStoreBatchReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
-        from ..versioned import _replay_full, _replay_stats
+        from ..versioned import _replay_dvs, _replay_full, _replay_stats
 
         self._root = _root(options)
         self._version = _resolve_version(options)
@@ -549,6 +606,9 @@ class _VStoreBatchReader(DataSourceReader):
             raise ValueError(f"no versioned table at {self._root}")
         self._live = live
         _, _, self._origin = _replay_full(self._root, self._version)
+        # deletion vectors of this snapshot: applied per file in the
+        # executor-side read (positions masked out of the Arrow table)
+        self._dvs = _replay_dvs(self._root, self._version)[0]
         self._preds: list[tuple[str, str, object]] = []
         self._notnull: list[str] = []
         self._ins: list[tuple[str, list]] = []
@@ -601,8 +661,16 @@ class _VStoreBatchReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
+        deleted = _dv_positions(
+            self._root,
+            self._dvs,
+            [p for p, _o in partition.files],
+        )
         for path, _origin in partition.files:
             tbl = pq.read_table(path)
+            pos = deleted.get(os.path.relpath(path, self._root))
+            if pos:
+                tbl = _drop_positions(tbl, pos)
             yield from _evolve_table(tbl, target).to_batches()
 
 
@@ -1001,16 +1069,23 @@ class _VStoreStreamReader(DataSourceStreamReader):
             fields.update(
                 fld["name"] for fld in json.loads(s).get("fields", [])
             )
+        changes_rows = bool(m.get("removed")) or "dv" in m
         info = {
             "action": m["action"],
             "added": added,
             "added_rows": {f: int(fr.get(f, 0)) for f in added},
             "rows_total": sum(int(fr.get(f, 0)) for f in added),
-            "removed": bool(m.get("removed")),
+            # a deletion-vector commit removes ROWS without touching
+            # files: same data-changing class as removed files
+            "removed": changes_rows,
             "removed_files": list(m.get("removed", [])),
-            "delete_only": bool(m.get("removed")) and not added,
+            "delete_only": changes_rows and not added,
             "added_fields": fields,
             "file_origin": file_origin,
+            "dv": m.get("dv"),
+            "dv_rows": {
+                k: int(n) for k, n in (m.get("dv_rows") or {}).items()
+            },
         }
         self._minfo[v] = info
         return info
@@ -1295,23 +1370,36 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
                     "pick up the new table schema"
                 )
 
-        entries: list[tuple[str, str, int, int]] = []
+        entries: list[tuple[str, str, int, int, str | None]] = []
         for v, info in self._infos_between(s, e):
             for f in info["removed_files"]:
                 oj = self._origin.pop(f, None)
                 if oj is not None:
                     _guard(oj, v)
-                    entries.append((f, "delete", v, self._frows.pop(f, 0)))
+                    entries.append(
+                        (f, "delete", v, self._frows.pop(f, 0), None)
+                    )
             for f in info["added"]:
                 oj = info["file_origin"][f]
                 _guard(oj, v)
                 self._origin[f] = oj
                 self._frows[f] = info["added_rows"].get(f, 0)
-                entries.append((f, "insert", v, self._frows[f]))
+                entries.append((f, "insert", v, self._frows[f], None))
+            if info["dv"]:
+                # deletion-vector commit: row-level deletes — only the
+                # dv's positions for each covered file stream
+                for f, n in info["dv_rows"].items():
+                    oj = self._origin.get(f)
+                    if oj is not None:
+                        _guard(oj, v)
+                        entries.append((f, "delete", v, n, info["dv"]))
+                        self._frows[f] = max(
+                            0, self._frows.get(f, 0) - n
+                        )
         self._origin_at = e
         missing = [
             f
-            for f, _c, _v, _n in entries
+            for f, _c, _v, _n, _d in entries
             if not os.path.exists(os.path.join(self._root, f))
         ]
         if missing:
@@ -1327,12 +1415,19 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
         groups: list[list] = []
         cur: list = []
         cur_rows = 0
-        for f, change, v, n in entries:
+        for f, change, v, n, dv in entries:
             rows = n or None
             if cur and (rows is None or cur_rows + rows > budget):
                 groups.append(cur)
                 cur, cur_rows = [], 0
-            cur.append((os.path.join(self._root, f), change, v))
+            cur.append(
+                (
+                    os.path.join(self._root, f),
+                    change,
+                    v,
+                    os.path.join(self._root, dv) if dv else None,
+                )
+            )
             cur_rows += budget if rows is None else rows
         if cur:
             groups.append(cur)
@@ -1354,7 +1449,7 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
         ]
         target = to_arrow_schema(_St(data_fields))
         names = [f.name for f in data_fields]
-        for path, change, version in partition.files:
+        for path, change, version, dv in partition.files:
             tbl = pq.read_table(path)
             extra = [c for c in tbl.column_names if c not in names]
             if extra:
@@ -1363,6 +1458,12 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
                     f"carries columns {extra}); restart the query to "
                     "pick up the new table schema"
                 )
+            if dv is not None:
+                rel = os.path.relpath(path, self._root)
+                pos = pq.read_table(
+                    dv, filters=[("file", "==", rel)]
+                ).column("pos").to_pylist()
+                tbl = tbl.take(sorted(pos))
             evolved = _evolve_table(tbl, target)
             n = evolved.num_rows
             cols = list(evolved.columns)

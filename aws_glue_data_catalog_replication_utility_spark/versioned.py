@@ -294,6 +294,88 @@ def _replay_stats(
     return sorted(seen), rows, stats, last
 
 
+def _replay_dvs(
+    root: str, version: int | None = None
+) -> tuple[list[str], dict[str, int]]:
+    """DELETION-VECTOR state at `version`: (live DV relation paths,
+    per-live-file deleted-row counts). DVs are parquet relations under
+    `_dv/` listing (file, pos) pairs a `delete_where(mode="dv")`
+    removed WITHOUT rewriting the file — the merge-on-read half of the
+    store (Delta/Iceberg deletion vectors / positional delete files).
+    Replay rules: a `dv` manifest key appends one DV relation and its
+    per-file counts; `overwrite` resets (every file was replaced);
+    `dv_live`/`dv_rows_live` (written by rollback) reset to the target
+    version's state wholesale — a rolled-back-to snapshot must
+    resurrect exactly the rows it had; removed files drop their counts
+    (their rows left the live set entirely). Stale DV entries for
+    since-rewritten files are harmless by construction: masks key on
+    file name, and rewrites stage files under NEW names. Same
+    checkpoint-accelerated walk as `_replay_full` (checkpoints carry
+    `dvs` + `dv_rows`)."""
+    ms = _manifests(root)
+    dvs: list[str] = []
+    cnt: dict[str, int] = {}
+    start_after = 0
+    for cv, cp in reversed(_checkpoints(root)):
+        if version is None or cv <= version:
+            with open(cp) as fh:
+                c = json.load(fh)
+            dvs = list(c.get("dvs") or [])
+            cnt = {k: int(v) for k, v in (c.get("dv_rows") or {}).items()}
+            start_after = cv
+            break
+    for v, p in ms:
+        if v <= start_after:
+            continue
+        if version is not None and v > version:
+            break
+        with open(p) as fh:
+            m = json.load(fh)
+        if m.get("action") == "overwrite":
+            dvs, cnt = [], {}
+        if "dv_live" in m:
+            dvs = list(m["dv_live"])
+            cnt = {
+                k: int(n) for k, n in (m.get("dv_rows_live") or {}).items()
+            }
+        for f in m.get("removed", []):
+            cnt.pop(f, None)
+        if "dv" in m:
+            dvs.append(m["dv"])
+            for f, n in (m.get("dv_rows") or {}).items():
+                cnt[f] = cnt.get(f, 0) + int(n)
+    return dvs, cnt
+
+
+def _dv_mask(spark: SparkSession, root: str, df: DataFrame, dvs: list[str]):
+    """Remove deletion-vector rows from a RAW parquet read of store
+    files: anti-join on (file name, row position) via the parquet
+    source's `_metadata` columns. File NAMES key the mask (every
+    staged file carries a uuid-fresh name, so names are unique within
+    a store and path-representation-proof). Zero overhead when the
+    store has no DVs — callers skip the call. The DV side is
+    file-backed and small; AQE picks the broadcast side from its real
+    size."""
+    if not dvs:
+        return df
+    data_cols = df.columns
+    tagged = df.select(
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+        "*",
+    )
+    dv = spark.read.parquet(*[os.path.join(root, d) for d in dvs])
+    dvk = dv.select(
+        F.element_at(F.split(F.col("file"), "/"), -1).alias("__dv_file"),
+        F.col("pos").alias("__dv_pos"),
+    )
+    return tagged.join(
+        dvk, ["__dv_file", "__dv_pos"], "left_anti"
+    ).select(*data_cols)
+
+
 def count_versioned(
     spark: SparkSession, root: str, version: int | None = None
 ) -> tuple[int, dict]:
@@ -311,11 +393,17 @@ def count_versioned(
         raise ValueError(f"no versioned table at {root}")
     unknown = [f for f in live if f not in rows]
     n = sum(rows[f] for f in live if f in rows)
+    # deletion vectors: per-file deleted counts ride the dv manifests,
+    # so the subtraction is STILL metadata-only (live files with
+    # recorded rows never open)
+    dvs, dv_cnt = _replay_dvs(root, version)
+    live_set = set(live)
+    n -= sum(c for f, c in dv_cnt.items() if f in live_set and f in rows)
     if unknown:
-        n += (
-            spark.read.parquet(*[os.path.join(root, f) for f in unknown])
-            .count()
+        raw = spark.read.parquet(
+            *[os.path.join(root, f) for f in unknown]
         )
+        n += _dv_mask(spark, root, raw, dvs).count()
     return int(n), {
         "files_total": len(live),
         "files_from_log": len(live) - len(unknown),
@@ -344,7 +432,8 @@ def _stage_write(df: DataFrame, root: str) -> list[str]:
 
 def _commit(root: str, action: str, added: list[str], removed: list[str],
             schema_json: str, meta: dict | None = None,
-            file_schema: dict[str, str] | None = None) -> int | None:
+            file_schema: dict[str, str] | None = None,
+            extra: dict | None = None) -> int | None:
     """Atomically publish the next version; VersionConflict if a
     concurrent writer took it. `file_schema` (rel path -> schema json)
     records per-file origin schemas for added files whose bytes were
@@ -408,6 +497,10 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
             body["file_schema"] = fmap
     if meta:
         body["meta"] = meta
+    if extra:
+        # top-level replay-visible keys (deletion vectors: dv/dv_rows,
+        # rollback's dv_live/dv_rows_live)
+        body.update(extra)
     # per-file stats for the added files (Delta-style stats in the
     # log): O(added) footer reads at commit time buy metadata-only
     # COUNT(*) (count_versioned) AND zero-footer-I/O predicate pruning
@@ -553,6 +646,7 @@ def _rewrite_survivors(
     origin: dict[str, str],
     lub,
     keep_fn,
+    dvs: list[str] | None = None,
 ) -> list[str]:
     """Re-stage the surviving rows of the affected files: ONE Spark
     job per origin-SCHEMA group (bounded by the number of schema
@@ -561,7 +655,11 @@ def _rewrite_survivors(
     group read under the schema its bytes were written with, widened
     to the table LUB (the lattice, never the parquet reader's narrower
     upcast tolerance, is the widening mechanism), filtered by
-    `keep_fn`, and written as ~half as many files as it read."""
+    `keep_fn`, and written as ~half as many files as it read.
+
+    `dvs` (the snapshot's live deletion vectors) are applied to the
+    raw reads BEFORE keep_fn: a row a prior dv-mode delete removed
+    must never resurrect through a rewrite."""
     from pyspark.sql.types import StructType
 
     from .functions.evolve import evolve_to_schema
@@ -575,6 +673,7 @@ def _rewrite_survivors(
         df = spark.read.schema(st).parquet(
             *[os.path.join(root, r) for r in rels]
         )
+        df = _dv_mask(spark, root, df, dvs or [])
         surv = keep_fn(evolve_to_schema(df, lub))
         n_out = max(1, len(rels) // 2)
         if surv.limit(1).count():
@@ -706,15 +805,40 @@ def _affected_files(
     return sorted(os.path.relpath(h, rootabs) for h in hits), probe_meta
 
 
-def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
-    """DELETE FROM ... WHERE, transactionally: only files containing
-    matching rows are rewritten (their survivors re-staged as new
-    files, normalized to the table's LUB schema); untouched files stay
-    in the live set byte-identical. The old files remain on disk for
-    time travel until vacuumed. The match probe is stats-pruned from
-    the log (`_affected_files`): simple conjunctive predicates open
-    only the files whose recorded min/max overlap, and the manifest
-    records {probe_files_scanned, files_total} when pruning applied."""
+def delete_where(
+    spark: SparkSession, root: str, predicate: str, mode: str = "rewrite"
+) -> int:
+    """DELETE FROM ... WHERE, transactionally. Two physical modes,
+    same logical result (bit-identical reads, pinned in tests):
+
+    - `mode="rewrite"` (default, copy-on-write): only files containing
+      matching rows are rewritten (their survivors re-staged as new
+      files, normalized to the table's LUB schema); untouched files
+      stay in the live set byte-identical.
+    - `mode="dv"` (merge-on-read, Delta/Iceberg deletion vectors): NO
+      data file is rewritten — the matching rows' (file, position)
+      pairs are written as a small parquet relation under `_dv/` and
+      the commit references it; every read path (library, format,
+      counts, rewrites, CDC) masks them out. At 100 TB this is the
+      difference between deleting 0.1% of rows by REWRITING the
+      files that hold them (write amplification ~1000x the deleted
+      bytes) and writing kilobytes of positions. The trade: reads pay
+      one (broadcast) anti-join while DVs are live; `optimize()` or a
+      rewrite-mode delete on the same files re-materializes clean
+      files and retires the mask.
+
+    The old files remain on disk for time travel until vacuumed. The
+    match probe is stats-pruned from the log (`_affected_files`):
+    simple conjunctive predicates open only the files whose recorded
+    min/max overlap, and the manifest records {probe_files_scanned,
+    files_total} when pruning applied.
+
+    Caveat (documented, conservative): `snapshot_skip_index` built
+    over a DV'd snapshot stays EXACT for pruning (bounds are upper
+    bounds) but its recorded `file_rows` include the deleted rows —
+    use `count_versioned` (dv-aware) for counting."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     live, last, origin = _replay_full(root, None)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
@@ -723,17 +847,121 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     )
     if not affected:
         return last["version"]  # no-op: nothing matched, no new version
+    if mode == "dv":
+        return _delete_where_dv(
+            spark, root, predicate, origin, affected, probe_meta, last
+        )
     lub, lub_json = _table_lub(origin)
     rootabs = os.path.abspath(root)
+    dvs, _ = _replay_dvs(root, None)
     # survivors are rows where the predicate is NOT TRUE: a NULL
     # predicate (e.g. NULL column values sharing a file with matches)
     # must KEEP the row — `NOT (pred)` would evaluate NULL and drop it
     added = _rewrite_survivors(
         spark, rootabs, affected, origin, lub,
         lambda df: df.where(~F.coalesce(F.expr(predicate), F.lit(False))),
+        dvs=dvs,
     )
     return _commit(
         root, "delete", added, affected, lub_json, probe_meta or None
+    )
+
+
+def _delete_where_dv(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    origin: dict[str, str],
+    affected: list[str],
+    probe_meta: dict,
+    last: dict,
+) -> int:
+    """The merge-on-read half of `delete_where(mode="dv")`: compute
+    the matching rows' (file, position) pairs over the affected files
+    — already-deleted positions excluded by masking the read with the
+    snapshot's live DVs, so DV relations never overlap — write them as
+    one parquet relation under `_dv/`, and commit a version that adds
+    and removes NO data file but carries `dv` + per-file `dv_rows`
+    counts (so `count_versioned` stays metadata-only). Predicate
+    evaluation matches rewrite-mode exactly: per origin-schema group,
+    widened to the table LUB, match = predicate IS TRUE."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .functions.evolve import evolve_to_schema
+
+    dvs, _ = _replay_dvs(root, None)
+    lub, lub_json = _table_lub(origin)
+    tag_target = StructType(
+        [
+            StructField("__dv_file", StringType(), False),
+            StructField("__dv_pos", LongType(), False),
+        ]
+        + list(lub.fields)
+    )
+    groups: dict[str, list[str]] = {}
+    for rel in affected:
+        groups.setdefault(origin[rel], []).append(rel)
+    matches = None
+    for s, rels in groups.items():
+        st = StructType.fromJson(json.loads(s))
+        raw = spark.read.schema(st).parquet(
+            *[os.path.join(root, r) for r in rels]
+        )
+        tagged = raw.select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+            "*",
+        )
+        part = (
+            evolve_to_schema(tagged, tag_target)
+            .where(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select("__dv_file", "__dv_pos")
+        )
+        matches = part if matches is None else matches.unionByName(part)
+    if dvs:
+        dv_old = spark.read.parquet(*[os.path.join(root, d) for d in dvs])
+        matches = matches.join(
+            dv_old.select(
+                F.element_at(F.split("file", "/"), -1).alias("__dv_file"),
+                F.col("pos").alias("__dv_pos"),
+            ),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        )
+    lookup = spark.createDataFrame(
+        [(os.path.basename(f), f) for f in affected],
+        "name string, file string",
+    )
+    dv_df = (
+        matches.withColumnRenamed("__dv_file", "name")
+        .join(F.broadcast(lookup), "name")
+        .select("file", F.col("__dv_pos").alias("pos"))
+    )
+    dv_rel = os.path.join("_dv", uuid.uuid4().hex[:12])
+    dv_df.coalesce(max(1, len(affected) // 16)).write.parquet(
+        os.path.join(root, dv_rel)
+    )
+    import pyarrow.parquet as _pq
+
+    tbl = _pq.read_table(os.path.join(root, dv_rel), columns=["file"])
+    if tbl.num_rows == 0:
+        # every match was already deleted by a prior DV: no new state
+        shutil.rmtree(os.path.join(root, dv_rel), ignore_errors=True)
+        return last["version"]
+    counts: dict[str, int] = {}
+    for f in tbl.column("file").to_pylist():
+        counts[f] = counts.get(f, 0) + 1
+    return _commit(
+        root, "delete", [], [], lub_json,
+        meta={"mode": "dv", "predicate": predicate, **probe_meta},
+        extra={"dv": dv_rel, "dv_rows": counts},
     )
 
 
@@ -788,6 +1016,7 @@ def overwrite_where(
     added = _rewrite_survivors(
         spark, rootabs, affected, origin, lub,
         lambda s: s.where(~F.coalesce(F.expr(predicate), F.lit(False))),
+        dvs=_replay_dvs(root, None)[0],
     )
     added.extend(_stage_write(evolve_to_schema(df, lub), root))
     return _commit(
@@ -826,16 +1055,22 @@ def read_versioned(
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(last["schema"]))
         )
-    return _read_file_subset(spark, root, live, origin)
+    dvs, _ = _replay_dvs(root, version)
+    return _read_file_subset(spark, root, live, origin, dvs=dvs)
 
 
 def _read_file_subset(
-    spark: SparkSession, root: str, files: list[str], origin: dict[str, str]
+    spark: SparkSession, root: str, files: list[str],
+    origin: dict[str, str], dvs: list[str] | None = None,
 ) -> DataFrame:
     """The schema-evolution read over an arbitrary LIVE-file subset
     (read_versioned's body, reusable for pruned reads like the MERGE
     bloom probe): group files by the schema their commit wrote, read
-    each group under its own schema, widen to the LUB, union by name."""
+    each group under its own schema, widen to the LUB, union by name.
+    `dvs` applies the snapshot's deletion vectors (pass them for DATA
+    reads; probe-only reads may skip — a dv'd row matching a probe at
+    worst rewrites a file that needed no rewrite, never a wrong
+    answer)."""
     from pyspark.sql.types import StructType
 
     # group files by the schema their commit wrote (replay order kept:
@@ -849,7 +1084,8 @@ def _read_file_subset(
             order.append(s)
         groups[s].append(f)
     if len(groups) == 1:
-        return spark.read.parquet(*[os.path.join(root, f) for f in files])
+        raw = spark.read.parquet(*[os.path.join(root, f) for f in files])
+        return _dv_mask(spark, root, raw, dvs or [])
     from .functions.evolve import evolve_to_schema, merge_schemas
 
     schemas = [StructType.fromJson(json.loads(s)) for s in order]
@@ -859,7 +1095,9 @@ def _read_file_subset(
         part = spark.read.schema(st).parquet(
             *[os.path.join(root, f) for f in groups[s]]
         )
-        part = evolve_to_schema(part, target)
+        part = evolve_to_schema(
+            _dv_mask(spark, root, part, dvs or []), target
+        )
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -884,9 +1122,15 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     schema_json = (
         _table_lub(old_origin)[1] if old_origin else old_last["schema"]
     )
+    # deletion-vector state resets WHOLESALE to the target version's:
+    # a dv added after `to_version` must stop masking (its rows
+    # resurrect with the snapshot), and one live AT `to_version` must
+    # mask again even though later rewrites dropped it
+    dv_live, dv_rows_live = _replay_dvs(root, to_version)
     return _commit(
         root, "rollback", added, removed, schema_json,
         file_schema={f: old_origin[f] for f in added},
+        extra={"dv_live": dv_live, "dv_rows_live": dv_rows_live},
     )
 
 
@@ -1000,16 +1244,21 @@ def describe_detail(root: str) -> dict:
     if ts is None and ms and ms[-1][0] == last["version"]:
         with open(ms[-1][1]) as fh:
             ts = json.load(fh).get("ts")
+    dvl, dvc = _replay_dvs(root, None)
+    live_set = set(live)
+    dv_deleted = sum(c for f, c in dvc.items() if f in live_set)
     return {
         "version": last["version"],
         "ts": ts,
         "num_files": len(live),
         "size_bytes": int(size),
         "num_rows": (
-            int(sum(rows[f] for f in known))
+            int(sum(rows[f] for f in known)) - dv_deleted
             if len(known) == len(live)
             else None  # pre-stats files present: count_versioned scans
         ),
+        "num_deletion_vectors": len(dvl),
+        "dv_deleted_rows": int(dv_deleted),
         "schema_generations": len({origin[f] for f in live}) if live else 0,
         "constraints": table_constraints(root),
         "txns": _txn_state(root),
@@ -1124,9 +1373,11 @@ def vacuum(
         return {"data_files_removed": 0, "staging_removed": 0}
     keep_versions = [v for v, _ in ms][-keep_last:]
     needed: set[str] = set()
+    needed_dv: set[str] = set()
     for v in keep_versions:
         live, _ = _replay(root, v)
         needed.update(live)
+        needed_dv.update(_replay_dvs(root, v)[0])
     cutoff = time.time() - retention_seconds
     removed = 0
     ddir = _data_dir(root)
@@ -1137,6 +1388,20 @@ def vacuum(
             if rel not in needed and os.path.getmtime(full) <= cutoff:
                 os.remove(full)
                 removed += 1
+    # deletion-vector relations only reachable through expired
+    # versions reclaim under the same retention window (a dv younger
+    # than the window may belong to a commit in flight)
+    dv_removed = 0
+    dvdir = os.path.join(root, "_dv")
+    if os.path.isdir(dvdir):
+        for n in sorted(os.listdir(dvdir)):
+            rel = os.path.join("_dv", n)
+            full = os.path.join(dvdir, n)
+            if rel not in needed_dv and os.path.getmtime(full) <= cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+                dv_removed += 1
+        if not os.listdir(dvdir):
+            os.rmdir(dvdir)
     st = os.path.join(root, ".staging")
     staged = 0
     if os.path.isdir(st):
@@ -1147,7 +1412,11 @@ def vacuum(
                 staged += 1
         if not os.listdir(st):
             os.rmdir(st)
-    return {"data_files_removed": removed, "staging_removed": staged}
+    return {
+        "data_files_removed": removed,
+        "dv_removed": dv_removed,
+        "staging_removed": staged,
+    }
 
 
 def merge_into(
@@ -1268,6 +1537,7 @@ def merge_into(
     added = _rewrite_survivors(
         spark, rootabs, affected, origin, lub,
         lambda df: df.join(F.broadcast(keys), on=key_cols, how="left_anti"),
+        dvs=_replay_dvs(root, None)[0],
     )
     added.extend(_stage_write(evolve_to_schema(updates, lub), root))
     return _commit(
@@ -1547,6 +1817,14 @@ def checkpoint(root: str) -> dict:
     sb = _stream_state(root)
     if sb:
         body["stream_batches"] = sb
+    # deletion-vector state: replay starts HERE, so live DV relations
+    # and their per-file deleted counts must survive compaction like
+    # constraints/txns/stream markers do; an empty count map means no
+    # live file is masked, so the dv list can drop with the manifests
+    dvl, dvc = _replay_dvs(root, None)
+    if dvc:  # an empty count map = no live file masked: fully-stale
+        body["dvs"] = dvl  # dvs compact away at the checkpoint
+        body["dv_rows"] = dvc
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(body, fh)
@@ -1620,7 +1898,11 @@ def optimize(
         # the table LUB: widen to the FULL-table LUB before writing,
         # because the new files' recorded origin is the manifest schema
         out = evolve_to_schema(
-            _read_file_subset(spark, root, small, origin), lub
+            _read_file_subset(
+                spark, root, small, origin,
+                dvs=_replay_dvs(root, None)[0],
+            ),
+            lub,
         ).coalesce(n_files)
         added = _stage_write(out, root)
         return _commit(

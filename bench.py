@@ -633,6 +633,26 @@ def main() -> None:
             "overwrite"
         ).save()
         extras["vstore_lifecycle"] = round(time.perf_counter() - t0, 3)
+
+        # r11 deletion vectors: the same predicate delete both ways on
+        # fresh stores — copy-on-write rewrite vs merge-on-read dv —
+        # plus the masked read, so the write-amplification gap AND the
+        # read-side mask cost are both visible round-over-round
+        vroot_cow = f"{vs_dir}/cow"
+        vroot_dv = f"{vs_dir}/dv"
+        V.append(orders_dim.repartition(32), vroot_cow)
+        V.append(orders_dim.repartition(32), vroot_dv)
+        t0 = time.perf_counter()
+        V.delete_where(spark, vroot_cow, "o_custkey % 13 = 0")
+        extras["vstore_delete_rewrite"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        V.delete_where(spark, vroot_dv, "o_custkey % 13 = 0", mode="dv")
+        extras["vstore_delete_dv"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        V.read_versioned(spark, vroot_dv).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        extras["vstore_read_masked"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(vs_dir, ignore_errors=True)
 

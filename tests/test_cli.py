@@ -1698,3 +1698,35 @@ def test_cli_join_keys_tuple_prover_drops_cross_matched_file(
         assert bloom_dropped_files_for_join(
             bloom, col, probes, value_col=col
         ).count() == 0
+
+
+def test_cli_vstore_delete_mode_dv(spark, tmp_path, capsys):
+    """`vstore --op delete --delete-mode dv`: the merge-on-read delete
+    through the job surface — no data file rewritten, reads masked."""
+    import json
+
+    root = str(tmp_path / "t")
+    spark.range(0, 100).selectExpr("id as k").write.parquet(
+        str(tmp_path / "in")
+    )
+    assert main([
+        "vstore", "--root", root, "--op", "append",
+        "--in", str(tmp_path / "in"),
+    ]) == 0
+    capsys.readouterr()
+    from aws_glue_data_catalog_replication_utility_spark import versioned as V
+
+    live_before, _ = V._replay(root, None)
+    assert main([
+        "vstore", "--root", root, "--op", "delete",
+        "--where", "k % 10 = 0", "--delete-mode", "dv",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"version": 2, "action": "delete", "mode": "dv"}
+    assert V._replay(root, None)[0] == live_before  # nothing rewritten
+    assert V.read_versioned(spark, root).count() == 90
+    assert main(["vstore", "--root", root, "--op", "detail"]) == 0
+    detail = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert detail["num_deletion_vectors"] == 1
+    assert detail["dv_deleted_rows"] == 10
+    assert detail["num_rows"] == 90

@@ -617,7 +617,9 @@ def test_vacuum_retention_protects_inflight_writer_files(spark, tmp_path):
     os.makedirs(stage)
 
     rep = V.vacuum(root, keep_last=1)  # default retention window
-    assert rep == {"data_files_removed": 0, "staging_removed": 0}
+    assert rep == {
+        "data_files_removed": 0, "dv_removed": 0, "staging_removed": 0
+    }
     assert os.path.exists(inflight) and os.path.isdir(stage)
 
     # age both past the window -> genuinely dead, reclaimed
@@ -625,7 +627,9 @@ def test_vacuum_retention_protects_inflight_writer_files(spark, tmp_path):
     os.utime(inflight, (old, old))
     os.utime(stage, (old, old))
     rep2 = V.vacuum(root, keep_last=1)
-    assert rep2 == {"data_files_removed": 1, "staging_removed": 1}
+    assert rep2 == {
+        "data_files_removed": 1, "dv_removed": 0, "staging_removed": 1
+    }
     assert not os.path.exists(inflight) and not os.path.isdir(stage)
     assert V.read_versioned(spark, root).count() == 1
 

@@ -1,0 +1,232 @@
+"""Deletion vectors (versioned.delete_where(mode="dv")): merge-on-read
+deletes that never rewrite a data file. The contract under attack:
+bit-identical reads vs rewrite-mode on every surface (snapshot, time
+travel, counts, merge, optimize, rollback, vacuum, checkpoint+prune),
+zero data-file churn, and no resurrection of dv-deleted rows through
+any rewrite path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark import versioned as V
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _rows(df):
+    # None-safe canonical ordering (evolved reads NULL-pad old rows)
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def test_dv_delete_matches_rewrite_and_rewrites_nothing(
+    spark, orders, tmp_path
+):
+    ra = str(tmp_path / "rewrite")
+    rb = str(tmp_path / "dv")
+    for root in (ra, rb):
+        V.append(orders.repartition(4), root)
+    live_before, _ = V._replay(rb, None)
+    sizes = {
+        f: os.path.getsize(os.path.join(rb, f)) for f in live_before
+    }
+
+    V.delete_where(spark, ra, "o_custkey % 7 = 0")  # copy-on-write
+    V.delete_where(spark, rb, "o_custkey % 7 = 0", mode="dv")
+
+    # same logical table...
+    assert _rows(V.read_versioned(spark, rb)) == _rows(
+        V.read_versioned(spark, ra)
+    )
+    # ...but the dv store rewrote NOTHING: live set and bytes identical
+    live_after, _ = V._replay(rb, None)
+    assert live_after == live_before
+    for f, sz in sizes.items():
+        assert os.path.getsize(os.path.join(rb, f)) == sz
+    # the manifest carries the dv + per-file counts, no added/removed
+    with open(V._manifests(rb)[-1][1]) as fh:
+        m = json.load(fh)
+    assert m["action"] == "delete" and m["meta"]["mode"] == "dv"
+    assert m["added"] == [] and m["removed"] == []
+    assert sum(m["dv_rows"].values()) == orders.where(
+        "o_custkey % 7 = 0"
+    ).count()
+    # time travel to v1 still shows everything
+    assert _rows(V.read_versioned(spark, rb, 1)) == _rows(orders)
+
+
+def test_dv_count_versioned_stays_metadata_only(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(orders.repartition(3), root)
+    V.delete_where(spark, root, "o_orderkey % 5 = 0", mode="dv")
+    want = orders.where("o_orderkey % 5 != 0").count()
+    n, info = V.count_versioned(spark, root)
+    assert n == want
+    assert info["files_scanned"] == 0  # counts never opened a file
+    d = V.describe_detail(root)
+    assert d["num_rows"] == want
+    assert d["num_deletion_vectors"] == 1
+    assert d["dv_deleted_rows"] == orders.count() - want
+
+
+def test_dv_deletes_compose_and_redelete_is_noop(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(orders, root)
+    v2 = V.delete_where(spark, root, "o_custkey % 7 = 0", mode="dv")
+    # re-deleting the same rows finds only already-masked positions:
+    # NO new version (the probe may hit, but the dv comes out empty)
+    assert V.delete_where(spark, root, "o_custkey % 7 = 0", mode="dv") == v2
+    assert not [
+        d for d in os.listdir(os.path.join(root, "_dv"))
+    ][2:]  # no orphan dv dir beyond the one committed
+    # a second, different dv composes with the first
+    V.delete_where(spark, root, "o_custkey % 11 = 0", mode="dv")
+    want = orders.where(
+        "o_custkey % 7 != 0 AND o_custkey % 11 != 0"
+    )
+    assert _rows(V.read_versioned(spark, root)) == _rows(want)
+    n, _ = V.count_versioned(spark, root)
+    assert n == want.count()
+
+
+def test_dv_rows_never_resurrect_through_rewrites(spark, orders, tmp_path):
+    """A rewrite-mode delete / MERGE / optimize over dv-masked files
+    must apply the mask before re-staging survivors."""
+    root = str(tmp_path / "t")
+    V.append(orders.repartition(2), root)
+    V.delete_where(spark, root, "o_custkey % 7 = 0", mode="dv")
+
+    # rewrite-mode delete of OTHER rows in the same files
+    V.delete_where(spark, root, "o_orderkey % 2 = 0")
+    want = orders.where("o_custkey % 7 != 0 AND o_orderkey % 2 != 0")
+    assert _rows(V.read_versioned(spark, root)) == _rows(want)
+
+    # MERGE: update some survivors; dv'd rows stay gone
+    upd = want.limit(5).withColumn("o_totalprice", F.lit(1.0))
+    V.merge_into(spark, root, upd, ["o_orderkey"])
+    got = V.read_versioned(spark, root)
+    oracle = want.join(
+        upd.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(upd)
+    assert _rows(got) == _rows(oracle)
+
+    # full OPTIMIZE compacts to clean files; mask no longer needed
+    V.optimize(spark, root, target_file_bytes=1 << 26)
+    assert _rows(V.read_versioned(spark, root)) == _rows(oracle)
+    # post-optimize the dv counts are fully stale: checkpoint drops dvs
+    V.checkpoint(root)
+    with open(V._checkpoints(root)[-1][1]) as fh:
+        c = json.load(fh)
+    assert "dvs" not in c
+
+
+def test_dv_merge_can_reinsert_deleted_key(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(orders, root)
+    victim = orders.select("o_orderkey").first().o_orderkey
+    V.delete_where(spark, root, f"o_orderkey = {victim}", mode="dv")
+    assert (
+        V.read_versioned(spark, root)
+        .where(F.col("o_orderkey") == victim)
+        .count()
+        == 0
+    )
+    upd = spark.createDataFrame(
+        [(int(victim), -1, 9.5)],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    )
+    V.merge_into(spark, root, upd, ["o_orderkey"])
+    got = (
+        V.read_versioned(spark, root)
+        .where(F.col("o_orderkey") == victim)
+        .collect()
+    )
+    assert [(r.o_custkey, r.o_totalprice) for r in got] == [(-1, 9.5)]
+
+
+def test_dv_rollback_restores_and_reapplies_masks(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(orders, root)  # v1
+    V.delete_where(spark, root, "o_custkey % 7 = 0", mode="dv")  # v2
+    # rollback to v1: dv'd rows resurrect
+    V.rollback(spark, root, 1)  # v3
+    assert _rows(V.read_versioned(spark, root)) == _rows(orders)
+    # rollback to v2: the mask applies again
+    V.rollback(spark, root, 2)  # v4
+    assert _rows(V.read_versioned(spark, root)) == _rows(
+        orders.where("o_custkey % 7 != 0")
+    )
+    n, _ = V.count_versioned(spark, root)
+    assert n == orders.where("o_custkey % 7 != 0").count()
+
+
+def test_dv_state_survives_checkpoint_and_prune(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(orders, root)
+    V.delete_where(spark, root, "o_custkey % 7 = 0", mode="dv")
+    want = _rows(V.read_versioned(spark, root))
+    V.checkpoint(root)
+    V.prune_log(root)
+    assert V._manifests(root) == []  # the dv manifest is gone
+    assert _rows(V.read_versioned(spark, root)) == want
+    n, info = V.count_versioned(spark, root)
+    assert n == len(want) and info["files_scanned"] == 0
+    # and further commits on top keep the mask
+    V.append(orders.limit(3).withColumn("o_custkey", F.lit(-1)), root)
+    assert V.read_versioned(spark, root).count() == len(want) + 3
+
+
+def test_dv_vacuum_reclaims_expired_masks_only(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(orders, root)  # v1
+    V.delete_where(spark, root, "o_custkey % 7 = 0", mode="dv")  # v2
+    V.overwrite(orders.limit(10), root)  # v3: resets dv state
+    V.delete_where(spark, root, "o_orderkey < 3", mode="dv")  # v4
+    assert len(os.listdir(os.path.join(root, "_dv"))) == 2
+    rep = V.vacuum(root, keep_last=2, retention_seconds=0.0)
+    assert rep["dv_removed"] == 1  # v2's mask expired with v1/v2
+    assert len(os.listdir(os.path.join(root, "_dv"))) == 1
+    got = V.read_versioned(spark, root)
+    assert got.count() == orders.limit(10).where("o_orderkey >= 3").count()
+
+
+def test_dv_across_schema_generations(spark, orders, tmp_path):
+    """dv-mode delete over a store whose live files span TWO origin
+    schemas: matches are computed per generation, widened to the LUB,
+    and the masked read equals the rewrite-mode result."""
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    gen2 = orders.limit(200).withColumn("tag", F.lit("g2"))
+    for root in (ra, rb):
+        V.append(orders.repartition(2), root)
+        V.append(gen2, root)
+    V.delete_where(spark, ra, "o_custkey % 5 = 0")
+    V.delete_where(spark, rb, "o_custkey % 5 = 0", mode="dv")
+    assert _rows(V.read_versioned(spark, rb)) == _rows(
+        V.read_versioned(spark, ra)
+    )
+
+
+def test_dv_mode_validation(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(orders, root)
+    with pytest.raises(ValueError, match="mode"):
+        V.delete_where(spark, root, "o_orderkey < 0", mode="nope")
+    # no matches: no version, no dv dir
+    v = V.delete_where(spark, root, "o_orderkey < 0", mode="dv")
+    assert v == 1
+    assert not os.path.isdir(os.path.join(root, "_dv"))

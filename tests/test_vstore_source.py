@@ -1131,7 +1131,7 @@ def test_cdf_stream_incremental_walk_matches_changed_files(
     import pyarrow.parquet as pq
 
     want = []
-    for f, _origin, change, v in _changed_files(root, 1, 4)[0]:
+    for f, _origin, change, v, _dv in _changed_files(root, 1, 4)[0]:
         for rec in pq.read_table(os.path.join(root, f)).to_pylist():
             want.append((rec["k"], change, v))
     assert sorted(got) == sorted(want)
@@ -1165,3 +1165,97 @@ def test_cdf_stream_packs_partitions(vsrc_spark, tmp_path):
     parts2 = rdr2.partitions({"version": 0}, {"version": 6})
     assert len(parts2) == 3
     assert sum(len(p.files) for p in parts2) == 6
+
+
+def test_format_read_applies_deletion_vectors(vsrc_spark, tmp_path):
+    """spark.read.format('vstore') masks dv-deleted rows exactly like
+    the library read, including under time travel and pushdown-pruned
+    scans; the stream source treats a dv commit as delete-only."""
+    root = str(tmp_path / "store")
+    V.append(
+        vsrc_spark.range(0, 300).selectExpr("id as k", "id * 2 as w")
+        .repartitionByRange(3, "k").sortWithinPartitions("k"),
+        root,
+    )
+    V.delete_where(vsrc_spark, root, "k % 10 = 0", mode="dv")
+
+    got = vsrc_spark.read.format("vstore").load(root)
+    assert got.count() == 270
+    assert got.where("k % 10 = 0").count() == 0
+    lib = V.read_versioned(vsrc_spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, lib.collect())
+    )
+    # time travel to v1: the mask does not apply
+    v1 = vsrc_spark.read.format("vstore").option("version", "1").load(root)
+    assert v1.count() == 300
+    # pushdown-pruned scan over the dv'd snapshot stays exact
+    n = (
+        vsrc_spark.read.format("vstore").load(root)
+        .where("k < 100").count()
+    )
+    assert n == 90
+    # plain stream: the dv commit is delete-only — fails without
+    # ignoreDeletes, skips with it
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        _VStoreStreamReader,
+    )
+
+    planned = lib.schema
+    with pytest.raises(ValueError, match="ignoreDeletes"):
+        _VStoreStreamReader({"path": root}, planned).partitions(
+            {"version": 1}, {"version": 2}
+        )
+    parts = _VStoreStreamReader(
+        {"path": root, "ignoreDeletes": "true"}, planned
+    ).partitions({"version": 1}, {"version": 2})
+    assert parts == []  # nothing re-added, nothing streams
+
+
+def test_cdf_batch_apply_law_with_deletion_vectors(vsrc_spark, tmp_path):
+    """The batch change feed emits dv deletes ROW-LEVEL (only the
+    deleted rows, no survivor re-inserts) and the apply law still
+    reconstructs the head snapshot."""
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(0, 20).selectExpr("id as k"), root)  # v1
+    V.delete_where(vsrc_spark, root, "k % 4 = 0", mode="dv")  # v2
+    V.append(vsrc_spark.range(20, 25).selectExpr("id as k"), root)  # v3
+    V.delete_where(vsrc_spark, root, "k = 7", mode="dv")  # v4
+
+    cdf = (
+        vsrc_spark.read.format("vstore")
+        .option("changesFrom", "2")
+        .load(root)
+    )
+    rows = cdf.collect()
+    dels = [(r.k, r._commit_version) for r in rows if r._change == "delete"]
+    # row-level: exactly the deleted rows, nothing else
+    assert sorted(dels) == sorted(
+        [(k, 2) for k in range(0, 20, 4)] + [(7, 4)]
+    )
+    base = _multiset(
+        (r.k,) for r in V.read_versioned(vsrc_spark, root, 1).collect()
+    )
+    for r in sorted(rows, key=lambda r: r._commit_version):
+        if r._change == "insert":
+            base[(r.k,)] += 1
+        else:
+            base[(r.k,)] -= 1
+    head = _multiset(
+        (r.k,) for r in V.read_versioned(vsrc_spark, root).collect()
+    )
+    assert +base == head
+
+
+def test_cdf_stream_emits_dv_deletes(vsrc_spark, tmp_path):
+    """The streaming change feed emits dv commits as row-level deletes
+    through the executor path, batch by batch."""
+    root = str(tmp_path / "store")
+    V.append(vsrc_spark.range(0, 30).selectExpr("id as k"), root)  # v1
+    V.delete_where(vsrc_spark, root, "k >= 25", mode="dv")  # v2
+    rdr = _cdf_reader(vsrc_spark, root, startingVersion="1")
+    got = _drain_cdf(rdr, 0, 2)
+    ins = sorted(k for k, c, _v in got if c == "insert")
+    dels = sorted((k, v) for k, c, v in got if c == "delete")
+    assert ins == list(range(30))
+    assert dels == [(k, 2) for k in range(25, 30)]
