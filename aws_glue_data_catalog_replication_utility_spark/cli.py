@@ -544,10 +544,10 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--root", required=True)
     vs.add_argument("--op", required=True,
                     choices=["append", "overwrite", "merge", "delete",
-                             "replace-where", "read", "count", "history",
-                             "rollback", "vacuum", "checkpoint", "optimize",
-                             "bloom-build", "bloom-refresh", "changes",
-                             "add-constraint", "drop-constraint",
+                             "update", "replace-where", "read", "count",
+                             "history", "rollback", "vacuum", "checkpoint",
+                             "optimize", "bloom-build", "bloom-refresh",
+                             "changes", "add-constraint", "drop-constraint",
                              "constraints", "detail", "prune-log"])
     vs.add_argument("--from", dest="changes_from", type=int, default=None,
                     help="changes: first version of the feed (inclusive)")
@@ -568,6 +568,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="append/overwrite: input parquet")
     vs.add_argument("--where", default=None,
                     help="delete/replace-where: predicate")
+    vs.add_argument("--set", dest="set_exprs", action="append",
+                    default=None, metavar="COL=EXPR",
+                    help="update: one assignment per flag (repeat for "
+                         "several); all RHS see the pre-update row")
+    vs.add_argument("--purge-dvs", action="store_true",
+                    help="optimize: rewrite ONLY deletion-vector-"
+                         "masked files (masks applied) — retires the "
+                         "read-side mask at a cost priced by the "
+                         "masked files, not the table")
     vs.add_argument("--delete-mode", choices=["rewrite", "dv"],
                     default="rewrite",
                     help="delete: 'rewrite' re-stages survivor files "
@@ -1341,6 +1350,23 @@ def main(argv: list[str] | None = None) -> int:
                 "version": v, "action": "delete",
                 "mode": args.delete_mode,
             }))
+        elif args.op == "update":
+            if not args.where or not args.set_exprs:
+                raise SystemExit(
+                    "--op update requires --where and at least one "
+                    "--set COL=EXPR"
+                )
+            assignments = {}
+            for item in args.set_exprs:
+                col, eq, expr = item.partition("=")
+                if not eq or not col.strip() or not expr.strip():
+                    raise SystemExit(f"malformed --set {item!r}")
+                assignments[col.strip()] = expr.strip()
+            v = V.update_where(spark, args.root, args.where, assignments)
+            print(_json.dumps({
+                "version": v, "action": "update",
+                "columns": sorted(assignments),
+            }))
         elif args.op == "replace-where":
             # Delta's replaceWhere: the idempotent-backfill primitive —
             # predicate region swapped for --in as ONE atomic version,
@@ -1470,6 +1496,7 @@ def main(argv: list[str] | None = None) -> int:
                     args.small_mb << 20 if args.small_mb is not None
                     else None
                 ),
+                purge_dvs=args.purge_dvs,
             )
             print(_json.dumps({"version": v, "action": "optimize"}))
         else:

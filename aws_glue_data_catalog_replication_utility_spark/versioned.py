@@ -965,6 +965,75 @@ def _delete_where_dv(
     )
 
 
+def update_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int:
+    """UPDATE ... SET, transactionally — the DML triad's third leg
+    beside `delete_where` and `merge_into` (Delta's UPDATE): every row
+    matching `predicate` (IS TRUE; NULL-predicate rows stay unchanged,
+    SQL semantics) gets `assignments` applied ({column: SQL
+    expression}); every other row — and every file containing no
+    match — is untouched. All assignment expressions see the
+    PRE-update row (one projection applies them together, so
+    `{"a": "b", "b": "a"}` swaps). Assigned values cast to the
+    column's existing table type — UPDATE never drifts the schema.
+    File surgery matches delete_where: the match probe is stats-pruned
+    from the commit log, only files containing matches are rewritten
+    (deletion-vector masks applied first, so dv'd rows neither update
+    nor resurrect), and the table's persistent CHECK constraints are
+    validated on the updated rows BEFORE anything is staged — a bad
+    UPDATE can never become a version."""
+    live, last, origin = _replay_full(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    if not assignments:
+        raise ValueError("assignments must be non-empty")
+    lub, lub_json = _table_lub(origin)
+    types = {f.name: f.dataType for f in lub.fields}
+    unknown = [c for c in assignments if c not in types]
+    if unknown:
+        raise ValueError(
+            f"UPDATE of unknown column(s) {unknown}; the table has "
+            f"{sorted(types)}"
+        )
+    affected, probe_meta = _affected_files(
+        spark, root, live, origin, predicate
+    )
+    if not affected:
+        return last["version"]  # nothing matched: no new version
+    cond = F.coalesce(F.expr(predicate), F.lit(False))
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumns(
+            {
+                c: F.when(cond, F.expr(e).cast(types[c])).otherwise(
+                    F.col(c)
+                )
+                for c, e in assignments.items()
+            }
+        )
+
+    dvs, _ = _replay_dvs(root, None)
+    # never-a-bad-version: the updated rows must satisfy the table's
+    # constraints BEFORE any file is staged
+    preview = transform(
+        _read_file_subset(spark, root, affected, origin, dvs=dvs)
+    ).where(cond)
+    enforce_table_constraints(preview, root)
+    rootabs = os.path.abspath(root)
+    added = _rewrite_survivors(
+        spark, rootabs, affected, origin, lub, transform, dvs=dvs
+    )
+    return _commit(
+        root, "update", added, affected, lub_json,
+        {"predicate": predicate, "assignments": assignments,
+         **probe_meta},
+    )
+
+
 def overwrite_where(
     spark: SparkSession,
     root: str,
@@ -1846,6 +1915,7 @@ def optimize(
     target_file_bytes: int = 128 << 20,
     zorder_by: list[str] | None = None,
     small_file_bytes: int | None = None,
+    purge_dvs: bool = False,
 ) -> int:
     """OPTIMIZE: rewrite the live snapshot into ~target-size files as
     one atomic version — the small-file compaction every streaming-
@@ -1867,7 +1937,13 @@ def optimize(
     file DEBT and one priced by the table — run it on a cadence and
     the cost stays O(new small files) forever. Exclusive with
     `zorder_by` (a Z-order re-lay is global by definition: interleaving
-    only prunes if every file covers a compact curve range)."""
+    only prunes if every file covers a compact curve range).
+
+    `purge_dvs` (Delta's REORG ... APPLY (PURGE)): rewrite ONLY the
+    files carrying live deletion-vector masks, with the masks applied
+    — retires the read-side anti-join at a cost priced by the MASKED
+    files, not the table; the next checkpoint then compacts the
+    fully-stale dv relations away. Exclusive with the other modes."""
     import math as _math
 
     live, last, origin = _replay_full(root, None)
@@ -1875,6 +1951,28 @@ def optimize(
         raise ValueError(f"no versioned table at {root}")
     if not live:
         return last["version"]  # nothing to lay out
+    if purge_dvs:
+        if zorder_by or small_file_bytes is not None:
+            raise ValueError(
+                "purge_dvs is exclusive with zorder_by/small_file_bytes"
+            )
+        dvl, cnt = _replay_dvs(root, None)
+        targets = [f for f in live if f in cnt]
+        if not targets:
+            return last["version"]  # no live mask: nothing to purge
+        from .functions.evolve import evolve_to_schema
+
+        lub, lub_json = _table_lub(origin)
+        out = evolve_to_schema(
+            _read_file_subset(spark, root, targets, origin, dvs=dvl),
+            lub,
+        ).coalesce(max(1, len(targets) // 2))
+        # a fully-masked target set rewrites to nothing: pure removal
+        added = _stage_write(out, root) if out.limit(1).count() else []
+        return _commit(
+            root, "optimize", added, targets, lub_json,
+            {"purge_dvs": True, "files_purged": len(targets)},
+        )
     if small_file_bytes is not None:
         if zorder_by:
             raise ValueError(

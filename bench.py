@@ -653,6 +653,18 @@ def main() -> None:
             "overwrite"
         ).save()
         extras["vstore_read_masked"] = round(time.perf_counter() - t0, 3)
+        # r11 UPDATE ... SET (the DML triad's third leg): stats-pruned
+        # probe + affected-file rewrite with constraint validation
+        t0 = time.perf_counter()
+        V.update_where(
+            spark, vroot_dv, "o_custkey % 17 = 0",
+            {"o_totalprice": "o_totalprice * 1.1"},
+        )
+        extras["vstore_update_where"] = round(time.perf_counter() - t0, 3)
+        # r11 mask retirement: rewrite ONLY the dv-masked files
+        t0 = time.perf_counter()
+        V.optimize(spark, vroot_dv, purge_dvs=True)
+        extras["vstore_purge_dvs"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(vs_dir, ignore_errors=True)
 

@@ -1230,7 +1230,7 @@ def test_cli_vstore_lifecycle(spark, tmp_path, capsys):
                 "--in", src]) == {"version": 1, "action": "append"}
     rep = run(["vstore", "--root", root, "--op", "delete",
                "--where", "o_custkey % 5 = 0"])
-    assert rep == {"version": 2, "action": "delete"}
+    assert rep == {"version": 2, "action": "delete", "mode": "rewrite"}
     n2 = run(["vstore", "--root", root, "--op", "read"])["rows"]
     assert n2 < n
     assert run(["vstore", "--root", root, "--op", "read",

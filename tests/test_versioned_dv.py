@@ -230,3 +230,134 @@ def test_dv_mode_validation(spark, orders, tmp_path):
     v = V.delete_where(spark, root, "o_orderkey < 0", mode="dv")
     assert v == 1
     assert not os.path.isdir(os.path.join(root, "_dv"))
+
+
+def test_optimize_purge_dvs_rewrites_only_masked_files(
+    spark, orders, tmp_path
+):
+    """optimize(purge_dvs=True): the masked files are rewritten with
+    their masks applied, unmasked files stay live byte-identical, the
+    table reads identically, and the next checkpoint compacts the
+    fully-stale dv relations away."""
+    root = str(tmp_path / "t")
+    # lay out so the dv touches SOME files only
+    V.append(
+        spark.range(0, 400)
+        .selectExpr("id as k", "id * 2 as w")
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k"),
+        root,
+    )
+    V.delete_where(spark, root, "k < 150", mode="dv")  # masks 2 of 4
+    live_before, _ = V._replay(root, None)
+    masked = set(V._replay_dvs(root, None)[1])
+    untouched = [f for f in live_before if f not in masked]
+    assert 0 < len(masked) < len(live_before)
+    sizes = {
+        f: os.path.getsize(os.path.join(root, f)) for f in untouched
+    }
+    want = _rows(V.read_versioned(spark, root))
+
+    v = V.optimize(spark, root, purge_dvs=True)
+    live_after, _ = V._replay(root, None)
+    for f in untouched:  # unmasked files survive byte-identical
+        assert f in live_after
+        assert os.path.getsize(os.path.join(root, f)) == sizes[f]
+    for f in masked:
+        assert f not in live_after
+    assert _rows(V.read_versioned(spark, root)) == want
+    with open(V._manifests(root)[-1][1]) as fh:
+        m = json.load(fh)
+    assert m["meta"]["purge_dvs"] is True
+    # nothing left to purge: no new version
+    assert V.optimize(spark, root, purge_dvs=True) == v
+    # the stale dv compacts out of the checkpoint
+    V.checkpoint(root)
+    with open(V._checkpoints(root)[-1][1]) as fh:
+        assert "dvs" not in json.load(fh)
+    with pytest.raises(ValueError, match="exclusive"):
+        V.optimize(spark, root, purge_dvs=True, zorder_by=["k"])
+
+
+def test_update_where_matches_dataframe_oracle(spark, orders, tmp_path):
+    """UPDATE ... SET: matching rows transformed (all RHS see the
+    pre-update row), non-matching and NULL-predicate rows unchanged,
+    untouched files byte-identical, schema stable, time travel shows
+    the pre-update table."""
+    root = str(tmp_path / "t")
+    V.append(orders.repartition(4), root)
+    live_v1, _ = V._replay(root, None)
+    sizes = {f: os.path.getsize(os.path.join(root, f)) for f in live_v1}
+
+    v = V.update_where(
+        spark, root, "o_custkey % 7 = 0",
+        {"o_totalprice": "o_totalprice * 2 + o_custkey",
+         "o_custkey": "-o_custkey"},
+    )
+    assert v == 2
+    got = V.read_versioned(spark, root)
+    cond = F.coalesce(F.expr("o_custkey % 7 = 0"), F.lit(False))
+    want = orders.withColumns(
+        {
+            "o_totalprice": F.when(
+                cond, F.expr("o_totalprice * 2 + o_custkey")
+            ).otherwise(F.col("o_totalprice")),
+            "o_custkey": F.when(cond, F.expr("-o_custkey")).otherwise(
+                F.col("o_custkey")
+            ),
+        }
+    )
+    assert _rows(got) == _rows(want)
+    assert got.schema == orders.schema
+    # time travel: v1 is the pre-update table
+    assert _rows(V.read_versioned(spark, root, 1)) == _rows(orders)
+    # files without matches stayed live and byte-identical
+    live_v2, _ = V._replay(root, None)
+    for f in live_v1:
+        if f in live_v2:
+            assert os.path.getsize(os.path.join(root, f)) == sizes[f]
+    with open(V._manifests(root)[-1][1]) as fh:
+        m = json.load(fh)
+    assert m["action"] == "update"
+    assert m["meta"]["assignments"]["o_custkey"] == "-o_custkey"
+    # no-match update: no new version
+    assert V.update_where(
+        spark, root, "o_orderkey < 0", {"o_totalprice": "0.0"}
+    ) == 2
+    with pytest.raises(ValueError, match="unknown column"):
+        V.update_where(spark, root, "o_orderkey = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="non-empty"):
+        V.update_where(spark, root, "o_orderkey = 1", {})
+
+
+def test_update_where_respects_dvs_and_constraints(
+    spark, orders, tmp_path
+):
+    root = str(tmp_path / "t")
+    V.append(orders, root)
+    V.add_table_constraint(spark, root, "pos", "o_totalprice >= 0.0")
+    V.delete_where(spark, root, "o_custkey % 7 = 0", mode="dv")
+    # updating a superset predicate: dv'd rows neither update nor
+    # resurrect
+    V.update_where(
+        spark, root, "o_custkey % 7 = 0 OR o_custkey % 5 = 0",
+        {"o_totalprice": "o_totalprice + 1.0"},
+    )
+    got = V.read_versioned(spark, root)
+    assert got.where("o_custkey % 7 = 0").count() == 0
+    base = orders.where("o_custkey % 7 != 0")
+    want = base.withColumn(
+        "o_totalprice",
+        F.when(
+            F.expr("o_custkey % 5 = 0"), F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    assert _rows(got) == _rows(want)
+    # a constraint-violating UPDATE raises BEFORE any version lands
+    n_before = len(V.history(root))
+    with pytest.raises(V.ConstraintViolation):
+        V.update_where(
+            spark, root, "o_custkey % 3 = 0", {"o_totalprice": "-1.0"}
+        )
+    assert len(V.history(root)) == n_before
+    assert _rows(V.read_versioned(spark, root)) == _rows(want)

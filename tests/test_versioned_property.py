@@ -27,6 +27,14 @@ def _op_strategy():
             st.tuples(st.just("overwrite"), rows),
             st.tuples(st.just("merge"), rows),
             st.tuples(st.just("delete_mod"), st.integers(2, 5)),
+            # merge-on-read twin of delete_mod: same model semantics,
+            # different physical mechanism (deletion vectors)
+            st.tuples(st.just("delete_dv_mod"), st.integers(2, 5)),
+            st.tuples(
+                st.just("update_mod"),
+                st.tuples(st.integers(2, 5), st.integers(1, 9)),
+            ),
+            st.tuples(st.just("purge_dvs"), st.just(0)),
             st.tuples(st.just("rollback"), st.integers(0, 100)),
             st.tuples(st.just("checkpoint"), st.just(0)),
         ),
@@ -73,7 +81,8 @@ def _run_model(spark, root, ops):
 
     for kind, arg in ops:
         if not started and kind in (
-            "merge", "delete_mod", "rollback", "checkpoint"
+            "merge", "delete_mod", "delete_dv_mod", "update_mod",
+            "purge_dvs", "rollback", "checkpoint",
         ):
             continue  # table doesn't exist yet
         if kind == "append":
@@ -87,15 +96,37 @@ def _run_model(spark, root, ops):
             V.merge_into(spark, root, mk(dedup), ["k"])
             keys = {k for k, _ in dedup}
             cur = [r for r in cur if r[0] not in keys] + dedup
-        elif kind == "delete_mod":
-            v = V.delete_where(spark, root, f"k % {arg} = 0")
+        elif kind in ("delete_mod", "delete_dv_mod"):
+            mode = "dv" if kind == "delete_dv_mod" else "rewrite"
+            v = V.delete_where(spark, root, f"k % {arg} = 0", mode=mode)
+            had_match = any(r[0] % arg == 0 for r in cur)
             cur = [r for r in cur if r[0] % arg != 0]
-            # a no-match delete adds no version
-            if [r for r in model_versions[-1] if r[0] % arg == 0] == []:
+            # a no-match delete adds no version (either mode)
+            if not had_match:
                 assert v == len(model_versions)
                 started = True
                 assert snap_of(V.read_versioned(spark, root)) == sorted(cur)
                 continue
+        elif kind == "update_mod":
+            m, delta = arg
+            v = V.update_where(
+                spark, root, f"k % {m} = 0", {"v": f"v + {delta}"}
+            )
+            had_match = any(r[0] % m == 0 for r in cur)
+            cur = [
+                (k, vv + delta if k % m == 0 else vv) for k, vv in cur
+            ]
+            if not had_match:
+                assert v == len(model_versions)
+                started = True
+                assert snap_of(V.read_versioned(spark, root)) == sorted(cur)
+                continue
+        elif kind == "purge_dvs":
+            v = V.optimize(spark, root, purge_dvs=True)
+            if v == len(model_versions):  # no live mask: no version
+                assert snap_of(V.read_versioned(spark, root)) == sorted(cur)
+                continue
+            assert v == len(model_versions) + 1  # content unchanged
         elif kind == "rollback":
             to = (arg % len(model_versions)) + 1
             V.rollback(spark, root, to)
