@@ -610,6 +610,13 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--expr", default=None,
                     help="add-constraint: CHECK expression (AND of "
                          "'col OP literal' / 'col IS NOT NULL')")
+    vs.add_argument("--partition-by", default=None,
+                    help="append/overwrite: comma-separated hive-style "
+                         "partition columns — one partition tuple per "
+                         "data file, so a partition-scoped delete/"
+                         "replace-where is METADATA-ONLY (no scan, no "
+                         "rewrite); append may only declare on first "
+                         "write, overwrite may re-partition ('' clears)")
     vs.add_argument("--pred", action="append", default=[],
                     help="read: 'col OP value' predicates (repeatable, "
                          "AND) served through the snapshot skip index "
@@ -1325,8 +1332,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.op in ("append", "overwrite"):
             if not args.in_path:
                 raise SystemExit(f"--op {args.op} requires --in")
+            pby = (
+                None if args.partition_by is None
+                else [c.strip() for c in args.partition_by.split(",") if c.strip()]
+            )
             fn = V.append if args.op == "append" else V.overwrite
-            v = fn(_read(spark, args.in_path), args.root)
+            v = fn(_read(spark, args.in_path), args.root, partition_by=pby)
             print(_json.dumps({"version": v, "action": args.op}))
         elif args.op == "merge":
             if not args.in_path or not args.keys:

@@ -430,6 +430,273 @@ def _stage_write(df: DataFrame, root: str) -> list[str]:
     return rels
 
 
+# ---------------------------------------------------------------------------
+# Hive-style partitioned tables (Delta's partitionBy inside the commit log).
+#
+# A partitioned store guarantees the LAYOUT invariant "every data file
+# holds exactly ONE partition-value tuple", records that tuple per file
+# in the manifest (`file_parts`) plus the column list (`partitioning`),
+# and keeps the partition columns IN the data files (Iceberg's
+# identity-partition posture, unlike Delta's dir-encoded columns) — so
+# every existing read path (library snapshot reads, the vstore format,
+# skip-index/stats pruning, CDC, counts) works untouched, and per-file
+# min==max stats make the existing stats pruner EXACT on partition
+# predicates for free. What the manifest partition values add on top:
+#   * partition-EXACT DML — a predicate that resolves over partition
+#     columns alone selects whole files from metadata (no probe scan),
+#     and a partition-scoped DELETE/replaceWhere drops/swaps those
+#     files with ZERO data I/O and no survivor rewrite: at 100 TB,
+#     "DELETE WHERE day='2024-01-01'" is a manifest write, not a scan;
+#   * pruning that never depends on footer stats being present.
+# Values are stored as hive-style STRINGS (null = JSON null) produced
+# by Arrow's canonical cast; pruning casts them BACK to the column's
+# table type before evaluating, so string/int/bool/date/timestamp/
+# decimal partition columns compare typed and lossless. Writers that
+# bypass partition-aware staging degrade gracefully: their files carry
+# no `file_parts` entry, which disables the exact fast path (never
+# correctness) until OPTIMIZE re-lays the table.
+# ---------------------------------------------------------------------------
+
+_PART_ATOMIC = (
+    "string", "integer", "long", "short", "byte", "boolean",
+    "date", "timestamp", "timestamp_ntz", "float", "double",
+)
+
+
+def _check_partition_cols(schema, cols: list[str]) -> None:
+    by_name = {f.name: f for f in schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(
+                f"partition column {c!r} not in schema "
+                f"{sorted(by_name)}"
+            )
+        tn = by_name[c].dataType.typeName()
+        if tn not in _PART_ATOMIC and not tn.startswith("decimal"):
+            raise ValueError(
+                f"partition column {c!r} has non-atomic type {tn}; "
+                "partition by scalar columns"
+            )
+
+
+def _stage_write_partitioned(
+    df: DataFrame, root: str, cols: list[str]
+) -> tuple[list[str], dict[str, list]]:
+    """Partition-splitting staging: ONE Spark job (`mapInArrow`), each
+    task splits its Arrow batches by the partition-value tuple and
+    writes one parquet file PER VALUE PER TASK (Delta's non-optimized
+    partitioned write: output files <= tasks x values-per-task, rows
+    never shuffled). All columns stay in the file bytes. Returns
+    (relative paths, {rel: [hive-string per partition col]}). Like
+    `_stage_write`, tasks write into shared storage under
+    `.staging/<tag>` — a crash leaves orphans for vacuum; a retried
+    task's duplicate file is never moved (only files named by the
+    SUCCEEDING task's metadata rows are), so speculative execution
+    cannot double-add."""
+    _check_partition_cols(df.schema, cols)
+    tag = uuid.uuid4().hex[:12]
+    rootabs = os.path.abspath(root)
+    stage = os.path.join(rootabs, ".staging", tag)
+    os.makedirs(stage, exist_ok=True)
+    os.makedirs(_data_dir(rootabs), exist_ok=True)
+
+    def split_write(batches):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        task = _uuid.uuid4().hex[:12]
+        writers: dict[str, tuple] = {}  # composite -> (writer, name, pv)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            t = _pa.Table.from_batches([b])
+            # canonical hive strings per partition col (Arrow's cast:
+            # ints/bools/dates/timestamps/decimals round-trip through
+            # the Spark cast the pruner applies)
+            strs = [
+                _pc.cast(t.column(c), _pa.string()).combine_chunks()
+                for c in cols
+            ]
+            filled = [_pc.fill_null(s, "\x00N") for s in strs]
+            composite = (
+                filled[0]
+                if len(filled) == 1
+                else _pc.binary_join_element_wise(*filled, "\x00;")
+            )
+            for u in _pc.unique(composite):
+                key = u.as_py()
+                mask = _pc.equal(composite, u)
+                sub = t.filter(mask)
+                if key not in writers:
+                    idx = _pc.index(mask, True).as_py()
+                    pv = [s[idx].as_py() for s in strs]  # None for null
+                    name = f"{tag}-{task}-{len(writers):05d}.parquet"
+                    writers[key] = (
+                        _pq.ParquetWriter(
+                            _os.path.join(stage, name), sub.schema
+                        ),
+                        name,
+                        pv,
+                    )
+                writers[key][0].write_table(sub)
+        out_names, out_parts = [], []
+        for w, name, pv in writers.values():
+            w.close()
+            out_names.append(name)
+            out_parts.append(_json.dumps(pv))
+        yield _pa.RecordBatch.from_arrays(
+            [_pa.array(out_names, _pa.string()),
+             _pa.array(out_parts, _pa.string())],
+            names=["file", "parts"],
+        )
+
+    meta_rows = df.mapInArrow(split_write, "file string, parts string").collect()
+    rels: list[str] = []
+    parts: dict[str, list] = {}
+    for r in meta_rows:
+        rel = os.path.join("data", r["file"])
+        shutil.move(os.path.join(stage, r["file"]), os.path.join(rootabs, rel))
+        rels.append(rel)
+        parts[rel] = json.loads(r["parts"])
+    shutil.rmtree(stage, ignore_errors=True)
+    return sorted(rels), {f: parts[f] for f in sorted(parts)}
+
+
+def _stage_for_table(
+    df: DataFrame, root: str, partitioning: list[str] | None,
+    coalesce_to: int | None = None, cluster: bool = False,
+) -> tuple[list[str], dict[str, list]]:
+    """Route staging by the table's layout: partitioned tables split
+    by value (preserving the one-tuple-per-file invariant through
+    every rewrite), flat tables take the plain path. `coalesce_to`
+    bounds file count shuffle-free (a coalesced task holding several
+    tuples still writes one file per tuple); `cluster` additionally
+    hash-shuffles on the partition columns first (OPTIMIZE's
+    compaction lane: each tuple lands in exactly one task, so each
+    partition compacts to exactly one file)."""
+    if partitioning:
+        cols = [c for c in partitioning if c in df.columns]
+        if cols == list(partitioning):
+            if cluster:
+                df = df.repartition(
+                    coalesce_to or int(df.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    )),
+                    *partitioning,
+                )
+            elif coalesce_to is not None:
+                df = df.coalesce(coalesce_to)
+            return _stage_write_partitioned(df, root, partitioning)
+    if coalesce_to is not None:
+        df = df.coalesce(coalesce_to)
+    return _stage_write(df, root), {}
+
+
+def _partition_extra(
+    partitioning: list[str] | None, parts: dict[str, list] | None
+) -> dict:
+    """The commit-manifest keys a partition-aware write adds."""
+    if not partitioning:
+        return {}
+    e: dict = {"partitioning": list(partitioning)}
+    if parts:
+        e["file_parts"] = parts
+    return e
+
+
+def _partition_state(
+    root: str, version: int | None = None
+) -> tuple[list[str] | None, dict[str, list]]:
+    """(partitioning columns | None if never declared, {live rel ->
+    hive-string partition values}) as of `version` — the same
+    checkpoint-accelerated walk as `_replay_stats`. `partitioning`
+    is table-level state: the newest manifest (or checkpoint)
+    carrying the key wins ([] = explicitly un-partitioned)."""
+    cols: list[str] | None = None
+    parts: dict[str, list] = {}
+    ms = _manifests(root)
+    start_after = 0
+    for cv, cp in reversed(_checkpoints(root)):
+        if version is None or cv <= version:
+            with open(cp) as fh:
+                c = json.load(fh)
+            cols = c.get("partitioning")
+            fp = c.get("file_parts") or {}
+            parts = {f: fp[f] for f in c["live"] if f in fp}
+            start_after = cv
+            break
+    for v, p in ms:
+        if v <= start_after:
+            continue
+        if version is not None and v > version:
+            break
+        with open(p) as fh:
+            m = json.load(fh)
+        if "partitioning" in m:
+            cols = m["partitioning"]
+        for f in m.get("removed", []):
+            parts.pop(f, None)
+        fp = m.get("file_parts") or {}
+        for f in m.get("added", []):
+            if f in fp:
+                parts[f] = fp[f]
+            else:
+                parts.pop(f, None)
+    return cols, parts
+
+
+def table_partitioning(root: str, version: int | None = None) -> list[str] | None:
+    """The table's declared partition columns (None = never declared,
+    [] = explicitly cleared by an overwrite)."""
+    return _partition_state(root, version)[0]
+
+
+def _partition_exact_match(
+    spark: SparkSession, root: str, live: list[str], predicate: str, lub
+) -> list[str] | None:
+    """When the table is partitioned, EVERY live file carries recorded
+    partition values, and `predicate` resolves over the partition
+    columns alone: the exact list of files whose rows match (a file's
+    rows all share one tuple, so per-file evaluation IS per-row
+    evaluation; a NULL-evaluating predicate selects nothing, SQL
+    semantics). None = fast path not applicable (unpartitioned,
+    degraded layout, or the predicate references other columns) —
+    callers fall back to the stats-pruned probe scan. Metadata-only:
+    one local relation of O(live) rows, no data file opened."""
+    cols, parts = _partition_state(root)
+    if not cols or not live:
+        return None
+    if any(f not in parts for f in live):
+        return None  # a non-partition-aware writer degraded the layout
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    types = {f.name: f.dataType for f in lub.fields}
+    sch = StructType(
+        [StructField("__vstore_file__", StringType())]
+        + [StructField(c, StringType()) for c in cols]
+    )
+    rel = spark.createDataFrame(
+        [(f, *[parts[f][i] for i in range(len(cols))]) for f in live], sch
+    )
+    for c in cols:
+        if c in types:
+            rel = rel.withColumn(c, F.col(c).cast(types[c]))
+    try:
+        matched = (
+            rel.where(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select("__vstore_file__")
+            .collect()
+        )
+    except Exception:
+        return None  # references non-partition columns / unresolvable
+    return sorted(r["__vstore_file__"] for r in matched)
+
+
 def _commit(root: str, action: str, added: list[str], removed: list[str],
             schema_json: str, meta: dict | None = None,
             file_schema: dict[str, str] | None = None,
@@ -582,6 +849,7 @@ def append(
     meta: dict | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int | None:
     """Add df as new immutable files in one atomic version. Enforces
     the table's persistent constraints (add_table_constraint) before
@@ -594,7 +862,15 @@ def append(
     returns None without staging a byte. The marker rides the commit
     manifest and is summarized into checkpoints, so cleanup of old
     manifests never forgets an applied transaction. (The streaming
-    analog is `append_stream_batch`'s batch_id/query_id replay guard.)"""
+    analog is `append_stream_batch`'s batch_id/query_id replay guard.)
+
+    `partition_by` declares hive-style partition columns on the FIRST
+    write (a table, not per-write, property — later appends inherit
+    it and may only repeat it verbatim; re-partitioning an existing
+    table goes through `overwrite(partition_by=...)`, which rewrites
+    every byte anyway). Partitioned appends split executor-side so
+    each data file holds one partition tuple — the layout that makes
+    partition-scoped DELETE/replaceWhere metadata-only."""
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("pass txn_app_id AND txn_version, or neither")
     if txn_app_id is not None:
@@ -605,20 +881,61 @@ def append(
             "txn_app_id": txn_app_id,
             "txn_version": int(txn_version),
         }
+    cols = table_partitioning(root)
+    if partition_by is not None:
+        if cols is None:
+            if _manifests(root) or _checkpoints(root):
+                raise ValueError(
+                    "cannot declare partitioning on an existing "
+                    "unpartitioned table via append; use "
+                    "overwrite(partition_by=...) to re-lay it"
+                )
+            cols = list(partition_by)
+        elif list(partition_by) != list(cols):
+            raise ValueError(
+                f"table is partitioned by {cols}; append's "
+                f"partition_by {list(partition_by)} must match (or be "
+                "omitted — appends inherit the table layout)"
+            )
     enforce_table_constraints(df, root)
-    added = _stage_write(df, root)
-    return _commit(root, "append", added, [], df.schema.json(), meta)
+    if cols:
+        _check_partition_cols(df.schema, cols)
+    added, parts = _stage_for_table(df, root, cols)
+    return _commit(
+        root, "append", added, [], df.schema.json(), meta,
+        extra=_partition_extra(cols, parts) or None,
+    )
 
 
-def overwrite(df: DataFrame, root: str) -> int:
+def overwrite(
+    df: DataFrame, root: str, partition_by: list[str] | None = None
+) -> int:
     """Full snapshot swap in one atomic version: readers see the old
     table until the manifest lands, then the new one — never a
     half-deleted store (the failure window of delete-all-then-add).
-    Persistent constraints are enforced on the new snapshot."""
+    Persistent constraints are enforced on the new snapshot.
+
+    `partition_by` re-declares the table's partition layout (it
+    rewrites every byte, so this is the one write allowed to CHANGE
+    partitioning — Delta's overwriteSchema posture): a column list
+    partitions/re-partitions, `[]` explicitly un-partitions, None
+    inherits the current layout."""
     enforce_table_constraints(df, root)
+    cols = (
+        list(partition_by) if partition_by is not None
+        else table_partitioning(root)
+    )
+    if cols:
+        _check_partition_cols(df.schema, cols)
     live, _ = _replay(root, None)
-    added = _stage_write(df, root)
-    return _commit(root, "overwrite", added, live, df.schema.json())
+    added, parts = _stage_for_table(df, root, cols)
+    extra = _partition_extra(cols, parts)
+    if partition_by == [] and table_partitioning(root):
+        extra = {"partitioning": []}  # explicit un-partition
+    return _commit(
+        root, "overwrite", added, live, df.schema.json(),
+        extra=extra or None,
+    )
 
 
 def _table_lub(origin: dict[str, str], extra=None) -> tuple[object, str]:
@@ -647,7 +964,8 @@ def _rewrite_survivors(
     lub,
     keep_fn,
     dvs: list[str] | None = None,
-) -> list[str]:
+    partitioning: list[str] | None = None,
+) -> tuple[list[str], dict[str, list]]:
     """Re-stage the surviving rows of the affected files: ONE Spark
     job per origin-SCHEMA group (bounded by the number of schema
     generations, never the number of files — a delete touching 100k
@@ -659,7 +977,13 @@ def _rewrite_survivors(
 
     `dvs` (the snapshot's live deletion vectors) are applied to the
     raw reads BEFORE keep_fn: a row a prior dv-mode delete removed
-    must never resurrect through a rewrite."""
+    must never resurrect through a rewrite.
+
+    `partitioning`: a partitioned table's survivors re-stage through
+    the partition-splitting writer so the one-tuple-per-file layout
+    invariant survives every rewrite (survivors of a single-valued
+    file all share its tuple, so the split is a cheap pass-through).
+    Returns (added rels, {rel: partition values} — empty when flat)."""
     from pyspark.sql.types import StructType
 
     from .functions.evolve import evolve_to_schema
@@ -668,6 +992,7 @@ def _rewrite_survivors(
     for rel in affected:
         groups.setdefault(origin[rel], []).append(rel)
     added: list[str] = []
+    parts: dict[str, list] = {}
     for s, rels in groups.items():
         st = StructType.fromJson(json.loads(s))
         df = spark.read.schema(st).parquet(
@@ -677,8 +1002,12 @@ def _rewrite_survivors(
         surv = keep_fn(evolve_to_schema(df, lub))
         n_out = max(1, len(rels) // 2)
         if surv.limit(1).count():
-            added.extend(_stage_write(surv.coalesce(n_out), root))
-    return added
+            a, p = _stage_for_table(
+                surv, root, partitioning, coalesce_to=n_out
+            )
+            added.extend(a)
+            parts.update(p)
+    return added, parts
 
 
 _PRED_IDENT = r"(?:`(?P<bcol>[^`]+)`|(?P<col>[A-Za-z_][A-Za-z0-9_]*))"
@@ -779,6 +1108,18 @@ def _affected_files(
     from urllib.parse import unquote, urlparse
 
     probe_meta: dict = {}
+    if live:
+        exact = _partition_exact_match(
+            spark, root, live, predicate, _table_lub(origin)[0]
+        )
+        if exact is not None:
+            # partition-exact: every row of a selected file matches —
+            # no probe scan, and callers may drop/swap whole files
+            return exact, {
+                "partition_exact": True,
+                "probe_files_scanned": 0,
+                "files_total": len(live),
+            }
     cand = live
     preds = _parse_conjuncts(predicate)
     if preds:
@@ -847,6 +1188,16 @@ def delete_where(
     )
     if not affected:
         return last["version"]  # no-op: nothing matched, no new version
+    if probe_meta.get("partition_exact"):
+        # every row of every affected file matches the (partition-
+        # resolved) predicate: drop the files wholesale — ZERO data
+        # I/O, no survivor rewrite, and strictly better than a mask,
+        # so BOTH physical modes take it (a partition-exact delete
+        # never needs a deletion vector)
+        return _commit(
+            root, "delete", [], affected, _table_lub(origin)[1],
+            {"predicate": predicate, **probe_meta},
+        )
     if mode == "dv":
         return _delete_where_dv(
             spark, root, predicate, origin, affected, probe_meta, last
@@ -854,16 +1205,18 @@ def delete_where(
     lub, lub_json = _table_lub(origin)
     rootabs = os.path.abspath(root)
     dvs, _ = _replay_dvs(root, None)
+    pcols = table_partitioning(root)
     # survivors are rows where the predicate is NOT TRUE: a NULL
     # predicate (e.g. NULL column values sharing a file with matches)
     # must KEEP the row — `NOT (pred)` would evaluate NULL and drop it
-    added = _rewrite_survivors(
+    added, parts = _rewrite_survivors(
         spark, rootabs, affected, origin, lub,
         lambda df: df.where(~F.coalesce(F.expr(predicate), F.lit(False))),
-        dvs=dvs,
+        dvs=dvs, partitioning=pcols,
     )
     return _commit(
-        root, "delete", added, affected, lub_json, probe_meta or None
+        root, "delete", added, affected, lub_json, probe_meta or None,
+        extra=_partition_extra(pcols, parts) or None,
     )
 
 
@@ -1024,13 +1377,22 @@ def update_where(
     ).where(cond)
     enforce_table_constraints(preview, root)
     rootabs = os.path.abspath(root)
-    added = _rewrite_survivors(
-        spark, rootabs, affected, origin, lub, transform, dvs=dvs
+    pcols = table_partitioning(root)
+    if pcols and any(c in pcols for c in assignments):
+        raise ValueError(
+            f"UPDATE of partition column(s) "
+            f"{sorted(set(assignments) & set(pcols))} would move rows "
+            "across partitions; DELETE + append instead"
+        )
+    added, parts = _rewrite_survivors(
+        spark, rootabs, affected, origin, lub, transform, dvs=dvs,
+        partitioning=pcols,
     )
     return _commit(
         root, "update", added, affected, lub_json,
         {"predicate": predicate, "assignments": assignments,
          **probe_meta},
+        extra=_partition_extra(pcols, parts) or None,
     )
 
 
@@ -1082,15 +1444,27 @@ def overwrite_where(
     from .functions.evolve import evolve_to_schema
 
     rootabs = os.path.abspath(root)
-    added = _rewrite_survivors(
-        spark, rootabs, affected, origin, lub,
-        lambda s: s.where(~F.coalesce(F.expr(predicate), F.lit(False))),
-        dvs=_replay_dvs(root, None)[0],
-    )
-    added.extend(_stage_write(evolve_to_schema(df, lub), root))
+    pcols = table_partitioning(root)
+    if probe_meta.get("partition_exact"):
+        # the affected files hold ONLY matching rows: swap them out
+        # wholesale (classic partition replace — no survivor rewrite,
+        # the removal side is pure metadata)
+        added, parts = [], {}
+    else:
+        added, parts = _rewrite_survivors(
+            spark, rootabs, affected, origin, lub,
+            lambda s: s.where(
+                ~F.coalesce(F.expr(predicate), F.lit(False))
+            ),
+            dvs=_replay_dvs(root, None)[0], partitioning=pcols,
+        )
+    a, p = _stage_for_table(evolve_to_schema(df, lub), root, pcols)
+    added.extend(a)
+    parts.update(p)
     return _commit(
         root, "replace_where", added, affected, lub_json,
         {"predicate": predicate, **probe_meta},
+        extra=_partition_extra(pcols, parts) or None,
     )
 
 
@@ -1196,10 +1570,21 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     # resurrect with the snapshot), and one live AT `to_version` must
     # mask again even though later rewrites dropped it
     dv_live, dv_rows_live = _replay_dvs(root, to_version)
+    extra: dict = {"dv_live": dv_live, "dv_rows_live": dv_rows_live}
+    # partition state resets to the target version's alongside the
+    # live set: re-added files recover their recorded tuples, and the
+    # partitioning declaration itself rolls back (an overwrite that
+    # re-partitioned after `to_version` is undone; [] when the target
+    # predates any declaration, so the current one clears)
+    tcols, tparts = _partition_state(root, to_version)
+    extra["partitioning"] = tcols if tcols is not None else []
+    fp = {f: tparts[f] for f in added if f in tparts}
+    if fp:
+        extra["file_parts"] = fp
     return _commit(
         root, "rollback", added, removed, schema_json,
         file_schema={f: old_origin[f] for f in added},
-        extra={"dv_live": dv_live, "dv_rows_live": dv_rows_live},
+        extra=extra,
     )
 
 
@@ -1316,6 +1701,7 @@ def describe_detail(root: str) -> dict:
     dvl, dvc = _replay_dvs(root, None)
     live_set = set(live)
     dv_deleted = sum(c for f, c in dvc.items() if f in live_set)
+    pcols, pparts = _partition_state(root, None)
     return {
         "version": last["version"],
         "ts": ts,
@@ -1333,6 +1719,14 @@ def describe_detail(root: str) -> dict:
         "txns": _txn_state(root),
         "checkpoint_version": cs[-1][0] if cs else None,
         "bloom_columns": (bloom_meta or {}).get("columns"),
+        "partitioning": pcols or [],
+        # distinct live partition tuples; None when a non-partition-
+        # aware writer degraded the layout (some live file untracked)
+        "num_partitions": (
+            len({tuple(pparts[f]) for f in live})
+            if pcols and all(f in pparts for f in live)
+            else (None if pcols else 0)
+        ),
     }
 
 
@@ -1603,15 +1997,19 @@ def merge_into(
     lub, lub_json = _table_lub(origin, updates.schema)
     from .functions.evolve import evolve_to_schema
 
-    added = _rewrite_survivors(
+    pcols = table_partitioning(root)
+    added, parts = _rewrite_survivors(
         spark, rootabs, affected, origin, lub,
         lambda df: df.join(F.broadcast(keys), on=key_cols, how="left_anti"),
-        dvs=_replay_dvs(root, None)[0],
+        dvs=_replay_dvs(root, None)[0], partitioning=pcols,
     )
-    added.extend(_stage_write(evolve_to_schema(updates, lub), root))
+    a, p = _stage_for_table(evolve_to_schema(updates, lub), root, pcols)
+    added.extend(a)
+    parts.update(p)
     return _commit(
         root, "merge", added, affected, lub_json,
         {"keys": key_cols, **probe_meta, **(meta or {})},
+        extra=_partition_extra(pcols, parts) or None,
     )
 
 
@@ -1886,6 +2284,15 @@ def checkpoint(root: str) -> dict:
     sb = _stream_state(root)
     if sb:
         body["stream_batches"] = sb
+    # partition layout: the declaration and the live files' recorded
+    # tuples must survive manifest compaction like stats/constraints
+    # do — the partition-exact DML fast path replays from HERE
+    pcols, pparts = _partition_state(root, None)
+    if pcols is not None:
+        body["partitioning"] = pcols
+    lp = {f: pparts[f] for f in live if f in pparts}
+    if lp:
+        body["file_parts"] = lp
     # deletion-vector state: replay starts HERE, so live DV relations
     # and their per-file deleted counts must survive compaction like
     # constraints/txns/stream markers do; an empty count map means no
@@ -1963,15 +2370,23 @@ def optimize(
         from .functions.evolve import evolve_to_schema
 
         lub, lub_json = _table_lub(origin)
+        pcols = table_partitioning(root)
         out = evolve_to_schema(
             _read_file_subset(spark, root, targets, origin, dvs=dvl),
             lub,
-        ).coalesce(max(1, len(targets) // 2))
+        )
         # a fully-masked target set rewrites to nothing: pure removal
-        added = _stage_write(out, root) if out.limit(1).count() else []
+        added, parts = (
+            _stage_for_table(
+                out, root, pcols, coalesce_to=max(1, len(targets) // 2)
+            )
+            if out.limit(1).count()
+            else ([], {})
+        )
         return _commit(
             root, "optimize", added, targets, lub_json,
             {"purge_dvs": True, "files_purged": len(targets)},
+            extra=_partition_extra(pcols, parts) or None,
         )
     if small_file_bytes is not None:
         if zorder_by:
@@ -1995,32 +2410,42 @@ def optimize(
         # small files may span schema generations AND be narrower than
         # the table LUB: widen to the FULL-table LUB before writing,
         # because the new files' recorded origin is the manifest schema
+        pcols = table_partitioning(root)
         out = evolve_to_schema(
             _read_file_subset(
                 spark, root, small, origin,
                 dvs=_replay_dvs(root, None)[0],
             ),
             lub,
-        ).coalesce(n_files)
-        added = _stage_write(out, root)
+        )
+        added, parts = _stage_for_table(
+            out, root, pcols, coalesce_to=n_files, cluster=bool(pcols)
+        )
         return _commit(
             root, "optimize", added, small, lub_json,
             {"target_file_bytes": target_file_bytes,
              "small_file_bytes": int(small_file_bytes),
              "zorder_by": []},
+            extra=_partition_extra(pcols, parts) or None,
         )
     total = sum(
         os.path.getsize(os.path.join(root, f)) for f in live
     )
     n_files = max(1, _math.ceil(total / target_file_bytes))
     snap = read_versioned(spark, root)
+    pcols = table_partitioning(root)
     if zorder_by:
         from .functions.layout import zorder_layout
 
         out = zorder_layout(snap, zorder_by, n_files=n_files)
+        # a partitioned table's z-ordered rows re-split by value at
+        # staging: files stay single-tuple with curve-ordered rows, so
+        # both pruning layers survive the re-lay
+        added, parts = _stage_for_table(out, root, pcols)
     else:
-        out = snap.coalesce(n_files)
-    added = _stage_write(out, root)
+        added, parts = _stage_for_table(
+            snap, root, pcols, coalesce_to=n_files, cluster=bool(pcols)
+        )
     # the rewritten bytes carry the snapshot LUB (read_versioned
     # widens mixed-schema groups before the rewrite) — commit THAT,
     # not last["schema"]: when live files span schema generations, or
@@ -2032,6 +2457,7 @@ def optimize(
         root, "optimize", added, live, lub_json,
         {"target_file_bytes": target_file_bytes,
          "zorder_by": zorder_by or []},
+        extra=_partition_extra(pcols, parts) or None,
     )
 
 
@@ -2329,12 +2755,16 @@ def append_with_retry(
     against a snapshot the competing writer may have invalidated —
     they re-raise for the caller to re-execute."""
     enforce_table_constraints(df, root)
-    added = _stage_write(df, root)
+    pcols = table_partitioning(root)
+    added, parts = _stage_for_table(df, root, pcols)
+    extra = _partition_extra(pcols, parts) or None
     schema_json = df.schema.json()
     err: VersionConflict | None = None
     for _ in range(max_retries + 1):
         try:
-            return _commit(root, "append", added, [], schema_json, meta)
+            return _commit(
+                root, "append", added, [], schema_json, meta, extra=extra
+            )
         except VersionConflict as e:
             err = e
     raise err

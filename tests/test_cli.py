@@ -1730,3 +1730,34 @@ def test_cli_vstore_delete_mode_dv(spark, tmp_path, capsys):
     assert detail["num_deletion_vectors"] == 1
     assert detail["dv_deleted_rows"] == 10
     assert detail["num_rows"] == 90
+
+
+def test_cli_vstore_partitioned(spark, tmp_path, capsys):
+    """--partition-by through the job surface: partitioned append,
+    metadata-only partition delete, detail reports the layout."""
+    import json
+
+    root = str(tmp_path / "pt")
+    spark.range(0, 120).selectExpr(
+        "id", "cast(id % 3 as int) as b"
+    ).write.parquet(str(tmp_path / "in"))
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert run(["vstore", "--root", root, "--op", "append",
+                "--in", str(tmp_path / "in"),
+                "--partition-by", "b"])["version"] == 1
+    from aws_glue_data_catalog_replication_utility_spark import versioned as V
+
+    assert V.table_partitioning(root) == ["b"]
+    rep = run(["vstore", "--root", root, "--op", "delete",
+               "--where", "b = 1"])
+    assert rep["version"] == 2
+    m = V.history(root)[-1]
+    assert m["action"] == "delete"
+    assert run(["vstore", "--root", root, "--op", "read"])["rows"] == 80
+    detail = run(["vstore", "--root", root, "--op", "detail"])
+    assert detail["partitioning"] == ["b"]
+    assert detail["num_partitions"] == 2

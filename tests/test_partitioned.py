@@ -1,0 +1,325 @@
+"""Hive-style partitioned tables in the versioned store.
+
+The layout contract: every data file of a partitioned store holds
+exactly ONE partition-value tuple (columns retained in-file, Iceberg's
+identity-partition posture), the tuple is recorded per file in the
+manifest (`file_parts`), and a predicate that resolves over partition
+columns alone drives METADATA-ONLY DML — partition-scoped DELETE /
+replaceWhere drop or swap whole files with zero data I/O (pinned here
+by corrupting the doomed files first: a path that read them would
+die). Reference parity: the reference syncs partitions as first-class
+objects (GDCUtil.java:61-111 partition batches); here the partition is
+a transactional file-set inside the commit log.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_data_catalog_replication_utility_spark import versioned as V
+
+
+def _mkdf(spark, n=1000):
+    return spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("cat"),
+        (F.col("id") * 2).alias("val"),
+    )
+
+
+def _last_manifest(root):
+    return json.load(
+        open(sorted(glob.glob(os.path.join(root, "_txlog", "v*.json")))[-1])
+    )
+
+
+def _corrupt(root, rels):
+    for rel in rels:
+        with open(os.path.join(root, rel), "wb") as fh:
+            fh.write(b"not parquet")
+
+
+def _assert_single_valued(root, cols):
+    import pyarrow.parquet as pq
+
+    pcols, parts = V._partition_state(root)
+    live, _ = V._replay(root, None)
+    assert pcols == cols
+    assert set(live) <= set(parts), "every live file tracked"
+    for rel in live:
+        t = pq.read_table(os.path.join(root, rel), columns=cols)
+        distinct = {
+            tuple(r) for r in zip(*[t.column(c).to_pylist() for c in cols])
+        }
+        assert len(distinct) == 1, f"{rel} mixes partition tuples"
+
+
+def test_partitioned_append_roundtrip_and_layout(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _mkdf(spark)
+    V.append(df, root, partition_by=["bucket"])
+    assert V.table_partitioning(root) == ["bucket"]
+    _assert_single_valued(root, ["bucket"])
+    back = V.read_versioned(spark, root)
+    assert back.columns == df.columns
+    assert sorted(r["id"] for r in back.collect()) == list(range(1000))
+    # second append inherits the layout without re-declaring
+    V.append(_mkdf(spark).where("id < 8"), root)
+    _assert_single_valued(root, ["bucket"])
+    assert V.read_versioned(spark, root).count() == 1008
+    d = V.describe_detail(root)
+    assert d["partitioning"] == ["bucket"]
+    assert d["num_partitions"] == 4
+
+
+def test_partition_declaration_rules(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _mkdf(spark)
+    V.append(df, root, partition_by=["bucket"])
+    with pytest.raises(ValueError, match="must match"):
+        V.append(df, root, partition_by=["cat"])
+    flat = str(tmp_path / "flat")
+    V.append(df, flat)
+    with pytest.raises(ValueError, match="existing unpartitioned"):
+        V.append(df, flat, partition_by=["bucket"])
+    with pytest.raises(ValueError, match="not in schema"):
+        V.append(df, str(tmp_path / "x"), partition_by=["nope"])
+    arr = df.select("id", F.array("id").alias("a"))
+    with pytest.raises(ValueError, match="non-atomic"):
+        V.append(arr, str(tmp_path / "y"), partition_by=["a"])
+    with pytest.raises(ValueError, match="partition column"):
+        V.update_where(spark, root, "id = 1", {"bucket": "3"})
+
+
+def test_partition_exact_delete_is_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark), root, partition_by=["bucket"])
+    _, parts = V._partition_state(root)
+    doomed = [f for f, pv in parts.items() if pv == ["2"]]
+    assert doomed
+    # PROOF: corrupt every file the delete must drop — any path that
+    # opens them (probe scan, survivor rewrite) dies loudly
+    _corrupt(root, doomed)
+    V.delete_where(spark, root, "bucket = 2")
+    m = _last_manifest(root)
+    assert m["action"] == "delete"
+    assert m["added"] == []  # no survivor rewrite
+    assert sorted(m["removed"]) == sorted(doomed)
+    assert m["meta"]["partition_exact"] is True
+    assert m["meta"]["probe_files_scanned"] == 0
+    out = V.read_versioned(spark, root)
+    assert out.where("bucket = 2").count() == 0
+    assert out.count() == 750
+    # dv mode takes the same whole-file drop: no mask ever written
+    V.delete_where(spark, root, "bucket = 3", mode="dv")
+    assert _last_manifest(root)["added"] == []
+    assert not os.path.exists(os.path.join(root, "_dv"))
+    assert V.read_versioned(spark, root).count() == 500
+
+
+def test_partition_exact_matches_flat_twin(spark, tmp_path):
+    """Bit-equality with the probe-scan path on an unpartitioned twin,
+    including a NULL-valued partition (predicate NULL keeps the row —
+    SQL semantics on both paths)."""
+    df = _mkdf(spark, 400).withColumn(
+        "bucket",
+        F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise(F.col("bucket")),
+    )
+    part, flat = str(tmp_path / "p"), str(tmp_path / "f")
+    V.append(df, part, partition_by=["bucket"])
+    V.append(df, flat)
+    for pred in ("bucket = 1", "bucket IS NULL", "bucket IN (0, 3)"):
+        V.delete_where(spark, part, pred)
+        V.delete_where(spark, flat, pred)
+        a = sorted(map(tuple, V.read_versioned(spark, part).collect()))
+        b = sorted(map(tuple, V.read_versioned(spark, flat).collect()))
+        assert a == b, pred
+    assert _last_manifest(part)["meta"]["partition_exact"] is True
+
+
+def test_mixed_predicate_falls_back_to_probe(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark), root, partition_by=["bucket"])
+    v = V.delete_where(spark, root, "bucket = 1 AND val > 1000")
+    m = _last_manifest(root)
+    assert m["version"] == v
+    assert "partition_exact" not in (m.get("meta") or {})
+    out = V.read_versioned(spark, root)
+    assert out.where("bucket = 1 AND val > 1000").count() == 0
+    assert out.where("bucket = 1").count() > 0  # survivors kept
+    _assert_single_valued(root, ["bucket"])  # rewrite preserved layout
+
+
+def test_replace_where_partition_swap(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark), root, partition_by=["bucket"])
+    _, parts = V._partition_state(root)
+    doomed = [f for f, pv in parts.items() if pv == ["1"]]
+    _corrupt(root, doomed)  # swap must not read the replaced files
+    repl = spark.range(2000, 2010).select(
+        F.col("id"),
+        F.lit(1).cast("int").alias("bucket"),
+        F.lit("cX").alias("cat"),
+        (F.col("id") * 2).alias("val"),
+    )
+    V.overwrite_where(spark, root, "bucket = 1", repl)
+    m = _last_manifest(root)
+    assert m["meta"]["partition_exact"] is True
+    assert sorted(m["removed"]) == sorted(doomed)
+    out = V.read_versioned(spark, root)
+    assert out.where("bucket = 1").count() == 10
+    assert out.count() == 750 + 10
+    _assert_single_valued(root, ["bucket"])
+    # idempotent backfill: re-running converges
+    V.overwrite_where(spark, root, "bucket = 1", repl)
+    assert V.read_versioned(spark, root).count() == 760
+
+
+def test_update_preserves_layout(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark), root, partition_by=["bucket"])
+    V.update_where(spark, root, "bucket = 0", {"val": "val + 1"})
+    _assert_single_valued(root, ["bucket"])
+    out = V.read_versioned(spark, root)
+    assert out.where("bucket = 0 AND val % 2 = 0").count() == 0
+    assert out.where("bucket = 1 AND val % 2 = 1").count() == 0
+
+
+def test_merge_preserves_layout(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark, 100), root, partition_by=["bucket"])
+    ups = spark.range(90, 110).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        F.lit("up").alias("cat"),
+        F.lit(-1).cast("long").alias("val"),
+    )
+    V.merge_into(spark, root, ups, ["id"])
+    _assert_single_valued(root, ["bucket"])
+    out = V.read_versioned(spark, root)
+    assert out.count() == 110
+    assert out.where("cat = 'up'").count() == 20
+    # partition-exact DML still fires on merge-written files
+    V.delete_where(spark, root, "bucket = 2")
+    assert _last_manifest(root)["meta"]["partition_exact"] is True
+
+
+def test_optimize_repartitions_and_restores_fast_path(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark), root, partition_by=["bucket"])
+    for i in range(3):
+        V.append(_mkdf(spark).where(f"id % 7 = {i}"), root)
+    before = sorted(map(tuple, V.read_versioned(spark, root).collect()))
+    V.optimize(spark, root)
+    _assert_single_valued(root, ["bucket"])
+    after = sorted(map(tuple, V.read_versioned(spark, root).collect()))
+    assert before == after
+    # full optimize clusters: exactly one file per live partition tuple
+    _, parts = V._partition_state(root)
+    live, _ = V._replay(root, None)
+    vals = [tuple(parts[f]) for f in live]
+    assert len(vals) == len(set(vals)) == 4
+    V.delete_where(spark, root, "bucket = 0")
+    assert _last_manifest(root)["meta"]["partition_exact"] is True
+
+
+def test_partition_state_survives_checkpoint_and_prune(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark), root, partition_by=["bucket"])
+    V.append(_mkdf(spark).where("id < 40"), root)
+    V.checkpoint(root)
+    V.prune_log(root)  # every summarized manifest deleted
+    assert V.table_partitioning(root) == ["bucket"]
+    _assert_single_valued(root, ["bucket"])
+    _, parts = V._partition_state(root)
+    doomed = [f for f, pv in parts.items() if pv == ["3"]]
+    _corrupt(root, doomed)
+    V.delete_where(spark, root, "bucket = 3")
+    assert _last_manifest(root)["meta"]["partition_exact"] is True
+    assert V.read_versioned(spark, root).where("bucket = 3").count() == 0
+
+
+def test_rollback_restores_partition_state(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark, 200), root, partition_by=["bucket"])
+    v1 = V.describe_detail(root)["version"]
+    V.delete_where(spark, root, "bucket = 1")
+    # re-partition the whole table on another column
+    snap = V.read_versioned(spark, root)
+    V.overwrite(snap, root, partition_by=["cat"])
+    assert V.table_partitioning(root) == ["cat"]
+    V.rollback(spark, root, v1)
+    assert V.table_partitioning(root) == ["bucket"]
+    assert V.read_versioned(spark, root).count() == 200
+    # the fast path works on the rolled-back state (file_parts restored)
+    V.delete_where(spark, root, "bucket = 1")
+    assert _last_manifest(root)["meta"]["partition_exact"] is True
+
+
+def test_overwrite_clears_partitioning(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _mkdf(spark, 100)
+    V.append(df, root, partition_by=["bucket"])
+    V.overwrite(df, root, partition_by=[])
+    assert V.table_partitioning(root) == []
+    v = V.delete_where(spark, root, "bucket = 1")
+    m = _last_manifest(root)
+    assert m["version"] == v
+    assert "partition_exact" not in (m.get("meta") or {})
+
+
+def test_typed_partition_columns(spark, tmp_path):
+    """Int + date partition columns: hive strings cast back to the
+    table type, so range predicates resolve typed and exact."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 90).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01"), (F.col("id") % 3).cast("int")).alias(
+            "day"
+        ),
+    )
+    V.append(df, root, partition_by=["day"])
+    _, parts = V._partition_state(root)
+    doomed = [f for f, pv in parts.items() if pv >= ["2024-01-02"]]
+    _corrupt(root, doomed)
+    V.delete_where(spark, root, "day >= DATE'2024-01-02'")
+    m = _last_manifest(root)
+    assert m["meta"]["partition_exact"] is True
+    out = V.read_versioned(spark, root)
+    assert out.count() == 30
+    assert out.select(F.max("day")).collect()[0][0].isoformat() == "2024-01-01"
+
+
+def test_degraded_layout_disables_fast_path_until_optimize(spark, tmp_path):
+    """A non-partition-aware writer (simulated legacy commit without
+    file_parts) degrades the exact fast path to the probe — never
+    correctness; OPTIMIZE re-lays the table and restores it."""
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark, 100), root, partition_by=["bucket"])
+    legacy = V._stage_write(_mkdf(spark, 100).where("id >= 96"), root)
+    V._commit(
+        root, "append", legacy, [],
+        V.read_versioned(spark, root).schema.json(),
+    )
+    V.delete_where(spark, root, "bucket = 1")
+    m = _last_manifest(root)
+    assert "partition_exact" not in (m.get("meta") or {})  # degraded
+    assert V.read_versioned(spark, root).where("bucket = 1").count() == 0
+    V.optimize(spark, root)
+    V.delete_where(spark, root, "bucket = 2")
+    assert _last_manifest(root)["meta"]["partition_exact"] is True
+
+
+def test_time_travel_across_partition_dml(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark, 200), root, partition_by=["bucket"])
+    V.delete_where(spark, root, "bucket = 0")
+    assert V.read_versioned(spark, root, version=1).count() == 200
+    assert V.read_versioned(spark, root).count() == 150
+    n, stats = V.count_versioned(spark, root)
+    assert n == 150 and stats["files_scanned"] == 0
