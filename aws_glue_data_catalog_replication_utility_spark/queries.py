@@ -662,13 +662,20 @@ def q12_vstore_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # pruneFiles=true: filter-derived pruning is opt-in (r11 — Spark
+    # caches planned partitions per relation, so pruned plans are only
+    # safe on one-query DataFrames like these fresh load()s)
     asof = leg(
         "asof",
         spark.read.format("vstore")
         .option("timestampAsOf", str(t_mid))
+        .option("pruneFiles", "true")
         .load(root),
     )
-    now = leg("now", spark.read.format("vstore").load(root))
+    now = leg(
+        "now",
+        spark.read.format("vstore").option("pruneFiles", "true").load(root),
+    )
     return asof.unionByName(now)
 
 

@@ -551,13 +551,15 @@ class _VStoreChangeReader(DataSourceReader):
         )
 
     def partitions(self) -> Sequence[InputPartition]:
+        # see the batch reader: an empty plan must still carry one
+        # (empty) task — a change range with no file churn is legal
         return [
             _ChangePartition(
                 path=os.path.join(self._root, f), change=c, version=v,
                 dv=(os.path.join(self._root, dv) if dv else None),
             )
             for f, _s, c, v, dv in self._entries
-        ]
+        ] or [_ChangePartition(path=None, change=None, version=None, dv=None)]
 
     def read(self, partition: _ChangePartition):
         import pyarrow as pa
@@ -572,6 +574,8 @@ class _VStoreChangeReader(DataSourceReader):
             if f.name not in ("_change", "_commit_version")
         ]
         target = to_arrow_schema(_St(data_fields))
+        if partition.path is None:
+            return  # the empty-plan placeholder task
         tbl = pq.read_table(partition.path)
         if partition.dv is not None:
             # deletion-vector slice: only the rows at the dv's
@@ -618,9 +622,27 @@ class _VStoreBatchReader(DataSourceReader):
         self._rows_per_partition = int(rpp) if rpp is not None else 1_048_576
         if self._rows_per_partition <= 0:
             self._rows_per_partition = 1
+        # Filter-derived file pruning is OPT-IN (r11 correctness fix).
+        # Spark caches the planned partition list per RELATION
+        # (PythonDataSourceV2.readInfo, refreshed only when pushFilters
+        # runs), so on a REUSED DataFrame or temp view a query with no
+        # pushable filters silently reuses the LAST filtered query's
+        # pruned file set — rows vanish. Until the engine can
+        # invalidate that cache, pruning engages only when the caller
+        # opts in with .option("pruneFiles", "true") and owns the
+        # one-DataFrame-per-query discipline (fresh load() per query).
+        # The default never bakes filter state into the plan, so any
+        # reuse pattern stays exact; Spark still applies every filter
+        # row-wise either way.
+        self._prune_enabled = str(
+            _opt(options, "pruneFiles", "false")
+        ).lower() in ("true", "1")
 
     def pushFilters(self, filters: list["Filter"]):
-        self._preds, self._notnull, self._ins = _translate_filters(filters)
+        if self._prune_enabled:
+            self._preds, self._notnull, self._ins = _translate_filters(
+                filters
+            )
         # every filter goes back to Spark: pruning is I/O-only, results
         # stay exact no matter what the stats say
         return filters
@@ -653,7 +675,13 @@ class _VStoreBatchReader(DataSourceReader):
             cur_rows += budget if n is None else n
         if cur:
             groups.append(cur)
-        return [_FilesPartition(files=g) for g in groups]
+        # never an EMPTY plan: Spark's python-data-source batch path
+        # calls read(None) when partitions() yields nothing (a fully
+        # pruned scan — e.g. the predicate excludes every live file),
+        # so plan one empty task instead
+        return [_FilesPartition(files=g) for g in groups] or [
+            _FilesPartition(files=[])
+        ]
 
     def read(self, partition: _FilesPartition):
         import pyarrow.parquet as pq
@@ -682,6 +710,9 @@ class _VStoreBatchReader(DataSourceReader):
 @dataclass
 class _StagedFiles(WriterCommitMessage):
     rels: list  # staged file paths relative to the store root
+    # aligned per-rel partition-value lists (hive strings, None for
+    # NULL) when the write is partition-split; None otherwise
+    parts: list | None = None
 
 
 def _arrow_batch_violations(batch, constraints: dict[str, list]) -> list[str]:
@@ -743,16 +774,58 @@ def _arrow_batch_violations(batch, constraints: dict[str, list]) -> list[str]:
 
 
 def _stage_task_batches(
-    root: str, tag: str, iterator, constraints: dict[str, list] | None = None
+    root: str, tag: str, iterator, constraints: dict[str, list] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> "_StagedFiles":
     """Executor-side half of both writers: stream this task's Arrow
     batches into one staged parquet file under `.staging/<tag>/`,
     enforcing the table's persistent constraints per batch (a
     violating batch fails the task before the file is published —
     the commit never happens, same never-a-bad-version contract as
-    the library paths)."""
+    the library paths). With `partition_cols` (a partitioned table),
+    batches split by partition-value tuple into one file per tuple
+    per task — the same vectorized split as the library's partitioned
+    staging (`versioned._arrow_partition_groups`), so the layout
+    invariant and manifest values match byte for byte."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if partition_cols:
+        from ..versioned import _arrow_partition_groups
+
+        writers: dict[str, tuple] = {}  # composite -> (writer, rel, pv)
+        try:
+            for batch in iterator:
+                if constraints:
+                    bad = _arrow_batch_violations(batch, constraints)
+                    if bad:
+                        raise ValueError(
+                            "table constraint violations: "
+                            + ", ".join(bad)
+                        )
+                if batch.num_rows == 0:
+                    continue
+                t = pa.Table.from_batches([batch])
+                for key, sub, pv in _arrow_partition_groups(
+                    t, partition_cols
+                ):
+                    if key not in writers:
+                        rel = os.path.join(
+                            ".staging", tag, f"{uuid.uuid4().hex}.parquet"
+                        )
+                        full = os.path.join(root, rel)
+                        os.makedirs(os.path.dirname(full), exist_ok=True)
+                        writers[key] = (
+                            pq.ParquetWriter(full, sub.schema), rel, pv
+                        )
+                    writers[key][0].write_table(sub)
+        finally:
+            for w, _rel, _pv in writers.values():
+                w.close()
+        return _StagedFiles(
+            rels=[rel for _w, rel, _pv in writers.values()],
+            parts=[pv for _w, _rel, pv in writers.values()],
+        )
     writer = None
     rel = None
     try:
@@ -795,20 +868,28 @@ def _publish_staged(
     overwrite: bool,
     schema_json: str,
     meta: dict | None = None,
+    partitioning: list[str] | None = None,
+    staged_parts: dict[str, list] | None = None,
 ) -> None:
     """Driver-side half of both writers: move the staged files under
     data/ and publish ONE atomic manifest. A `VersionConflict`
     propagates and fails the write — the moved files are unreferenced
     orphans vacuum() reclaims, identical to the library API's crash
-    story."""
-    from ..versioned import _commit, _data_dir, _replay
+    story. `staged_parts` maps staged rels to their partition-value
+    lists (partitioned writes); the manifest records them under the
+    published names so the partition-exact DML fast path covers
+    format-written files too."""
+    from ..versioned import _commit, _data_dir, _partition_extra, _replay
 
     os.makedirs(_data_dir(root), exist_ok=True)
     added = []
+    file_parts: dict[str, list] = {}
     for i, rel in enumerate(sorted(staged)):
         dst = os.path.join("data", f"{name_prefix}-{i:05d}.parquet")
         shutil.move(os.path.join(root, rel), os.path.join(root, dst))
         added.append(dst)
+        if staged_parts and rel in staged_parts:
+            file_parts[dst] = staged_parts[rel]
     removed = _replay(root, None)[0] if overwrite else []
     _commit(
         root,
@@ -817,7 +898,64 @@ def _publish_staged(
         removed,
         schema_json,
         meta=meta,
+        extra=_partition_extra(partitioning, file_parts) or None,
     )
+
+
+def _collect_staged_parts(messages) -> dict[str, list] | None:
+    """staged rel -> partition values, merged across task messages."""
+    out: dict[str, list] = {}
+    for m in messages:
+        if m is not None and m.parts is not None:
+            out.update(dict(zip(m.rels, m.parts)))
+    return out or None
+
+
+def _resolve_write_partitioning(
+    options, root: str, schema: StructType, overwrite: bool
+) -> list[str] | None:
+    """The partition layout a format write must produce — the same
+    rules as the library's append/overwrite: appends inherit the
+    table's declared layout (an explicit `partitionBy` option may only
+    repeat it, except on a brand-new table where it declares it);
+    overwrite may declare/re-declare freely ('' clears)."""
+    from ..versioned import (
+        _check_partition_cols,
+        _checkpoints,
+        _manifests,
+        table_partitioning,
+    )
+
+    cur = table_partitioning(root)
+    opt = _opt(options, "partitionBy")
+    declared = (
+        [c.strip() for c in str(opt).split(",") if c.strip()]
+        if opt is not None
+        else None
+    )
+    if declared is None:
+        cols = cur
+    elif overwrite:
+        cols = declared
+    else:
+        if cur is None:
+            if _manifests(root) or _checkpoints(root):
+                raise ValueError(
+                    "cannot declare partitioning on an existing "
+                    "unpartitioned table via append; write with "
+                    "mode('overwrite') to re-lay it"
+                )
+            cols = declared
+        elif declared != list(cur):
+            raise ValueError(
+                f"table is partitioned by {cur}; option partitionBy "
+                f"{declared} must match (or be omitted)"
+            )
+        else:
+            cols = cur
+    if cols:
+        _check_partition_cols(schema, cols)
+    return cols
 
 
 class _VStoreWriter(DataSourceArrowWriter):
@@ -827,6 +965,9 @@ class _VStoreWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._tag = uuid.uuid4().hex[:12]
         self._constraints = _load_constraints(self._root)
+        self._pcols = _resolve_write_partitioning(
+            options, self._root, schema, overwrite
+        )
         # Delta's idempotent-write options: a retried job naming the
         # same (txnAppId, txnVersion) publishes nothing the 2nd time
         app = _opt(options, "txnAppId")
@@ -839,13 +980,15 @@ class _VStoreWriter(DataSourceArrowWriter):
 
     def write(self, iterator: Iterator["pa.RecordBatch"]):
         return _stage_task_batches(
-            self._root, self._tag, iterator, self._constraints
+            self._root, self._tag, iterator, self._constraints,
+            partition_cols=self._pcols,
         )
 
     def commit(self, messages):
         from ..versioned import txn_already_applied
 
         staged = [r for m in messages if m is not None for r in m.rels]
+        staged_parts = _collect_staged_parts(messages)
         meta = None
         try:
             if self._txn is not None:
@@ -863,6 +1006,8 @@ class _VStoreWriter(DataSourceArrowWriter):
                 self._overwrite,
                 self._schema_json,
                 meta=meta,
+                partitioning=self._pcols,
+                staged_parts=staged_parts,
             )
         finally:
             shutil.rmtree(
@@ -905,16 +1050,25 @@ class _VStoreStreamWriter(DataSourceStreamArrowWriter):
         # constraint snapshot at query start; a constraint added while
         # the stream runs lands on the next (re)start
         self._constraints = _load_constraints(self._root)
+        # partition layout snapshot at query start, same discipline: a
+        # streaming sink into a partitioned store keeps the layout (so
+        # the partition-exact DML fast path and compaction-free
+        # partition drops stay available on stream-fed tables)
+        self._pcols = _resolve_write_partitioning(
+            options, self._root, schema, overwrite=False
+        )
 
     def write(self, iterator):
         return _stage_task_batches(
-            self._root, self._tag, iterator, self._constraints
+            self._root, self._tag, iterator, self._constraints,
+            partition_cols=self._pcols,
         )
 
     def commit(self, messages, batchId: int):
         from ..versioned import _stream_batch_replayed
 
         staged = [r for m in messages if m is not None for r in m.rels]
+        staged_parts = _collect_staged_parts(messages)
         try:
             if not staged or _stream_batch_replayed(
                 self._root, batchId, self._query_id
@@ -930,6 +1084,8 @@ class _VStoreStreamWriter(DataSourceStreamArrowWriter):
                 False,
                 self._schema_json,
                 meta=meta,
+                partitioning=self._pcols,
+                staged_parts=staged_parts,
             )
         finally:
             for rel in staged:

@@ -479,6 +479,31 @@ def _check_partition_cols(schema, cols: list[str]) -> None:
             )
 
 
+def _arrow_partition_groups(t, cols: list[str]):
+    """Split an Arrow table by its partition-value tuple (vectorized:
+    one canonical-string cast per column + a dictionary split, no
+    per-row Python). Yields (composite key, sub-table, [hive-string
+    per col] — None for NULL). Shared by the library's partitioned
+    staging and the vstore format writers, so both produce identical
+    manifest values."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    strs = [
+        _pc.cast(t.column(c), _pa.string()).combine_chunks() for c in cols
+    ]
+    filled = [_pc.fill_null(s, "\x00N") for s in strs]
+    composite = (
+        filled[0]
+        if len(filled) == 1
+        else _pc.binary_join_element_wise(*filled, "\x00;")
+    )
+    for u in _pc.unique(composite):
+        mask = _pc.equal(composite, u)
+        idx = _pc.index(mask, True).as_py()
+        yield u.as_py(), t.filter(mask), [s[idx].as_py() for s in strs]
+
+
 def _stage_write_partitioned(
     df: DataFrame, root: str, cols: list[str]
 ) -> tuple[list[str], dict[str, list]]:
@@ -506,7 +531,6 @@ def _stage_write_partitioned(
         import uuid as _uuid
 
         import pyarrow as _pa
-        import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
         task = _uuid.uuid4().hex[:12]
@@ -518,23 +542,8 @@ def _stage_write_partitioned(
             # canonical hive strings per partition col (Arrow's cast:
             # ints/bools/dates/timestamps/decimals round-trip through
             # the Spark cast the pruner applies)
-            strs = [
-                _pc.cast(t.column(c), _pa.string()).combine_chunks()
-                for c in cols
-            ]
-            filled = [_pc.fill_null(s, "\x00N") for s in strs]
-            composite = (
-                filled[0]
-                if len(filled) == 1
-                else _pc.binary_join_element_wise(*filled, "\x00;")
-            )
-            for u in _pc.unique(composite):
-                key = u.as_py()
-                mask = _pc.equal(composite, u)
-                sub = t.filter(mask)
+            for key, sub, pv in _arrow_partition_groups(t, cols):
                 if key not in writers:
-                    idx = _pc.index(mask, True).as_py()
-                    pv = [s[idx].as_py() for s in strs]  # None for null
                     name = f"{tag}-{task}-{len(writers):05d}.parquet"
                     writers[key] = (
                         _pq.ParquetWriter(

@@ -139,6 +139,7 @@ def test_pushdown_prunes_files_e2e(vsrc_spark, tmp_path):
         fh.write(b"garbage")  # a scan that opens this file dies
     got = (
         vsrc_spark.read.format("vstore")
+        .option("pruneFiles", "true")  # opt-in (r11): see reader docs
         .load(root)
         .where("k < 150")
         .selectExpr("count(*) AS n", "sum(k) AS s")
@@ -158,6 +159,7 @@ def test_pushdown_string_and_notnull(vsrc_spark, tmp_path):
     # string equality: 'v100' lies outside every file but the middle one
     got = (
         vsrc_spark.read.format("vstore")
+        .option("pruneFiles", "true")
         .load(root)
         .where("s = 'v100'")
         .collect()
@@ -241,6 +243,7 @@ def test_pushdown_in_and_startswith_prune(vsrc_spark, tmp_path):
         fh.write(b"garbage")
     got = (
         vsrc_spark.read.format("vstore")
+        .option("pruneFiles", "true")
         .load(root)
         .where("k in (5, 105, 199)")
         .collect()
@@ -249,6 +252,7 @@ def test_pushdown_in_and_startswith_prune(vsrc_spark, tmp_path):
     # prefix: only 'v1*' strings (k 1, 10-19, 100-199 files 1+2)
     n = (
         vsrc_spark.read.format("vstore")
+        .option("pruneFiles", "true")
         .load(root)
         .where("s like 'v1%'")
         .count()
@@ -257,9 +261,9 @@ def test_pushdown_in_and_startswith_prune(vsrc_spark, tmp_path):
     # an IN list with a value in the corrupted file's range must still
     # open it — and therefore fail (prune is proof-driven, not greedy)
     with pytest.raises(Exception):
-        vsrc_spark.read.format("vstore").load(root).where(
-            "k in (5, 250)"
-        ).count()
+        vsrc_spark.read.format("vstore").option("pruneFiles", "true").load(
+            root
+        ).where("k in (5, 250)").count()
 
 
 def test_format_write_append_and_overwrite(vsrc_spark, tmp_path):
@@ -1191,8 +1195,8 @@ def test_format_read_applies_deletion_vectors(vsrc_spark, tmp_path):
     assert v1.count() == 300
     # pushdown-pruned scan over the dv'd snapshot stays exact
     n = (
-        vsrc_spark.read.format("vstore").load(root)
-        .where("k < 100").count()
+        vsrc_spark.read.format("vstore").option("pruneFiles", "true")
+        .load(root).where("k < 100").count()
     )
     assert n == 90
     # plain stream: the dv commit is delete-only — fails without
@@ -1259,3 +1263,129 @@ def test_cdf_stream_emits_dv_deletes(vsrc_spark, tmp_path):
     dels = sorted((k, v) for k, c, v in got if c == "delete")
     assert ins == list(range(30))
     assert dels == [(k, 2) for k in range(25, 30)]
+
+
+def test_format_write_partitioned(vsrc_spark, tmp_path):
+    """`.option("partitionBy", ...)` on the format writer: files split
+    one-tuple-per-file executor-side, the manifest records the layout,
+    and the library's partition-exact DML fast path covers the
+    format-written files (a partition delete is metadata-only)."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "store")
+    df = vsrc_spark.range(0, 300).selectExpr(
+        "id", "cast(id % 3 as int) as b"
+    )
+    df.write.format("vstore").option("path", root).option(
+        "partitionBy", "b"
+    ).mode("append").save()
+    assert V.table_partitioning(root) == ["b"]
+    pcols, parts = V._partition_state(root)
+    live, _ = V._replay(root, None)
+    assert set(live) <= set(parts)
+    for rel in live:
+        vals = set(
+            pq.read_table(os.path.join(root, rel), columns=["b"])
+            .column("b").to_pylist()
+        )
+        assert len(vals) == 1, rel
+    # second format append INHERITS the layout without the option
+    df.where("id < 30").write.format("vstore").option("path", root).mode(
+        "append"
+    ).save()
+    assert set(V._replay(root, None)[0]) <= set(V._partition_state(root)[1])
+    # partition-exact delete over format-written files: corrupt the
+    # doomed files — a path that reads them dies
+    _, parts = V._partition_state(root)
+    doomed = [f for f, pv in parts.items() if pv == ["1"]]
+    for rel in doomed:
+        with open(os.path.join(root, rel), "wb") as fh:
+            fh.write(b"junk")
+    V.delete_where(vsrc_spark, root, "b = 1")
+    m = V.history(root)[-1]
+    assert m["action"] == "delete"
+    back = (
+        vsrc_spark.read.format("vstore").load(root)
+    )
+    assert back.where("b = 1").count() == 0
+    assert back.count() == 220
+    # mismatched re-declare on append raises; overwrite may re-lay
+    with pytest.raises(Exception, match="must match"):
+        df.write.format("vstore").option("path", root).option(
+            "partitionBy", "id"
+        ).mode("append").save()
+    df.write.format("vstore").option("path", root).option(
+        "partitionBy", "id"
+    ).mode("overwrite").save()
+    assert V.table_partitioning(root) == ["id"]
+
+
+def test_stream_sink_keeps_partition_layout(vsrc_spark, tmp_path):
+    """A streaming vstore sink into a partitioned store splits each
+    micro-batch by tuple, so stream-fed tables keep metadata-only
+    partition drops."""
+    root = str(tmp_path / "store")
+    V.append(
+        vsrc_spark.range(0, 10).selectExpr(
+            "id", "cast(id % 2 as int) as b"
+        ),
+        root,
+        partition_by=["b"],
+    )
+    src_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    vsrc_spark.range(10, 40).selectExpr(
+        "id", "cast(id % 2 as int) as b"
+    ).write.parquet(src_dir)
+    stream = (
+        vsrc_spark.readStream.schema("id long, b int").parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("vstore")
+        .option("path", root)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pcols, parts = V._partition_state(root)
+    live, _ = V._replay(root, None)
+    assert set(live) <= set(parts), "stream-written files tracked"
+    V.delete_where(vsrc_spark, root, "b = 0")
+    import glob as _glob
+    import json as _json
+
+    m = _json.load(
+        open(sorted(_glob.glob(os.path.join(root, "_txlog", "v*.json")))[-1])
+    )
+    assert m["added"] == []  # metadata-only
+    assert m["meta"]["partition_exact"] is True
+    assert V.read_versioned(vsrc_spark, root).count() == 20
+
+
+def test_default_read_safe_under_dataframe_reuse(vsrc_spark, tmp_path):
+    """r11 correctness fix: Spark caches the planned partition list per
+    relation (PythonDataSourceV2.readInfo, refreshed only when
+    pushFilters runs), so with filter-derived pruning a REUSED
+    DataFrame served a filterless query the LAST filtered query's
+    pruned file set — rows silently vanished. The default reader never
+    bakes filter state into the plan: filtered-then-filterless on ONE
+    DataFrame (and on one temp view) stays exact."""
+    root = str(tmp_path / "store")
+    _range_laid_store(vsrc_spark, root)  # 3 files, k ranges disjoint
+    df = vsrc_spark.read.format("vstore").load(root)
+    assert df.where("k < 100").count() == 100   # would prune to 1 file
+    assert df.count() == 300                    # the r10 bug returned 100
+    assert df.where("k >= 250").count() == 50
+    assert df.count() == 300
+    # same discipline through a SQL temp view (shared relation too)
+    vsrc_spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW vreuse USING vstore "
+        f"OPTIONS (path '{root}')"
+    )
+    assert vsrc_spark.sql(
+        "SELECT count(*) n FROM vreuse WHERE k = 5"
+    ).collect()[0].n == 1
+    assert vsrc_spark.sql(
+        "SELECT count(*) n FROM vreuse"
+    ).collect()[0].n == 300
