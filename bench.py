@@ -696,6 +696,9 @@ def main() -> None:
         t0 = time.perf_counter()
         n = (
             spark.read.format("vstore")
+            # pruning is opt-in since r11 (stale-plan reuse fix); this
+            # is a fresh one-query DataFrame, the intended pattern
+            .option("pruneFiles", "true")
             .load(froot)
             .where(F.col("o_orderkey") == key)
             .count()
@@ -718,6 +721,26 @@ def main() -> None:
         t0 = time.perf_counter()
         V.overwrite_where(spark, froot, f"o_orderkey <= {hi}", repl)
         extras["replace_where_pruned"] = round(time.perf_counter() - t0, 3)
+
+        # r11 partitioned tables: the same delete three ways — flat
+        # rewrite (above, vstore_delete_rewrite), dv, and a
+        # PARTITION-EXACT drop (metadata-only: no probe scan, no
+        # survivor rewrite, no mask). The third number is the
+        # partition layout's whole payoff and should stay ~constant
+        # no matter the data scale.
+        proot = f"{fmt_dir}/part"
+        V.append(
+            orders_dim.withColumn(
+                "bucket", (F.col("o_orderkey") % 16).cast("int")
+            ),
+            proot,
+            partition_by=["bucket"],
+        )
+        t0 = time.perf_counter()
+        V.delete_where(spark, proot, "bucket = 7")
+        extras["vstore_partition_drop"] = round(
+            time.perf_counter() - t0, 3
+        )
     finally:
         shutil.rmtree(fmt_dir, ignore_errors=True)
 
