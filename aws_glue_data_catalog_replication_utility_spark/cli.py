@@ -828,6 +828,25 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--id-col", default="doc_id")
     sh.add_argument("--salt", default="shuf:")
 
+    ts = sub.add_parser(
+        "token-shards",
+        help="write an array<int> token column as Megatron indexed-"
+             "dataset binary shards (.bin/.idx + manifest.json): one "
+             "shuffle, tokens stream executor-side, deterministic "
+             "bytes; dtype auto-narrows to uint16 when the vocab fits",
+    )
+    ts.add_argument("--in", dest="in_path", required=True)
+    ts.add_argument("--out", required=True)
+    ts.add_argument("--tokens-col", default="tokens")
+    ts.add_argument("--order-col", default="doc_id")
+    ts.add_argument("--n-shards", type=int, default=16)
+    ts.add_argument("--shard-col", default=None,
+                    help="explicit shard assignment column (overrides "
+                         "the hash assignment)")
+    ts.add_argument("--dtype", default="auto",
+                    choices=["auto", "uint8", "uint16", "int16",
+                             "int32", "int64"])
+
     un = sub.add_parser(
         "union",
         help="UNION ALL BY NAME across heterogeneous parquet stores: "
@@ -1856,6 +1875,21 @@ def main(argv: list[str] | None = None) -> int:
             n_shards=args.n_shards,
             salt=args.salt,
             mode="overwrite",
+        )))
+
+    elif args.job == "token-shards":
+        import json as _json
+
+        from .functions.tokenshards import write_token_shards
+
+        print(_json.dumps(write_token_shards(
+            _read(spark, args.in_path),
+            args.out,
+            tokens_col=args.tokens_col,
+            order_col=args.order_col,
+            n_shards=args.n_shards,
+            shard_col=args.shard_col,
+            dtype=args.dtype,
         )))
 
     elif args.job == "union":

@@ -759,6 +759,31 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     extras["dsir_select"] = round(time.perf_counter() - t0, 3)
 
+    # r11 trainer handoff: whitespace-tokenize documents to hashed ids
+    # and write Megatron .bin/.idx shards — one shuffle, tokens stream
+    # executor-side (the pipeline's binary tail)
+    from aws_glue_data_catalog_replication_utility_spark.functions.tokenshards import (
+        write_token_shards,
+    )
+
+    ts_dir = tempfile.mkdtemp(prefix="bench_ts_")
+    try:
+        t0 = time.perf_counter()
+        write_token_shards(
+            docs.select(
+                "doc_id",
+                F.expr(
+                    "transform(split(trim(text), '\\\\s+'), "
+                    "w -> cast(pmod(xxhash64(w), 50000) as int))"
+                ).alias("tokens"),
+            ),
+            f"{ts_dir}/shards",
+            n_shards=8,
+        )
+        extras["token_shards"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(ts_dir, ignore_errors=True)
+
     # r09 scale probes (VERDICT r08 #7): each heavy lane timed at 1x
     # and 10x of a token-namespaced synthetic corpus (docs x2 -> x20 =
     # 10k -> 100k docs; zorder lineitem x1 -> x10 = 600k -> 6M rows).

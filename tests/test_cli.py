@@ -1761,3 +1761,35 @@ def test_cli_vstore_partitioned(spark, tmp_path, capsys):
     detail = run(["vstore", "--root", root, "--op", "detail"])
     assert detail["partitioning"] == ["b"]
     assert detail["num_partitions"] == 2
+
+
+def test_cli_token_shards(spark, tmp_path, capsys):
+    """BPE-encode then binary-shard through the job surface: the
+    trainer-facing tail of the pipeline."""
+    import json
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.tokenshards import (
+        read_token_shard,
+    )
+
+    src = str(tmp_path / "in")
+    spark.range(0, 50).selectExpr(
+        "id as doc_id",
+        "transform(sequence(0, cast(id % 5 as int)), "
+        "i -> cast(pmod(id * 31 + i, 500) as int)) as tokens",
+    ).write.parquet(src)
+    out = str(tmp_path / "shards")
+    assert main([
+        "token-shards", "--in", src, "--out", out, "--n-shards", "2",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 50 and rep["dtype"] == "uint16"
+    total = 0
+    import os as _os
+
+    for s in rep["shards"]:
+        seqs, dtype, _ = read_token_shard(
+            _os.path.join(out, f"shard-{s['shard']:05d}")
+        )
+        total += sum(len(q) for q in seqs)
+    assert total == rep["tokens"]
