@@ -548,7 +548,8 @@ def main(argv: list[str] | None = None) -> int:
                              "history", "rollback", "vacuum", "checkpoint",
                              "optimize", "bloom-build", "bloom-refresh",
                              "changes", "add-constraint", "drop-constraint",
-                             "constraints", "detail", "prune-log"])
+                             "constraints", "detail", "prune-log",
+                             "rename-column", "drop-column"])
     vs.add_argument("--from", dest="changes_from", type=int, default=None,
                     help="changes: first version of the feed (inclusive)")
     vs.add_argument("--to", dest="changes_to", type=int, default=None,
@@ -610,6 +611,13 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("--expr", default=None,
                     help="add-constraint: CHECK expression (AND of "
                          "'col OP literal' / 'col IS NOT NULL')")
+    vs.add_argument("--column", default=None,
+                    help="rename-column/drop-column: the column "
+                         "(current logical name)")
+    vs.add_argument("--new-name", dest="rename_to", default=None,
+                    help="rename-column: the new name (metadata-only; "
+                         "files never rewritten — Delta column "
+                         "mapping by stable field id)")
     vs.add_argument("--partition-by", default=None,
                     help="append/overwrite: comma-separated hive-style "
                          "partition columns — one partition tuple per "
@@ -1497,6 +1505,24 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps(V.prune_log(
                 args.root, keep_last_manifests=args.keep_manifests
             )))
+        elif args.op == "rename-column":
+            if not args.column or not args.rename_to:
+                raise SystemExit(
+                    "--op rename-column requires --column and --new-name"
+                )
+            v = V.rename_column(args.root, args.column, args.rename_to)
+            print(_json.dumps({
+                "version": v, "action": "rename_column",
+                "from": args.column, "to": args.rename_to,
+            }))
+        elif args.op == "drop-column":
+            if not args.column:
+                raise SystemExit("--op drop-column requires --column")
+            v = V.drop_column(args.root, args.column)
+            print(_json.dumps({
+                "version": v, "action": "drop_column",
+                "column": args.column,
+            }))
         elif args.op == "bloom-build":
             if not args.bloom_cols:
                 raise SystemExit("--op bloom-build requires --bloom-cols")

@@ -151,15 +151,17 @@ def _resolve_version(options) -> int | None:
 
 def _lub_schema(root: str, version: int | None) -> StructType:
     """Table LUB schema at `version` from the log alone (pure Python —
-    runs in the data source worker, which has no SparkSession)."""
-    from ..versioned import _replay_full, _table_lub
+    runs in the data source worker, which has no SparkSession).
+    Column-mapping-aware: renamed columns surface under their current
+    logical names, dropped columns disappear."""
+    from ..versioned import _column_mapping, _replay_full, _table_lub
 
     _, last, origin = _replay_full(root, version)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
     if not origin:
         return StructType.fromJson(json.loads(last["schema"]))
-    return _table_lub(origin)[0]
+    return _table_lub(origin, cmap=_column_mapping(root, version))[0]
 
 
 def _evolve_table(tbl: "pa.Table", target: "pa.Schema") -> "pa.Table":
@@ -551,6 +553,21 @@ class _VStoreChangeReader(DataSourceReader):
         )
 
     def partitions(self) -> Sequence[InputPartition]:
+        from ..versioned import _column_mapping, _origin_clean
+
+        # the change feed decodes files by name: refuse origins that
+        # are not clean under an active column mapping (same
+        # discipline + OPTIMIZE remedy as the stream readers)
+        cmap = _column_mapping(self._root, None)
+        if cmap is not None:
+            for _f, sj, _c, _v, _dv in self._entries:
+                if not _origin_clean(sj, cmap):
+                    raise ValueError(
+                        "vstore change feed cannot read a column-"
+                        "mapped table whose files predate a rename/"
+                        "drop; run optimize() to rewrite them to the "
+                        "current column names"
+                    )
         # see the batch reader: an empty plan must still carry one
         # (empty) task — a change range with no file churn is legal
         return [
@@ -622,6 +639,28 @@ class _VStoreBatchReader(DataSourceReader):
         self._rows_per_partition = int(rpp) if rpp is not None else 1_048_576
         if self._rows_per_partition <= 0:
             self._rows_per_partition = 1
+        # column mapping: per-origin rename maps computed at PLAN time
+        # from the log (zero file I/O) — read() renames each decoded
+        # table to the current logical names before evolving, so
+        # renamed columns surface and dropped/unresolvable fields get
+        # sentinel names the target schema excludes (no-resurrection)
+        from ..versioned import _column_mapping, _resolve_fields
+
+        self._renames: dict[str, dict[str, str]] = {}
+        cmap = _column_mapping(self._root, self._version)
+        if cmap is not None:
+            for sj in set(self._origin.values()):
+                rm = {
+                    fn: (
+                        cur if cur is not None
+                        else f"__vstore_dropped_{i}"
+                    )
+                    for i, (fn, _id, cur) in enumerate(
+                        _resolve_fields(sj, cmap)
+                    )
+                }
+                if any(k != v for k, v in rm.items()):
+                    self._renames[sj] = rm
         # Filter-derived file pruning is OPT-IN (r11 correctness fix).
         # Spark caches the planned partition list per RELATION
         # (PythonDataSourceV2.readInfo, refreshed only when pushFilters
@@ -694,11 +733,16 @@ class _VStoreBatchReader(DataSourceReader):
             self._dvs,
             [p for p, _o in partition.files],
         )
-        for path, _origin in partition.files:
+        for path, origin in partition.files:
             tbl = pq.read_table(path)
             pos = deleted.get(os.path.relpath(path, self._root))
             if pos:
                 tbl = _drop_positions(tbl, pos)
+            rm = self._renames.get(origin)
+            if rm:
+                tbl = tbl.rename_columns(
+                    [rm.get(n, n) for n in tbl.column_names]
+                )
             yield from _evolve_table(tbl, target).to_batches()
 
 
@@ -1259,6 +1303,16 @@ class _VStoreStreamReader(DataSourceStreamReader):
                 paths = dict(_manifests(self._root))
             yield v, self._info(v, paths)
 
+    def _stream_origin_schemas(self, s: int, e: int):
+        """Distinct origin schema jsons of the files the range (s, e]
+        touches — from cached manifest summaries, zero file I/O."""
+        seen: set[str] = set()
+        for _v, info in self._infos_between(s, e):
+            for sj in info["file_origin"].values():
+                if sj not in seen:
+                    seen.add(sj)
+                    yield sj
+
     # -- offsets ----------------------------------------------------
 
     def initialOffset(self) -> dict:
@@ -1358,6 +1412,8 @@ class _VStoreStreamReader(DataSourceStreamReader):
             )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from ..versioned import _column_mapping, _origin_clean
+
         s, e = start["version"], end["version"]
         # restart recovery: the engine replays the last logged batch's
         # partitions() before asking for new offsets, so the rate-cap
@@ -1366,6 +1422,21 @@ class _VStoreStreamReader(DataSourceStreamReader):
             self._last_end = e
         if e <= s:
             return []
+        # column mapping: the stream decodes files BY NAME, so a table
+        # whose files are not clean under the mapping (renamed fields,
+        # or a dropped-then-readded name whose old bytes would
+        # resurrect) refuses loudly; OPTIMIZE rewrites files to the
+        # current names, after which streaming works again
+        cmap = _column_mapping(self._root, None)
+        if cmap is not None:
+            for sj in self._stream_origin_schemas(s, e):
+                if not _origin_clean(sj, cmap):
+                    raise ValueError(
+                        "vstore stream source cannot read a column-"
+                        "mapped table whose files predate a rename/"
+                        "drop; run optimize() to rewrite them to the "
+                        "current column names, then restart the query"
+                    )
         names = set(self._schema.fieldNames())
         budget = self._rows_per_partition
         groups: list[list] = []
@@ -1502,6 +1573,8 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
         self._origin_at = upto
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from ..versioned import _column_mapping, _origin_clean
+
         s, e = start["version"], end["version"]
         if self._last_end is None or e > self._last_end:
             self._last_end = e
@@ -1512,6 +1585,20 @@ class _VStoreStreamCDFReader(_VStoreStreamReader):
             # an older range: (re)seed the origin map at the range
             # start; steady state advances incrementally below
             self._seed_origin(s)
+        # same column-mapping discipline as the plain stream reader:
+        # the feed decodes files by name, so non-clean origins refuse
+        cmap = _column_mapping(self._root, None)
+        if cmap is not None:
+            tracked = set(self._origin.values())
+            tracked.update(self._stream_origin_schemas(s, e))
+            for sj in tracked:
+                if not _origin_clean(sj, cmap):
+                    raise ValueError(
+                        "vstore change feed cannot read a column-"
+                        "mapped table whose files predate a rename/"
+                        "drop; run optimize() to rewrite them to the "
+                        "current column names, then restart the query"
+                    )
         data_names = {
             f.name for f in self._schema.fields
             if f.name not in ("_change", "_commit_version")

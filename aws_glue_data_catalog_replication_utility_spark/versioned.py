@@ -665,6 +665,247 @@ def table_partitioning(root: str, version: int | None = None) -> list[str] | Non
     return _partition_state(root, version)[0]
 
 
+# ---------------------------------------------------------------------------
+# Column mapping: RENAME / DROP COLUMN as metadata (Delta's column
+# mapping, by stable field id).
+#
+# Without mapping, a rename means rewriting every file (the name IS
+# the identity). With it, each column gets a stable integer id when
+# first committed; the table state maps id -> current logical name
+# (plus the immutable PHYSICAL name the column was first written
+# under). A rename is then one manifest; files never change. Reads
+# resolve each file field to its id (from the `vstore_cid` metadata
+# stamped into the origin schema at commit time, or by physical-name
+# match for files that predate activation) and surface it under the
+# CURRENT logical name. DROP removes the id from the mapping — files
+# keep the bytes, reads exclude the field, and a later column with the
+# SAME name gets a NEW id, so dropped data can never resurrect
+# (Delta's no-resurrection rule). Columns with no resolvable id are
+# excluded for the same reason.
+#
+# Scope notes (documented limits, enforced with clear errors): a
+# partition column or a column referenced by a persistent CHECK
+# constraint refuses rename/drop; the vstore stream source refuses a
+# table whose live files are not "clean" under the mapping (OPTIMIZE
+# rewrites files to current names, after which streaming works again);
+# per-file stats in the log stay keyed by the file's physical names,
+# so stats pruning on a renamed column is conservatively disabled
+# until files are rewritten — never a correctness issue.
+# ---------------------------------------------------------------------------
+
+_CID_META = "vstore_cid"
+
+
+def _column_mapping(root: str, version: int | None = None) -> dict | None:
+    """{"next_id": int, "cols": [{"id", "name", "physical"}, ...]} as
+    of `version`, or None when mapping was never activated. Newest
+    `col_map` in the checkpoint-accelerated walk wins (each mapping-
+    touching commit carries the FULL map — O(columns), tiny)."""
+    cmap = None
+    ms = _manifests(root)
+    start_after = 0
+    for cv, cp in reversed(_checkpoints(root)):
+        if version is None or cv <= version:
+            with open(cp) as fh:
+                c = json.load(fh)
+            cmap = c.get("col_map")
+            start_after = cv
+            break
+    for v, p in ms:
+        if v <= start_after:
+            continue
+        if version is not None and v > version:
+            break
+        with open(p) as fh:
+            m = json.load(fh)
+        if "col_map" in m:
+            cmap = m["col_map"]
+    return cmap
+
+
+def _stamp_schema(schema_json: str, cmap: dict) -> tuple[str, dict]:
+    """Stamp `vstore_cid` field metadata into a schema json, matching
+    fields to mapping entries by CURRENT logical name and allocating
+    fresh ids (physical = the name now) for new columns. Returns the
+    stamped json and the (possibly extended) mapping."""
+    s = json.loads(schema_json)
+    by_name = {c["name"]: c for c in cmap["cols"]}
+    cols = [dict(c) for c in cmap["cols"]]
+    next_id = cmap["next_id"]
+    for f in s.get("fields", []):
+        ent = by_name.get(f["name"])
+        if ent is None:
+            ent = {"id": next_id, "name": f["name"], "physical": f["name"]}
+            next_id += 1
+            cols.append(ent)
+            by_name[f["name"]] = ent
+        meta = dict(f.get("metadata") or {})
+        meta[_CID_META] = ent["id"]
+        f["metadata"] = meta
+    return json.dumps(s), {"next_id": next_id, "cols": cols}
+
+
+def _resolve_fields(
+    origin_json: str, cmap: dict
+) -> list[tuple[str, int | None, str | None]]:
+    """Resolve an origin schema's fields against the mapping:
+    [(file_field_name, id | None, current_logical_name | None)].
+    id None = unresolvable (pre-dates the table and the mapping — by
+    the no-resurrection rule it is excluded); name None = the id was
+    DROPPED (excluded from reads)."""
+    s = json.loads(origin_json)
+    by_id = {c["id"]: c for c in cmap["cols"]}
+    # physical-name matching serves only files that PREDATE mapping
+    # activation (post-activation commits always stamp ids), so it may
+    # only hit activation-era entries ("legacy": True). A later column
+    # re-using a dropped name allocates a non-legacy entry — old
+    # unstamped bytes can never resolve to it (no-resurrection).
+    by_phys = {
+        c["physical"]: c for c in cmap["cols"] if c.get("legacy")
+    }
+    out = []
+    for f in s.get("fields", []):
+        cid = (f.get("metadata") or {}).get(_CID_META)
+        ent = by_id.get(cid) if cid is not None else by_phys.get(f["name"])
+        if ent is None and cid is None:
+            out.append((f["name"], None, None))
+        elif ent is None:
+            out.append((f["name"], cid, None))  # dropped id
+        else:
+            out.append((f["name"], ent["id"], ent["name"]))
+    return out
+
+
+def _origin_clean(origin_json: str, cmap: dict) -> bool:
+    """True when decoding this origin BY NAME equals decoding it by
+    id: every field resolves to a current column of the SAME name.
+    Non-clean origins need the rename-aware read path (library +
+    format batch reader); the stream source refuses them."""
+    return all(
+        nm == cur for nm, _i, cur in _resolve_fields(origin_json, cmap)
+        if cur is not None
+    ) and all(
+        cur is not None for _n, _i, cur in _resolve_fields(origin_json, cmap)
+    )
+
+
+def _mapping_refuses(root: str, col: str, action: str) -> None:
+    pcols = table_partitioning(root) or []
+    if col in pcols:
+        raise ValueError(
+            f"cannot {action} partition column {col!r}; re-lay the "
+            "table with overwrite(partition_by=...) first"
+        )
+    for name, expr in table_constraints(root).items():
+        refs = {
+            c[1] if c[0] == "notnull" else c[0]
+            for c in _parse_constraint(expr)
+        }
+        if col in refs:
+            raise ValueError(
+                f"cannot {action} column {col!r}: referenced by "
+                f"constraint {name!r} ({expr}); drop the constraint "
+                "first"
+            )
+
+
+def _active_mapping(root: str, version: int | None = None) -> dict:
+    """The mapping, activating it implicitly (in memory — the caller's
+    commit persists it) when the table has none yet: every current
+    column gets an id with physical == current name."""
+    cmap = _column_mapping(root, version)
+    if cmap is not None:
+        return cmap
+    _live, _last, origin = _replay_full(root, version)
+    seen: list[str] = []
+    for s in origin.values():
+        for f in json.loads(s).get("fields", []):
+            if f["name"] not in seen:
+                seen.append(f["name"])
+    if _last is not None and not seen:
+        for f in json.loads(_last["schema"]).get("fields", []):
+            if f["name"] not in seen:
+                seen.append(f["name"])
+    return {
+        "next_id": len(seen) + 1,
+        "cols": [
+            {"id": i + 1, "name": n, "physical": n, "legacy": True}
+            for i, n in enumerate(seen)
+        ],
+    }
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN, metadata-only: one manifest, zero
+    files touched (activates column mapping on first use). Old files
+    keep their bytes; every read path surfaces the column under the
+    new name via its stable id. Refuses partition columns and
+    constraint-referenced columns (documented scope)."""
+    live, last, origin = _replay_full(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    _mapping_refuses(root, old, "rename")
+    cmap = _active_mapping(root)
+    by_name = {c["name"]: c for c in cmap["cols"]}
+    if old not in by_name:
+        raise ValueError(f"no column {old!r}; table has {sorted(by_name)}")
+    if new in by_name:
+        raise ValueError(f"column {new!r} already exists")
+    cols = [
+        ({**c, "name": new} if c["name"] == old else dict(c))
+        for c in cmap["cols"]
+    ]
+    cmap2 = {"next_id": cmap["next_id"], "cols": cols}
+    lub, lub_json = _table_lub(origin, cmap=cmap2) if origin else (
+        None, last["schema"],
+    )
+    if origin is None or not origin:
+        # empty table: rename in the recorded schema directly
+        s = json.loads(last["schema"])
+        for f in s.get("fields", []):
+            if f["name"] == old:
+                f["name"] = new
+        lub_json = json.dumps(s)
+    return _commit(
+        root, "rename_column", [], [], lub_json,
+        {"from": old, "to": new}, extra={"col_map": cmap2},
+    )
+
+
+def drop_column(root: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN, metadata-only: the column's id leaves
+    the mapping; files keep their bytes (reads exclude the field), and
+    a future column reusing the name gets a NEW id — dropped data
+    never resurrects. Refuses partition/constraint columns."""
+    live, last, origin = _replay_full(root, None)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    _mapping_refuses(root, name, "drop")
+    cmap = _active_mapping(root)
+    by_name = {c["name"]: c for c in cmap["cols"]}
+    if name not in by_name:
+        raise ValueError(f"no column {name!r}; table has {sorted(by_name)}")
+    if len(cmap["cols"]) == 1:
+        raise ValueError("cannot drop the table's only column")
+    cmap2 = {
+        "next_id": cmap["next_id"],
+        "cols": [dict(c) for c in cmap["cols"] if c["name"] != name],
+    }
+    _lub, lub_json = _table_lub(origin, cmap=cmap2) if origin else (
+        None, last["schema"],
+    )
+    if not origin:
+        s = json.loads(last["schema"])
+        s["fields"] = [
+            f for f in s.get("fields", []) if f["name"] != name
+        ]
+        lub_json = json.dumps(s)
+    return _commit(
+        root, "drop_column", [], [], lub_json,
+        {"column": name}, extra={"col_map": cmap2},
+    )
+
+
 def _partition_exact_match(
     spark: SparkSession, root: str, live: list[str], predicate: str, lub
 ) -> list[str] | None:
@@ -777,6 +1018,17 @@ def _commit(root: str, action: str, added: list[str], removed: list[str],
         # top-level replay-visible keys (deletion vectors: dv/dv_rows,
         # rollback's dv_live/dv_rows_live)
         body.update(extra)
+    # column mapping: when active, stamp stable field ids into the
+    # committed schema (matching by CURRENT logical name; new columns
+    # allocate fresh ids) and carry the full map forward — reads
+    # resolve renamed/dropped columns through these stamps. A caller-
+    # supplied col_map (rename/drop/rollback) takes precedence as the
+    # stamping base.
+    cm = body.get("col_map") or _column_mapping(root)
+    if cm is not None:
+        body["schema"], body["col_map"] = _stamp_schema(
+            body["schema"], cm
+        )
     # per-file stats for the added files (Delta-style stats in the
     # log): O(added) footer reads at commit time buy metadata-only
     # COUNT(*) (count_versioned) AND zero-footer-I/O predicate pruning
@@ -947,10 +1199,16 @@ def overwrite(
     )
 
 
-def _table_lub(origin: dict[str, str], extra=None) -> tuple[object, str]:
+def _table_lub(
+    origin: dict[str, str], extra=None, cmap: dict | None = None
+) -> tuple[object, str]:
     """The table's least-upper-bound schema across live files' origin
-    schemas (+ an optional extra StructType), as (StructType, json)."""
-    from pyspark.sql.types import StructType
+    schemas (+ an optional extra StructType), as (StructType, json).
+    With `cmap` (column mapping active) each origin field first
+    resolves to its stable id and surfaces under the CURRENT logical
+    name; dropped/unresolvable fields are excluded — so the LUB is the
+    mapped table schema, not the union of historical names."""
+    from pyspark.sql.types import StructField, StructType
 
     from .functions.evolve import merge_schemas
 
@@ -958,11 +1216,33 @@ def _table_lub(origin: dict[str, str], extra=None) -> tuple[object, str]:
     for s in origin.values():
         if s not in seen:
             seen.append(s)
-    schemas = [StructType.fromJson(json.loads(s)) for s in seen]
+    if cmap is None:
+        schemas = [StructType.fromJson(json.loads(s)) for s in seen]
+    else:
+        schemas = []
+        for s in seen:
+            st = StructType.fromJson(json.loads(s))
+            by_name = {f.name: f for f in st.fields}
+            fields = [
+                StructField(cur, by_name[fn].dataType, True)
+                for fn, _i, cur in _resolve_fields(s, cmap)
+                if cur is not None
+            ]
+            schemas.append(StructType(fields))
     if extra is not None:
         schemas.append(extra)
     lub = merge_schemas(schemas)
     return lub, lub.json()
+
+
+def _table_lub_for(
+    root: str, origin: dict[str, str], extra=None,
+    version: int | None = None,
+) -> tuple[object, str]:
+    """`_table_lub` with the table's column mapping (if activated)
+    fetched at `version` — the form every DML/maintenance path uses so
+    renamed/dropped columns resolve correctly everywhere."""
+    return _table_lub(origin, extra, cmap=_column_mapping(root, version))
 
 
 def _rewrite_survivors(
@@ -1002,12 +1282,26 @@ def _rewrite_survivors(
         groups.setdefault(origin[rel], []).append(rel)
     added: list[str] = []
     parts: dict[str, list] = {}
+    cmap = _column_mapping(root)
     for s, rels in groups.items():
         st = StructType.fromJson(json.loads(s))
         df = spark.read.schema(st).parquet(
             *[os.path.join(root, r) for r in rels]
         )
         df = _dv_mask(spark, root, df, dvs or [])
+        if cmap is not None:
+            # column mapping: physical file names -> current logical
+            # names BEFORE widening, or the keep_fn predicate (and the
+            # rewrite itself) would see NULL-padded phantoms of
+            # renamed columns
+            keep = [
+                F.col(fn).alias(cur)
+                for fn, _i, cur in _resolve_fields(s, cmap)
+                if cur is not None
+            ]
+            df = df.select(*keep) if keep else df.select(
+                F.lit(True).alias("__vstore_keep__")
+            )
         surv = keep_fn(evolve_to_schema(df, lub))
         n_out = max(1, len(rels) // 2)
         if surv.limit(1).count():
@@ -1119,7 +1413,7 @@ def _affected_files(
     probe_meta: dict = {}
     if live:
         exact = _partition_exact_match(
-            spark, root, live, predicate, _table_lub(origin)[0]
+            spark, root, live, predicate, _table_lub_for(root, origin)[0]
         )
         if exact is not None:
             # partition-exact: every row of a selected file matches —
@@ -1204,14 +1498,14 @@ def delete_where(
         # so BOTH physical modes take it (a partition-exact delete
         # never needs a deletion vector)
         return _commit(
-            root, "delete", [], affected, _table_lub(origin)[1],
+            root, "delete", [], affected, _table_lub_for(root, origin)[1],
             {"predicate": predicate, **probe_meta},
         )
     if mode == "dv":
         return _delete_where_dv(
             spark, root, predicate, origin, affected, probe_meta, last
         )
-    lub, lub_json = _table_lub(origin)
+    lub, lub_json = _table_lub_for(root, origin)
     rootabs = os.path.abspath(root)
     dvs, _ = _replay_dvs(root, None)
     pcols = table_partitioning(root)
@@ -1257,7 +1551,7 @@ def _delete_where_dv(
     from .functions.evolve import evolve_to_schema
 
     dvs, _ = _replay_dvs(root, None)
-    lub, lub_json = _table_lub(origin)
+    lub, lub_json = _table_lub_for(root, origin)
     tag_target = StructType(
         [
             StructField("__dv_file", StringType(), False),
@@ -1353,7 +1647,7 @@ def update_where(
         raise ValueError(f"no versioned table at {root}")
     if not assignments:
         raise ValueError("assignments must be non-empty")
-    lub, lub_json = _table_lub(origin)
+    lub, lub_json = _table_lub_for(root, origin)
     types = {f.name: f.dataType for f in lub.fields}
     unknown = [c for c in assignments if c not in types]
     if unknown:
@@ -1449,7 +1743,7 @@ def overwrite_where(
     affected, probe_meta = _affected_files(
         spark, root, live, origin, predicate
     )
-    lub, lub_json = _table_lub(origin, df.schema)
+    lub, lub_json = _table_lub_for(root, origin, df.schema)
     from .functions.evolve import evolve_to_schema
 
     rootabs = os.path.abspath(root)
@@ -1508,12 +1802,15 @@ def read_versioned(
             [], StructType.fromJson(json.loads(last["schema"]))
         )
     dvs, _ = _replay_dvs(root, version)
-    return _read_file_subset(spark, root, live, origin, dvs=dvs)
+    return _read_file_subset(
+        spark, root, live, origin, dvs=dvs, version=version
+    )
 
 
 def _read_file_subset(
     spark: SparkSession, root: str, files: list[str],
     origin: dict[str, str], dvs: list[str] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """The schema-evolution read over an arbitrary LIVE-file subset
     (read_versioned's body, reusable for pruned reads like the MERGE
@@ -1522,7 +1819,10 @@ def _read_file_subset(
     `dvs` applies the snapshot's deletion vectors (pass them for DATA
     reads; probe-only reads may skip — a dv'd row matching a probe at
     worst rewrites a file that needed no rewrite, never a wrong
-    answer)."""
+    answer). With column mapping active (as of `version`), each
+    group's fields first resolve by stable id to their CURRENT logical
+    names (renames surface, drops disappear, unresolvable fields obey
+    the no-resurrection rule) before widening."""
     from pyspark.sql.types import StructType
 
     # group files by the schema their commit wrote (replay order kept:
@@ -1535,21 +1835,39 @@ def _read_file_subset(
             groups[s] = []
             order.append(s)
         groups[s].append(f)
-    if len(groups) == 1:
+    cmap = _column_mapping(root, version)
+    if len(groups) == 1 and (
+        cmap is None or _origin_clean(order[0], cmap)
+    ):
         raw = spark.read.parquet(*[os.path.join(root, f) for f in files])
         return _dv_mask(spark, root, raw, dvs or [])
     from .functions.evolve import evolve_to_schema, merge_schemas
 
     schemas = [StructType.fromJson(json.loads(s)) for s in order]
-    target = merge_schemas(schemas)
+    if cmap is None:
+        target = merge_schemas(schemas)
+    else:
+        target = _table_lub(
+            {f: origin[f] for f in files}, cmap=cmap
+        )[0]
     out = None
     for s, st in zip(order, schemas):
         part = spark.read.schema(st).parquet(
             *[os.path.join(root, f) for f in groups[s]]
         )
-        part = evolve_to_schema(
-            _dv_mask(spark, root, part, dvs or []), target
-        )
+        part = _dv_mask(spark, root, part, dvs or [])
+        if cmap is not None:
+            keep = [
+                F.col(fn).alias(cur)
+                for fn, _i, cur in _resolve_fields(s, cmap)
+                if cur is not None
+            ]
+            # a file whose every field was dropped still contributes
+            # its ROWS (all-NULL under the current schema)
+            part = part.select(*keep) if keep else part.select(
+                F.lit(True).alias("__vstore_keep__")
+            )
+        part = evolve_to_schema(part, target)
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -1572,7 +1890,8 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     # the rolled-back TABLE schema is the LUB across the target
     # snapshot's origin schemas (empty snapshot: its manifest schema)
     schema_json = (
-        _table_lub(old_origin)[1] if old_origin else old_last["schema"]
+        _table_lub(old_origin, cmap=_column_mapping(root, to_version))[1]
+        if old_origin else old_last["schema"]
     )
     # deletion-vector state resets WHOLESALE to the target version's:
     # a dv added after `to_version` must stop masking (its rows
@@ -1590,6 +1909,16 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     fp = {f: tparts[f] for f in added if f in tparts}
     if fp:
         extra["file_parts"] = fp
+    # column mapping resets to the target version's too: renames/drops
+    # after `to_version` are undone; when the target predates
+    # activation but the head is mapped, commit the identity mapping
+    # the target's columns imply (replay is newest-col_map-wins, so an
+    # explicit reset is required)
+    if _column_mapping(root, None) is not None:
+        extra["col_map"] = (
+            _column_mapping(root, to_version)
+            or _active_mapping(root, to_version)
+        )
     return _commit(
         root, "rollback", added, removed, schema_json,
         file_schema={f: old_origin[f] for f in added},
@@ -1736,6 +2065,7 @@ def describe_detail(root: str) -> dict:
             if pcols and all(f in pparts for f in live)
             else (None if pcols else 0)
         ),
+        "column_mapping": _column_mapping(root, None),
     }
 
 
@@ -2003,7 +2333,7 @@ def merge_into(
         hits = []
     affected = sorted(os.path.relpath(h, rootabs) for h in hits)
     # updates may evolve the table: LUB covers live schemas + theirs
-    lub, lub_json = _table_lub(origin, updates.schema)
+    lub, lub_json = _table_lub_for(root, origin, updates.schema)
     from .functions.evolve import evolve_to_schema
 
     pcols = table_partitioning(root)
@@ -2302,6 +2632,10 @@ def checkpoint(root: str) -> dict:
     lp = {f: pparts[f] for f in live if f in pparts}
     if lp:
         body["file_parts"] = lp
+    # column mapping survives compaction like constraints/partitioning
+    cm = _column_mapping(root, None)
+    if cm is not None:
+        body["col_map"] = cm
     # deletion-vector state: replay starts HERE, so live DV relations
     # and their per-file deleted counts must survive compaction like
     # constraints/txns/stream markers do; an empty count map means no
@@ -2378,7 +2712,7 @@ def optimize(
             return last["version"]  # no live mask: nothing to purge
         from .functions.evolve import evolve_to_schema
 
-        lub, lub_json = _table_lub(origin)
+        lub, lub_json = _table_lub_for(root, origin)
         pcols = table_partitioning(root)
         out = evolve_to_schema(
             _read_file_subset(spark, root, targets, origin, dvs=dvl),
@@ -2415,7 +2749,7 @@ def optimize(
         n_files = max(1, _math.ceil(total / target_file_bytes))
         from .functions.evolve import evolve_to_schema
 
-        lub, lub_json = _table_lub(origin)
+        lub, lub_json = _table_lub_for(root, origin)
         # small files may span schema generations AND be narrower than
         # the table LUB: widen to the FULL-table LUB before writing,
         # because the new files' recorded origin is the manifest schema
@@ -2461,7 +2795,7 @@ def optimize(
     # the widest append was not the latest, the latest manifest's
     # schema is narrower than what was just written and later reads
     # would open the new files under the wrong schema
-    _, lub_json = _table_lub(origin)
+    _, lub_json = _table_lub_for(root, origin)
     return _commit(
         root, "optimize", added, live, lub_json,
         {"target_file_bytes": target_file_bytes,
@@ -2691,7 +3025,7 @@ def add_table_constraint(
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType as _St
 
-    lub, _ = _table_lub(origin) if origin else (None, None)
+    lub, _ = _table_lub_for(root, origin) if origin else (None, None)
     if lub is not None:
         arrow_schema = to_arrow_schema(_St(lub.fields))
         empty = pa.RecordBatch.from_pylist([], schema=arrow_schema)
