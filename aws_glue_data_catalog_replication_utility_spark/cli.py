@@ -1553,6 +1553,7 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 purge_dvs=args.purge_dvs,
+                where=args.where,
             )
             print(_json.dumps({"version": v, "action": "optimize"}))
         else:

@@ -2666,6 +2666,7 @@ def optimize(
     zorder_by: list[str] | None = None,
     small_file_bytes: int | None = None,
     purge_dvs: bool = False,
+    where: str | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the live snapshot into ~target-size files as
     one atomic version — the small-file compaction every streaming-
@@ -2701,6 +2702,26 @@ def optimize(
         raise ValueError(f"no versioned table at {root}")
     if not live:
         return last["version"]  # nothing to lay out
+    if where is not None:
+        # Delta's `OPTIMIZE ... WHERE`: scope maintenance to the files
+        # a PARTITION predicate selects — on a date-partitioned 100 TB
+        # table, the nightly compaction touches yesterday's partition,
+        # not the table. Partition-exact only (whole files decided
+        # from metadata): a row-level predicate cannot scope a file
+        # rewrite without changing data, so anything else refuses.
+        scope = _partition_exact_match(
+            spark, root, live, where, _table_lub_for(root, origin)[0]
+        )
+        if scope is None:
+            raise ValueError(
+                "optimize(where=...) needs a predicate over the "
+                "table's partition columns (partition-exact scope); "
+                f"table partitioning: {table_partitioning(root)}"
+            )
+        if not scope:
+            return last["version"]  # predicate selects nothing
+        live = scope
+        origin = {f: origin[f] for f in scope}
     if purge_dvs:
         if zorder_by or small_file_bytes is not None:
             raise ValueError(
@@ -2775,7 +2796,17 @@ def optimize(
         os.path.getsize(os.path.join(root, f)) for f in live
     )
     n_files = max(1, _math.ceil(total / target_file_bytes))
-    snap = read_versioned(spark, root)
+    # the (possibly where-scoped) live subset, deletion vectors applied
+    # and mixed-schema groups widened — identical content guarantee
+    # holds per scope
+    from .functions.evolve import evolve_to_schema as _ev
+
+    snap = _ev(
+        _read_file_subset(
+            spark, root, live, origin, dvs=_replay_dvs(root, None)[0]
+        ),
+        _table_lub_for(root, origin)[0],
+    )
     pcols = table_partitioning(root)
     if zorder_by:
         from .functions.layout import zorder_layout

@@ -323,3 +323,32 @@ def test_time_travel_across_partition_dml(spark, tmp_path):
     assert V.read_versioned(spark, root).count() == 150
     n, stats = V.count_versioned(spark, root)
     assert n == 150 and stats["files_scanned"] == 0
+
+
+def test_optimize_where_scopes_to_partition(spark, tmp_path):
+    """OPTIMIZE ... WHERE (Delta): maintenance touches ONLY the
+    predicate's partitions — other partitions' files stay live and
+    byte-identical (pinned by corrupting them first: reading one would
+    die), and a non-partition predicate refuses."""
+    root = str(tmp_path / "t")
+    for i in range(3):  # 3 small appends -> small-file debt everywhere
+        V.append(_mkdf(spark, 200).where(f"id % 3 = {i}"), root,
+                 partition_by=["bucket"] if i == 0 else None)
+    _, parts = V._partition_state(root)
+    live_before, _ = V._replay(root, None)
+    outside = [f for f in live_before if parts[f] != ["1"]]
+    _corrupt(root, outside)  # scoped optimize must never open these
+    v = V.optimize(spark, root, where="bucket = 1")
+    m = _last_manifest(root)
+    assert m["version"] == v and m["action"] == "optimize"
+    assert all(parts[f] == ["1"] for f in m["removed"])
+    live_after, _ = V._replay(root, None)
+    assert set(outside) <= set(live_after)  # untouched files stay live
+    # the scoped partition compacted to one file
+    _, parts2 = V._partition_state(root)
+    b1 = [f for f in live_after if parts2[f] == ["1"]]
+    assert len(b1) == 1
+    with pytest.raises(ValueError, match="partition"):
+        V.optimize(spark, root, where="val > 10")
+    # an unmatched partition scope is a no-op version
+    assert V.optimize(spark, root, where="bucket = 99") == v
