@@ -1568,12 +1568,25 @@ def _delete_where_dv(
         raw = spark.read.schema(st).parquet(
             *[os.path.join(root, r) for r in rels]
         )
+        cmap = _column_mapping(root)
+        data_cols = (
+            [F.col("*")]
+            if cmap is None
+            else [
+                F.col(fn).alias(cur)
+                for fn, _i, cur in _resolve_fields(s, cmap)
+                if cur is not None
+            ]
+        )
         tagged = raw.select(
             F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -1
             ).alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_pos"),
-            "*",
+            # column mapping: physical -> current logical names before
+            # widening, or the predicate would see NULL phantoms of
+            # renamed columns and silently match nothing
+            *data_cols,
         )
         part = (
             evolve_to_schema(tagged, tag_target)

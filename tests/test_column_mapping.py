@@ -256,3 +256,21 @@ def test_cli_rename_and_drop(spark, tmp_path, capsys):
     assert {c["name"] for c in detail["column_mapping"]["cols"]} == {
         "k", "value",
     }
+
+
+def test_dv_delete_on_renamed_column(spark, tmp_path):
+    """mode='dv' deletes evaluate the predicate on RENAMED columns of
+    old files (the physical->logical resolution happens before
+    widening — a by-name evolve would NULL-pad and silently match
+    nothing)."""
+    root = str(tmp_path / "t")
+    V.append(_mk(spark, 50), root)
+    V.rename_column(root, "v", "value")
+    live_before, _ = V._replay(root, None)
+    V.delete_where(spark, root, "value < 20", mode="dv")  # k < 10
+    assert V._replay(root, None)[0] == live_before  # no rewrite
+    out = V.read_versioned(spark, root)
+    assert out.count() == 40
+    assert out.agg(F.min("value")).collect()[0][0] == 20
+    n, stats = V.count_versioned(spark, root)
+    assert n == 40 and stats["files_scanned"] == 0
