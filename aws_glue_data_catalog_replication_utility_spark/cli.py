@@ -543,7 +543,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     vs.add_argument("--root", required=True)
     vs.add_argument("--op", required=True,
-                    choices=["append", "overwrite", "merge", "delete",
+                    choices=["append", "overwrite", "overwrite-partitions",
+                             "merge", "delete",
                              "update", "replace-where", "read", "count",
                              "history", "rollback", "vacuum", "checkpoint",
                              "optimize", "bloom-build", "bloom-refresh",
@@ -1366,6 +1367,13 @@ def main(argv: list[str] | None = None) -> int:
             fn = V.append if args.op == "append" else V.overwrite
             v = fn(_read(spark, args.in_path), args.root, partition_by=pby)
             print(_json.dumps({"version": v, "action": args.op}))
+        elif args.op == "overwrite-partitions":
+            if not args.in_path:
+                raise SystemExit("--op overwrite-partitions requires --in")
+            v = V.overwrite_partitions(_read(spark, args.in_path), args.root)
+            print(_json.dumps(
+                {"version": v, "action": "overwrite_partitions"}
+            ))
         elif args.op == "merge":
             if not args.in_path or not args.keys:
                 raise SystemExit("--op merge requires --in and --keys")

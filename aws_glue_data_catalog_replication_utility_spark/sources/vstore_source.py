@@ -914,6 +914,7 @@ def _publish_staged(
     meta: dict | None = None,
     partitioning: list[str] | None = None,
     staged_parts: dict[str, list] | None = None,
+    dynamic: bool = False,
 ) -> None:
     """Driver-side half of both writers: move the staged files under
     data/ and publish ONE atomic manifest. A `VersionConflict`
@@ -922,8 +923,17 @@ def _publish_staged(
     story. `staged_parts` maps staged rels to their partition-value
     lists (partitioned writes); the manifest records them under the
     published names so the partition-exact DML fast path covers
-    format-written files too."""
-    from ..versioned import _commit, _data_dir, _partition_extra, _replay
+    format-written files too. `dynamic` (partitionOverwriteMode):
+    an overwrite removes only the files whose recorded tuple matches
+    a staged tuple — Spark's dynamic INSERT OVERWRITE, metadata-only
+    on the removal side (refuses over a degraded layout)."""
+    from ..versioned import (
+        _commit,
+        _data_dir,
+        _partition_extra,
+        _partition_state,
+        _replay,
+    )
 
     os.makedirs(_data_dir(root), exist_ok=True)
     added = []
@@ -934,10 +944,28 @@ def _publish_staged(
         added.append(dst)
         if staged_parts and rel in staged_parts:
             file_parts[dst] = staged_parts[rel]
-    removed = _replay(root, None)[0] if overwrite else []
+    if overwrite and dynamic:
+        live = _replay(root, None)[0]
+        _pc, state = _partition_state(root)
+        untracked = [f for f in live if f not in state]
+        if untracked:
+            raise ValueError(
+                f"{len(untracked)} live file(s) carry no recorded "
+                "partition values; run optimize() before a dynamic "
+                "overwrite"
+            )
+        touched = {tuple(pv) for pv in file_parts.values()}
+        removed = [f for f in live if tuple(state[f]) in touched]
+        action = "overwrite_partitions"
+    elif overwrite:
+        removed = _replay(root, None)[0]
+        action = "overwrite"
+    else:
+        removed = []
+        action = "append"
     _commit(
         root,
-        "overwrite" if overwrite else "append",
+        action,
         added,
         removed,
         schema_json,
@@ -1012,6 +1040,27 @@ class _VStoreWriter(DataSourceArrowWriter):
         self._pcols = _resolve_write_partitioning(
             options, self._root, schema, overwrite
         )
+        # Spark's partitionOverwriteMode: "dynamic" scopes an
+        # overwrite to the partitions the written data carries
+        pom = str(
+            _opt(options, "partitionOverwriteMode", "static")
+        ).lower()
+        if pom not in ("static", "dynamic"):
+            raise ValueError(
+                f"partitionOverwriteMode must be static|dynamic, "
+                f"got {pom!r}"
+            )
+        self._dynamic = overwrite and pom == "dynamic"
+        if pom == "dynamic" and not overwrite:
+            raise ValueError(
+                "partitionOverwriteMode=dynamic applies to "
+                "mode('overwrite') writes"
+            )
+        if self._dynamic and not self._pcols:
+            raise ValueError(
+                "partitionOverwriteMode=dynamic needs a partitioned "
+                "table (or option partitionBy on first write)"
+            )
         # Delta's idempotent-write options: a retried job naming the
         # same (txnAppId, txnVersion) publishes nothing the 2nd time
         app = _opt(options, "txnAppId")
@@ -1052,6 +1101,7 @@ class _VStoreWriter(DataSourceArrowWriter):
                 meta=meta,
                 partitioning=self._pcols,
                 staged_parts=staged_parts,
+                dynamic=self._dynamic,
             )
         finally:
             shutil.rmtree(

@@ -1784,6 +1784,76 @@ def overwrite_where(
     )
 
 
+def overwrite_partitions(
+    df: DataFrame, root: str, meta: dict | None = None
+) -> int:
+    """DYNAMIC partition overwrite (Spark's
+    `partitionOverwriteMode=dynamic` / Hive's INSERT OVERWRITE, inside
+    the commit log): replace exactly the partitions `df` carries rows
+    for — in ONE atomic version — and leave every other partition
+    untouched. The recompute-and-republish primitive: a daily job that
+    rebuilds the last 3 days writes its output and exactly those 3
+    partitions swap, no predicate to maintain (contrast
+    `overwrite_where`, which replaces a DECLARED scope even when the
+    replacement is empty for parts of it). The removal side is pure
+    metadata: staged files' recorded tuples select the doomed files
+    from the manifest, zero files opened. Refuses when some live file
+    is untracked (a non-partition-aware writer degraded the layout —
+    swapping by tuple would be unsound; run optimize() to re-lay)."""
+    cols = table_partitioning(root)
+    if not cols:
+        raise ValueError(
+            "dynamic partition overwrite needs a partitioned table "
+            "(append with partition_by=[...] first)"
+        )
+    enforce_table_constraints(df, root)
+    _check_partition_cols(df.schema, cols)
+    live, last, origin = _replay_full(root, None)
+    _pc, state = _partition_state(root)
+    untracked = [f for f in live if f not in state]
+    if untracked:
+        raise ValueError(
+            f"{len(untracked)} live file(s) carry no recorded "
+            "partition values (written by a non-partition-aware "
+            "path); run optimize() to restore the layout before a "
+            "dynamic overwrite"
+        )
+    added, parts = _stage_write_partitioned(df, root, cols)
+    touched = {tuple(pv) for pv in parts.values()}
+    removed = [f for f in live if tuple(state[f]) in touched]
+    keep_origin = {f: origin[f] for f in live if f not in set(removed)}
+    _lub, lub_json = (
+        _table_lub_for(root, keep_origin, df.schema)
+        if keep_origin
+        else (None, df.schema.json())
+    )
+    return _commit(
+        root, "overwrite_partitions", added, removed, lub_json, meta,
+        extra=_partition_extra(cols, parts) or None,
+    )
+
+
+def overwrite_partitions_stream_batch(
+    df: DataFrame, batch_id: int, root: str, query_id: str | None = None
+) -> int | None:
+    """foreachBatch DYNAMIC-partition-overwrite sink, exactly-once:
+    each micro-batch republishes the partitions it carries (the
+    streaming backfill shape — late recomputes of day=X replace day=X
+    atomically); a replayed batch is recognized by the same
+    newest-first walk as the other stream sinks and skipped —
+    partition overwrite does NOT commute with itself, so the replay
+    guard is what makes at-least-once delivery safe. The batch marker
+    rides the overwrite's own atomic commit."""
+    if _stream_batch_replayed(root, batch_id, query_id):
+        return None
+    if not df.limit(1).count():
+        return None
+    meta: dict = {"batch_id": int(batch_id)}
+    if query_id is not None:
+        meta["query_id"] = query_id
+    return overwrite_partitions(df, root, meta=meta)
+
+
 def read_versioned(
     spark: SparkSession,
     root: str,

@@ -352,3 +352,103 @@ def test_optimize_where_scopes_to_partition(spark, tmp_path):
         V.optimize(spark, root, where="val > 10")
     # an unmatched partition scope is a no-op version
     assert V.optimize(spark, root, where="bucket = 99") == v
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """overwrite_partitions: replace exactly the partitions the data
+    carries — untouched partitions stay live byte-identical (pinned by
+    corrupting them), the removal side is metadata-only, re-running
+    converges."""
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark, 400), root, partition_by=["bucket"])
+    _, parts = V._partition_state(root)
+    live_before, _ = V._replay(root, None)
+    outside = [f for f in live_before if parts[f] not in (["1"], ["2"])]
+    before_bytes = {
+        f: open(os.path.join(root, f), "rb").read() for f in outside
+    }
+    # corrupt the REPLACED partitions' files: the metadata-only swap
+    # must never open them (they leave the live set, so later reads
+    # never see them either)
+    doomed = [f for f in live_before if parts[f] in (["1"], ["2"])]
+    _corrupt(root, doomed)
+    repl = spark.range(5000, 5020).select(
+        F.col("id"),
+        (F.col("id") % 2 + 1).cast("int").alias("bucket"),  # 1 and 2
+        F.lit("new").alias("cat"),
+        (F.col("id") * 2).alias("val"),
+    )
+    V.overwrite_partitions(repl, root)
+    m = _last_manifest(root)
+    assert m["action"] == "overwrite_partitions"
+    assert sorted(m["removed"]) == sorted(doomed)
+    out = V.read_versioned(spark, root)
+    assert out.where("bucket IN (1, 2)").count() == 20
+    assert out.where("cat = 'new'").count() == 20
+    assert out.count() == 200 + 20  # buckets 0,3 intact
+    live_after = set(V._replay(root, None)[0])
+    assert set(outside) <= live_after
+    # untouched partitions byte-identical
+    assert all(
+        open(os.path.join(root, f), "rb").read() == b
+        for f, b in before_bytes.items()
+    )
+    # idempotent republish
+    V.overwrite_partitions(repl, root)
+    assert V.read_versioned(spark, root).count() == 220
+    # guard rails
+    flat = str(tmp_path / "flat")
+    V.append(_mkdf(spark, 10), flat)
+    with pytest.raises(ValueError, match="partitioned table"):
+        V.overwrite_partitions(_mkdf(spark, 10), flat)
+
+
+def test_dynamic_overwrite_via_format_writer(spark, tmp_path):
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        register_vstore_source,
+    )
+
+    register_vstore_source(spark)
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark, 200), root, partition_by=["bucket"])
+    repl = spark.range(900, 910).select(
+        F.col("id"),
+        F.lit(0).cast("int").alias("bucket"),
+        F.lit("dyn").alias("cat"),
+        (F.col("id") * 2).alias("val"),
+    )
+    repl.write.format("vstore").option("path", root).option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").save()
+    m = _last_manifest(root)
+    assert m["action"] == "overwrite_partitions"
+    out = V.read_versioned(spark, root)
+    assert out.where("bucket = 0").count() == 10
+    assert out.count() == 150 + 10
+    # static overwrite still swaps the whole table
+    repl.write.format("vstore").option("path", root).mode(
+        "overwrite"
+    ).save()
+    assert V.read_versioned(spark, root).count() == 10
+    # dynamic without overwrite mode refuses
+    with pytest.raises(Exception, match="dynamic"):
+        repl.write.format("vstore").option("path", root).option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("append").save()
+
+
+def test_stream_dynamic_overwrite_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark, 100), root, partition_by=["bucket"])
+    repl = _mkdf(spark, 100).where("bucket = 2").withColumn(
+        "cat", F.lit("recomputed")
+    )
+    v = V.overwrite_partitions_stream_batch(repl, 7, root, query_id="q")
+    assert v is not None
+    # replayed epoch: recognized, nothing committed
+    assert V.overwrite_partitions_stream_batch(
+        repl, 7, root, query_id="q"
+    ) is None
+    out = V.read_versioned(spark, root)
+    assert out.where("cat = 'recomputed'").count() == 25
+    assert out.count() == 100
