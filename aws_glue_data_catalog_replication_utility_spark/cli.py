@@ -550,7 +550,8 @@ def main(argv: list[str] | None = None) -> int:
                              "optimize", "bloom-build", "bloom-refresh",
                              "changes", "add-constraint", "drop-constraint",
                              "constraints", "detail", "prune-log",
-                             "rename-column", "drop-column"])
+                             "rename-column", "drop-column",
+                             "partitions"])
     vs.add_argument("--from", dest="changes_from", type=int, default=None,
                     help="changes: first version of the feed (inclusive)")
     vs.add_argument("--to", dest="changes_to", type=int, default=None,
@@ -1512,6 +1513,11 @@ def main(argv: list[str] | None = None) -> int:
             # log retention: checkpoint first pins everything kept
             print(_json.dumps(V.prune_log(
                 args.root, keep_last_manifests=args.keep_manifests
+            )))
+        elif args.op == "partitions":
+            # SHOW PARTITIONS: metadata-only, one row per live tuple
+            print(_json.dumps(V.show_partitions(
+                args.root, version=args.version
             )))
         elif args.op == "rename-column":
             if not args.column or not args.rename_to:

@@ -1833,6 +1833,51 @@ def overwrite_partitions(
     )
 
 
+def show_partitions(root: str, version: int | None = None) -> list[dict]:
+    """SHOW PARTITIONS from metadata alone (zero files opened): one
+    row per live partition tuple with its file count, recorded row
+    count (None when some file predates stats), and bytes. Untracked
+    live files (degraded layout) aggregate under partition=None."""
+    cols = table_partitioning(root, version)
+    if not cols:
+        raise ValueError(f"table at {root} is not partitioned")
+    live, rows, _stats, last = _replay_stats(root, version)
+    if last is None:
+        raise ValueError(f"no versioned table at {root}")
+    _pc, state = _partition_state(root, version)
+    _dvl, dv_cnt = _replay_dvs(root, version)
+    agg: dict[tuple | None, dict] = {}
+    for f in live:
+        key = tuple(state[f]) if f in state else None
+        e = agg.setdefault(
+            key, {"files": 0, "rows": 0, "bytes": 0, "stats": True}
+        )
+        e["files"] += 1
+        if f in rows:
+            e["rows"] += rows[f] - dv_cnt.get(f, 0)
+        else:
+            e["stats"] = False
+        p = os.path.join(root, f)
+        if os.path.exists(p):
+            e["bytes"] += os.path.getsize(p)
+    out = []
+    for key in sorted(
+        agg, key=lambda k: (k is None, list(k) if k else [])
+    ):
+        e = agg[key]
+        out.append(
+            {
+                "partition": (
+                    dict(zip(cols, key)) if key is not None else None
+                ),
+                "files": e["files"],
+                "rows": e["rows"] if e["stats"] else None,
+                "bytes": e["bytes"],
+            }
+        )
+    return out
+
+
 def overwrite_partitions_stream_batch(
     df: DataFrame, batch_id: int, root: str, query_id: str | None = None
 ) -> int | None:

@@ -452,3 +452,23 @@ def test_stream_dynamic_overwrite_exactly_once(spark, tmp_path):
     out = V.read_versioned(spark, root)
     assert out.where("cat = 'recomputed'").count() == 25
     assert out.count() == 100
+
+
+def test_show_partitions_metadata_only(spark, tmp_path, capsys):
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark, 400), root, partition_by=["bucket"])
+    live, _ = V._replay(root, None)
+    _corrupt(root, live)  # metadata-only: no file may be OPENED
+    rows = V.show_partitions(root)
+    assert [r["partition"] for r in rows] == [
+        {"bucket": str(b)} for b in range(4)
+    ]
+    assert all(r["rows"] == 100 for r in rows)
+    assert all(r["files"] >= 1 and r["bytes"] > 0 for r in rows)
+    from aws_glue_data_catalog_replication_utility_spark.cli import main
+
+    assert main(["vstore", "--root", root, "--op", "partitions"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == rows
+    with pytest.raises(ValueError, match="not partitioned"):
+        V.show_partitions(str(tmp_path / "nope"))
