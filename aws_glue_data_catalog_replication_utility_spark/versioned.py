@@ -1392,6 +1392,83 @@ def _parse_conjuncts(predicate: str) -> list[tuple[str, str, object]] | None:
     return out
 
 
+def _tagged_matches(
+    spark: SparkSession,
+    root: str,
+    origin: dict[str, str],
+    files: list[str],
+    predicate: str,
+    dvs: list[str],
+) -> DataFrame:
+    """(__dv_file basename, __dv_pos) of every LIVE row in `files`
+    matching `predicate` (IS TRUE): per origin-schema group, rows tag
+    with their _metadata file/position BEFORE any join, column-mapping
+    renames resolve physical -> logical names, the group widens to the
+    table LUB, and already-dv-masked positions anti-join away. Shared
+    by the DML match probe (_affected_files) and the dv position scan
+    (_delete_where_dv), so both see the identical match set."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .functions.evolve import evolve_to_schema
+
+    lub, _j = _table_lub_for(root, origin)
+    tag_target = StructType(
+        [
+            StructField("__dv_file", StringType(), False),
+            StructField("__dv_pos", LongType(), False),
+        ]
+        + list(lub.fields)
+    )
+    cmap = _column_mapping(root)
+    groups: dict[str, list[str]] = {}
+    for rel in files:
+        groups.setdefault(origin[rel], []).append(rel)
+    matches = None
+    for s, rels in groups.items():
+        st = StructType.fromJson(json.loads(s))
+        raw = spark.read.schema(st).parquet(
+            *[os.path.join(root, r) for r in rels]
+        )
+        data_cols = (
+            [F.col("*")]
+            if cmap is None
+            else [
+                F.col(fn).alias(cur)
+                for fn, _i, cur in _resolve_fields(s, cmap)
+                if cur is not None
+            ]
+        )
+        tagged = raw.select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+            *data_cols,
+        )
+        part = (
+            evolve_to_schema(tagged, tag_target)
+            .where(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select("__dv_file", "__dv_pos")
+        )
+        matches = part if matches is None else matches.unionByName(part)
+    if dvs:
+        dv_old = spark.read.parquet(*[os.path.join(root, d) for d in dvs])
+        matches = matches.join(
+            dv_old.select(
+                F.element_at(F.split("file", "/"), -1).alias("__dv_file"),
+                F.col("pos").alias("__dv_pos"),
+            ),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        )
+    return matches
+
+
 def _affected_files(
     spark: SparkSession,
     root: str,
@@ -1406,10 +1483,9 @@ def _affected_files(
     skip-index triples — a DELETE against a 100k-file table then opens
     only the stat-overlapping files, zero footer I/O at plan time; a
     pruned file provably holds no match, so pruning never changes the
-    answer — then (2) the exact input_file_name probe over just the
-    candidates. Returns (affected_rels, probe_meta)."""
-    from urllib.parse import unquote, urlparse
-
+    answer — then (2) the exact position-tagged probe over just the
+    candidates (dv-masked rows excluded — see _tagged_matches).
+    Returns (affected_rels, probe_meta)."""
     probe_meta: dict = {}
     if live:
         exact = _partition_exact_match(
@@ -1437,16 +1513,26 @@ def _affected_files(
         }
     if not cand:
         return [], probe_meta
-    snap = _read_file_subset(spark, root, cand, origin)
-    hits = [
-        unquote(urlparse(r["f"]).path)
-        for r in snap.where(predicate)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    ]
-    rootabs = os.path.abspath(root)
-    return sorted(os.path.relpath(h, rootabs) for h in hits), probe_meta
+    # dv masks APPLY to the probe: a row a prior dv delete removed
+    # must not make its file "affected" — without it, a DML whose only
+    # predicate matches are dv-masked rows would commit a no-op
+    # version (content right, version chain wrong; hypothesis found
+    # the exact sequence append -> dv-delete -> append -> update).
+    # input_file_name() does not survive the dv anti-join, so the
+    # probe tags rows with _metadata positions BEFORE masking (the
+    # same machinery as the dv position scan).
+    matches = _tagged_matches(
+        spark, root, origin, cand, predicate,
+        _replay_dvs(root, None)[0],
+    )
+    bases = {
+        r["__dv_file"]
+        for r in matches.select("__dv_file").distinct().collect()
+    }
+    return (
+        sorted(f for f in cand if os.path.basename(f) in bases),
+        probe_meta,
+    )
 
 
 def delete_where(
@@ -1541,69 +1627,11 @@ def _delete_where_dv(
     counts (so `count_versioned` stays metadata-only). Predicate
     evaluation matches rewrite-mode exactly: per origin-schema group,
     widened to the table LUB, match = predicate IS TRUE."""
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    from .functions.evolve import evolve_to_schema
-
     dvs, _ = _replay_dvs(root, None)
-    lub, lub_json = _table_lub_for(root, origin)
-    tag_target = StructType(
-        [
-            StructField("__dv_file", StringType(), False),
-            StructField("__dv_pos", LongType(), False),
-        ]
-        + list(lub.fields)
+    _lub, lub_json = _table_lub_for(root, origin)
+    matches = _tagged_matches(
+        spark, root, origin, affected, predicate, dvs
     )
-    groups: dict[str, list[str]] = {}
-    for rel in affected:
-        groups.setdefault(origin[rel], []).append(rel)
-    matches = None
-    for s, rels in groups.items():
-        st = StructType.fromJson(json.loads(s))
-        raw = spark.read.schema(st).parquet(
-            *[os.path.join(root, r) for r in rels]
-        )
-        cmap = _column_mapping(root)
-        data_cols = (
-            [F.col("*")]
-            if cmap is None
-            else [
-                F.col(fn).alias(cur)
-                for fn, _i, cur in _resolve_fields(s, cmap)
-                if cur is not None
-            ]
-        )
-        tagged = raw.select(
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_pos"),
-            # column mapping: physical -> current logical names before
-            # widening, or the predicate would see NULL phantoms of
-            # renamed columns and silently match nothing
-            *data_cols,
-        )
-        part = (
-            evolve_to_schema(tagged, tag_target)
-            .where(F.coalesce(F.expr(predicate), F.lit(False)))
-            .select("__dv_file", "__dv_pos")
-        )
-        matches = part if matches is None else matches.unionByName(part)
-    if dvs:
-        dv_old = spark.read.parquet(*[os.path.join(root, d) for d in dvs])
-        matches = matches.join(
-            dv_old.select(
-                F.element_at(F.split("file", "/"), -1).alias("__dv_file"),
-                F.col("pos").alias("__dv_pos"),
-            ),
-            ["__dv_file", "__dv_pos"],
-            "left_anti",
-        )
     lookup = spark.createDataFrame(
         [(os.path.basename(f), f) for f in affected],
         "name string, file string",
