@@ -17,7 +17,8 @@ surface — SQL via ``CREATE TEMPORARY VIEW ... USING``, ``.load()``,
   ``read_versioned`` — each file is decoded under the schema its
   commit wrote and widened to the table LUB, Arrow-batch zero-copy
   into Spark.
-- **Filter pushdown file skipping**: Spark 4.1 pushes query filters
+- **Filter pushdown file skipping** (OPT-IN via
+  ``.option("pruneFiles", "true")``): Spark 4.1 pushes query filters
   into Python data sources (``DataSourceReader.pushFilters``). We
   translate them into the skip-index predicate form and prune the
   live-file list against the PER-FILE COLUMN STATS RECORDED IN THE
@@ -28,7 +29,20 @@ surface — SQL via ``CREATE TEMPORARY VIEW ... USING``, ``.load()``,
   files whose stats cannot refute the predicate. Every filter is
   handed back to Spark for re-evaluation, so pruning affects I/O,
   never results (the proof obligation is one-sided: a dropped file
-  provably contains no matching row).
+  provably contains no matching row). Opt-in because Spark caches
+  the planned partition list per RELATION
+  (``PythonDataSourceV2.readInfo``, refreshed only when
+  ``pushFilters`` runs): on a reused DataFrame or temp view, a
+  filterless query would silently reuse the last filtered query's
+  pruned file set. Enable it under a one-DataFrame-per-query
+  discipline (a fresh ``load()`` per query); the default plan bakes
+  no filter state, so any reuse pattern stays exact.
+- **Partitioned tables**: ``.option("partitionBy", "a,b")`` on the
+  writers declares/inherits the store's hive-style partition layout
+  (one tuple per file, split executor-side); with
+  ``.option("partitionOverwriteMode", "dynamic")`` an overwrite
+  replaces exactly the partitions the written data carries —
+  metadata-only on the removal side.
 - **Batch write** (``df.write.format("vstore").mode("append" |
   "overwrite").save(root)``): tasks stage parquet under
   ``.staging/`` executor-side (Arrow batches straight to disk), and
