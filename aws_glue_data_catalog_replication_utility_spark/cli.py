@@ -551,7 +551,7 @@ def main(argv: list[str] | None = None) -> int:
                              "changes", "add-constraint", "drop-constraint",
                              "constraints", "detail", "prune-log",
                              "rename-column", "drop-column",
-                             "partitions"])
+                             "partitions", "clone"])
     vs.add_argument("--from", dest="changes_from", type=int, default=None,
                     help="changes: first version of the feed (inclusive)")
     vs.add_argument("--to", dest="changes_to", type=int, default=None,
@@ -1514,6 +1514,15 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps(V.prune_log(
                 args.root, keep_last_manifests=args.keep_manifests
             )))
+        elif args.op == "clone":
+            if not args.out:
+                raise SystemExit("--op clone requires --out DST")
+            v = V.clone_table(
+                args.root, args.out, version=args.version,
+            )
+            print(_json.dumps({
+                "version": v, "action": "clone", "dst": args.out,
+            }))
         elif args.op == "partitions":
             # SHOW PARTITIONS: metadata-only, one row per live tuple
             print(_json.dumps(V.show_partitions(

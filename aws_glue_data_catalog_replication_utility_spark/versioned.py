@@ -1861,6 +1861,133 @@ def overwrite_partitions(
     )
 
 
+def clone_table(
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+    timestamp=None,
+) -> int:
+    """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new
+    store whose v1 manifest REFERENCES the source snapshot's data
+    files by absolute path — zero bytes copied, O(live files) metadata
+    written, done in seconds on a 100 TB table. Every read path works
+    unchanged because file resolution is `os.path.join(root, entry)`
+    and an absolute entry wins the join. The clone is fully
+    independent from then on: writes/DML/OPTIMIZE stage files LOCALLY
+    (a rewrite reads source bytes, stages into the clone, and drops
+    the absolute reference), the clone's vacuum only ever deletes
+    under its own data/ and _dv/ directories, and the source never
+    sees any of it. Cloned state: schema (+ column mapping), per-file
+    stats/rows (counts stay metadata-only), partition layout (the
+    partition-exact DML fast path carries over), deletion vectors
+    (masks apply via dv_live), and persistent CHECK constraints
+    (re-committed so the clone's writers enforce them).
+
+    The standard shallow-clone caveat applies (same as Delta's):
+    `vacuum` on the SOURCE can reclaim files a clone still
+    references — keep source retention longer than clone lifetimes,
+    or OPTIMIZE the clone (rewrites localize every referenced byte).
+
+    `version` / `timestamp` clone a historical snapshot — the
+    zero-copy way to hand a debugging table "as of yesterday" to a
+    dev job."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(src_root, timestamp)
+    live, rows, fstats, last = _replay_stats(src_root, version)
+    if last is None:
+        raise ValueError(f"no versioned table at {src_root}")
+    if _manifests(dst_root) or _checkpoints(dst_root):
+        raise ValueError(f"destination {dst_root} already has a table")
+    _, _, origin = _replay_full(src_root, version)
+    srcabs = os.path.abspath(src_root)
+
+    def A(rel: str) -> str:
+        return rel if os.path.isabs(rel) else os.path.join(srcabs, rel)
+
+    cmap = _column_mapping(src_root, version)
+    pcols, parts = _partition_state(src_root, version)
+    dvl, dvc = _replay_dvs(src_root, version)
+    if origin:
+        schema_json = _table_lub(origin, cmap=cmap)[1]
+    else:
+        schema_json = last["schema"]
+    if cmap is not None:
+        schema_json, cmap = _stamp_schema(schema_json, cmap)
+    import time as _time
+
+    body: dict = {
+        "version": 1,
+        "action": "clone",
+        "added": [A(f) for f in live],
+        "removed": [],
+        "schema": schema_json,
+        "ts": _time.time(),
+        "meta": {
+            "source": srcabs,
+            "source_version": int(last["version"]),
+        },
+    }
+    # per-file origin schemas (same deduped encoding as _commit)
+    schemas: list[str] = []
+    sidx: dict[str, int] = {}
+    fmap: dict[str, int] = {}
+    for f in live:
+        s = origin[f]
+        if s == schema_json:
+            continue
+        if s not in sidx:
+            sidx[s] = len(schemas)
+            schemas.append(s)
+        fmap[A(f)] = sidx[s]
+    if fmap:
+        body["schemas"] = schemas
+        body["file_schema"] = fmap
+    # stats/rows carry over — no footer opened, counts stay
+    # metadata-only on the clone
+    if rows:
+        body["file_rows"] = {A(f): int(rows[f]) for f in live if f in rows}
+    if fstats:
+        body["file_stats"] = {A(f): fstats[f] for f in live if f in fstats}
+    if pcols is not None:
+        body["partitioning"] = pcols
+        fp = {A(f): parts[f] for f in live if f in parts}
+        if fp:
+            body["file_parts"] = fp
+    if cmap is not None:
+        body["col_map"] = cmap
+    if dvc:
+        body["dv_live"] = [A(d) for d in dvl]
+        body["dv_rows_live"] = {A(f): int(n) for f, n in dvc.items()}
+    log = _log_dir(dst_root)
+    os.makedirs(log, exist_ok=True)
+    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(body, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        if not _LOG_STORE.publish(
+            tmp, os.path.join(log, "v000000000001.json")
+        ):
+            raise VersionConflict(
+                f"version 1 already committed at {dst_root}"
+            )
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    # persistent constraints re-commit so the clone's writers enforce
+    # them (validated on the source already; the clone's rows ARE the
+    # source's rows at this instant)
+    for name, expr in table_constraints(src_root, version).items():
+        _commit(
+            dst_root, "set_constraint", [], [], schema_json,
+            {"name": name, "expr": expr},
+        )
+    return 1
+
+
 def show_partitions(root: str, version: int | None = None) -> list[dict]:
     """SHOW PARTITIONS from metadata alone (zero files opened): one
     row per live partition tuple with its file count, recorded row
