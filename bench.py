@@ -741,6 +741,11 @@ def main() -> None:
         extras["vstore_partition_drop"] = round(
             time.perf_counter() - t0, 3
         )
+        # r11 shallow clone: O(live files) metadata, zero bytes copied
+        # — should stay ~constant at any data scale
+        t0 = time.perf_counter()
+        V.clone_table(proot, f"{fmt_dir}/clone")
+        extras["vstore_clone"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(fmt_dir, ignore_errors=True)
 
