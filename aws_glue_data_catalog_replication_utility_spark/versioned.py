@@ -433,6 +433,12 @@ def _stage_write(df: DataFrame, root: str) -> list[str]:
 # ---------------------------------------------------------------------------
 # Hive-style partitioned tables (Delta's partitionBy inside the commit log).
 #
+# Reference parity: partitions are the reference's first-class sync
+# unit (TableWithPartitions.java carries them beside the table;
+# GDCUtil.java:61-111 replicates them in delete-all-then-add batches).
+# Here a partition is a transactional file-set inside the log — the
+# same granularity, minus the inconsistency window.
+#
 # A partitioned store guarantees the LAYOUT invariant "every data file
 # holds exactly ONE partition-value tuple", records that tuple per file
 # in the manifest (`file_parts`) plus the column list (`partitioning`),
@@ -668,6 +674,11 @@ def table_partitioning(root: str, version: int | None = None) -> list[str] | Non
 # ---------------------------------------------------------------------------
 # Column mapping: RENAME / DROP COLUMN as metadata (Delta's column
 # mapping, by stable field id).
+#
+# Reference parity: the reference evolves a schema by UPDATE_TABLE
+# overwrite (GlueUtil.java:175-192 replaces the whole column list) and
+# then re-replicates; a rename here is one manifest over any number of
+# files.
 #
 # Without mapping, a rename means rewriting every file (the name IS
 # the identity). With it, each column gets a stable integer id when
@@ -1870,7 +1881,11 @@ def clone_table(
     """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new
     store whose v1 manifest REFERENCES the source snapshot's data
     files by absolute path — zero bytes copied, O(live files) metadata
-    written, done in seconds on a 100 TB table. Every read path works
+    written, done in seconds on a 100 TB table. (The reference's only
+    way to stand up a copy of a table is full re-replication through
+    the export/import message flow — GlueUtil.java:287-331 re-creates
+    the table and GDCUtil.java:61-111 re-ships every partition; this
+    is that outcome as one metadata write.) Every read path works
     unchanged because file resolution is `os.path.join(root, entry)`
     and an absolute entry wins the join. The clone is fully
     independent from then on: writes/DML/OPTIMIZE stage files LOCALLY
