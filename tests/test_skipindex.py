@@ -399,7 +399,14 @@ def test_bloom_index_prunes_scattered_equality(spark, tmp_path):
     )
     assert bloom.select("file").distinct().count() == 8
 
-    probe = full.select("o_custkey").first().o_custkey
+    # DETERMINISTIC probe: the smallest custkey with exactly one order
+    # — it lives in exactly one file, so bloom pruning has 7 provably
+    # droppable files (a `first()`-sampled key was flaky: a customer
+    # whose orders span every o_orderkey range file is unprunable)
+    probe = (
+        full.groupBy("o_custkey").count().where("count = 1")
+        .agg(F.min("o_custkey")).collect()[0][0]
+    )
     # min/max alone keeps everything (scattered column)...
     got_mm, info_mm = scan_with_skip_index(
         spark, idx, [("o_custkey", "=", probe)]
