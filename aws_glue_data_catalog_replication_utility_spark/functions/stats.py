@@ -113,15 +113,44 @@ def store_stats(spark: SparkSession, path: str) -> DataFrame:
 
 
 def store_summary(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    dv_purge_fraction: float = 0.05,
 ) -> dict:
     """Maintenance dashboard over `store_stats`: totals, file-size
     spread, per-column null totals and stats coverage, and `advice` —
-    'compact' (median file under target/2: the small-file tail), and
+    'compact' (median file under target/2: the small-file tail),
     'no_minmax:<col>' per column whose footers carry no min/max
-    (nothing for pruning to read). Driver receives O(files + columns)
-    aggregated rows only."""
-    st = store_stats(spark, path)
+    (nothing for pruning to read), and — when `path` is a VERSIONED
+    store root — 'purge_dvs' when deletion-vector masks cover at
+    least `dv_purge_fraction` of the live rows (the read-side
+    anti-join debt the maintenance loop should retire with
+    `optimize(purge_dvs=True)`, the same way the small-file median
+    flags 'compact'). Driver receives O(files + columns) aggregated
+    rows only; the dv fraction comes from the commit log's metadata
+    alone."""
+    import os as _os
+
+    dv_deleted = dv_fraction = None
+    stats_path = path
+    if _os.path.isdir(_os.path.join(path, "_txlog")):
+        # versioned store root: footers live under data/ (walking the
+        # root would read manifests and dv relations as data), and the
+        # dv debt is answered from the log without opening a file
+        from .. import versioned as _V
+
+        live, rows, _, last = _V._replay_stats(path, None)
+        if last is not None:
+            _dvl, cnt = _V._replay_dvs(path, None)
+            live_set = set(live)
+            dv_deleted = int(
+                sum(c for f, c in cnt.items() if f in live_set)
+            )
+            known = sum(rows[f] for f in live if f in rows)
+            dv_fraction = dv_deleted / known if known else 0.0
+        stats_path = _os.path.join(path, "data")
+    st = store_stats(spark, stats_path)
     per_file = st.groupBy("file").agg(
         F.first("file_bytes").alias("bytes"),
         F.first("file_rows").alias("rows"),
@@ -151,8 +180,16 @@ def store_summary(
     for c in sorted(cols, key=lambda r: r["column"]):
         if c["files_with_minmax"] == 0:
             advice.append(f"no_minmax:{c['column']}")
+    if dv_deleted and dv_fraction >= dv_purge_fraction:
+        advice.append("purge_dvs")
 
+    out_dv = (
+        {"dv_deleted_rows": dv_deleted, "dv_fraction": dv_fraction}
+        if dv_deleted is not None
+        else {}
+    )
     return {
+        **out_dv,
         "n_files": fagg["n_files"],
         "total_bytes": int(fagg["total_bytes"]),
         "total_rows": int(fagg["total_rows"]),

@@ -135,8 +135,20 @@ def write_token_shards(
     want = dtype
 
     def write_task(batches):
+        import uuid as _uuid
+
         import numpy as np
         import pyarrow as pa
+
+        # per-attempt temp suffix: shards stage as .bin.<attempt>/
+        # .idx.<attempt> and atomically rename into place on close —
+        # a speculative duplicate attempt can no longer truncate a
+        # finished shard (open(final, 'wb')) and then die, leaving a
+        # torn file behind a reported success (ADVICE r11). Both
+        # attempts produce identical bytes, so whichever os.replace
+        # lands last is immaterial; a killed attempt leaves only temp
+        # orphans, never a partial final file.
+        attempt = _uuid.uuid4().hex[:12]
 
         np_dtype = np.dtype(want)
         info = np.iinfo(np_dtype)
@@ -152,11 +164,16 @@ def write_token_shards(
             bin_fh.close()
             # one document per sequence: doc_idx = [0..n]
             doc_idx = list(range(len(sizes) + 1))
+            bin_path = os.path.join(
+                out_abs, f"shard-{open_shard:05d}.bin"
+            )
             idx_path = os.path.join(
                 out_abs, f"shard-{open_shard:05d}.idx"
             )
-            with open(idx_path, "wb") as fh:
+            with open(idx_path + "." + attempt, "wb") as fh:
                 fh.write(_idx_bytes(want, sizes, doc_idx))
+            os.replace(bin_path + "." + attempt, bin_path)
+            os.replace(idx_path + "." + attempt, idx_path)
             results.append(
                 (open_shard, len(sizes), int(sum(sizes)))
             )
@@ -184,7 +201,10 @@ def write_token_shards(
                     close_shard()
                     open_shard = sh
                     bin_fh = open(
-                        os.path.join(out_abs, f"shard-{sh:05d}.bin"),
+                        os.path.join(
+                            out_abs,
+                            f"shard-{sh:05d}.bin." + attempt,
+                        ),
                         "wb",
                     )
                 lo_o, hi_o = offsets[i], offsets[i + 1]

@@ -977,6 +977,17 @@ def _publish_staged(
     else:
         removed = []
         action = "append"
+    extra = _partition_extra(partitioning, file_parts) or None
+    if partitioning == [] and overwrite:
+        from ..versioned import table_partitioning
+
+        if table_partitioning(root):
+            # explicit un-partitioning (partitionBy='' on overwrite):
+            # record the cleared layout like the library's
+            # overwrite(partition_by=[]) — otherwise the old
+            # declaration persists while the new live files carry no
+            # tuples, permanently refusing partition-exact DML
+            extra = {"partitioning": []}
     _commit(
         root,
         action,
@@ -984,7 +995,7 @@ def _publish_staged(
         removed,
         schema_json,
         meta=meta,
-        extra=_partition_extra(partitioning, file_parts) or None,
+        extra=extra,
     )
 
 

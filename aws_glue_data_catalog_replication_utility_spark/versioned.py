@@ -498,7 +498,21 @@ def _arrow_partition_groups(t, cols: list[str]):
     strs = [
         _pc.cast(t.column(c), _pa.string()).combine_chunks() for c in cols
     ]
-    filled = [_pc.fill_null(s, "\x00N") for s in strs]
+    # INJECTIVE composite encoding: escape \x01 then \x00 inside each
+    # value, so no value can contain the join separator (\x00;) or
+    # collide with the NULL sentinel (\x00N) — a string partition
+    # value holding those raw bytes must not merge two distinct
+    # tuples into one file (ADVICE r11). The yielded hive strings
+    # come from the UNESCAPED cast, so manifests are unaffected.
+    esc = [
+        _pc.replace_substring(
+            _pc.replace_substring(s, "\x01", "\x01\x01"),
+            "\x00",
+            "\x01\x02",
+        )
+        for s in strs
+    ]
+    filled = [_pc.fill_null(s, "\x00N") for s in esc]
     composite = (
         filled[0]
         if len(filled) == 1
@@ -948,11 +962,18 @@ def _partition_exact_match(
         if c in types:
             rel = rel.withColumn(c, F.col(c).cast(types[c]))
     try:
-        matched = (
-            rel.where(F.coalesce(F.expr(predicate), F.lit(False)))
-            .select("__vstore_file__")
-            .collect()
-        )
+        flt = rel.where(F.coalesce(F.expr(predicate), F.lit(False)))
+        # determinism gate (ADVICE r11): per-file evaluation is only
+        # per-row evaluation for DETERMINISTIC predicates — "bucket=7
+        # OR rand()<0.5" would silently switch DML to per-file
+        # semantics. Delta refuses non-deterministic DML predicates;
+        # we fall back to the per-row probe scan.
+        exprs = flt._jdf.queryExecution().analyzed().expressions()
+        it = exprs.iterator()
+        while it.hasNext():
+            if not it.next().deterministic():
+                return None
+        matched = flt.select("__vstore_file__").collect()
     except Exception:
         return None  # references non-partition columns / unresolvable
     return sorted(r["__vstore_file__"] for r in matched)
@@ -1620,6 +1641,48 @@ def delete_where(
     )
 
 
+def _write_dv_relation(
+    spark: SparkSession,
+    root: str,
+    matches: DataFrame,
+    affected: list[str],
+) -> tuple[str | None, dict[str, int]]:
+    """Write a `matches` relation ((__dv_file basename, __dv_pos) from
+    `_tagged_matches`) as one parquet deletion-vector relation under
+    `_dv/` and return (dv_rel, per-file masked-row counts) — or
+    (None, {}) when every match was already masked (the relation is
+    removed; nothing to commit). Shared by dv-mode DELETE and UPDATE.
+
+    The per-file counts come from ONE Spark aggregate over the
+    just-written relation, so only O(affected files) rows ever reach
+    the driver — a dv commit masking 100 M rows collects ~file-count
+    rows, never the positions themselves."""
+    lookup = spark.createDataFrame(
+        [(os.path.basename(f), f) for f in affected],
+        "name string, file string",
+    )
+    dv_df = (
+        matches.withColumnRenamed("__dv_file", "name")
+        .join(F.broadcast(lookup), "name")
+        .select("file", F.col("__dv_pos").alias("pos"))
+    )
+    dv_rel = os.path.join("_dv", uuid.uuid4().hex[:12])
+    dv_df.coalesce(max(1, len(affected) // 16)).write.parquet(
+        os.path.join(root, dv_rel)
+    )
+    counts = {
+        r["file"]: int(r["n"])
+        for r in spark.read.parquet(os.path.join(root, dv_rel))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        shutil.rmtree(os.path.join(root, dv_rel), ignore_errors=True)
+        return None, {}
+    return dv_rel, counts
+
+
 def _delete_where_dv(
     spark: SparkSession,
     root: str,
@@ -1643,29 +1706,10 @@ def _delete_where_dv(
     matches = _tagged_matches(
         spark, root, origin, affected, predicate, dvs
     )
-    lookup = spark.createDataFrame(
-        [(os.path.basename(f), f) for f in affected],
-        "name string, file string",
-    )
-    dv_df = (
-        matches.withColumnRenamed("__dv_file", "name")
-        .join(F.broadcast(lookup), "name")
-        .select("file", F.col("__dv_pos").alias("pos"))
-    )
-    dv_rel = os.path.join("_dv", uuid.uuid4().hex[:12])
-    dv_df.coalesce(max(1, len(affected) // 16)).write.parquet(
-        os.path.join(root, dv_rel)
-    )
-    import pyarrow.parquet as _pq
-
-    tbl = _pq.read_table(os.path.join(root, dv_rel), columns=["file"])
-    if tbl.num_rows == 0:
+    dv_rel, counts = _write_dv_relation(spark, root, matches, affected)
+    if dv_rel is None:
         # every match was already deleted by a prior DV: no new state
-        shutil.rmtree(os.path.join(root, dv_rel), ignore_errors=True)
         return last["version"]
-    counts: dict[str, int] = {}
-    for f in tbl.column("file").to_pylist():
-        counts[f] = counts.get(f, 0) + 1
     return _commit(
         root, "delete", [], [], lub_json,
         meta={"mode": "dv", "predicate": predicate, **probe_meta},
@@ -1678,6 +1722,7 @@ def update_where(
     root: str,
     predicate: str,
     assignments: dict[str, str],
+    mode: str = "rewrite",
 ) -> int:
     """UPDATE ... SET, transactionally — the DML triad's third leg
     beside `delete_where` and `merge_into` (Delta's UPDATE): every row
@@ -1693,10 +1738,27 @@ def update_where(
     (deletion-vector masks applied first, so dv'd rows neither update
     nor resurrect), and the table's persistent CHECK constraints are
     validated on the updated rows BEFORE anything is staged — a bad
-    UPDATE can never become a version."""
+    UPDATE can never become a version.
+
+    `mode="dv"` is the MERGE-ON-READ half (Delta's UPDATE with
+    deletion vectors): instead of rewriting every affected file, ONE
+    atomic commit masks the matched rows' positions with a deletion
+    vector AND appends the transformed rows — a 0.1%-of-rows UPDATE
+    on a 100 TB table is then priced by the matched rows (kilobytes of
+    positions + the rewritten sliver), not by the files that happen to
+    contain them. Reads, counts, CDC, rollback, and
+    `optimize(purge_dvs=True)` all see the identical logical table as
+    rewrite-mode (the dv machinery is delete_where's). The reference's
+    update-heavy path is repeated `createOrUpdateTable` replication
+    (GlueUtil.java:264-350) — small updates dominate, which is exactly
+    the envelope merge-on-read wins."""
     live, last, origin = _replay_full(root, None)
     if last is None:
         raise ValueError(f"no versioned table at {root}")
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(
+            f"unknown update mode {mode!r}; use 'rewrite' or 'dv'"
+        )
     if not assignments:
         raise ValueError("assignments must be non-empty")
     lub, lub_json = _table_lub_for(root, origin)
@@ -1706,6 +1768,13 @@ def update_where(
         raise ValueError(
             f"UPDATE of unknown column(s) {unknown}; the table has "
             f"{sorted(types)}"
+        )
+    pcols = table_partitioning(root)
+    if pcols and any(c in pcols for c in assignments):
+        raise ValueError(
+            f"UPDATE of partition column(s) "
+            f"{sorted(set(assignments) & set(pcols))} would move rows "
+            "across partitions; DELETE + append instead"
         )
     affected, probe_meta = _affected_files(
         spark, root, live, origin, predicate
@@ -1726,18 +1795,41 @@ def update_where(
 
     dvs, _ = _replay_dvs(root, None)
     # never-a-bad-version: the updated rows must satisfy the table's
-    # constraints BEFORE any file is staged
-    preview = transform(
-        _read_file_subset(spark, root, affected, origin, dvs=dvs)
-    ).where(cond)
-    enforce_table_constraints(preview, root)
+    # constraints BEFORE any file is staged. Filter FIRST, transform
+    # SECOND: `transform(df).where(cond)` would re-evaluate the
+    # predicate on POST-update values, so a self-referencing UPDATE
+    # (predicate `a = 1`, assignment a -> 2) would validate the wrong
+    # row set and a constraint-violating version could slip through
+    # (r12 builder-found bug; pinned in test_versioned_dv).
+    updated = transform(
+        _read_file_subset(
+            spark, root, affected, origin, dvs=dvs
+        ).where(cond)
+    )
+    enforce_table_constraints(updated, root)
     rootabs = os.path.abspath(root)
-    pcols = table_partitioning(root)
-    if pcols and any(c in pcols for c in assignments):
-        raise ValueError(
-            f"UPDATE of partition column(s) "
-            f"{sorted(set(assignments) & set(pcols))} would move rows "
-            "across partitions; DELETE + append instead"
+    if mode == "dv":
+        from .functions.evolve import evolve_to_schema
+
+        matches = _tagged_matches(
+            spark, root, origin, affected, predicate, dvs
+        )
+        dv_rel, counts = _write_dv_relation(
+            spark, root, matches, affected
+        )
+        if dv_rel is None:
+            # every match was already masked: nothing to update
+            return last["version"]
+        added, parts = _stage_for_table(
+            evolve_to_schema(updated, lub), root, pcols
+        )
+        extra: dict = {"dv": dv_rel, "dv_rows": counts}
+        extra.update(_partition_extra(pcols, parts))
+        return _commit(
+            root, "update", added, [], lub_json,
+            {"mode": "dv", "predicate": predicate,
+             "assignments": assignments, **probe_meta},
+            extra=extra,
         )
     added, parts = _rewrite_survivors(
         spark, rootabs, affected, origin, lub, transform, dvs=dvs,
@@ -2203,7 +2295,12 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     # re-partitioned after `to_version` is undone; [] when the target
     # predates any declaration, so the current one clears)
     tcols, tparts = _partition_state(root, to_version)
-    extra["partitioning"] = tcols if tcols is not None else []
+    if tcols is not None or table_partitioning(root) is not None:
+        # only emit the reset when a declaration has EVER existed: a
+        # never-partitioned table must keep partitioning() == None
+        # ('never declared'), not flip to [] ('explicitly cleared') —
+        # the two drive different refusal branches (ADVICE r11)
+        extra["partitioning"] = tcols if tcols is not None else []
     fp = {f: tparts[f] for f in added if f in tparts}
     if fp:
         extra["file_parts"] = fp

@@ -653,6 +653,13 @@ def main() -> None:
             "overwrite"
         ).save()
         extras["vstore_read_masked"] = round(time.perf_counter() - t0, 3)
+        # r11 mask retirement: rewrite ONLY the dv-masked files.
+        # Runs BEFORE any rewrite-path DML on this store (r11 VERDICT
+        # #4: a prior update already applied the masks, so the purge
+        # timed a no-op) — here the delete's masks are still live.
+        t0 = time.perf_counter()
+        V.optimize(spark, vroot_dv, purge_dvs=True)
+        extras["vstore_purge_dvs"] = round(time.perf_counter() - t0, 3)
         # r11 UPDATE ... SET (the DML triad's third leg): stats-pruned
         # probe + affected-file rewrite with constraint validation
         t0 = time.perf_counter()
@@ -661,10 +668,15 @@ def main() -> None:
             {"o_totalprice": "o_totalprice * 1.1"},
         )
         extras["vstore_update_where"] = round(time.perf_counter() - t0, 3)
-        # r11 mask retirement: rewrite ONLY the dv-masked files
+        # r12 merge-on-read UPDATE: mask matched rows + append the
+        # transformed sliver in one commit — priced by the matched
+        # rows, not the files containing them (cow twin above)
         t0 = time.perf_counter()
-        V.optimize(spark, vroot_dv, purge_dvs=True)
-        extras["vstore_purge_dvs"] = round(time.perf_counter() - t0, 3)
+        V.update_where(
+            spark, vroot_cow, "o_custkey % 17 = 0",
+            {"o_totalprice": "o_totalprice * 1.1"}, mode="dv",
+        )
+        extras["vstore_update_dv"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(vs_dir, ignore_errors=True)
 

@@ -472,3 +472,120 @@ def test_show_partitions_metadata_only(spark, tmp_path, capsys):
     assert rep == rows
     with pytest.raises(ValueError, match="not partitioned"):
         V.show_partitions(str(tmp_path / "nope"))
+
+
+def test_partition_values_with_separator_bytes_stay_distinct(
+    spark, tmp_path
+):
+    """ADVICE r11: the composite split key must be INJECTIVE — string
+    partition values containing the raw join separator ('\\x00;') or
+    a literal null-sentinel lookalike ('\\x00N') must land in distinct
+    files from their colliding neighbors, and a NULL value must stay
+    distinct from the literal '\\x00N' string. Otherwise a later
+    partition-exact DELETE silently drops the merged tuple's rows."""
+    rows = [
+        ("a\x00;b", "x", 1),   # raw separator inside the value
+        ("a", "b\x00;x", 2),   # ...vs split across two columns
+        ("\x00N", "x", 3),     # literal sentinel lookalike
+        (None, "x", 4),        # genuine NULL
+        ("p", "q", 5),
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v int")
+    root = str(tmp_path / "t")
+    V.append(df, root, partition_by=["k1", "k2"])
+    # five distinct tuples -> five files, each single-valued
+    _cols, parts = V._partition_state(root)
+    assert len(parts) == 5
+    assert {tuple(pv) for pv in parts.values()} == {
+        ("a\x00;b", "x"), ("a", "b\x00;x"), ("\x00N", "x"),
+        (None, "x"), ("p", "q"),
+    }
+    # partition-exact delete of ONE colliding tuple touches only it
+    V.delete_where(spark, root, "k1 = 'a\x00;b'")
+    got = [
+        (r.k1, r.k2, r.v) for r in V.read_versioned(spark, root).collect()
+    ]
+    assert (None, "x", 4) in got
+    assert len(got) == 4 and all(r[2] != 1 for r in got)
+    # NULL tuple still present and distinct from the '\x00N' literal
+    assert V.read_versioned(spark, root).where(
+        "k1 IS NULL"
+    ).count() == 1
+    assert V.read_versioned(spark, root).where(
+        "k1 = '\x00N'"
+    ).count() == 1
+
+
+def test_nondeterministic_predicate_refuses_fast_path(spark, tmp_path):
+    """ADVICE r11: a non-deterministic predicate over partition
+    columns (e.g. `bucket = 7 OR rand() < 0.5`) must NOT take the
+    per-file fast path — per-file evaluation is only per-row
+    evaluation when the predicate is deterministic."""
+    root = str(tmp_path / "t")
+    V.append(_mkdf(spark), root, partition_by=["bucket"])
+    live, _last, origin = V._replay_full(root, None)
+    lub = V._table_lub_for(root, origin)[0]
+    assert V._partition_exact_match(
+        spark, root, live, "bucket = 1", lub
+    ) is not None
+    assert V._partition_exact_match(
+        spark, root, live, "bucket = 1 OR rand() < 0.5", lub
+    ) is None
+
+
+def test_rollback_never_partitioned_keeps_none(spark, tmp_path):
+    """ADVICE r11: rolling back a never-partitioned table must keep
+    table_partitioning() == None ('never declared'), not flip it to
+    [] ('explicitly cleared') — the two drive different refusal
+    branches on a later partitioned append."""
+    root = str(tmp_path / "t")
+    df = _mkdf(spark, 100)
+    V.append(df, root)  # v1, no declaration ever
+    V.append(df, root)  # v2
+    V.rollback(spark, root, 1)  # v3
+    assert V.table_partitioning(root) is None
+    m = _last_manifest(root)
+    assert "partitioning" not in m
+    # a partitioned table's rollback still resets as before
+    root2 = str(tmp_path / "t2")
+    V.append(df, root2, partition_by=["bucket"])  # v1
+    V.overwrite(df, root2, partition_by=[])  # v2: cleared
+    V.rollback(spark, root2, 1)  # v3: declaration restored
+    assert V.table_partitioning(root2) == ["bucket"]
+
+
+def test_format_overwrite_unpartition_records_cleared_layout(
+    spark, tmp_path
+):
+    """ADVICE r11 (medium): a format overwrite with partitionBy=''
+    must RECORD the cleared layout like the library's
+    overwrite(partition_by=[]) — otherwise the stale declaration
+    refuses partition DML forever while new files carry no tuples."""
+    from aws_glue_data_catalog_replication_utility_spark.sources.vstore_source import (
+        register_vstore_source,
+    )
+
+    register_vstore_source(spark)
+    root = str(tmp_path / "t")
+    df = _mkdf(spark, 100)
+    V.append(df, root, partition_by=["bucket"])
+    assert V.table_partitioning(root) == ["bucket"]
+    (
+        df.write.format("vstore")
+        .mode("overwrite")
+        .option("partitionBy", "")
+        .save(root)
+    )
+    assert V.table_partitioning(root) == []
+    # show_partitions refuses cleanly instead of lumping under None
+    with pytest.raises(ValueError):
+        V.show_partitions(root)
+    # and a fresh partitioned overwrite re-declares fine
+    (
+        df.write.format("vstore")
+        .mode("overwrite")
+        .option("partitionBy", "bucket")
+        .save(root)
+    )
+    assert V.table_partitioning(root) == ["bucket"]
+    assert len(V.show_partitions(root)) == 4

