@@ -3294,32 +3294,62 @@ def q60_ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import ivf_pq_scores
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    scores = _persist(
-        ivf_pq_scores(emb, n_seeds=8, m=4, k=8, n_queries=5)
-    )  # four top-k lanes consume the one scored relation
+    scores = ivf_pq_scores(emb, n_seeds=8, m=4, k=8, n_queries=5)
 
-    def lane(df: DataFrame, flag: str) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("adist").asc(), F.col("vec_id").asc()
-        )
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= 5)
-            .select("query_id", "vec_id", F.lit(True).alias(flag))
-        )
+    # r12 (guide §2.4): ALL FOUR lanes in ONE window pass. The lanes
+    # share one global ordering (adist asc, vec_id asc); a row's rank
+    # within the probe_rank<=n subset equals the RUNNING COUNT of
+    # subset rows up to it under that ordering, so one Window operator
+    # (same partition/order/frame -> Spark fuses the expressions)
+    # computes row_number + three running membership counts where the
+    # previous form ran FOUR separate window shuffles over the scored
+    # relation and FOUR broadcast-hash joins against the exact-cosine
+    # ground truth (plan diff: 4 Exchange/Sort/Window towers -> 1, four
+    # BroadcastExchange builds -> 1; the _persist of the scored
+    # relation — only needed because four consumers raced it — is gone
+    # too, saving its cache-fill job). Flag values are bit-identical:
+    # same ordering, same tie-break, same <=5 cut per lane.
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lanes = [
-        lane(scores, "in_adc"),
-        lane(scores.where(F.col("probe_rank") <= 1), "in_ivf1"),
-        lane(scores.where(F.col("probe_rank") <= 2), "in_ivf2"),
-        lane(scores.where(F.col("probe_rank") <= 4), "in_ivf4"),
-    ]
+    def _run_count(nprobe: int):
+        return F.sum(
+            F.when(F.col("probe_rank") <= nprobe, 1).otherwise(0)
+        ).over(run)
+
+    flags = (
+        scores.select(
+            "query_id",
+            "vec_id",
+            "probe_rank",
+            F.row_number().over(w).alias("__rn"),
+            _run_count(1).alias("__c1"),
+            _run_count(2).alias("__c2"),
+            _run_count(4).alias("__c4"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("__rn") <= 5).alias("in_adc"),
+            ((F.col("probe_rank") <= 1) & (F.col("__c1") <= 5)).alias("in_ivf1"),
+            ((F.col("probe_rank") <= 2) & (F.col("__c2") <= 5)).alias("in_ivf2"),
+            ((F.col("probe_rank") <= 4) & (F.col("__c4") <= 5)).alias("in_ivf4"),
+        )
+        .where(
+            F.col("in_adc")
+            | F.col("in_ivf1")
+            | F.col("in_ivf2")
+            | F.col("in_ivf4")
+        )
+    )
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = cosine_topk(emb, queries, k=5)
-    for fdf in lanes:
-        out = out.join(F.broadcast(fdf), on=["query_id", "vec_id"], how="left")
+    out = cosine_topk(emb, queries, k=5).join(
+        F.broadcast(flags), on=["query_id", "vec_id"], how="left"
+    )
     return out.select(
         "query_id",
         "vec_id",
