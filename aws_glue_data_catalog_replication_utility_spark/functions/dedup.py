@@ -400,6 +400,18 @@ def minhash_band_pairs(
     )
 
 
+def _iteration_partitions(n_rows: int, spark) -> int:
+    """Partition count for an iterative algorithm's per-round state
+    (guide §2: scale-adaptive partitioning, never a config constant).
+    ~2M rows per slice keeps partitions comfortably sized; the floor of
+    1 collapses bench-scale graphs to single-task rounds, and the cap
+    (32 slices per core) only bounds pathological row counts — a 100 TB
+    edge set still gets tens of thousands of slices on a real cluster
+    because defaultParallelism scales with the executor fleet."""
+    cap = max(1, spark.sparkContext.defaultParallelism * 32)
+    return max(1, min((int(n_rows) // 2_000_000) + 1, cap))
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
@@ -445,11 +457,29 @@ def connected_components(
         .dropDuplicates()
         .persist()
     )
-    # src covers every participant (edges are symmetric)
+    # r12 (guide §2): size the ITERATION relations from the measured
+    # edge count, not spark.sql.shuffle.partitions — every round
+    # materializes a checkpoint whose partition count becomes the task
+    # count of every later round's jobs, and a config-sized 64-slice
+    # checkpoint of a few-hundred-row label relation made each of the
+    # ~2 jobs/round schedule 64 near-empty tasks (measured: the whole
+    # tower is round-overhead-bound at bench scale). The count also
+    # fills the edge cache the first round would otherwise fill.
+    parts = _iteration_partitions(edges.count(), pairs.sparkSession)
+    # r12: seed each participant with min(id, min neighbor) — exactly
+    # what the first propagation round computes from identity labels,
+    # for the same one-exchange price the identity init paid (the
+    # symmetric edge set keys every participant as src), so the loop
+    # below starts one round further along and singleton-free graphs
+    # converge a full round (2 jobs) earlier. Fixed point unchanged.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .dropDuplicates()
-        .select("id", F.col("id").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__mn")).alias("label"),
+        )
+        .coalesce(parts)
         .localCheckpoint(eager=True)
     )
     converged = False
@@ -472,6 +502,7 @@ def connected_components(
             )
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
+            .coalesce(parts)
             .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("label") != F.col("__old")).count()
@@ -570,6 +601,10 @@ def connected_components_star(
         .dropDuplicates()
         .persist()
     )
+    # r12: round-state partition count derived from the edge count (see
+    # _iteration_partitions / connected_components) — the count also
+    # fills the edge cache before the first star round
+    parts = _iteration_partitions(edges.count(), pairs.sparkSession)
     def _is_min_star_forest(e: DataFrame) -> bool:
         """True iff `e` (oriented u > v by construction of the star
         phases) is a fixed point: a forest of stars centered on each
@@ -604,7 +639,10 @@ def connected_components_star(
         # input edge frame ~16 times (two unions + two groupBy-join
         # pairs), so lazy lineage grows ~16^rounds plan nodes — the
         # checkpoint resets the plan to a materialized leaf every round
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = (
+            _small_star(_large_star(edges)).coalesce(parts)
+            .localCheckpoint(eager=True)
+        )
         edges.unpersist()
         edges = new_edges
         if _is_min_star_forest(edges):

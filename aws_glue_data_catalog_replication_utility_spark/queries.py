@@ -1948,6 +1948,14 @@ def q37_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(
         ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
     )
+    # r12 NOTE (measured, guide §1.2/§5): persisting the pruned
+    # relation here is a LOSS (interleaved A/B at sf0.1: 1.42s
+    # unpersisted vs 3.40s persisted median-of-6) even though the plan
+    # recomputes the explode->df-count tower per branch — every join in
+    # the unpersisted plan is a broadcast (zero shuffle of the shingle
+    # relation), and the towers pipeline inside one job, while the
+    # persist pays a dedicated fill job + cache scans. Left unpersisted
+    # on evidence; revisit only if the broadcast stops fitting.
     pruned = prune_hot_shingles(sh, max_df=20)
     return jaccard_pairs(pruned, "doc_id", threshold=0.6)
 
@@ -2669,10 +2677,14 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import connected_components, connected_components_star
 
     (docs,) = _t(spark, sf_dir, "documents")
-    sh = _persist(
-        word_shingles(
-            ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
-        )
+    # r12 (measured, guide §1.2/§5): the shingle relation is NO LONGER
+    # persisted — its only consumer is the pair-set fill below, whose
+    # plan keeps every join a broadcast, so the towers pipeline inside
+    # the one fill job; the dedicated cache-fill job cost more than the
+    # recompute it saved (interleaved A/B at sf0.1: 4.71s -> 4.37s
+    # median-of-5 for the whole query)
+    sh = word_shingles(
+        ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
     )
     # both algorithms seed from the SAME pair set — materialize it once
     # (the jaccard self-join is the expensive subplan here)
