@@ -267,20 +267,21 @@ def _pred_value(op: str, v):
     raise ValueError(f"unsupported predicate literal type: {type(v)}")
 
 
-def prune_files(
+def _per_file_drop_flags(
     index: DataFrame, predicates: list[tuple[str, str, object]]
 ) -> DataFrame:
-    """Kept-file relation (file, file_rows) for AND-ed predicates.
-    Drop is PROOF-driven per predicate: all-null file (nulls ==
+    """One row per indexed file with a __d<i> flag per predicate (1 =
+    that predicate PROVABLY excludes the file). ONE hash aggregation
+    computes every predicate's flag (r12, guide §2.4 — the previous
+    form ran one groupBy per predicate and intersected survivors with
+    a join chain: p exchanges + p-1 joins for the same decision).
+    Drop is proof-driven per predicate: all-null file (nulls ==
     file_rows: no comparison matches NULL), or the literal falls
     outside the file's [min, max] on the matching lane. A predicate
     over a column with kind mismatch / absent stats / absent column
-    keeps the file (unknown never drops). Pure DataFrame ops; the
-    survivors of every predicate intersect via conjunction."""
-    if not predicates:
-        return index.select("file", "file_rows").distinct()
-    keep = None
-    for col, op, raw in predicates:
+    keeps the file (unknown never drops)."""
+    aggs = [F.first("file_rows").alias("file_rows")]
+    for i, (col, op, raw) in enumerate(predicates):
         if op == "in":
             # IN-list: drop only when EVERY value is provably outside
             # the file's bounds (the row matches if ANY value does);
@@ -327,20 +328,32 @@ def prune_files(
             & outside
         )
         # a file is dropped iff SOME index row of this column proves it
-        dropped = F.max(F.when(is_col & provable, 1).otherwise(0))
-        surv = (
-            index.groupBy("file")
-            .agg(
-                F.first("file_rows").alias("file_rows"),
-                dropped.alias("__drop"),
-            )
-            .where(F.col("__drop") == 0)
-            .select("file", "file_rows")
+        aggs.append(
+            F.max(F.when(is_col & provable, 1).otherwise(0)).alias(f"__d{i}")
         )
-        keep = surv if keep is None else keep.join(surv, "file").select(
-            keep["file"], keep["file_rows"]
-        )
-    return keep
+    return index.groupBy("file").agg(*aggs)
+
+
+def _keep_condition(n_predicates: int) -> F.Column:
+    cond = F.lit(True)
+    for i in range(n_predicates):
+        cond = cond & (F.col(f"__d{i}") == 0)
+    return cond
+
+
+def prune_files(
+    index: DataFrame, predicates: list[tuple[str, str, object]]
+) -> DataFrame:
+    """Kept-file relation (file, file_rows) for AND-ed predicates —
+    the survivors of every predicate's proof-driven drop, intersected
+    (see _per_file_drop_flags). One hash aggregation total."""
+    if not predicates:
+        return index.select("file", "file_rows").distinct()
+    return (
+        _per_file_drop_flags(index, predicates)
+        .where(_keep_condition(len(predicates)))
+        .select("file", "file_rows")
+    )
 
 
 def _residual(predicates: list[tuple[str, str, object]]) -> F.Column | None:
@@ -394,14 +407,27 @@ def scan_with_skip_index(
     `bloom` (a build_bloom_index relation) additionally prunes on the
     `=` predicates' VALUES — the lane for scattered high-cardinality
     columns whose min/max prove nothing; both layers intersect."""
-    total = index.select("file").distinct().count()
-    kept_rel = prune_files(index, predicates)
+    # ONE collect serves both the total and the kept set (r12, guide
+    # §5/§2.4: the previous form ran a distinct-count job for the total
+    # plus a separate collect over a per-predicate groupBy+join chain);
+    # the per-file relation is O(files) rows — already the driver
+    # footprint the kept list implied.
+    if predicates:
+        flagged = _per_file_drop_flags(index, predicates).collect()
+        total = len(flagged)
+        kc = [r.file for r in flagged if all(
+            r[f"__d{i}"] == 0 for i in range(len(predicates))
+        )]
+    else:
+        kc = [r.file for r in index.select("file", "file_rows").distinct().collect()]
+        total = len(kc)
     if bloom is not None:
         eqs = [(c, v) for (c, op, v) in predicates if op == "="]
         if eqs:
-            kept_rel = kept_rel.join(
-                bloom_dropped_files(bloom, eqs), on="file", how="left_anti"
-            )
+            dropped = {
+                r.file for r in bloom_dropped_files(bloom, eqs).collect()
+            }
+            kc = [f for f in kc if f not in dropped]
         for c, op, vals in predicates:
             if op != "in":
                 continue
@@ -410,12 +436,14 @@ def scan_with_skip_index(
             # listed value is provably absent (a row matches if ANY
             # value does) — exactly bloom_dropped_files_for_join
             probes = spark.createDataFrame([(v,) for v in vals], ["v"])
-            kept_rel = kept_rel.join(
-                bloom_dropped_files_for_join(bloom, c, probes, "v"),
-                on="file",
-                how="left_anti",
-            )
-    kept = [r.file for r in kept_rel.collect()]
+            dropped = {
+                r.file
+                for r in bloom_dropped_files_for_join(
+                    bloom, c, probes, "v"
+                ).collect()
+            }
+            kc = [f for f in kc if f not in dropped]
+    kept = kc
     info = {"files_total": int(total), "files_kept": len(kept)}
     if not kept:
         if schema is None:
@@ -1180,14 +1208,19 @@ def count_with_skip_index(
         .groupBy("file")
         .agg(F.first("file_rows").alias("file_rows"), *proofs)
     )
-    all_proven = None
-    for i in range(len(predicates)):
-        c = F.col(f"__p{i}") == 1
-        all_proven = c if all_proven is None else all_proven & c
-    counted = proven.where(all_proven)
-    to_scan = [r.file for r in proven.where(~all_proven).collect()]
-    meta_n = counted.agg(F.sum("file_rows")).collect()[0][0] or 0
-    n_counted = counted.count()
+    # ONE collect serves the proven/boundary split, the metadata sum,
+    # and the counted-file tally (r12: was three separate actions over
+    # the same O(files) relation — two aggregates and a collect; the
+    # relation is O(kept files), already the driver footprint to_scan
+    # implied)
+    rows = proven.collect()
+
+    def _ok(r) -> bool:
+        return all(r[f"__p{i}"] == 1 for i in range(len(predicates)))
+
+    to_scan = [r.file for r in rows if not _ok(r)]
+    meta_n = sum(int(r.file_rows) for r in rows if _ok(r))
+    n_counted = sum(1 for r in rows if _ok(r))
     scan_n = 0
     if to_scan:
         cond = _residual(predicates)
