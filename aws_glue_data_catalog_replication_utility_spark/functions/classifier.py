@@ -84,6 +84,24 @@ def train_quality_classifier(
         raise ValueError(
             f"need both labels 0 and 1 in {label_col}, got {sorted(counts)}"
         )
+    # r12 (guide §2): size the training relation's partitioning from
+    # its measured row count (already known from the label census)
+    # instead of inheriting spark.sql.shuffle.partitions — every LBFGS
+    # iteration is a treeAggregate over these partitions, so a 128-row
+    # seed set on 64 config-sized slices paid ~64 near-empty tasks x
+    # ~20 iterations of pure scheduling. Seed sets are small by
+    # definition; a genuinely large labeled set still fans out (~50k
+    # rows/slice, capped at 4x cores — and defaultParallelism scales
+    # with the executor fleet on a real cluster).
+    n_rows = int(sum(counts.values()))
+    parts = max(
+        1,
+        min(
+            n_rows // 50_000 + 1,
+            labeled.sparkSession.sparkContext.defaultParallelism * 4,
+        ),
+    )
+    train = train.coalesce(parts)
     lr = LogisticRegression(
         featuresCol="__x", labelCol="__y", regParam=reg, maxIter=max_iter,
         standardization=False,

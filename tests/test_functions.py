@@ -2012,6 +2012,51 @@ def test_zorder_value_matches_duckdb_exactly(spark):
     assert got == want
 
 
+def test_zorder_udf_lane_matches_expression_lane(spark):
+    """zorder_layout's vectorized z (numpy searchsorted + Morton,
+    _zvalue_udf — r12: removes the ~2s-per-plan Janino compile of the
+    2^bits-leaf CASE tree) must be BIT-IDENTICAL to the documented
+    zorder_value/zorder_bucket expression lane over real data plus the
+    NULL/NaN/inf edge rows the CASE tree routes to bucket 0 / top."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.layout import (
+        _z_sanitize,
+        _zvalue_udf,
+        zorder_bucket,
+        zorder_value,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_orderkey").cast("double").alias("a"),
+        F.col("l_partkey").cast("double").alias("b"),
+    )
+    edge = spark.createDataFrame(
+        [
+            (None, 7.0),
+            (float("nan"), 3.0),
+            (float("inf"), None),
+            (float("-inf"), float("nan")),
+            (12.5, float("inf")),
+        ],
+        "a double, b double",
+    )
+    df = li.unionByName(edge)
+    b1 = [5.0, 12.5, 30.0, 3000.0]
+    b2 = [900.0, 1500.0, 2100.0]
+    expr = zorder_value(
+        [zorder_bucket(F.col("a"), b1), zorder_bucket(F.col("b"), b2)],
+        bits=3,
+    )
+    udf = _zvalue_udf([b1, b2], bits=3)(
+        _z_sanitize(F.col("a")), _z_sanitize(F.col("b"))
+    )
+    rows = df.select(
+        expr.alias("z_expr"), udf.alias("z_udf")
+    ).collect()
+    assert rows, "empty comparison set"
+    for r in rows:
+        assert r.z_expr == r.z_udf, r
+
+
 def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     """The pruning claim, asserted from the written parquet FOOTERS: a
     range predicate on either z-ordered column intersects a strict
