@@ -101,8 +101,24 @@ def train_bpe(
     the word relation + one argmax row to the driver."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    from .dedup import _iteration_partitions
+
     syms = _word_symbols(df, text_col).localCheckpoint()
+    # r12 (guide §2): the per-round relation is the WORD table (~10^7
+    # rows at 100 TB, a few thousand locally) — size its partitioning
+    # from the measured count instead of spark.sql.shuffle.partitions,
+    # so each round's jobs schedule tasks proportional to the data
+    # (the count reads the just-materialized checkpoint blocks)
+    syms = syms.coalesce(_iteration_partitions(syms.count(), df.sparkSession))
     merges: list[list[str]] = []
+    # checkpoint every K rounds, not every round: the fold lineage is
+    # LINEAR (each round adds one projection over the previous), so a
+    # bounded chain of <= K folds re-executes cheaply inside the next
+    # rounds' pair-count jobs, while each skipped checkpoint saves a
+    # whole materialization job. K=4 keeps the analyzed plan shallow
+    # at hundreds of rounds and halves-to-quarters the round job count.
+    _CHECKPOINT_EVERY = 4
+    pending = 0
     for _ in range(n_merges):
         # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — a
         # single-symbol word (fully merged) must yield no pairs, hence
@@ -135,7 +151,11 @@ def train_bpe(
         merges.append([a, b])
         syms = syms.select(
             "word", "n", _merge_fold(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
+        )
+        pending += 1
+        if pending >= _CHECKPOINT_EVERY:
+            syms = syms.localCheckpoint()
+            pending = 0
     return {"merges": merges, "eow": EOW}
 
 
