@@ -155,22 +155,28 @@ def build_ann_index(
     # split guard: a single-row-group local parquet file would serialize
     # the whole quantize+code projection onto one task; no-op on real
     # multi-file input
-    embeddings = ensure_min_parallelism(embeddings)
+    embeddings = ensure_min_parallelism(embeddings, keys=[id_col])
     qz = _quantize_with_embedding(embeddings, id_col, vec_col, levels)
+    # ONE bounded head collect serves both the centroid seed and the PQ
+    # codebook seed (r12 — the 'first' lane ran two separate head jobs
+    # over the same quantized relation; the ivf_pq_scores discipline)
+    head = (
+        qz.where(F.col(id_col) < max(n_clusters, k)).orderBy(id_col).collect()
+    )
     if codebook == "kmeans":
         cents, _ = kmeans_codebook(
             embeddings, n_clusters=n_clusters, n_iters=kmeans_iters,
             id_col=id_col, vec_col=vec_col, levels=levels,
         )
     elif codebook == "first":
-        seed = qz.where(F.col(id_col) < n_clusters).orderBy(id_col).collect()
+        seed = [r for r in head if r[id_col] < n_clusters]
         if len(seed) < n_clusters:
             raise ValueError(f"need ids 0..{n_clusters - 1} present for seeding")
         cents = [(c, list(r["quantized"])) for c, r in enumerate(seed)]
     else:
         raise ValueError(f"unknown codebook source: {codebook!r}")
 
-    pq_seed = qz.where(F.col(id_col) < k).orderBy(id_col).collect()
+    pq_seed = [r for r in head if r[id_col] < k]
     if len(pq_seed) < k:
         raise ValueError(f"need ids 0..{k - 1} present for the PQ codebook")
     dim = pq_seed[0]["n_dims"]
@@ -280,7 +286,7 @@ def append_to_ann_index(
 
         cents = [(i, v) for i, v in enumerate(meta["centroids"])]
         qz = _quantize_with_embedding(
-            ensure_min_parallelism(embeddings), id_col, vec_col, meta["levels"]
+            ensure_min_parallelism(embeddings, keys=[id_col]), id_col, vec_col, meta["levels"]
         )
         rows = _index_rows(
             qz, cents, meta["pq_codebook"], meta["m"], meta["sub"], meta["k"]

@@ -173,7 +173,9 @@ def minhash_signature(
     return base.groupBy(id_col).agg(*aggs)
 
 
-def ensure_min_parallelism(df: DataFrame, fraction: float = 1.0) -> DataFrame:
+def ensure_min_parallelism(
+    df: DataFrame, fraction: float = 1.0, keys: list[str] | None = None
+) -> DataFrame:
     """Round a CPU-heavy narrow plan's parallelism up toward the
     cluster's cores. A shuffle-free projection inherits its parallelism
     from input splits; when the source is fewer splits than cores (one
@@ -189,13 +191,24 @@ def ensure_min_parallelism(df: DataFrame, fraction: float = 1.0) -> DataFrame:
     CACHED relation consumed by many downstream stages — every stage
     over the cache schedules one task per cached partition, so fewer,
     fatter partitions amortize per-stage scheduling overhead across the
-    fan-out."""
+    fan-out.
+
+    keys (r12, guide §2.5): deterministic high-cardinality columns to
+    hash-partition on instead of round-robin. Keyless repartition(n)
+    pays a LOCAL SORT of its whole input first (sortBeforeRepartition,
+    on by default since SPARK-23207, so retried tasks reproduce the
+    same row placement); hashing a deterministic key needs no sort AND
+    is retry-safe by construction (measured on the q01 shape: 2.03s ->
+    1.53s median). Pass the relation's natural unique key; hash spread
+    over xxhash64 is uniform for any cardinality >> partitions."""
     spark = df.sparkSession
     target = max(1, int(spark.sparkContext.defaultParallelism * fraction))
     # probe via the JVM RDD directly: df.rdd would additionally build
     # the Python-serialization pipeline on every call (~2x the cost,
     # VERDICT r04); the JVM probe only forces physical planning
     if df._jdf.rdd().getNumPartitions() < target:
+        if keys:
+            return df.repartition(target, F.xxhash64(*[F.col(k) for k in keys]))
         return df.repartition(target)
     return df
 
@@ -226,7 +239,7 @@ def minhash_signature_arrays(
     Returns (id, mh_0..mh_{k-1})."""
     assert num_hashes <= len(MINHASH_AB)
     if ensure_parallelism:
-        df = ensure_min_parallelism(df)
+        df = ensure_min_parallelism(df, keys=[id_col])
     # exclusion filter on the CHEAP precondition (token count >= n,
     # equivalent to "has shingles") BEFORE the shingle projection: a
     # filter on the shingle array itself would be substituted through

@@ -198,7 +198,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot split) — with real multi-file input it is a no-op and the
     partial agg runs straight off the scan."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    li = ensure_min_parallelism(li)
+    li = ensure_min_parallelism(li, keys=["l_orderkey", "l_linenumber"])
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -959,7 +959,7 @@ def q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     # split-guard: md5 fingerprinting is compute-bound and the local
     # single-row-group scan would otherwise run it on one task
-    with_fp = ensure_min_parallelism(docs).select(
+    with_fp = ensure_min_parallelism(docs, keys=["doc_id"]).select(
         TX.fingerprint("text").alias("fp"), "doc_id"
     )
     return exact_dedup(with_fp, ["fp"], "doc_id")
@@ -1079,7 +1079,7 @@ def q19_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spreads the shingle work AND gives the cache that partitioning
     sh = _persist(
         word_shingles(
-            ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
+            ensure_min_parallelism(docs, fraction=0.25, keys=["doc_id"]), "doc_id", "text", n=5
         )
     )  # materialized before branches race the cache
     exact = jaccard_pairs(sh, "doc_id", threshold=0.6)
@@ -1400,7 +1400,7 @@ def q27_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     # split-guard: mapInPandas parallelism = input partitions; one local
     # split would serialize every Arrow batch through one worker
-    with_blob = attach_blob(ensure_min_parallelism(docs).select("doc_id", "text"))
+    with_blob = attach_blob(ensure_min_parallelism(docs, keys=["doc_id"]).select("doc_id", "text"))
     return blob_features(with_blob)
 
 
@@ -1946,7 +1946,7 @@ def q37_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import prune_hot_shingles
 
     sh = word_shingles(
-        ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
+        ensure_min_parallelism(docs, fraction=0.25, keys=["doc_id"]), "doc_id", "text", n=5
     )
     # r12 NOTE (measured, guide §1.2/§5): persisting the pruned
     # relation here is a LOSS (interleaved A/B at sf0.1: 1.42s
@@ -2523,7 +2523,7 @@ def q50_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return distinctive_terms(
-        ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", k=3
+        ensure_min_parallelism(docs, fraction=0.25, keys=["doc_id"]), "doc_id", "text", k=3
     )
 
 
@@ -2611,7 +2611,7 @@ def q52_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return chunk_documents(
-        ensure_min_parallelism(docs, fraction=0.25),
+        ensure_min_parallelism(docs, fraction=0.25, keys=["doc_id"]),
         "doc_id",
         "text",
         chunk_tokens=64,
@@ -2684,7 +2684,7 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute it saved (interleaved A/B at sf0.1: 4.71s -> 4.37s
     # median-of-5 for the whole query)
     sh = word_shingles(
-        ensure_min_parallelism(docs, fraction=0.25), "doc_id", "text", n=5
+        ensure_min_parallelism(docs, fraction=0.25, keys=["doc_id"]), "doc_id", "text", n=5
     )
     # both algorithms seed from the SAME pair set — materialize it once
     # (the jaccard self-join is the expensive subplan here)

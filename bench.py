@@ -301,7 +301,8 @@ def main() -> None:
     # split-guard like every registry doc lane: the corpus parquet is one
     # split locally, which would serialize the shingle explode onto one task
     docs = ensure_min_parallelism(
-        load_tables(spark, sf_dir, ["documents"])["documents"], fraction=0.25
+        load_tables(spark, sf_dir, ["documents"])["documents"], fraction=0.25,
+        keys=["doc_id"],
     )
     eval_docs = docs.where(F.col("doc_id") % 7 == 3).select(
         F.col("doc_id").alias("eval_id"), "text"
