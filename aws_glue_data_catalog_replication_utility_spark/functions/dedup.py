@@ -76,17 +76,96 @@ def shingle_array(
     return F.array_distinct(sh) if distinct else sh
 
 
+# Java's \s is exactly [ \t\n\x0B\f\r]; RE2 (pyarrow) \s lacks \x0B, so
+# the Arrow shingle lane spells the class out to match _token_expr's
+# split("\\s+") byte-for-byte.
+_JAVA_WS_RE2 = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _shingle_gen_arrow(n: int):
+    """mapInArrow generator: the vectorized twin of
+    explode(shingle_array(...)) (pinned bit-identical by
+    test_shingle_arrow_lane_matches_expression_lane). Per batch, all
+    n-grams are built in three Arrow kernels — regex split to a flat
+    token buffer, n zero-copy slices joined element-wise, one group_by
+    for the per-doc distinct — instead of an interpreted
+    per-element transform+slice+concat tree (guide §4.2; measured ~6x
+    on the sf0.1 documents table). Tokenization parity with Spark's
+    split(trim(text), '\\s+'): trim strips ASCII space only, the split
+    keeps leading/trailing empty tokens (Java limit=-1 == RE2 split),
+    and NULL text yields zero shingles."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            text = batch.column(1)
+            valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim(pc.fill_null(text, ""), " "), _JAVA_WS_RE2
+            )
+            if isinstance(toks, pa.ChunkedArray):  # pragma: no cover
+                toks = toks.combine_chunks()
+            offs = toks.offsets.to_numpy(zero_copy_only=False)
+            flat = toks.values
+            counts = np.maximum(offs[1:] - offs[:-1] - (n - 1), 0)
+            counts[~valid] = 0  # NULL text -> no shingles (matches F.when)
+            if not counts.sum():
+                continue
+            # every candidate start in the flat buffer, then mask to the
+            # starts whose n tokens stay inside one document
+            m = len(flat) - (n - 1)
+            joined = pc.binary_join_element_wise(
+                *[flat.slice(k, m) for k in range(n)], " "
+            )
+            nz = counts > 0
+            starts = np.repeat(offs[:-1][nz], counts[nz])
+            within = np.concatenate([np.arange(c) for c in counts[nz]])
+            sh = joined.take(pa.array(starts + within))
+            out_ids = ids.take(pa.array(np.repeat(np.flatnonzero(nz), counts[nz])))
+            distinct = pa.table({"__id": out_ids, "shingle": sh}).group_by(
+                ["__id", "shingle"], use_threads=False
+            ).aggregate([])
+            yield from distinct.to_batches()
+
+    return gen
+
+
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, normalize: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    normalize: bool = False,
+    lane: str = "arrow",
 ) -> DataFrame:
     """Explode each document into its distinct word n-gram shingles.
     Returns (id_col, shingle). The exploded relation feeds the
     inverted-index joins (jaccard_pairs, prune_hot_shingles).
     normalize=True casefolds/strips per `normalize_text` so case- and
-    punctuation-variant duplicates land on the same shingles."""
-    return df.select(
-        F.col(id_col),
-        F.explode(shingle_array(text_col, n, normalize=normalize)).alias("shingle"),
+    punctuation-variant duplicates land on the same shingles.
+
+    lane="arrow" (default, r12): generation runs vectorized in pyarrow
+    (`_shingle_gen_arrow`); normalization stays a JVM regexp projection
+    BEFORE the boundary so only (id, text) crosses, and the map is
+    narrow — partitioning of the input (e.g. a split-guard's hash
+    repartition) is preserved and no extra exchange is introduced.
+    lane="expr" keeps the pure-expression explode — the documented
+    equivalence anchor (the DuckDB oracles twin IT), same rows
+    bit-for-bit (pinned by test)."""
+    if lane == "expr":
+        return df.select(
+            F.col(id_col),
+            F.explode(shingle_array(text_col, n, normalize=normalize)).alias("shingle"),
+        )
+    base = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    src = df.select(F.col(id_col), base.alias("__text"))
+    id_type = src.schema[id_col].dataType.simpleString()
+    return src.mapInArrow(
+        _shingle_gen_arrow(n), f"`{id_col}` {id_type}, shingle string"
     )
 
 

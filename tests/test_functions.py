@@ -56,6 +56,59 @@ def test_word_shingles_short_doc_empty(spark):
     assert word_shingles(df, "doc_id", "text", n=5).count() == 0
 
 
+def test_shingle_arrow_lane_matches_expression_lane(spark):
+    """The vectorized pyarrow shingle generator (r12, guide §4.2) must be
+    row-for-row identical to the pure-expression lane — the lane the
+    DuckDB oracles twin — over real corpus text AND the tokenization
+    edge zoo: Java-\\s whitespace (incl. \\x0B, which RE2's \\s lacks),
+    leading/trailing separators (Java split limit=-1 keeps the empty
+    tokens), NULL text, empty text, exactly-n tokens, repeated shingles
+    (per-doc distinct), unicode, and both normalize settings."""
+    real = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    edge_texts = [
+        None,
+        "",
+        " ",
+        "a b c d e",  # exactly n tokens -> 1 shingle
+        "a b c d e f",  # 2 shingles
+        "a\tb\nc\x0bd\fe\rf",  # every Java \s byte as separator
+        "  lead and trail  ",
+        "\na b c d e\n",  # leading/trailing non-space ws survives trim
+        "x x x x x x x x x",  # one distinct shingle repeated
+        "Ünïcode wörds häre tøo møre thån fîve tokens",
+        "A B c d E f G",  # case (exercises normalize=True)
+        "num1 num22 num333 4 55 666 7777",  # digit runs under normalize
+        "a  b   c    d     e      f",  # multi-space runs
+    ]
+    edges = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(edge_texts)], "doc_id long, text string"
+    )
+    df = real.unionAll(edges)
+    for n in (2, 5):
+        for normalize in (False, True):
+            expr = sorted(
+                map(str, word_shingles(df, "doc_id", "text", n=n,
+                                       normalize=normalize, lane="expr").collect())
+            )
+            arrow = sorted(
+                map(str, word_shingles(df, "doc_id", "text", n=n,
+                                       normalize=normalize).collect())
+            )
+            assert arrow == expr, f"n={n} normalize={normalize}"
+            assert len(expr) > 0
+    # non-long id type must survive the Arrow round trip
+    sdf = spark.createDataFrame(
+        [("k1", "a b c"), ("k2", "a b c d")], "doc_id string, text string"
+    )
+    expr = sorted(map(str, word_shingles(sdf, "doc_id", "text", n=2,
+                                         lane="expr").collect()))
+    arrow = sorted(map(str, word_shingles(sdf, "doc_id", "text", n=2).collect()))
+    assert arrow == expr
+
+
 def test_jaccard_identical_docs(spark):
     text = "a b c d e f g h i j"
     df = _docs(spark, [text, text, "totally different words here now ok yes no"])
