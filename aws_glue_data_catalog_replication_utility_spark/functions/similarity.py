@@ -448,11 +448,19 @@ def ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_seeds: int = 4096,
+    lane: str = "arrow",
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest-by-cosine
     centroid. Centroids here are the first `n_seeds` vectors by id —
     deterministic and oracle-reproducible; production would k-means them
     (same assignment plan, different seed source). Returns (id, cluster).
+
+    lane="arrow" (default, r12, guide §4.2): the per-row argmax runs
+    vectorized in numpy inside mapInArrow (`_assign_arrow_gen`) —
+    bit-identical to the expression lane (left-to-right cumsum folds;
+    pinned by test) at a fraction of the interpreted-HOF cost, which
+    dominated every semantic-dedup phase profile. lane="expr" keeps the
+    pure-expression argmax — the documented oracle anchor.
 
     Plan shape: MAP-SIDE argmax — the centroid set is collected to the
     driver (bounded by max_seeds, raising on overflow like
@@ -485,10 +493,89 @@ def ivf_assignments(
         .orderBy(id_col)
         .collect()
     )
+    if lane == "arrow":
+        if any(all(float(x) == 0.0 for x in r[1]) for r in seed_rows):
+            # the expression lane raises DIVIDE_BY_ZERO (ANSI) on a
+            # zero-norm centroid at execution; fail identically-loudly,
+            # but driver-side where the seeds already live
+            raise ValueError("zero-norm centroid in ivf seed set")
+        id_type = e.schema[id_col].dataType.simpleString()
+        return e.mapInArrow(
+            _assign_arrow_gen([(int(r[0]), list(r[1])) for r in seed_rows]),
+            f"`{id_col}` {id_type}, cluster long",
+        )
     cents = _centroid_literal(seed_rows)
     return e.select(
         F.col(id_col), _argmax_cluster(cents, F.col("__v")).alias("cluster")
     )
+
+
+def _assign_arrow_gen(seed_pairs: list[tuple[int, list[float]]]):
+    """mapInArrow generator: the vectorized twin of `_argmax_cluster`
+    over a (id, __v double-array) relation, pinned bit-identical by
+    test_ivf_arrow_lane_matches_expression_lane. Bit-exactness is the
+    whole design: dots and norms are left-to-right IEEE folds (a
+    leading-zero cumsum — numpy's pairwise `sum` would round
+    differently and flip near-tie argmaxes), the zero-norm guard is the
+    same `norm==0 -> 1.0`, and np.argmax's first-max/first-NaN rule
+    equals Spark's max-over-struct(cos, -sid) ordering (NaN greatest,
+    ties to the smaller seed id, seeds pre-sorted by id). Per batch the
+    work is one (rows x seeds x dim) product + cumsum in C instead of
+    an interpreted fold tree per (row, seed) — and the per-seed norm,
+    which the expression lane re-folds per row, is computed once.
+    Raises on ragged/null vectors (the expression lane is the anchor
+    for exotic shapes)."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        S = np.array([v for _, v in seed_pairs], dtype=np.float64)
+        sids = np.array([s for s, _ in seed_pairs], dtype=np.int64)
+        k, d = S.shape
+        zk = np.zeros((k, 1))
+        cn = np.sqrt(np.cumsum(np.concatenate([zk, S * S], axis=1), axis=1)[:, -1])
+        if (cn == 0.0).any():
+            # the expression lane raises DIVIDE_BY_ZERO (ANSI) on a
+            # zero-norm centroid at execution; fail identically-loudly
+            raise ValueError("zero-norm centroid in ivf seed set")
+        for batch in batches:
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            nrows = len(ids)
+            if nrows == 0:
+                continue
+            offs = vecs.offsets.to_numpy(zero_copy_only=False)
+            if vecs.null_count or not (offs[1:] - offs[:-1] == d).all():
+                raise ValueError(
+                    "ivf arrow lane requires non-null fixed-dim vectors "
+                    f"matching the seed dim {d}; use lane='expr' for "
+                    "ragged input"
+                )
+            flat = vecs.values.to_numpy(zero_copy_only=False)
+            V = flat[offs[0] : offs[-1]].reshape(nrows, d)
+            z1 = np.zeros((nrows, 1))
+            rn = np.sqrt(
+                np.cumsum(np.concatenate([z1, V * V], axis=1), axis=1)[:, -1]
+            )
+            rn[rn == 0.0] = 1.0
+            best = np.empty(nrows, dtype=np.int64)
+            chunk = max(1, 4_000_000 // (k * (d + 1)))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for s in range(0, nrows, chunk):
+                    Vc = V[s : s + chunk]
+                    prods = Vc[:, None, :] * S[None, :, :]
+                    z2 = np.zeros((Vc.shape[0], k, 1))
+                    dots = np.cumsum(
+                        np.concatenate([z2, prods], axis=2), axis=2
+                    )[:, :, -1]
+                    cos = dots / (rn[s : s + chunk, None] * cn[None, :])
+                    best[s : s + chunk] = np.argmax(cos, axis=1)
+            yield pa.record_batch(
+                [ids, pa.array(sids[best])], names=["id", "cluster"]
+            )
+
+    return gen
 
 
 def dot_udf_available() -> bool:

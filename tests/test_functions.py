@@ -557,6 +557,52 @@ def _ivf_pq_fixture(spark):
     )
 
 
+def test_ivf_arrow_lane_matches_expression_lane(spark):
+    """The vectorized numpy argmax (r12) must agree with the expression
+    lane row-for-row over real embeddings AND the ordering edge zoo:
+    zero vectors (norm guard), duplicate vectors (deterministic ties to
+    the smaller seed id), and near-tie cosines where a
+    differently-ordered float sum would flip the argmax (the cumsum
+    fold keeps the exact fold bits). A zero-norm CENTROID raises in
+    both lanes (ANSI DIVIDE_BY_ZERO in the expression lane; a loud
+    ValueError in the arrow lane)."""
+    import pytest as _pytest
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.similarity import (
+        ivf_assignments,
+    )
+
+    real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    for n_seeds in (4, 8):
+        expr = sorted(map(str, ivf_assignments(real, n_seeds=n_seeds,
+                                               lane="expr").collect()))
+        arrow = sorted(map(str, ivf_assignments(real, n_seeds=n_seeds).collect()))
+        assert arrow == expr and len(arrow) > 0, f"n_seeds={n_seeds}"
+    edge = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),      # seed 0
+            (1, [1.0, 1e-16, 0.0]),    # seed 1: near-tie with seed 0
+            (2, [0.5, -0.5, 0.25]),    # seed 2
+            (3, [0.0, 0.0, 0.0]),      # zero vector row (norm guard)
+            (4, [1.0, 0.0, 0.0]),      # exact duplicate of seed 0 (tie)
+            (5, [0.7071067811865476, 0.7071067811865475, 1e-300]),
+            (6, [-1.0, -1.0, -1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    expr = sorted(map(str, ivf_assignments(edge, n_seeds=3, lane="expr").collect()))
+    arrow = sorted(map(str, ivf_assignments(edge, n_seeds=3).collect()))
+    assert arrow == expr
+    zero_seed = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="zero-norm centroid"):
+        ivf_assignments(zero_seed, n_seeds=2).collect()
+
+
 def test_ivf_pq_scores_plan_and_probe_ranks(spark):
     """The composed search surface (VERDICT r04 #3/#4): the scored
     relation must be ONE map-side projection + explode — zero exchanges
