@@ -5,9 +5,10 @@ config here is chosen for the 100 TB / 1000-executor target:
 
 - AQE on (runtime coalescing, skew-join splitting, broadcast demotion);
 - shuffle partitions sized for the local box but overridable — at cluster
-  scale AQE coalesces from a high initial number, so we set
-  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` high and
-  let AQE shrink rather than hand-tuning per query;
+  scale set ``SPARK_GRAFT_INITIAL_PARTITIONS`` (wired to
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``) high and
+  let AQE shrink rather than hand-tuning per query; locally it stays
+  unset so the bench plans match the driver's;
 - Arrow enabled for the Pandas-UDF paths (similarity / multimodal);
 - timestamps kept NTZ to match the parquet testdata and the DuckDB oracle.
 """
@@ -47,6 +48,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
+    )
+    # Cluster-scale knob (guide §2.2): start shuffles from a high
+    # partition count and let AQE coalesce down to the data's real
+    # size. Unset locally: the sandbox bench must keep the same plans
+    # at every SPARK_GRAFT_CPUS the driver probes, and a high initial
+    # count only pays off when map outputs are large enough to coalesce.
+    initial = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if initial:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(int(initial)),
+        )
+    builder = (
+        builder
         # --- broadcast: dims (region/nation/prefixes) must broadcast -----
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- python/arrow: fast lane for the few pandas-UDF operators ----

@@ -678,6 +678,22 @@ def main() -> None:
             {"o_totalprice": "o_totalprice * 1.1"}, mode="dv",
         )
         extras["vstore_update_dv"] = round(time.perf_counter() - t0, 3)
+        # r12 ("Not yet optimized" #4 of the round writeup): MERGE with
+        # the store-owned bloom index composed in. ~6 scattered keys:
+        # min/max log stats cannot prune a scattered probe, so the
+        # bloom is the pruner that keeps the probe scan from opening
+        # every live file. Index build is untimed (amortized
+        # maintenance, trended by bloom_index_scan); the timed region
+        # is the pruned probe + file-surgical rewrite.
+        vroot_bl = f"{vs_dir}/bl"
+        V.append(orders_dim.repartition(32), vroot_bl)
+        V.build_store_bloom(spark, vroot_bl, ["o_orderkey"])
+        upd_bl = orders_dim.where("o_orderkey % 100003 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        t0 = time.perf_counter()
+        V.merge_into(spark, vroot_bl, upd_bl, ["o_orderkey"], bloom="auto")
+        extras["vstore_merge_bloom"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(vs_dir, ignore_errors=True)
 
