@@ -19,7 +19,10 @@ band key; skewed hot buckets are handled by AQE skew-join.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import IntegralType, StringType, StructField, StructType
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -504,6 +507,113 @@ def _iteration_partitions(n_rows: int, spark) -> int:
     return max(1, min((int(n_rows) // 2_000_000) + 1, cap))
 
 
+_CC_LOCAL_EDGES_DEFAULT = 100_000
+
+
+def _cc_local_edges() -> int:
+    """Edge-count threshold under which connected components close as a
+    driver-local union-find instead of an iterative distributed tower.
+    The default (100k edges — a few MB of driver traffic, the same
+    order as the skip-index file-list collects) is deploy-tunable via
+    ``SPARK_GRAFT_CC_LOCAL_EDGES``; 0 disables the fast path."""
+    v = os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES")
+    return int(v) if v not in (None, "") else _CC_LOCAL_EDGES_DEFAULT
+
+
+def _local_min_labels(rows) -> list | None:
+    """Union-find (path-halving) over collected edge rows; returns
+    [(id, min member id of its component)] covering every endpoint, or
+    None if any endpoint is NULL (caller falls back to the distributed
+    lane rather than reproducing NULL-join semantics locally)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u is None or v is None:
+            return None
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    return [(x, comp_min[find(x)]) for x in parent]
+
+
+def _cc_local_labels(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    local_edges: int | None,
+) -> DataFrame | None:
+    """Driver-local fast path shared by BOTH connected-component
+    formulations (r12, guide §2/§3: a size-adaptive strategy switch, the
+    same decision class as a broadcast join). A bounded pair set is
+    cheaper to close with a union-find on the driver than to iterate
+    over with distributed rounds — each round costs 1–2 scheduled jobs
+    REGARDLESS of data size, so a small graph pays pure scheduling.
+
+    ONE early-exit job both decides and fetches: ``limit(T+1).collect()``
+    returns every edge iff there are at most T; more rows (or
+    non-integral/string id types, or a NULL endpoint) fall through to
+    the distributed lane unchanged, so the 100 TB path is untouched.
+    Returns None when ineligible.
+
+    Label semantics are identical by construction — label = smallest
+    member id of the component; Python's str ordering matches Spark's
+    UTF8String binary ordering because UTF-8 is code-point-order
+    preserving — pinned by the lane-parity tests and the q53 oracle
+    (which exercises this lane at every driver-checked scale factor).
+    Pair endpoints absent from `vertices` are labeled too, matching the
+    min-label lane (the distributed star lane drops them via its vertex
+    left join — out-of-contract input; every in-repo caller passes
+    vertices ⊇ participants)."""
+    if local_edges is None:
+        local_edges = _cc_local_edges()
+    if local_edges <= 0:
+        return None
+    a_t = pairs.schema[a_col].dataType
+    if a_t != pairs.schema[b_col].dataType or not isinstance(
+        a_t, (IntegralType, StringType)
+    ):
+        return None
+    rows = pairs.select(a_col, b_col).limit(local_edges + 1).collect()
+    if len(rows) > local_edges:
+        return None
+    labeled = _local_min_labels(rows)
+    if labeled is None:
+        return None
+    labels = pairs.sparkSession.createDataFrame(
+        labeled,
+        StructType([StructField("id", a_t), StructField("label", a_t)]),
+    )
+    # singleton attach + persist: the same ownership contract as the
+    # distributed lanes (caller unpersists); the anti-join broadcasts
+    # the bounded label relation, so `vertices` stays distributed
+    return (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(labels, on="id", how="left_anti")
+        .select("id", F.col("id").alias("label"))
+        .unionByName(labels)
+        .persist()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
@@ -511,6 +621,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    local_edges: int | None = None,
 ) -> DataFrame:
     """Duplicate-CLUSTER resolution: connected components over an
     undirected pair relation by iterative min-label propagation — the
@@ -540,7 +651,14 @@ def connected_components(
     And each round is ONE checkpoint job plus a cheap scan: the old
     label rides through the min-aggregation (msgs rows carry NULL old,
     so min(old) ignoring nulls restores it), making the changed-count a
-    filter over the freshly checkpointed blocks instead of a join job."""
+    filter over the freshly checkpointed blocks instead of a join job.
+
+    r12: a bounded pair set (<= `local_edges`, default
+    SPARK_GRAFT_CC_LOCAL_EDGES or 100k) closes driver-locally instead —
+    see _cc_local_labels; pass local_edges=0 to force this lane."""
+    local = _cc_local_labels(pairs, vertices, id_col, a_col, b_col, local_edges)
+    if local is not None:
+        return local
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         e.unionByName(
@@ -627,6 +745,7 @@ def connected_components_star(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
+    local_edges: int | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     rewrites (Kiveris et al., "Connected Components in MapReduce and
@@ -648,7 +767,15 @@ def connected_components_star(
     m = min(N(u) ∪ {u}); small-star(u): every neighbor v < u (and u
     itself) is re-pointed at m = min(N(u) ∪ {u}) restricted to the
     smaller-side neighborhood. Both preserve connectivity; the fixed
-    point is a star per component centered on its minimum."""
+    point is a star per component centered on its minimum.
+
+    r12: a bounded pair set (<= `local_edges`, default
+    SPARK_GRAFT_CC_LOCAL_EDGES or 100k) closes driver-locally instead —
+    see _cc_local_labels; pass local_edges=0 to force the star rounds."""
+    local = _cc_local_labels(pairs, vertices, id_col, a_col, b_col, local_edges)
+    if local is not None:
+        local._cc_rounds = 0  # observability parity with the star lane
+        return local
 
     from pyspark.sql import Window
 

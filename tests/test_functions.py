@@ -365,7 +365,10 @@ def test_connected_components_star_path_graph_log_rounds(spark):
         [(i, i + 1) for i in range(99)], "id_a long, id_b long"
     )
     verts = spark.range(0, 101).select(F.col("id").alias("doc_id"))
-    labels = connected_components_star(pairs, verts)
+    # local_edges=0 forces the distributed star rounds — this test pins
+    # the O(log n) convergence of the star lane itself, which the r12
+    # driver-local fast path would otherwise absorb at this size
+    labels = connected_components_star(pairs, verts, local_edges=0)
     got = {r.id: r.label for r in labels.collect()}
     rounds = labels._cc_rounds
     labels.unpersist()
@@ -402,6 +405,49 @@ def test_connected_components_star_matches_label_propagation(spark):
     l2.unpersist()
     assert got1 == got2
     assert got2["c"] == "a" and got2["x3"] == "x1" and got2["lone"] == "lone"
+
+
+def test_connected_components_local_lane_matches_distributed(spark):
+    """r12 driver-local union-find fast path: labels are identical to
+    the distributed lane for BOTH formulations, on a mixed graph
+    (triangle via shared min, chain, self loop, singletons, string ids)
+    and on long ids; the star lane reports 0 rounds when local; and a
+    threshold below the edge count falls back to the distributed lane
+    with identical output."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    str_pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x1", "x2"), ("x2", "x3"), ("dup", "dup")],
+        "id_a string, id_b string",
+    )
+    str_verts = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "x1", "x2", "x3", "dup", "lone"]],
+        "doc_id string",
+    )
+    long_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    long_verts = spark.range(0, 13).select(F.col("id").alias("doc_id"))
+
+    for pairs, verts in ((str_pairs, str_verts), (long_pairs, long_verts)):
+        for fn in (connected_components, connected_components_star):
+            dist = fn(pairs, verts, local_edges=0)
+            got_dist = {r.id: r.label for r in dist.collect()}
+            dist.unpersist()
+            loc = fn(pairs, verts, local_edges=1_000_000)
+            got_loc = {r.id: r.label for r in loc.collect()}
+            if fn is connected_components_star:
+                assert loc._cc_rounds == 0
+            loc.unpersist()
+            assert got_loc == got_dist, f"{fn.__name__} lane mismatch"
+            # threshold below the edge count: distributed fallback
+            fb = fn(pairs, verts, local_edges=2)
+            got_fb = {r.id: r.label for r in fb.collect()}
+            fb.unpersist()
+            assert got_fb == got_dist, f"{fn.__name__} fallback mismatch"
 
 
 def test_quantize_embeddings_values_and_zero_vector(spark):
