@@ -36,9 +36,66 @@ schema."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 EOW = "▁"  # end-of-word marker (SentencePiece's block char)
+
+_BPE_LOCAL_WORDS_DEFAULT = 4096
+
+
+def _bpe_local_words() -> int:
+    """Distinct-word threshold under which the MERGE LOOP runs on the
+    driver over the collected word-frequency relation (the corpus fold
+    always stays distributed — that is the data-scaling part). This is
+    the split every production BPE trainer makes (SentencePiece /
+    HuggingFace hold the word table in memory); the distributed rounds
+    remain the lane for vocabularies that do not fit. Deploy-tunable
+    via ``SPARK_GRAFT_BPE_LOCAL_WORDS``; 0 disables the fast path."""
+    v = os.environ.get("SPARK_GRAFT_BPE_LOCAL_WORDS")
+    return int(v) if v not in (None, "") else _BPE_LOCAL_WORDS_DEFAULT
+
+
+def _local_merge_rounds(
+    rows, n_merges: int, min_pair_count: int
+) -> list[list[str]]:
+    """Driver-local merge rounds over a bounded collected (n, syms)
+    word relation — the same greedy argmax, the same deterministic
+    tie-break (count desc, pair lexicographic: Python tuple/str order
+    equals Spark's, UTF-8 preserves code-point order), and the same
+    greedy non-overlapping left-to-right fold as the distributed
+    rounds, so the learned table is identical by construction (pinned
+    by the lane-parity test and the pure-Python reference suite)."""
+    words = [[r[0], list(r[1])] for r in rows]
+    merges: list[list[str]] = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        for n, s in words:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append([a, b])
+        ab = a + b
+        for t in words:
+            s = t[1]
+            out: list[str] = []
+            for x in s:
+                # same acc-tail rule as _merge_fold: the merged token
+                # is a NEW symbol and never re-merges this round
+                if out and out[-1] == a and x == b:
+                    out[-1] = ab
+                else:
+                    out.append(x)
+            t[1] = out
+    return merges
 
 
 def _merge_fold(col: F.Column, a: str, b: str) -> F.Column:
@@ -90,6 +147,7 @@ def train_bpe(
     n_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
+    local_words: int | None = None,
 ) -> dict:
     """Learn `n_merges` BPE merges from the corpus. Returns a JSON-safe
     {"merges": [[a, b], ...], "eow": EOW} — merge i was the most
@@ -98,18 +156,35 @@ def train_bpe(
     reaches `min_pair_count` (merging singletons is memorization).
 
     One corpus-wide shuffle total; each round is a pair-count agg over
-    the word relation + one argmax row to the driver."""
+    the word relation + one argmax row to the driver.
+
+    r12: when the DISTINCT-WORD count is bounded (<= `local_words`,
+    default SPARK_GRAFT_BPE_LOCAL_WORDS or 4096), the merge rounds run
+    on the driver over the collected word relation instead — each
+    distributed round costs a scheduled job regardless of vocabulary
+    size, so a bounded vocabulary paid pure scheduling. The corpus fold
+    (the data-scaling part) stays distributed either way; pass
+    local_words=0 to force the distributed rounds."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     from .dedup import _iteration_partitions
 
     syms = _word_symbols(df, text_col).localCheckpoint()
+    n_words = syms.count()
+    if local_words is None:
+        local_words = _bpe_local_words()
+    if 0 < n_words <= local_words:
+        rows = syms.select("n", "syms").collect()
+        return {
+            "merges": _local_merge_rounds(rows, n_merges, min_pair_count),
+            "eow": EOW,
+        }
     # r12 (guide §2): the per-round relation is the WORD table (~10^7
     # rows at 100 TB, a few thousand locally) — size its partitioning
     # from the measured count instead of spark.sql.shuffle.partitions,
     # so each round's jobs schedule tasks proportional to the data
     # (the count reads the just-materialized checkpoint blocks)
-    syms = syms.coalesce(_iteration_partitions(syms.count(), df.sparkSession))
+    syms = syms.coalesce(_iteration_partitions(n_words, df.sparkSession))
     merges: list[list[str]] = []
     # checkpoint every K rounds, not every round: the fold lineage is
     # LINEAR (each round adds one projection over the previous), so a

@@ -83,15 +83,38 @@ def corpus(spark):
 
 
 def test_train_bpe_matches_reference_exactly(spark, corpus):
+    # local_words=0 pins the DISTRIBUTED rounds against the reference
+    # (the r12 driver-local merge loop would otherwise absorb this
+    # corpus's bounded vocabulary); the local lane is pinned by
+    # test_train_bpe_local_lane_matches_distributed below
     docs, texts = corpus
-    model = train_bpe(docs, n_merges=25)
+    model = train_bpe(docs, n_merges=25, local_words=0)
     want = _ref_train(_ref_word_counts(texts), 25)
     assert model["merges"] == want
     assert len(model["merges"]) == 25  # corpus is big enough
 
     # determinism: partitioning never changes the learned table
-    again = train_bpe(docs.repartition(7), n_merges=10)
+    again = train_bpe(docs.repartition(7), n_merges=10, local_words=0)
     assert again["merges"] == want[:10]
+
+
+def test_train_bpe_local_lane_matches_distributed(spark, corpus):
+    """r12 driver-local merge rounds: identical merge table to the
+    distributed rounds AND to the pure-Python reference, including the
+    early-stop round count."""
+    docs, texts = corpus
+    m_local = train_bpe(docs, n_merges=12, local_words=1_000_000)
+    m_dist = train_bpe(docs, n_merges=12, local_words=0)
+    assert m_local == m_dist
+    assert m_local["merges"] == _ref_train(_ref_word_counts(texts), 12)
+
+    # early-stop parity on a tiny corpus (default threshold -> local)
+    tiny = spark.createDataFrame(
+        [(1, "ab ab cd")], "doc_id bigint, text string"
+    )
+    assert train_bpe(tiny, n_merges=10) == train_bpe(
+        tiny, n_merges=10, local_words=0
+    )
 
 
 def test_bpe_encode_matches_reference_and_is_lossless(spark, corpus):
