@@ -53,8 +53,9 @@ def _bpe_local_words() -> int:
     HuggingFace hold the word table in memory); the distributed rounds
     remain the lane for vocabularies that do not fit. Deploy-tunable
     via ``SPARK_GRAFT_BPE_LOCAL_WORDS``; 0 disables the fast path."""
-    v = os.environ.get("SPARK_GRAFT_BPE_LOCAL_WORDS")
-    return int(v) if v not in (None, "") else _BPE_LOCAL_WORDS_DEFAULT
+    from .dedup import _env_int
+
+    return _env_int("SPARK_GRAFT_BPE_LOCAL_WORDS", _BPE_LOCAL_WORDS_DEFAULT)
 
 
 def _local_merge_rounds(

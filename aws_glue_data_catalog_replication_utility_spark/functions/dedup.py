@@ -25,6 +25,21 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegralType, StringType, StructField, StructType
 
 
+def _env_int(name: str, default: int) -> int:
+    """Integer env knob with a descriptive failure (ADVICE r12): a
+    malformed value raises a config error naming the variable instead
+    of a bare ValueError deep inside a query plan."""
+    v = os.environ.get(name)
+    if v in (None, ""):
+        return default
+    try:
+        return int(v)
+    except ValueError as e:
+        raise ValueError(
+            f"environment variable {name} must be an integer, got {v!r}"
+        ) from e
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """One surviving row per distinct `cols` value: keeps the min id
     (deterministic, unlike dropDuplicates' arbitrary pick). Returns
@@ -282,12 +297,37 @@ def ensure_min_parallelism(
     same row placement); hashing a deterministic key needs no sort AND
     is retry-safe by construction (measured on the q01 shape: 2.03s ->
     1.53s median). Pass the relation's natural unique key; hash spread
-    over xxhash64 is uniform for any cardinality >> partitions."""
+    over xxhash64 is uniform for any cardinality >> partitions.
+
+    Size cap (r13, guide §2 "derive partitioning from input size"):
+    the core-derived target is additionally capped so every task gets
+    at least SPARK_GRAFT_SPLIT_TASK_BYTES of input (default 128 KiB).
+    Every partition of the downstream stage costs a fixed scheduling +
+    Python-worker/Arrow-stream setup overhead on top of its compute;
+    slicing a tiny relation all the way to the core count pays that
+    overhead for no compute and SLOWED the 32-core bench below its
+    8-core reading (r12 driver scaling block; reproduced quiet+ABBA:
+    q16 0.93s at 32 slices of a 594 KB scan vs 0.35s at 4; q19 3.0 ->
+    1.7, q27 0.60 -> 0.48). At real scale the cap never binds: any
+    multi-GB input's size target exceeds the core count, and a scan
+    with >= target splits skips the repartition entirely."""
     spark = df.sparkSession
     target = max(1, int(spark.sparkContext.defaultParallelism * fraction))
     # probe via the JVM RDD directly: df.rdd would additionally build
     # the Python-serialization pipeline on every call (~2x the cost,
     # VERDICT r04); the JVM probe only forces physical planning
+    if df._jdf.rdd().getNumPartitions() < target:
+        if target > 1:
+            # the optimizer already ran for the partition probe above,
+            # so the stats visit is a cheap cached-plan walk. Unknown
+            # sizes surface as huge defaults (spark.sql.defaultSizeInBytes
+            # = Long.Max) and leave the core-derived target in charge.
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            task_bytes = _env_int("SPARK_GRAFT_SPLIT_TASK_BYTES", 128 * 1024)
+            if task_bytes > 0:
+                target = max(1, min(target, -(-size // task_bytes)))
     if df._jdf.rdd().getNumPartitions() < target:
         if keys:
             return df.repartition(target, F.xxhash64(*[F.col(k) for k in keys]))
@@ -516,8 +556,7 @@ def _cc_local_edges() -> int:
     The default (100k edges — a few MB of driver traffic, the same
     order as the skip-index file-list collects) is deploy-tunable via
     ``SPARK_GRAFT_CC_LOCAL_EDGES``; 0 disables the fast path."""
-    v = os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES")
-    return int(v) if v not in (None, "") else _CC_LOCAL_EDGES_DEFAULT
+    return _env_int("SPARK_GRAFT_CC_LOCAL_EDGES", _CC_LOCAL_EDGES_DEFAULT)
 
 
 def _local_min_labels(rows) -> list | None:

@@ -3041,3 +3041,54 @@ def test_opq_improves_adc_recall_on_anisotropic(spark):
         opq_adc_topk(df, rep, m=4, k=8, n_queries=n_queries, topk=topk)
     )
     assert opq > plain, (opq, plain)
+
+
+def test_split_guard_size_cap(spark, monkeypatch):
+    """r13 size-adaptive split guard: the core-derived target is capped
+    so each task gets >= SPARK_GRAFT_SPLIT_TASK_BYTES of input —
+    slicing a tiny relation to the core count pays per-task Python/
+    scheduling overhead for no compute (measured: 594 KB docs at 32
+    slices ran 2.7x slower than at 4)."""
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        ensure_min_parallelism,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.rdd.getNumPartitions()
+
+    # size cap binds: a huge per-task budget drives the target to 1,
+    # so the tiny relation is left alone (no repartition at all)
+    monkeypatch.setenv("SPARK_GRAFT_SPLIT_TASK_BYTES", str(10**12))
+    assert (
+        ensure_min_parallelism(docs, keys=["doc_id"]).rdd.getNumPartitions()
+        == base
+    )
+
+    # size target huge (1 byte per task): core-derived target rules,
+    # exactly the pre-r13 behavior (cpus=4 test session)
+    monkeypatch.setenv("SPARK_GRAFT_SPLIT_TASK_BYTES", "1")
+    assert (
+        ensure_min_parallelism(docs, keys=["doc_id"]).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    # 0 disables the cap (documented escape hatch)
+    monkeypatch.setenv("SPARK_GRAFT_SPLIT_TASK_BYTES", "0")
+    assert (
+        ensure_min_parallelism(docs, keys=["doc_id"]).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    # malformed values fail with the variable named, not a bare int()
+    monkeypatch.setenv("SPARK_GRAFT_SPLIT_TASK_BYTES", "abc")
+    import pytest
+
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SPLIT_TASK_BYTES"):
+        ensure_min_parallelism(docs, keys=["doc_id"])
+
+    # results are partitioning-invariant: same rows either way
+    monkeypatch.delenv("SPARK_GRAFT_SPLIT_TASK_BYTES")
+    out = ensure_min_parallelism(docs, fraction=1.0, keys=["doc_id"])
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )

@@ -22,13 +22,14 @@ def main() -> int:
     ap.add_argument("--dir", default="plans/r12")
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     from aws_glue_data_catalog_replication_utility_spark import queries as Q
     from aws_glue_data_catalog_replication_utility_spark.session import get_spark
 
-    spark = get_spark(app_name="capture-plans", cpus=8)
+    spark = get_spark(app_name="capture-plans", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     reg = Q.registry()
     names = args.names or sorted(reg)
