@@ -599,7 +599,8 @@ def _cc_local_labels(
     a_col: str,
     b_col: str,
     local_edges: int | None,
-) -> DataFrame | None:
+    vertices_only: bool = False,
+) -> tuple[DataFrame | None, DataFrame | None]:
     """Driver-local fast path shared by BOTH connected-component
     formulations (r12, guide §2/§3: a size-adaptive strategy switch, the
     same decision class as a broadcast join). A bounded pair set is
@@ -607,50 +608,84 @@ def _cc_local_labels(
     over with distributed rounds — each round costs 1–2 scheduled jobs
     REGARDLESS of data size, so a small graph pays pure scheduling.
 
-    ONE early-exit job both decides and fetches: ``limit(T+1).collect()``
-    returns every edge iff there are at most T; more rows (or
-    non-integral/string id types, or a NULL endpoint) fall through to
-    the distributed lane unchanged, so the 100 TB path is untouched.
-    Returns None when ineligible.
+    Returns ``(labels, pinned)``. ``labels`` is None when the graph is
+    ineligible (over the threshold, NULL endpoint, or a non-integral/
+    non-string id type) and the caller must run its distributed rounds.
+    ``pinned`` is a persist() handle this function took on ``pairs``
+    (r13, ADVICE r12): for an UN-cached input, an early-exit
+    ``limit(T+1)`` probe would still execute the pair plan's shuffle
+    map stages and cache nothing it consumes partially — so on the
+    large-graph path the (possibly expensive) jaccard/LSH pair plan ran
+    roughly twice. Instead the relation is pinned and ONE full count
+    fills the cache and decides eligibility; the local collect and the
+    distributed lane's edge build both read cached blocks. A caller
+    that receives ``labels=None`` with ``pinned`` set must unpersist it
+    once its own edge relation is materialized. Already-cached inputs
+    (e.g. q53's persisted pairs) keep the cheaper bounded limit-probe.
 
     Label semantics are identical by construction — label = smallest
     member id of the component; Python's str ordering matches Spark's
     UTF8String binary ordering because UTF-8 is code-point-order
     preserving — pinned by the lane-parity tests and the q53 oracle
     (which exercises this lane at every driver-checked scale factor).
-    Pair endpoints absent from `vertices` are labeled too, matching the
-    min-label lane (the distributed star lane drops them via its vertex
-    left join — out-of-contract input; every in-repo caller passes
-    vertices ⊇ participants)."""
+    vertices_only=True restricts the output to ``vertices`` rows (the
+    star formulation's vertex left join drops pair endpoints absent
+    from `vertices`; the min-label formulation labels them too — each
+    entry point passes its own distributed lane's semantics so the
+    env-tunable threshold never changes a result, ADVICE r12)."""
     if local_edges is None:
         local_edges = _cc_local_edges()
     if local_edges <= 0:
-        return None
+        return None, None
     a_t = pairs.schema[a_col].dataType
     if a_t != pairs.schema[b_col].dataType or not isinstance(
         a_t, (IntegralType, StringType)
     ):
-        return None
-    rows = pairs.select(a_col, b_col).limit(local_edges + 1).collect()
-    if len(rows) > local_edges:
-        return None
+        return None, None
+    pinned = None
+    if pairs.is_cached:
+        # cached input: the early-exit probe re-reads bounded blocks
+        rows = pairs.select(a_col, b_col).limit(local_edges + 1).collect()
+        if len(rows) > local_edges:
+            return None, None
+    else:
+        pinned = pairs.persist()
+        if pairs.count() > local_edges:
+            return None, pinned
+        rows = pairs.select(a_col, b_col).collect()
     labeled = _local_min_labels(rows)
     if labeled is None:
-        return None
+        return None, pinned
     labels = pairs.sparkSession.createDataFrame(
         labeled,
         StructType([StructField("id", a_t), StructField("label", a_t)]),
     )
-    # singleton attach + persist: the same ownership contract as the
-    # distributed lanes (caller unpersists); the anti-join broadcasts
-    # the bounded label relation, so `vertices` stays distributed
-    return (
-        vertices.select(F.col(id_col).alias("id"))
-        .join(labels, on="id", how="left_anti")
-        .select("id", F.col("id").alias("label"))
-        .unionByName(labels)
-        .persist()
-    )
+    if vertices_only:
+        # star semantics: one broadcast left join over vertices — rows
+        # absent from `vertices` are dropped, exactly like the star
+        # fixed point's vertex join
+        out = (
+            vertices.select(F.col(id_col).alias("id"))
+            .join(F.broadcast(labels), on="id", how="left")
+            .select("id", F.coalesce("label", F.col("id")).alias("label"))
+            .persist()
+        )
+    else:
+        # min-label semantics: singleton attach + labeled participants
+        # (including endpoints absent from vertices); persist carries
+        # the same ownership contract as the distributed lanes (caller
+        # unpersists); the anti-join broadcasts the bounded label
+        # relation, so `vertices` stays distributed
+        out = (
+            vertices.select(F.col(id_col).alias("id"))
+            .join(labels, on="id", how="left_anti")
+            .select("id", F.col("id").alias("label"))
+            .unionByName(labels)
+            .persist()
+        )
+    if pinned is not None:
+        pinned.unpersist()
+    return out, None
 
 
 def connected_components(
@@ -694,8 +729,11 @@ def connected_components(
 
     r12: a bounded pair set (<= `local_edges`, default
     SPARK_GRAFT_CC_LOCAL_EDGES or 100k) closes driver-locally instead —
-    see _cc_local_labels; pass local_edges=0 to force this lane."""
-    local = _cc_local_labels(pairs, vertices, id_col, a_col, b_col, local_edges)
+    see _cc_local_labels; pass local_edges=0 to force the distributed
+    min-label rounds."""
+    local, pinned = _cc_local_labels(
+        pairs, vertices, id_col, a_col, b_col, local_edges
+    )
     if local is not None:
         return local
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -715,6 +753,10 @@ def connected_components(
     # tower is round-overhead-bound at bench scale). The count also
     # fills the edge cache the first round would otherwise fill.
     parts = _iteration_partitions(edges.count(), pairs.sparkSession)
+    if pinned is not None:
+        # the probe's pin served its purpose: the symmetric edge set is
+        # materialized, nothing reads `pairs` again
+        pinned.unpersist()
     # r12: seed each participant with min(id, min neighbor) — exactly
     # what the first propagation round computes from identity labels,
     # for the same one-exchange price the identity init paid (the
@@ -811,7 +853,9 @@ def connected_components_star(
     r12: a bounded pair set (<= `local_edges`, default
     SPARK_GRAFT_CC_LOCAL_EDGES or 100k) closes driver-locally instead —
     see _cc_local_labels; pass local_edges=0 to force the star rounds."""
-    local = _cc_local_labels(pairs, vertices, id_col, a_col, b_col, local_edges)
+    local, pinned = _cc_local_labels(
+        pairs, vertices, id_col, a_col, b_col, local_edges, vertices_only=True
+    )
     if local is not None:
         local._cc_rounds = 0  # observability parity with the star lane
         return local
@@ -863,6 +907,9 @@ def connected_components_star(
     # _iteration_partitions / connected_components) — the count also
     # fills the edge cache before the first star round
     parts = _iteration_partitions(edges.count(), pairs.sparkSession)
+    if pinned is not None:
+        # probe pin released once the star edge set is materialized
+        pinned.unpersist()
     def _is_min_star_forest(e: DataFrame) -> bool:
         """True iff `e` (oriented u > v by construction of the star
         phases) is a fixed point: a forest of stars centered on each

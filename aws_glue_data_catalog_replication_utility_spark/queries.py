@@ -1943,19 +1943,28 @@ def q37_jaccard_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned sets (standard practice; hot shingles carry no signal), and
     the oracle applies the identical pruning."""
     (docs,) = _t(spark, sf_dir, "documents")
-    from .functions.dedup import prune_hot_shingles
+    from .functions.dedup import _env_int, prune_hot_shingles
 
     sh = word_shingles(
         ensure_min_parallelism(docs, fraction=0.25, keys=["doc_id"]), "doc_id", "text", n=5
     )
     # r12 NOTE (measured, guide §1.2/§5): persisting the pruned
-    # relation here is a LOSS (interleaved A/B at sf0.1: 1.42s
-    # unpersisted vs 3.40s persisted median-of-6) even though the plan
-    # recomputes the explode->df-count tower per branch — every join in
-    # the unpersisted plan is a broadcast (zero shuffle of the shingle
-    # relation), and the towers pipeline inside one job, while the
-    # persist pays a dedicated fill job + cache scans. Left unpersisted
-    # on evidence; revisit only if the broadcast stops fitting.
+    # relation here is a LOSS at bench scale (interleaved A/B at sf0.1:
+    # 1.42s unpersisted vs 3.40s persisted median-of-6) even though the
+    # plan recomputes the explode->df-count tower per branch — every
+    # join in the unpersisted plan is a broadcast (zero shuffle of the
+    # shingle relation), and the towers pipeline inside one job, while
+    # the persist pays a dedicated fill job + cache scans.
+    # r13 (VERDICT r12 #3): that trade flips once the towers stop being
+    # broadcast-pipelined — at cluster scale each of the ~6 inlined
+    # towers would re-shuffle the exploded relation. The revisit is now
+    # CONCRETE: materialize the shingle relation when the document
+    # input's estimated bytes clear SPARK_GRAFT_SHINGLE_PERSIST_BYTES
+    # (default 8 MiB of docs ~ 64 MiB exploded, the session's broadcast
+    # threshold), keep the measured-faster unpersisted form below it.
+    est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est > _env_int("SPARK_GRAFT_SHINGLE_PERSIST_BYTES", 8 << 20):
+        sh = _persist(sh)
     pruned = prune_hot_shingles(sh, max_df=20)
     return jaccard_pairs(pruned, "doc_id", threshold=0.6)
 

@@ -3092,3 +3092,75 @@ def test_split_guard_size_cap(spark, monkeypatch):
     assert sorted(r.doc_id for r in out.select("doc_id").collect()) == sorted(
         r.doc_id for r in docs.select("doc_id").collect()
     )
+
+
+def test_cc_large_graph_path_executes_pair_plan_once(spark):
+    """r13 probe hygiene (ADVICE r12): on the over-threshold path the
+    local-lane probe must not cost a throwaway partial execution of an
+    unpersisted pair relation — the relation is pinned, ONE full count
+    decides eligibility and fills the cache, and the distributed lane's
+    edge build reads blocks. An accumulator inside the pair projection
+    counts plan executions row-exactly."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    base = [(i, i + 1) for i in range(6)]
+
+    for cc in (connected_components, connected_components_star):
+        acc = spark.sparkContext.accumulator(0)
+
+        @F.udf("long")
+        def bump(x, _acc=acc):
+            _acc.add(1)
+            return x
+
+        pairs = spark.createDataFrame(base, "a long, b long").select(
+            bump("a").alias("id_a"), F.col("b").alias("id_b")
+        )
+        verts = spark.range(7).select(F.col("id").alias("doc_id"))
+        labels = cc(pairs, verts, "doc_id", local_edges=2)  # 6 edges > 2
+        got = {r.id: r.label for r in labels.collect()}
+        labels.unpersist()
+        assert got == {i: 0 for i in range(7)}, got
+        assert not pairs.is_cached  # probe pin released
+        assert acc.value == len(base), (cc.__name__, acc.value)
+
+
+def test_cc_star_local_lane_drops_out_of_vertex_endpoints(spark):
+    """ADVICE r12: for out-of-contract input (pair endpoints absent
+    from `vertices`) the star lane's local fast path must produce the
+    same ROW SET as its distributed rounds (vertex left join drops the
+    foreign endpoints), so the env-tunable threshold never changes a
+    result. The min-label lane keeps such endpoints — in both of ITS
+    lanes."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_catalog_replication_utility_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 99), (3, 4)], "id_a long, id_b long"
+    )  # 99 is not a vertex
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+
+    def rows(cc, **kw):
+        df = cc(pairs, verts, "doc_id", **kw)
+        out = {(r.id, r.label) for r in df.collect()}
+        df.unpersist()
+        return out
+
+    star_local = rows(connected_components_star)
+    star_dist = rows(connected_components_star, local_edges=0)
+    assert star_local == star_dist
+    assert not any(i == 99 for i, _ in star_local)
+
+    minlab_local = rows(connected_components)
+    minlab_dist = rows(connected_components, local_edges=0)
+    assert minlab_local == minlab_dist
+    assert (99, 1) in minlab_local

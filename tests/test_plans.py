@@ -154,3 +154,40 @@ def test_r07_operators_plan_shapes(spark):
     p = plan(lm_buckets(docs))
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_q37_size_adaptive_shingle_persist(spark, monkeypatch):
+    """r13 (VERDICT r12 #3): q37 leaves the shingle relation unpersisted
+    while the towers broadcast-pipeline (measured faster at sf0.1) but
+    materializes it once the document input clears
+    SPARK_GRAFT_SHINGLE_PERSIST_BYTES — the persisted plan must collapse
+    the ~6 recomputed scan->shingle MapInArrow towers to <=2, and the
+    result must be byte-identical either way."""
+    sf = "/root/testdata/sf0.01"
+    fn = Q.registry()["q37_jaccard_df_pruned"]
+
+    import re
+
+    def towers(df):
+        """DISTINCT MapInArrow operator ids = towers that actually
+        execute. The persisted form still PRINTS the cached tower once
+        per InMemoryRelation reference, but every occurrence carries
+        the same operator id — one execution."""
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return len(set(re.findall(r"MapInArrow \((\d+)\)", plan)))
+
+    df_lazy = fn(spark, sf)
+    n_lazy = towers(df_lazy)
+    lazy_rows = {tuple(r) for r in df_lazy.collect()}
+
+    monkeypatch.setenv("SPARK_GRAFT_SHINGLE_PERSIST_BYTES", "0")
+    df_pers = fn(spark, sf)
+    n_pers = towers(df_pers)
+    assert df_pers.sparkSession is spark
+    pers_rows = {tuple(r) for r in df_pers.collect()}
+
+    assert n_lazy > 2, n_lazy  # the pipelined form really inlines towers
+    assert n_pers <= 2, n_pers
+    assert lazy_rows == pers_rows
