@@ -76,46 +76,54 @@ def train_quality_classifier(
     train = emb.join(lab, on=id_col).select(
         array_to_vector(F.col("embedding")).alias("__x"), "__y"
     )
-    counts = {
-        r["__y"]: r["n"]
-        for r in train.groupBy("__y").agg(F.count("*").alias("n")).collect()
-    }
-    if set(counts) != {0.0, 1.0}:
-        raise ValueError(
-            f"need both labels 0 and 1 in {label_col}, got {sorted(counts)}"
+    # pinned before any action (r13, guide §5): the label census below
+    # doubles as the cache fill, so LBFGS's own passes (summarizer,
+    # instance blockification, the summary's AUC job) read cached
+    # feature rows instead of re-running the embedding pipeline
+    # (tokenize + explode + TF aggregation + join) once per pass
+    train = train.persist()
+    try:
+        counts = {
+            r["__y"]: r["n"]
+            for r in train.groupBy("__y").agg(F.count("*").alias("n")).collect()
+        }
+        if set(counts) != {0.0, 1.0}:
+            raise ValueError(
+                f"need both labels 0 and 1 in {label_col}, got {sorted(counts)}"
+            )
+        # r12 (guide §2): size the training relation's partitioning from
+        # its measured row count (already known from the label census)
+        # instead of inheriting spark.sql.shuffle.partitions — every LBFGS
+        # iteration is a treeAggregate over these partitions, so a 128-row
+        # seed set on 64 config-sized slices paid ~64 near-empty tasks x
+        # ~20 iterations of pure scheduling. Seed sets are small by
+        # definition; a genuinely large labeled set still fans out (~50k
+        # rows/slice, capped at 4x cores — and defaultParallelism scales
+        # with the executor fleet on a real cluster).
+        n_rows = int(sum(counts.values()))
+        parts = max(
+            1,
+            min(
+                n_rows // 50_000 + 1,
+                labeled.sparkSession.sparkContext.defaultParallelism * 4,
+            ),
         )
-    # r12 (guide §2): size the training relation's partitioning from
-    # its measured row count (already known from the label census)
-    # instead of inheriting spark.sql.shuffle.partitions — every LBFGS
-    # iteration is a treeAggregate over these partitions, so a 128-row
-    # seed set on 64 config-sized slices paid ~64 near-empty tasks x
-    # ~20 iterations of pure scheduling. Seed sets are small by
-    # definition; a genuinely large labeled set still fans out (~50k
-    # rows/slice, capped at 4x cores — and defaultParallelism scales
-    # with the executor fleet on a real cluster).
-    n_rows = int(sum(counts.values()))
-    parts = max(
-        1,
-        min(
-            n_rows // 50_000 + 1,
-            labeled.sparkSession.sparkContext.defaultParallelism * 4,
-        ),
-    )
-    train = train.coalesce(parts)
-    lr = LogisticRegression(
-        featuresCol="__x", labelCol="__y", regParam=reg, maxIter=max_iter,
-        standardization=False,
-    )
-    m = lr.fit(train)
-    return {
-        "dim": dim,
-        "normalize": normalize,
-        "weights": [float(w) for w in m.coefficients.toArray()],
-        "bias": float(m.intercept),
-        "auc": float(m.summary.areaUnderROC),
-        "n_pos": int(counts[1.0]),
-        "n_neg": int(counts[0.0]),
-    }
+        lr = LogisticRegression(
+            featuresCol="__x", labelCol="__y", regParam=reg, maxIter=max_iter,
+            standardization=False,
+        )
+        m = lr.fit(train.coalesce(parts))
+        return {
+            "dim": dim,
+            "normalize": normalize,
+            "weights": [float(w) for w in m.coefficients.toArray()],
+            "bias": float(m.intercept),
+            "auc": float(m.summary.areaUnderROC),
+            "n_pos": int(counts[1.0]),
+            "n_neg": int(counts[0.0]),
+        }
+    finally:
+        train.unpersist()
 
 
 def score_quality(

@@ -73,6 +73,15 @@ def get_spark(
         # testdata events.parquet carries TIMESTAMP(NANOS) which Spark
         # has no native type for: read as long, convert in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- driver constants (r13, guide §5) -----------------------------
+        # PySpark 4's DataFrame-debugging layer captures a Python call
+        # site and ships it to the JVM on EVERY DataFrame method call
+        # (a conf.get round-trip + a PySparkCurrentOrigin.set round-trip
+        # + a Python stack walk per op). The replication towers build
+        # hundreds of ops per batch — cProfile measured ~0.4s of q34's
+        # driver wall in this wrapper alone. Plan- and result-neutral:
+        # only error messages lose the Python call-site line.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # --- misc: quiet + deterministic ----------------------------------
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

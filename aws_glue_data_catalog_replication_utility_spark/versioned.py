@@ -2616,6 +2616,87 @@ def vacuum(
     }
 
 
+def _stats_prune_keyed(
+    root: str, cand: list[str], key_cols: list[str], key_rows: list
+) -> list[str] | None:
+    """Driver-side min/max pruning of a keyed MERGE probe: the files of
+    `cand` that MAY contain one of `key_rows`' key tuples, judged from
+    the per-file column stats already in the commit log (zero file and
+    zero job cost — O(files x key_cols x log(keys)) driver work over
+    the same stats `snapshot_skip_index` serves). Proof rules mirror
+    functions/skipindex._per_file_drop_flags' IN lane: a file is
+    dropped only when some key column PROVABLY excludes every update
+    value (all-null column, or every value outside the recorded
+    [min, max] on the matching type lane — a tuple equi-join needs
+    every column to match, so one excluded column kills the file).
+    Absent stats, kind mismatches, NaN values, and unconvertible
+    literals keep the file — unknown never drops. Returns None when no
+    key column is provable (callers keep their candidate set) and []
+    when every update row carries a NULL in some provable column (NULL
+    never equi-joins, so no file can match)."""
+    import bisect
+    import math
+
+    from .functions.skipindex import _pred_value
+
+    col_vals: dict[str, tuple[str | None, list]] = {}
+    for c in key_cols:
+        lanes: set[str] = set()
+        vals: list = []
+        provable = True
+        for r in key_rows:
+            v = r[c]
+            if v is None:
+                continue  # NULL never matches an equi-join
+            if isinstance(v, float) and math.isnan(v):
+                provable = False  # footer stats are unreliable on NaN
+                break
+            try:
+                lane, cv = _pred_value("=", v)
+            except ValueError:
+                provable = False
+                break
+            lanes.add(lane)
+            vals.append(cv)
+        if not provable or len(lanes) > 1:
+            continue
+        col_vals[c] = (next(iter(lanes)) if lanes else None, sorted(vals))
+    if not col_vals:
+        return None
+    if any(not vals for _lane, vals in col_vals.values()):
+        return []
+    _live, rows_map, fstats, _last = _replay_stats(root, None)
+    kept: list[str] = []
+    for f in cand:
+        stats = fstats.get(f)
+        nrows = rows_map.get(f)
+        if stats is None or nrows is None:
+            kept.append(f)
+            continue
+        by_col = {s[0]: s for s in stats}
+        dropped = False
+        for c, (lane, vals) in col_vals.items():
+            s = by_col.get(c)
+            if s is None:
+                continue
+            _name, kind, nulls, has, mn_num, mx_num, mn_str, mx_str = s
+            if nulls == nrows:
+                dropped = True  # all-null (or empty) column: '=' never matches
+                break
+            if not has or kind != lane:
+                continue
+            lo, hi = (mn_num, mx_num) if lane == "num" else (mn_str, mx_str)
+            if lo is None or hi is None:
+                continue
+            i = bisect.bisect_left(vals, lo)
+            if i >= len(vals) or vals[i] > hi:
+                dropped = True  # every key value outside [lo, hi]
+                break
+        if not dropped:
+            kept.append(f)
+    return kept
+
+
 def merge_into(
     spark: SparkSession,
     root: str,
@@ -2640,6 +2721,16 @@ def merge_into(
     table. Multiple update rows per key are all inserted (the caller
     owns update-side uniqueness, checked nowhere cheaper than the
     caller's own dedup).
+
+    The probe is stats-pruned from the commit log (r13): when the
+    distinct key set is bounded (<= SPARK_GRAFT_MERGE_PROBE_KEYS,
+    default 4096; 0 disables), files whose recorded per-column
+    [min, max] provably exclude every update key value are never
+    opened — a small MERGE against a range-clustered store reads only
+    the overlapping files even without a bloom index. Exact by the
+    same proof rules as the skip index (`_stats_prune_keyed`); unknown
+    never drops, and the manifest's {probe_files_scanned, files_total}
+    records the pruning power.
 
     `bloom` (r10 — the runtime filter composed into a shipped plan):
     a Bloom file index over the store's data files
@@ -2668,83 +2759,111 @@ def merge_into(
         raise ValueError("key_cols must be non-empty")
     # survivors were valid when written; the new rows must be too
     enforce_table_constraints(updates, root)
-    keys = updates.select(*key_cols).distinct()
-    rootabs = os.path.abspath(root)
-    probe_meta: dict = {}
-    cand = live
-    if bloom == "auto":
-        # the store-owned index (build_store_bloom); absent -> unpruned
-        # probe. A composite key engages only when the index covers
-        # EVERY key column — the tuple proof needs at least one covered
-        # column per file, and a fully-covered index gives the AND
-        # across columns its full power
-        bmeta = _load_bloom_meta(root)
-        bloom = (
-            load_store_bloom(spark, root)
-            if bmeta and set(key_cols) <= set(bmeta["columns"])
-            else None
-        )
-    if bloom is not None:
-        from .functions.skipindex import (
-            bloom_dropped_files_for_join,
-            bloom_dropped_files_for_join_tuples,
-        )
-
-        if len(key_cols) == 1:
-            dropped_rel = bloom_dropped_files_for_join(
-                bloom, key_cols[0], keys
+    # pinned: the distinct key relation feeds up to four separate
+    # actions (stats-probe collect, bloom hashing, probe broadcast,
+    # survivor anti-join broadcast) — without the pin each action
+    # re-executes the distinct over `updates` (r13, guide §5)
+    keys = updates.select(*key_cols).distinct().persist()
+    try:
+        rootabs = os.path.abspath(root)
+        probe_meta: dict = {}
+        cand = live
+        if bloom == "auto":
+            # the store-owned index (build_store_bloom); absent ->
+            # unpruned probe. A composite key engages only when the
+            # index covers EVERY key column — the tuple proof needs at
+            # least one covered column per file, and a fully-covered
+            # index gives the AND across columns its full power
+            bmeta = _load_bloom_meta(root)
+            bloom = (
+                load_store_bloom(spark, root)
+                if bmeta and set(key_cols) <= set(bmeta["columns"])
+                else None
             )
+        if bloom is not None:
+            from .functions.skipindex import (
+                bloom_dropped_files_for_join,
+                bloom_dropped_files_for_join_tuples,
+            )
+
+            if len(key_cols) == 1:
+                dropped_rel = bloom_dropped_files_for_join(
+                    bloom, key_cols[0], keys
+                )
+            else:
+                # composite key: a file is dropped when every key TUPLE
+                # is provably absent (one covered column proving its
+                # value absent kills the tuple) — see skipindex
+                dropped_rel = bloom_dropped_files_for_join_tuples(
+                    bloom, key_cols, keys
+                )
+            dropped = {
+                unquote(urlparse(r.file).path) for r in dropped_rel.collect()
+            }
+            cand = [
+                f for f in live if os.path.join(rootabs, f) not in dropped
+            ]
+            probe_meta = {
+                "probe_files_scanned": len(cand),
+                "files_total": len(live),
+            }
+        # r13 (guide §6, VERDICT r12 #7): min/max-prune the probe from
+        # the commit log BEFORE any file opens. A bounded key set (it
+        # is broadcast below anyway) lets the skip index's IN-list
+        # proof run driver-side over the log's stats map — a range-
+        # clustered store's small MERGE then opens only the files whose
+        # recorded bounds overlap an update key, with or without a
+        # bloom index (the two prunings intersect). Column-mapping
+        # stores skip it: log stats stay keyed by physical names.
+        from .functions.dedup import _env_int
+
+        kmax = _env_int("SPARK_GRAFT_MERGE_PROBE_KEYS", 4096)
+        if cand and kmax > 0 and _column_mapping(root) is None:
+            head = keys.limit(kmax + 1).collect()
+            if len(head) <= kmax:
+                pruned = _stats_prune_keyed(root, cand, key_cols, head)
+                if pruned is not None:
+                    cand = pruned
+                    probe_meta = {
+                        "probe_files_scanned": len(cand),
+                        "files_total": len(live),
+                    }
+        if cand:
+            # input_file_name() must bind BEFORE the join (multi-source
+            # expressions are rejected above it): tag each row with its
+            # file, then probe
+            snap = _read_file_subset(spark, root, cand, origin)
+            tagged = snap.select(*key_cols, F.input_file_name().alias("f"))
+            hits = [
+                unquote(urlparse(r["f"]).path)
+                for r in tagged.join(F.broadcast(keys), on=key_cols)
+                .select("f")
+                .distinct()
+                .collect()
+            ]
         else:
-            # composite key: a file is dropped when every key TUPLE is
-            # provably absent (one covered column proving its value
-            # absent kills the tuple) — see skipindex for the proof
-            dropped_rel = bloom_dropped_files_for_join_tuples(
-                bloom, key_cols, keys
-            )
-        dropped = {
-            unquote(urlparse(r.file).path) for r in dropped_rel.collect()
-        }
-        cand = [
-            f for f in live if os.path.join(rootabs, f) not in dropped
-        ]
-        probe_meta = {
-            "probe_files_scanned": len(cand),
-            "files_total": len(live),
-        }
-    if cand:
-        # input_file_name() must bind BEFORE the join (multi-source
-        # expressions are rejected above it): tag each row with its
-        # file, then probe
-        snap = _read_file_subset(spark, root, cand, origin)
-        tagged = snap.select(*key_cols, F.input_file_name().alias("f"))
-        hits = [
-            unquote(urlparse(r["f"]).path)
-            for r in tagged.join(F.broadcast(keys), on=key_cols)
-            .select("f")
-            .distinct()
-            .collect()
-        ]
-    else:
-        hits = []
-    affected = sorted(os.path.relpath(h, rootabs) for h in hits)
-    # updates may evolve the table: LUB covers live schemas + theirs
-    lub, lub_json = _table_lub_for(root, origin, updates.schema)
-    from .functions.evolve import evolve_to_schema
+            hits = []
+        affected = sorted(os.path.relpath(h, rootabs) for h in hits)
+        # updates may evolve the table: LUB covers live schemas + theirs
+        lub, lub_json = _table_lub_for(root, origin, updates.schema)
+        from .functions.evolve import evolve_to_schema
 
-    pcols = table_partitioning(root)
-    added, parts = _rewrite_survivors(
-        spark, rootabs, affected, origin, lub,
-        lambda df: df.join(F.broadcast(keys), on=key_cols, how="left_anti"),
-        dvs=_replay_dvs(root, None)[0], partitioning=pcols,
-    )
-    a, p = _stage_for_table(evolve_to_schema(updates, lub), root, pcols)
-    added.extend(a)
-    parts.update(p)
-    return _commit(
-        root, "merge", added, affected, lub_json,
-        {"keys": key_cols, **probe_meta, **(meta or {})},
-        extra=_partition_extra(pcols, parts) or None,
-    )
+        pcols = table_partitioning(root)
+        added, parts = _rewrite_survivors(
+            spark, rootabs, affected, origin, lub,
+            lambda df: df.join(F.broadcast(keys), on=key_cols, how="left_anti"),
+            dvs=_replay_dvs(root, None)[0], partitioning=pcols,
+        )
+        a, p = _stage_for_table(evolve_to_schema(updates, lub), root, pcols)
+        added.extend(a)
+        parts.update(p)
+        return _commit(
+            root, "merge", added, affected, lub_json,
+            {"keys": key_cols, **probe_meta, **(meta or {})},
+            extra=_partition_extra(pcols, parts) or None,
+        )
+    finally:
+        keys.unpersist()
 
 
 def _stream_state(root: str) -> dict[str, int]:
