@@ -628,7 +628,10 @@ def test_partition_packing_row_budget(vsrc_spark, tmp_path):
 
     root = str(tmp_path / "store")
     # 8 files x 100 rows
-    V.append(vsrc_spark.range(0, 800).selectExpr("id as k").repartition(8), root)
+    # exactly 8 source partitions of 100 rows each — range(n).repartition(8)
+    # round-robins from defaultParallelism-many slices, so file row counts
+    # varied with the test session's core count (uneven 800/8 packing)
+    V.append(vsrc_spark.range(0, 800, 1, 8).selectExpr("id as k"), root)
     schema = V.read_versioned(vsrc_spark, root).schema
 
     def n_parts(**opts):
